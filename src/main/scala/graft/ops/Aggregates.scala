@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Aggregation": hash agg, distinct agg, sketches,
+  * rollup/cube/grouping-sets, ordered collect. All built-in Catalyst —
+  * partial (map-side) aggregation + final HashAggregateExec, no custom code.
+  * Sums go through DECIMAL(18,2) so the DuckDB oracle hash-matches at any
+  * parallelism (double addition order is not associative; decimal is exact).
+  */
+object Aggregates extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ungrouped sum/avg/min/max/count — TPC-H Q6-style revenue.
+    "q_agg_global" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1999-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.08) && col("l_quantity") < 24)
+        .agg(
+          outd(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))).as("revenue"),
+          outd(min(col("l_extendedprice"))).as("min_price"),
+          outd(max(col("l_extendedprice"))).as("max_price"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q1: multi-measure hash agg by (returnflag, linestatus).
+    "q_agg_groupby" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val one = lit(1).cast("decimal(18,2)")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          outd(sum(dec(col("l_quantity")))).as("sum_qty"),
+          outd(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          outd(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("sum_disc_price"),
+          outd(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) * (one + dec(col("l_tax"))))).as("sum_charge"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+          round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // count(DISTINCT)/sum(DISTINCT): Expand + two-phase agg under the hood.
+    "q_agg_distinct" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          outd(sum_distinct(dec(col("l_quantity")))).as("sum_dist_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HLL++ sketch — no-oracle (asserted within rsd of exact in scalatest).
+    "q_agg_approx_distinct" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      ev.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+             count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // ROLLUP with grouping() flags.
+    "q_rollup" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             outd(sum(dec(col("l_extendedprice")))).as("sum_price"),
+             grouping(col("l_returnflag")).as("g_rf"),
+             grouping(col("l_linestatus")).as("g_ls"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // CUBE over customer segment × nation.
+    "q_cube" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .cube(col("c_mktsegment"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             outd(sum(dec(col("c_acctbal")))).as("sum_bal"))
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
+    },
+
+    // Explicit GROUPING SETS via SQL entry (same Catalyst ExpandExec path).
+    "q_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)
+    },
+
+    // Ordered collect: sorted distinct nation keys per segment, joined.
+    "q_agg_collect" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      c.groupBy(col("c_mktsegment"))
+        .agg(concat_ws(",",
+               array_sort(collect_set(col("c_nationkey"))).cast("array<string>"))
+             .as("nations"),
+             count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_global" -> """
+      SELECT
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+        round(CAST(min(l_extendedprice) AS DOUBLE), 4) AS min_price,
+        round(CAST(max(l_extendedprice) AS DOUBLE), 4) AS max_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 24""",
+
+    "q_agg_groupby" -> """
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_agg_distinct" -> """
+      SELECT l_returnflag,
+        count(DISTINCT l_suppkey) AS n_supp,
+        count(DISTINCT l_partkey) AS n_part,
+        round(CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_dist_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_rollup" -> """
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
+        CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+        CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q_cube" -> """
+      SELECT c_mktsegment, n_name, count(*) AS n_cust,
+        round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (c_mktsegment, n_name)
+      ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+
+    "q_agg_collect" -> """
+      SELECT c_mktsegment,
+        array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+        count(*) AS n
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+  )
+}
