@@ -8,7 +8,7 @@ import graft.ops._
   */
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
-    Aggregates
+    Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps
   )
 
   private lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -23,6 +23,11 @@ object Tables {
     * natively. Read it as raw nanos (legacy conf) and integer-divide to
     * exact microseconds — fixture values are µs-aligned (FIXTURES.md), so
     * this matches DuckDB's µs-truncated view of the same file bit-for-bit.
+    *
+    * `nanosAsLong` is session-global: Verify/Bench/test harnesses set it at
+    * session build. The set here is a defensive fallback for sessions the
+    * driver constructs itself — it writes the same constant every time, so
+    * it is idempotent and safe under concurrent query construction.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

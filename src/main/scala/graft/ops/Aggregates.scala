@@ -88,16 +88,17 @@ object Aggregates extends QueryPack {
         .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("n_name"))
     },
 
-    // Explicit GROUPING SETS via SQL entry (same Catalyst ExpandExec path).
+    // Explicit GROUPING SETS via the Dataset API (Spark 4 groupingSets —
+    // same Catalyst ExpandExec path, no temp-view side effects).
     "q_grouping_sets" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_total
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-      """)
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+              Seq(col("o_orderstatus"), col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             outd(sum(dec(col("o_totalprice")))).as("sum_total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     },
 
     // Ordered collect: sorted distinct nation keys per segment, joined.

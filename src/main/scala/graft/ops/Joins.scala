@@ -1,0 +1,224 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Joins": all 9 q_join_* contract keys.
+  *
+  * Scale notes (100 TB lens):
+  *  - fact⋈dim joins broadcast the dim side explicitly (`broadcast(part)`)
+  *    or implicitly (nation/region/supplier are far under
+  *    `spark.sql.autoBroadcastJoinThreshold`) — no fact-side shuffle.
+  *  - fact⋈fact (customer⋈orders) shuffles both sides on the join key once;
+  *    the follow-up groupBy reuses the same hash partitioning, so Catalyst
+  *    plans a single exchange.
+  *  - the as-of join is the union+window formulation: one shuffle by
+  *    user_id, no row-multiplying range join, immune to per-user signup
+  *    fan-out (a join-then-filter as-of multiplies each purchase by every
+  *    earlier signup before picking one; this never materializes pairs).
+  */
+object Joins extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Equi inner join orders⋈customer (shuffled hash / SMJ at scale).
+    "q_join_inner" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
+                col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // Broadcast equi join lineitem⋈part: dim side ships to every executor,
+    // fact side never shuffles. Spec asserts BroadcastHashJoinExec.
+    "q_join_broadcast" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(outd(sum(dec(col("l_quantity")))).as("sum_qty"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Left outer: every customer, with P-status order stats (nulls/0 where
+    // none — 'P' is the rare status so the null side is non-trivial).
+    "q_join_left" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_open"),
+             outd(sum(dec(col("o_totalprice")))).as("open_total"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Full outer on partially-overlapping key sets: negative-balance
+    // customers vs per-customer P-order counts — nulls in both directions.
+    "q_join_full" -> { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_open"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+                col("c_acctbal"), col("n_open"))
+        .orderBy(col("custkey"))
+    },
+
+    // Left semi: customers WITH at least one P-status order.
+    "q_join_semi" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Left anti: customers WITHOUT any P-status order.
+    "q_join_anti" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Theta self-join: nation pairs within a region (equi component keeps it
+    // a hash join; the < predicate is the theta part, applied post-match).
+    "q_join_theta" -> { (s, d) =>
+      val n1 = Tables.nation(s, d).select(
+        col("n_nationkey").as("k1"), col("n_name").as("nation_a"),
+        col("n_regionkey").as("r1"))
+      val n2 = Tables.nation(s, d).select(
+        col("n_nationkey").as("k2"), col("n_name").as("nation_b"),
+        col("n_regionkey").as("r2"))
+      n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+        .select(col("r1").as("regionkey"), col("nation_a"), col("nation_b"))
+        .orderBy(col("regionkey"), col("nation_a"), col("nation_b"))
+    },
+
+    // As-of join: each purchase ↦ latest signup of the same user at/before
+    // its (ts, event_id) position. Union + running last_value(ignoreNulls):
+    // ONE shuffle by user_id, zero pair materialization (SURVEY §7.4 —
+    // tie-break on event_id makes the order total).
+    "q_join_asof" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"),
+                lit(null).cast("double").as("value"),
+                col("ts").as("signup_src"), lit(0).as("kind"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+                lit(null).cast("timestamp").as("signup_src"), lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(purchases)
+        .withColumn("signup_ts", last(col("signup_src"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+                col("signup_ts"))
+        .orderBy(col("event_id"))
+    },
+
+    // 4-way star join (TPC-H Q5 shape): region⋈nation⋈supplier⋈lineitem.
+    // region/nation/supplier auto-broadcast; lineitem never shuffles until
+    // the final low-cardinality groupBy.
+    "q_join_multiway" -> { (s, d) =>
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val sup = Tables.supplier(s, d)
+      val li = Tables.lineitem(s, d)
+      val one = lit(1).cast("decimal(18,2)")
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(n, sup("s_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(outd(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_inner" -> """
+      SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""",
+
+    "q_join_broadcast" -> """
+      SELECT p_brand,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+        count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_open,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS open_total
+      FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q_join_full" -> """
+      SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_acctbal, o.n_open
+      FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+      FULL JOIN (SELECT o_custkey, count(*) AS n_open FROM orders
+                 WHERE o_orderstatus = 'P' GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey
+      ORDER BY custkey""",
+
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey""",
+
+    "q_join_theta" -> """
+      SELECT n1.n_regionkey AS regionkey, n1.n_name AS nation_a, n2.n_name AS nation_b
+      FROM nation n1 JOIN nation n2
+        ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+      ORDER BY regionkey, nation_a, nation_b""",
+
+    // Same union+window formulation as the Spark side, so tie handling at
+    // equal ts is identical by construction (order key = ts, event_id).
+    "q_join_asof" -> """
+      WITH tagged AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CAST(NULL AS DOUBLE) AS value,
+               CAST(ts AS TIMESTAMP) AS signup_src, 0 AS kind
+        FROM events WHERE event_type = 'signup'
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               CAST(NULL AS TIMESTAMP) AS signup_src, 1 AS kind
+        FROM events WHERE event_type = 'purchase'
+      )
+      SELECT event_id, user_id, ts, value,
+             last_value(signup_src IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+      FROM tagged QUALIFY kind = 1 ORDER BY event_id""",
+
+    "q_join_multiway" -> """
+      SELECT n_name,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS revenue,
+        count(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY n_name"""
+  )
+}

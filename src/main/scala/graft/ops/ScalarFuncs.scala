@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType, StructField, StructType}
+
+/** SURVEY.md §2.B "Scalar function families": string / date / math / json /
+  * array / map families + the generator (explode) path. All built-in
+  * codegen'd expressions — every column here stays inside whole-stage
+  * codegen (no UDFs), so the families cost one fused projection pass over
+  * the scan at any scale.
+  *
+  * Determinism: transcendental outputs (ln/log10) are rounded to 4 decimals;
+  * every other function is exact bit-for-bit across Spark and DuckDB.
+  * Integer-typed outputs are cast explicitly on the oracle side (DuckDB
+  * defaults year()/len()/floor() to BIGINT/DOUBLE where Spark has INT/LONG).
+  */
+object ScalarFuncs extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_up"),
+          lower(col("c_name")).as("name_lo"),
+          substring(col("c_name"), 10, 9).as("digits"),
+          ltrim(substring(col("c_name"), 10, 9), "0").as("digits_trim"),
+          concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+          replace(col("c_name"), lit("Customer#"), lit("C-")).as("name_repl"),
+          regexp_extract(col("c_name"), "([0-9]+)$", 1).as("name_num"),
+          col("c_name").like("%42%").as("has42"),
+          length(col("c_name")).as("name_len"),
+          element_at(split(col("c_name"), "#"), 2).as("after_hash"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_98"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_math_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("r2"),
+          floor(col("l_discount") * 100).as("disc_pct"),
+          ceil(col("l_tax") * 100).as("tax_pct"),
+          round(abs(col("l_discount") - 0.05), 4).as("abs_mid"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          round(log(col("l_extendedprice")), 4).as("ln_price"),
+          round(log10(col("l_extendedprice")), 4).as("log10_price"),
+          round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
+          (col("l_orderkey") % 7).as("okey_mod7"),
+          signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "q_json_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getItem("k").as("k_struct"),
+          get_json_object(col("props"), "$.missing").isNull.as("no_missing"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_array_funcs" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val sq: (Column, Column) => Column =
+        (acc, x) => acc + x.cast("double") * x.cast("double")
+      e.select(
+          col("vec_id"),
+          size(col("embedding")).as("n_dims"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("first_val"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+          size(filter(col("embedding"), _ > 0)).as("n_pos"),
+          array_contains(transform(col("embedding"), _ > lit(0.2f)), true).as("has_big"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0), sq)), 4).as("l2"),
+          round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+                          (acc, x) => acc + x.cast("double")), 4).as("head8_sum"))
+        .orderBy(col("vec_id"))
+    },
+
+    "q_map_funcs" -> { (s, d) =>
+      val m = from_json(col("props"), MapType(StringType, StringType))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          concat_ws(",", array_sort(map_keys(m))).as("keys_csv"),
+          element_at(m, "k").as("k_val"),
+          size(map_keys(m)).as("n_keys"))
+        .orderBy(col("event_id"))
+    },
+
+    // Generator path: posexplode of the first 4 embedding dims (GenerateExec).
+    "q_explode" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select(col("vec_id"), col("pos"),
+                round(col("col").cast("double"), 4).as("val"))
+        .orderBy(col("vec_id"), col("pos"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_string_funcs" -> """
+      SELECT c_custkey,
+        upper(c_mktsegment) AS seg_up,
+        lower(c_name) AS name_lo,
+        substr(c_name, 10, 9) AS digits,
+        ltrim(substr(c_name, 10, 9), '0') AS digits_trim,
+        concat(c_mktsegment, ':', c_name) AS tagged,
+        lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        replace(c_name, 'Customer#', 'C-') AS name_repl,
+        regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+        c_name LIKE '%42%' AS has42,
+        CAST(length(c_name) AS INT) AS name_len,
+        string_split(c_name, '#')[2] AS after_hash
+      FROM customer ORDER BY c_custkey""",
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+        date_trunc('month', o_orderdate) AS month_start,
+        CAST(year(o_orderdate) AS INT) AS yr,
+        CAST(month(o_orderdate) AS INT) AS mo,
+        CAST(day(o_orderdate) AS INT) AS dom,
+        CAST(o_orderdate AS DATE) + 30 AS d30,
+        CAST(DATE '1998-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_98,
+        strftime(o_orderdate, '%Y-%m') AS ym,
+        CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      FROM orders ORDER BY o_orderkey""",
+
+    "q_math_funcs" -> """
+      SELECT l_orderkey, l_linenumber,
+        round(l_extendedprice, 2) AS r2,
+        CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
+        CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct,
+        round(abs(l_discount - 0.05), 4) AS abs_mid,
+        pow(l_quantity, 2) AS qty_sq,
+        round(ln(l_extendedprice), 4) AS ln_price,
+        round(log10(l_extendedprice), 4) AS log10_price,
+        round(sqrt(l_quantity), 4) AS sqrt_qty,
+        l_orderkey % 7 AS okey_mod7,
+        CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_json_funcs" -> """
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_struct,
+        json_extract_string(props, '$.missing') IS NULL AS no_missing
+      FROM events ORDER BY event_id""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id,
+        CAST(len(embedding) AS INT) AS n_dims,
+        round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+        round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 4) AS max_val,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        list_contains(list_transform(embedding, x -> x > CAST(0.2 AS FLOAT)), true) AS has_big,
+        round(sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)), 4) AS l2,
+        round(list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 4) AS head8_sum
+      FROM embeddings ORDER BY vec_id""",
+
+    "q_map_funcs" -> """
+      SELECT event_id,
+        array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+        json_extract_string(props, '$.k') AS k_val,
+        CAST(len(json_keys(props)) AS INT) AS n_keys
+      FROM events ORDER BY event_id""",
+
+    "q_explode" -> """
+      SELECT vec_id, CAST(t.r AS INT) AS pos,
+        round(CAST(embedding[CAST(t.r AS INT) + 1] AS DOUBLE), 4) AS val
+      FROM embeddings, range(4) t(r)
+      ORDER BY vec_id, pos"""
+  )
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Scans / sources" + "Filters / projections":
+  * q_scan_project, q_scan_pushdown, q_filter, q_conditional, q_cast_types.
+  *
+  * Scale notes: these keys exist to prove the scan path is right — the spec
+  * asserts `ReadSchema` pruning for q_scan_project and non-empty
+  * `PushedFilters` for q_scan_pushdown, because at 100 TB a scan that reads
+  * all 11 lineitem columns for a 4-column projection (or evaluates the
+  * shipdate range post-scan instead of in the parquet reader) is the whole
+  * ballgame.
+  */
+object Scans extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Column-pruned projection: only 4 of 11 lineitem columns reach the scan.
+    "q_scan_project" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Filter pushed into the parquet reader (row-group + page pruning).
+    "q_scan_pushdown" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1998-04-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+                col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // Conjunctive predicates: BETWEEN, IN, LIKE, date range (Q6 flavor).
+    "q_filter" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "P") &&
+                col("o_totalprice").between(1000, 50000) &&
+                col("o_orderpriority").like("%URGENT%") &&
+                col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // CASE WHEN / coalesce / nullif / least / greatest.
+    "q_conditional" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 1000, "low")
+            .otherwise("healthy").as("balance_band"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)"))
+            .as("seg_or_default"),
+          outd(greatest(dec(col("c_acctbal")), lit(0).cast("decimal(18,2)")))
+            .as("bal_floor0"),
+          outd(least(dec(col("c_acctbal")), lit(5000).cast("decimal(18,2)")))
+            .as("bal_cap5k"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Casts: string↔int↔double↔timestamp↔date + DECIMAL(12,2) arithmetic.
+    "q_cast_types" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_quantity").cast("int").cast("string").as("qty_str"),
+          (col("l_extendedprice").cast("decimal(12,2)") +
+            lit(1.5).cast("decimal(12,2)")).as("price_plus"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_shipdate").cast("string").as("ship_str"),
+          col("l_shipdate").cast("string").cast("timestamp").as("ship_rt"),
+          col("l_orderkey").cast("string").cast("bigint").as("okey_rt"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_scan_pushdown" -> """
+      SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+      ORDER BY l_orderkey, l_linenumber""",
+
+    "q_filter" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'P')
+        AND o_totalprice BETWEEN 1000 AND 50000
+        AND o_orderpriority LIKE '%URGENT%'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+      ORDER BY o_orderkey""",
+
+    "q_conditional" -> """
+      SELECT c_custkey,
+        CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+             WHEN c_acctbal < 1000 THEN 'low'
+             ELSE 'healthy' END AS balance_band,
+        coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_or_default,
+        round(CAST(greatest(CAST(c_acctbal AS DECIMAL(18,2)), CAST(0 AS DECIMAL(18,2))) AS DOUBLE), 4) AS bal_floor0,
+        round(CAST(least(CAST(c_acctbal AS DECIMAL(18,2)), CAST(5000 AS DECIMAL(18,2))) AS DOUBLE), 4) AS bal_cap5k
+      FROM customer ORDER BY c_custkey""",
+
+    "q_cast_types" -> """
+      SELECT l_orderkey, l_linenumber,
+        CAST(l_quantity AS INT) AS qty_int,
+        CAST(CAST(l_quantity AS INT) AS VARCHAR) AS qty_str,
+        CAST(l_extendedprice AS DECIMAL(12,2)) + CAST(1.5 AS DECIMAL(12,2)) AS price_plus,
+        CAST(l_shipdate AS DATE) AS ship_date,
+        CAST(l_shipdate AS VARCHAR) AS ship_str,
+        CAST(CAST(l_shipdate AS VARCHAR) AS TIMESTAMP) AS ship_rt,
+        CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS okey_rt
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""
+  )
+}

@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Sort / limit / top-k" + "Set operations".
+  *
+  * Scale notes: q_topk_global compiles to TakeOrderedAndProjectExec —
+  * per-partition heap + driver merge of k rows, never a global sort.
+  * q_topk_per_group is one shuffle by group key + per-partition sort with
+  * the rank filter pushed into the window (WindowGroupLimit in Spark 4
+  * keeps only 3 rows per group per partition before the shuffle).
+  * q_sort_multi materializes an explicit global rank: that is inherently a
+  * total order (range-partitioned sort at scale); the unique trailing key
+  * keeps it deterministic.
+  */
+object SortSetOps extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Multi-key sort with mixed direction, made observable via global rank.
+    "q_sort_multi" -> { (s, d) =>
+      val w = Window.orderBy(col("c_mktsegment").asc, col("c_acctbal").desc,
+                             col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                row_number().over(w).as("sort_pos"))
+        .orderBy(col("sort_pos"))
+    },
+
+    // LIMIT + OFFSET over a total order.
+    "q_limit_offset" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(50).limit(100)
+    },
+
+    // Global top-k: TakeOrderedAndProjectExec, no full sort.
+    "q_topk_global" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+                 col("l_linenumber"))
+        .limit(20)
+    },
+
+    // Top-3 orders per customer by total price.
+    "q_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+                row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // UNION ALL keeps duplicates (tagged so the overlap is visible).
+    "q_union_all" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), lit("seg").as("src"))
+      val b = c.filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), lit("bal").as("src"))
+      a.unionAll(b).orderBy(col("c_custkey"), col("src"))
+    },
+
+    // UNION distinct de-duplicates across the two sides.
+    "q_union_distinct" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val b = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      a.union(b).distinct().orderBy(col("c_custkey"))
+    },
+
+    // INTERSECT: customers with both an 'F' and an 'O' order.
+    "q_intersect" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+
+    // EXCEPT: customers with an 'O' order but no 'F' order.
+    "q_except" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sort_multi" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(row_number() OVER (ORDER BY c_mktsegment ASC, c_acctbal DESC,
+                                c_custkey ASC) AS INT) AS sort_pos
+      FROM customer ORDER BY sort_pos""",
+
+    "q_limit_offset" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 50""",
+
+    "q_topk_global" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+
+    "q_topk_per_group" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders QUALIFY rn <= 3 ORDER BY o_custkey, rn""",
+
+    "q_union_all" -> """
+      SELECT c_custkey, 'seg' AS src FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, 'bal' AS src FROM customer WHERE c_acctbal > 5000
+      ORDER BY c_custkey, src""",
+
+    "q_union_distinct" -> """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      ORDER BY c_custkey""",
+
+    "q_intersect" -> """
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_custkey""",
+
+    "q_except" -> """
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey"""
+  )
+}

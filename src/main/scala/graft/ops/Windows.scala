@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Window functions": ranking, analytic (lag/lead/first/
+  * last), ROWS frames, RANGE frames, running totals.
+  *
+  * Scale notes: every window here is partitioned (mktsegment / user_id /
+  * orderkey / brand / custkey) — one shuffle by partition key, per-partition
+  * sort, no global single-partition window anywhere. Order keys always end
+  * in a unique column so frames are total-ordered (hash-stable vs oracle).
+  */
+object Windows extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // row_number / rank / dense_rank / ntile over segment by balance.
+    "q_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                row_number().over(w).as("rn"),
+                rank().over(w).as("rnk"),
+                dense_rank().over(w).as("drnk"),
+                ntile(4).over(w).as("quartile"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // lag / lead / first_value / last_value over each user's event stream.
+    "q_window_analytic" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+                lag(col("value"), 1).over(w).as("prev_value"),
+                lead(col("value"), 1).over(w).as("next_value"),
+                first(col("value")).over(w).as("first_value"),
+                last(col("value")).over(wAll).as("last_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Moving sum/avg over a 3-row window within each order. Fixture
+    // (l_orderkey, l_linenumber) is NOT unique, so the order key extends to
+    // (extendedprice, partkey, suppkey) — unique in the fixture — to keep
+    // frame contents identical between engines.
+    "q_window_frame_rows" -> { (s, d) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_extendedprice"),
+                 col("l_partkey"), col("l_suppkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+                outd(sum(dec(col("l_quantity"))).over(w)).as("mov_sum"),
+                round(sum(dec(col("l_quantity"))).over(w).cast("double") /
+                      count(lit(1)).over(w), 4).as("mov_avg"),
+                count(lit(1)).over(w).as("mov_n"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+                 col("l_partkey"), col("l_suppkey"))
+    },
+
+    // RANGE frame on a numeric order key: all parts within 5 size units.
+    "q_window_frame_range" -> { (s, d) =>
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_size"))
+        .rangeBetween(-5, Window.currentRow)
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+                outd(sum(dec(col("p_retailprice"))).over(w)).as("rng_sum"),
+                count(lit(1)).over(w).as("rng_n"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // Classic running total per customer ordered by order date.
+    "q_window_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+                count(lit(1)).over(w).as("run_n"),
+                outd(sum(dec(col("o_totalprice"))).over(w)).as("run_total"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_window_rank" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        CAST(row_number() OVER w AS INT) AS rn,
+        CAST(rank() OVER w AS INT) AS rnk,
+        CAST(dense_rank() OVER w AS INT) AS drnk,
+        CAST(ntile(4) OVER w AS INT) AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey""",
+
+    "q_window_analytic" -> """
+      SELECT event_id, user_id, value,
+        lag(value, 1) OVER w AS prev_value,
+        lead(value, 1) OVER w AS next_value,
+        first_value(value) OVER w AS first_value,
+        last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
+
+    "q_window_frame_rows" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS mov_sum,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+              (count(*) OVER w), 4) AS mov_avg,
+        count(*) OVER w AS mov_n
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_extendedprice, l_partkey, l_suppkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_partkey, l_suppkey""",
+
+    "q_window_frame_range" -> """
+      SELECT p_partkey, p_brand, p_size,
+        round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS rng_sum,
+        count(*) OVER w AS rng_n
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ORDER BY p_partkey""",
+
+    "q_window_running" -> """
+      SELECT o_orderkey, o_custkey,
+        count(*) OVER w AS run_n,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 4) AS run_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_orderkey"""
+  )
+}
