@@ -8,7 +8,8 @@ import graft.ops._
   */
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
-    Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps
+    Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps,
+    Ingestion, StreamingOps, TextOps, UdfOps
   )
 
   private lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =

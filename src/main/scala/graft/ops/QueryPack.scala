@@ -21,6 +21,11 @@ trait QueryPack {
   /** Exact decimal view of a 2-decimal double column (hash-stable sums). */
   protected def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Exact decimal view of an arbitrary-precision double column: both
+    * engines round identically to 10 decimals, then sum exactly — the sum
+    * order can no longer diverge the hash. */
+  protected def dec10(c: Column): Column = c.cast(DecimalType(28, 10))
+
   /** Final float output: exact decimal → rounded double, both engines agree. */
   protected def outd(c: Column): Column = round(c.cast("double"), 4)
 }

@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "Streaming" — the time-window/dedup/state operators.
+  *
+  * Each key here is the BATCH form of the identical Structured Streaming
+  * computation: `window`/`session_window`/`dropDuplicates` are the same
+  * logical operators batch and streaming, so the DuckDB oracle on the batch
+  * result also pins the streaming semantics. The genuinely streaming-only
+  * behaviors (watermark late-drop under out-of-order arrival, mapGroups
+  * state) are exercised with MemoryStream in StreamingSpec, asserting
+  * equivalence to these batch twins.
+  *
+  * Scale notes: tumbling/sliding/session windows shuffle once by
+  * (window/user) key with partial aggregation; the sliding window's 4×
+  * Expand (1h / 15m) is inherent to overlap. The watermark batch analog
+  * uses a single global arrival order — faithful to the reference's one
+  * producer; a cluster version tracks watermark per source partition
+  * exactly like Spark's streaming engine does.
+  */
+object StreamingOps extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 1-hour tumbling window: count + exact-decimal value sum.
+    "q_tumbling_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+             outd(sum(dec10(col("value")))).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"))
+    },
+
+    // 1-hour window sliding every 15 minutes: each event lands in 4 windows.
+    "q_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .orderBy(col("win_start"))
+    },
+
+    // 30-minute-gap sessions per user: start/end (end = last event + gap),
+    // event count, exact-decimal value sum.
+    "q_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"),
+             outd(sum(dec10(col("value")))).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("sess_start"),
+                col("session_window.end").as("sess_end"), col("n"),
+                col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // Dedup by event_id over an intentionally doubled input (the fixture's
+    // event_id is unique, so the self-union manufactures the duplicates a
+    // stream would re-deliver; duplicate rows are bit-identical, keeping
+    // dropDuplicates deterministic).
+    "q_stream_dedup" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      ev.unionAll(ev)
+        .dropDuplicates("event_id")
+        .orderBy(col("event_id"))
+    },
+
+    // Watermark late-drop, batch analog: arrival order = event_id; the
+    // watermark after each arrival is max(ts seen so far) - 10 min; a row
+    // is late iff its ts is below the watermark at arrival.
+    "q_watermark_late" -> { (s, d) =>
+      val w = Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("wm", max(col("ts")).over(w) - expr("INTERVAL 10 MINUTES"))
+        .select(col("event_id"),
+                coalesce(col("ts") < col("wm"), lit(false)).as("is_late"))
+        .orderBy(col("event_id"))
+    },
+
+    // Per-user running state (event count + value sum) — the batch twin of
+    // the transformWithState/flatMapGroupsWithState query in StreamingSpec.
+    "q_stateful_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+                count(lit(1)).over(w).as("run_n"),
+                outd(sum(dec10(col("value"))).over(w)).as("run_sum"))
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_tumbling_window" -> """
+      SELECT date_trunc('hour', ts) AS win_start, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value
+      FROM events GROUP BY 1 ORDER BY win_start""",
+
+    "q_sliding_window" -> """
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(t.r AS INT) * INTERVAL '15 minutes' AS win_start,
+             count(*) AS n
+      FROM events, range(4) t(r)
+      GROUP BY 1 ORDER BY win_start""",
+
+    "q_session_window" -> """
+      WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+      )
+      SELECT user_id, min(ts) AS sess_start,
+             max(ts) + INTERVAL '30 minutes' AS sess_end,
+             count(*) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value
+      FROM sess GROUP BY user_id, sid ORDER BY user_id, sess_start""",
+
+    "q_stream_dedup" -> """
+      SELECT DISTINCT event_id, user_id, event_type
+      FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+      ORDER BY event_id""",
+
+    "q_watermark_late" -> """
+      SELECT event_id,
+        coalesce(ts < max(ts) OVER (ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          - INTERVAL '10 minutes', false) AS is_late
+      FROM events ORDER BY event_id""",
+
+    "q_stateful_running" -> """
+      SELECT event_id, user_id,
+        count(*) OVER w AS run_n,
+        round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE), 4) AS run_sum
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,210 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.B "LLM-data-pipeline operators": exact/near dedup,
+  * similarity search, tokenization, text stats, keyword search over the
+  * `documents` / `embeddings` fixtures.
+  *
+  * Scale notes (100 TB lens):
+  *  - q_dedup_exact is one hash-shuffle on md5(text) — the canonical
+  *    map-side-combinable dedup; no row ever leaves its partition except
+  *    the 16-byte digest + ids.
+  *  - q_dedup_minhash is banded LSH, never all-pairs: shingle explode →
+  *    per-doc 64-perm signature (single shuffle by doc_id) → band-bucket
+  *    self-join (shuffle by (band, band_hash), only same-bucket pairs
+  *    materialize) → exact-Jaccard confirm on candidates only. Fixed seed
+  *    table (SURVEY §7.4) keeps signatures identical across partitions,
+  *    executors, and reruns.
+  *  - q_similarity_topk broadcasts the (tiny) probe set; the corpus side
+  *    streams through one fused projection and a per-probe top-k window.
+  *    The 100 TB path swaps the brute-force scan for the same LSH
+  *    band-bucketing over sign-random-projection bits; the top-k window is
+  *    unchanged.
+  *  - everything is built-in codegen'd expressions — no UDFs anywhere.
+  */
+object TextOps extends QueryPack {
+
+  /** Deterministic MinHash permutation table: 64 (a, b) pairs from a fixed
+    * seed (SURVEY §7.4 — no Math.random, stable across JVMs/partitions).
+    * a is forced odd so x ↦ a*x+b is a bijection mod 2^64.
+    */
+  private val NumPerms = 64
+  private val NumBands = 16 // × 4 rows per band
+  private[graft] val perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42L)
+    Seq.fill(NumPerms)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+  /** Mask to a non-negative Long — cheap stand-in for mod-prime. */
+  private val Mask = 0x7fffffffffffffffL
+
+  /** Word-level 3-shingles of a space-separated text column. */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(words) - 2, lit(0))),
+      i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+                     element_at(words, i + 2)))
+  }
+
+  /** doc_id → distinct (doc_id, shingle-hash) rows. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .distinct()
+
+  /** Sequential-fold dot product of two float-array columns, in double —
+    * the same fold order DuckDB's list_dot_product uses, so a round(_, 4)
+    * on both sides hash-matches.
+    */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical doc per md5(text) + copy count.
+    "q_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("text_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Near-dup detection: 3-shingles → 64-perm MinHash → 16-band LSH →
+    // exact Jaccard ≥ 0.5 on candidates only. No oracle (xxhash64 has no
+    // DuckDB twin) — covered by MinHashSpec goldens + ε-bound property.
+    "q_dedup_minhash" -> { (s, d) =>
+      val sh = shingleHashes(Tables.documents(s, d)).cache()
+      // 64-perm signature: one hash-agg by doc_id, 64 fused min columns.
+      val sigCols = perms.zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * lit(a) + lit(b)).bitwiseAND(lit(Mask))).as(s"m$j")
+      }
+      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // Band hashes: 16 × hash(band rows, band idx); explode to buckets.
+      val bandCols = (0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+               hash((0 until 4).map(r => col(s"m${4 * b + r}")) :+ lit(b): _*)
+                 .as("bh"))
+      }
+      val buckets = sigs.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      val cand = buckets.alias("x").join(buckets.alias("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      // Exact Jaccard on candidates only: |A∩B| via shingle-hash join,
+      // |A| and |B| via per-doc counts.
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
+        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+      cand
+        .join(inter, Seq("d1", "d2"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // Brute-force cosine top-5 for 5 broadcast probe vectors.
+    "q_similarity_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(dot(col("pe"), col("embedding")) /
+            (sqrt(dot(col("pe"), col("pe"))) *
+             sqrt(dot(col("embedding"), col("embedding")))), 4).as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+
+    // Tokenize → explode → global top-20 words.
+    "q_text_tokenize" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+
+    // Per-(lang, source) doc counts + avg chars + avg token count.
+    "q_text_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             round(avg(col("n_chars")), 4).as("avg_chars"),
+             round(avg(size(split(col("text"), " "))), 4).as("avg_tokens"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Keyword search: docs containing 'spark', ranked by term frequency.
+    "q_text_search" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+                size(filter(split(col("text"), " "), _ === "spark")).as("tf"),
+                size(split(col("text"), " ")).as("n_tokens"))
+        .filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,
+             count(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_similarity_topk" -> """
+      WITH probes AS (
+        SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pe
+        FROM embeddings WHERE vec_id < 5),
+      pairs AS (
+        SELECT p.probe_id, e.vec_id,
+          round(list_dot_product(p.pe, CAST(e.embedding AS DOUBLE[])) /
+            (sqrt(list_dot_product(p.pe, p.pe)) *
+             sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                   CAST(e.embedding AS DOUBLE[])))), 4) AS cos
+        FROM embeddings e JOIN probes p ON e.vec_id <> p.probe_id)
+      SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                    ORDER BY cos DESC, vec_id) AS rn
+        FROM pairs) WHERE rn <= 5
+      ORDER BY probe_id, rn""",
+
+    "q_text_tokenize" -> """
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w ORDER BY n DESC, word LIMIT 20""",
+
+    "q_text_stats" -> """
+      SELECT lang, source, count(*) AS n_docs,
+        round(avg(n_chars), 4) AS avg_chars,
+        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+      FROM documents GROUP BY lang, source ORDER BY lang, source""",
+
+    "q_text_search" -> """
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS INT) AS tf,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      FROM documents
+      QUALIFY tf > 0
+      ORDER BY tf DESC, doc_id"""
+  )
+}
