@@ -42,8 +42,10 @@ object Bench {
       val r = run(name)
       (name, (System.nanoTime() - t0) / 1e9, r.isRight)
     }
-    val qs = timed.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "\"failed\"")
+    // queries map holds ONLY numeric values (a "failed" string broke the
+    // driver's round-2 parse → parsed:null); failures are named in `failed`.
+    val qs = timed.collect { case (k, v, true) =>
+      "\"" + k + "\":" + v.toString
     }.mkString("{", ",", "}")
     val failed = timed.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")

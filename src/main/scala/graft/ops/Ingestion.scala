@@ -4,6 +4,15 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Row types for the batch-assignment scan. Top-level (not nested private)
+  * because Spark's generated SafeProjection must instantiate them from
+  * synthesized Java — a `private` nested case class fails Janino compilation
+  * ("Private member cannot be accessed").
+  */
+case class EvIn(event_id: Long, user_id: Long, tsMicros: Long, sz: Long)
+case class EvBatch(event_id: Long, user_id: Long, batch_id: Long,
+                   cum_before: Long, sz: Long)
+
 /** SURVEY.md §2.B "Ingestion / reference semantics" — the streamsurfer
   * behaviors re-expressed as relational queries over the `events` fixture:
   * validation (reference `main.go:175-177`), enrichment (`main.go:179-183`),
@@ -30,10 +39,6 @@ object Ingestion extends QueryPack {
     * README's "kilobytes" claim is the documented discrepancy, SURVEY §4.3).
     * Fixture events are ~60-80 bytes, so 1024 yields ~13-item batches. */
   private[graft] val MaxSizeBytes = 1024L
-
-  private case class EvIn(event_id: Long, user_id: Long, tsMicros: Long, sz: Long)
-  private case class EvBatch(event_id: Long, user_id: Long, batch_id: Long,
-                             cum_before: Long, sz: Long)
 
   /** The pre-insert-flush scan (`main.go:208-228`): an item whose size
     * would cross the threshold first flushes the *existing* queue (if any)
