@@ -38,8 +38,9 @@ object TextOps extends QueryPack {
   private[graft] val NumPerms = 64
   private[graft] val NumBands = 16 // × 4 rows per band
 
-  /** Word-level 3-shingles of a space-separated text column. */
-  private def shingles(text: Column): Column = {
+  /** Word-level 3-shingles of a space-separated text column.
+    * `private[graft]` so MinHashSpec exercises the same pipeline. */
+  private[graft] def shingles(text: Column): Column = {
     val words = split(text, " ")
     transform(
       sequence(lit(1), greatest(size(words) - 2, lit(0))),
@@ -48,7 +49,7 @@ object TextOps extends QueryPack {
   }
 
   /** doc_id → distinct (doc_id, shingle-hash) rows. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .distinct()

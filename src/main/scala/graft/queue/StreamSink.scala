@@ -1,0 +1,50 @@
+package graft.queue
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** The sink seam of the engine's ingestion façade — the Spark-side analog of
+  * the reference's `KinesisQueue`'s underlying AWS client call
+  * (`/root/reference/main.go:283` `PutRecord`). One `putRecord` = one
+  * "record" whose payload is an entire batch serialized as a single JSON
+  * array (`main.go:267-276`).
+  *
+  * Zero-egress environment → no real Kinesis connector; the seam keeps the
+  * engine pluggable (a cluster deployment would drop in a connector-backed
+  * implementation with the reference's ≤5-attempt retry, `main.go:165`).
+  */
+trait StreamSink {
+  def putRecord(data: Array[Byte], partitionKey: String): Unit
+}
+
+/** Local-filesystem sink: one file per record under `dir`, named by an
+  * arrival sequence + the partition key, so payloads can be re-read in
+  * arrival order by tests (SURVEY §5.2 item 4 end-to-end smoke).
+  */
+final class LocalSink(dir: String) extends StreamSink {
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+  Files.createDirectories(Paths.get(dir))
+  override def putRecord(data: Array[Byte], partitionKey: String): Unit = {
+    val n = seq.getAndIncrement()
+    Files.write(Paths.get(dir, f"$n%06d-$partitionKey.json"), data,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+  /** Payloads in arrival order (test helper). */
+  def records(): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .sortBy(_.getFileName.toString)
+      .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+}
+
+/** In-memory sink for unit/property tests (the repo's analog of the
+  * reference's mockery mock, `/root/reference/mocks/KinesisQueue.go`). */
+final class InMemorySink extends StreamSink {
+  private val buf = new ConcurrentLinkedQueue[(String, String)]()
+  @volatile var failNext: Boolean = false
+  override def putRecord(data: Array[Byte], partitionKey: String): Unit = {
+    if (failNext) { failNext = false; throw new RuntimeException("sink down") }
+    buf.add((new String(data, "UTF-8"), partitionKey))
+  }
+  def records(): Seq[(String, String)] = buf.asScala.toSeq
+}

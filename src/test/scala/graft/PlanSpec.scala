@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY §4.2, VERDICT r1 items 1-3): the keys
+  * that exist to prove scan pruning / pushdown / join strategy / top-k
+  * actually produce those plans — at 100 TB these ARE the query cost.
+  *
+  * Queries are executed first so AQE finalizes (`isFinalPlan=true`) and the
+  * plan string shows the real scan metadata + codegen stages.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def finalPlan(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def readSchemaCols(plan: String): Set[String] =
+    "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet)
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+
+  test("q_scan_project prunes to exactly the 4 projected columns") {
+    assert(readSchemaCols(finalPlan("q_scan_project")) ==
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+  }
+
+  test("q_scan_pushdown pushes the shipdate range into the parquet reader") {
+    val plan = finalPlan("q_scan_pushdown")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
+    assert(pushed.nonEmpty, "empty PushedFilters — range not pushed")
+    assert(pushed.contains("l_shipdate"), s"shipdate not pushed: $pushed")
+    // and the scan reads only the filter/output columns, not all 11
+    assert(readSchemaCols(plan).size <= 4)
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    assert(finalPlan("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_inner picks a sane join strategy (broadcast or sort-merge)") {
+    val s = finalPlan("q_join_inner")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+      s.contains("ShuffledHashJoin"))
+  }
+
+  test("q_topk_global plans TakeOrderedAndProject (no global sort)") {
+    assert(finalPlan("q_topk_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are two-phase (partial before shuffle)") {
+    val s = finalPlan("q_agg_groupby")
+    assert(s.contains("HashAggregate"))
+    assert(s.toLowerCase.contains("partial"),
+      "no partial aggregate — map-side combine missing")
+  }
+
+  test("whole-stage codegen covers the hot path of the flagship query") {
+    // codegen stages render as `*(n)` prefixes in the final plan string
+    val s = finalPlan("q_agg_groupby")
+    assert("\\*\\(\\d+\\)".r.findFirstIn(s).isDefined,
+      "flagship query fell out of whole-stage codegen")
+    // scan → filter → partial agg must share one codegen stage (stage 1)
+    assert(s.contains("*(1) HashAggregate") && s.contains("*(1) Filter"),
+      "partial agg and filter not fused into one codegen stage")
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+import graft.queue.{EventQueue, InMemorySink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real Structured-Streaming coverage for the two no-oracle streaming keys
+  * (SURVEY §2.B: q_watermark_late, q_stateful_running) plus the streaming
+  * dedup path and the foreachBatch → EventQueue sink (SURVEY §3.2 item 2).
+  * MemoryStream + processAllAvailable keeps every scenario deterministic.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermark drops late rows from append-mode windowed counts") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val agg = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes")).count()
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), "a"), (ts("2024-01-01 00:05:00"), "b"))
+      q.processAllAvailable()
+      // advance watermark past the first window, then send a LATE row into it
+      input.addData((ts("2024-01-01 01:00:00"), "c"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:02:00"), "late")) // behind watermark → dropped
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), "d")) // finalize hour-1 window
+      q.processAllAvailable()
+      val counts = spark.table("wm_out")
+        .select(col("window.start").cast("string"), col("count")).as[(String, Long)]
+        .collect().toMap
+      assert(counts("2024-01-01 00:00:00") == 2L,
+        s"late row was counted: $counts") // NOT 3 — the late row is dropped
+      assert(counts("2024-01-01 01:00:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val dedup = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:01:00"), 1L),
+                    (ts("2024-01-01 00:02:00"), 2L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:03:00"), 2L), (ts("2024-01-01 00:04:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running per-user count matches batch equivalent") {
+    import spark.implicits._
+    val input = MemoryStream[(String, Double)](spark)
+    val running = input.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = running.toDF("user", "n").writeStream.format("memory")
+      .queryName("state_out").outputMode("update").start()
+    try {
+      input.addData(("u1", 1.0), ("u1", 2.0), ("u2", 3.0))
+      q.processAllAvailable()
+      input.addData(("u1", 4.0), ("u3", 5.0))
+      q.processAllAvailable()
+      // last update per user == total events seen for that user
+      val last = spark.table("state_out").groupBy("user").agg(max("n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("u1" -> 3L, "u2" -> 1L, "u3" -> 1L))
+    } finally q.stop()
+  }
+
+  test("foreachBatch feeds the EventQueue facade with exactly-once counts") {
+    import spark.implicits._
+    val sink = new InMemorySink
+    val queue = EventQueue.withOriginAndMaxSize("s", "app", 512, sink).get
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[String], _: Long) =>
+        // client-library sink: micro-batch lands on the driver, rows feed
+        // the façade; a cluster-scale deployment would partition by
+        // producer and run one queue per partition (SURVEY §3.2)
+        batch.collect().foreach(name => queue.enqueue(Map("event" -> name)).get)
+      }
+      .start()
+    try {
+      input.addData((1 to 30).map(i => s"ev$i"): _*)
+      q.processAllAvailable()
+      queue.flush().get
+      val delivered = sink.records().map(_._1.count(_ == '{')).sum
+      assert(delivered == 30, s"delivered $delivered of 30")
+      assert(sink.records().size > 1, "512-byte threshold should split batches")
+    } finally q.stop()
+  }
+}
