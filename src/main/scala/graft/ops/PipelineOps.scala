@@ -1,0 +1,504 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the reference's own surface
+  * (SURVEY.md §2.B "LLM-data-pipeline", second wave): SimHash and n-gram
+  * Jaccard near-dup detection, embedding-cosine near-dup, IVF-style ANN,
+  * language identification, quality scoring, sub-word token counting,
+  * winnowing document fingerprints, and multimodal binary-column plumbing.
+  *
+  * Every key is DuckDB-oracle-able because all hashing routes through one
+  * shared 60-bit digest `h60` that both engines compute identically:
+  * Spark `conv(substr(md5(s),1,15),16,10)` ≡ DuckDB
+  * `('0x' || substr(md5(s),1,15))::BIGINT` (15 hex chars = 60 bits, fits a
+  * signed 64-bit integer in both).
+  *
+  * Scale notes (100 TB lens):
+  *  - All near-dup keys generate candidates by bucket join (LSH bands /
+  *    rare-gram prefix filter / sign-bit buckets) — never an all-pairs
+  *    cross join. The expensive exact measure (Jaccard, Hamming, cosine)
+  *    runs on candidates only.
+  *  - Language-ID / quality profiles (top-k word tables) are tiny and
+  *    explicitly `broadcast()` — the corpus side never shuffles for them.
+  *  - Everything is built-in codegen'd expressions over one explode —
+  *    no UDFs, no driver-side collects.
+  */
+object PipelineOps extends QueryPack {
+
+  /** Shared Spark/DuckDB 60-bit digest (see class doc). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** The DuckDB twin of [[h60]]. */
+  private def h60Sql(e: String): String =
+    s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  private val SimBits = 60
+  private val SimBands = 4   // 4 bands × 15 bits ⇒ Hamming ≤ 3 guaranteed hit
+  private val BandMask = (1L << 15) - 1
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q_lang_id: n-gram-profile language identification ------------
+    // Train: top-20 words per lang (count desc, word asc). Classify: each
+    // doc votes for the lang whose profile shares the most distinct words.
+    // Output: confusion matrix actual × predicted.
+    "q_lang_id" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                explode(split(col("text"), " ")).as("word"))
+      val profile = words
+        .groupBy(col("lang").as("p_lang"), col("word"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("p_lang")).orderBy(col("n").desc, col("word"))))
+        .filter(col("rn") <= 20)
+        .select(col("p_lang"), col("word"))
+      val pred = words.select(col("doc_id"), col("lang"), col("word")).distinct()
+        .join(broadcast(profile), Seq("word"))
+        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("p_lang"))))
+        .filter(col("rn") === 1)
+      pred.groupBy(col("lang"), col("p_lang").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // ---- q_quality_score: length/diversity/stopword heuristics --------
+    // Stopwords = global top-10 words (data-derived, deterministic).
+    "q_quality_score" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val stop = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(10)
+        .select(col("word"), lit(1L).as("is_stop"))
+      val perDoc = words.join(broadcast(stop), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("word")).as("n_distinct"),
+             sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"))
+      val dr = round(col("n_distinct").cast("double") / col("n_tokens"), 4)
+      val sr = round(col("n_stop").cast("double") / col("n_tokens"), 4)
+      // avg word length in closed form: single-space text ⇒
+      // total word chars = len(text) − (n_tokens − 1).
+      val awl = round((length(col("text")) - col("n_tokens") + 1)
+                        .cast("double") / col("n_tokens"), 4)
+      // Composite score in exact integer basis points (1e-5 units):
+      // double-arithmetic composition would tie-break round() differently
+      // across engines at x.xxxx5. HALF_UP via (+5) div 10, then an exact
+      // /10000 conversion — bit-identical on both sides by construction.
+      docs.join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"),
+                dr.as("distinct_ratio"), sr.as("stop_ratio"),
+                awl.as("avg_word_len"))
+        .withColumn("q_int",
+          lit(4L) * round(col("distinct_ratio") * 10000).cast("long")
+            + lit(3L) * (lit(10000L) - round(col("stop_ratio") * 10000).cast("long"))
+            + lit(3L) * least(col("n_tokens"), lit(100L)) * 100L)
+        .withColumn("quality",
+          (expr("(q_int + 5) div 10").cast("double") / 10000.0))
+        .drop("q_int")
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_token_count: whitespace + BPE-ish regex tokenization -------
+    "q_token_count" -> { (s, d) =>
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      Tables.documents(s, d)
+        .select(col("lang"),
+                size(split(col("text"), " ")).cast("long").as("ws"),
+                size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+                  .cast("long").as("re"),
+                length(col("text")).cast("long").as("chars"))
+        .groupBy(col("lang"))
+        .agg(sum(col("ws")).as("ws_tokens"), sum(col("re")).as("re_tokens"),
+             round(sum(col("chars")).cast("double") / sum(col("re")), 4)
+               .as("chars_per_token"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- q_doc_fingerprint: winnowing (k=5 char-grams, window w=8) ----
+    // Rolling h60 over 5-grams; fingerprint = window minimum; per doc the
+    // distinct fingerprint set summarized as count / xor / min.
+    "q_doc_fingerprint" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))))
+            .as("pos"))
+        .select(col("doc_id"), col("pos"),
+                h60(col("text").substr(col("pos"), lit(5))).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 7)
+      grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
+        .distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
+             min(col("fp")).as("fp_min"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_dedup_simhash: 60-bit SimHash + 4-band LSH + Hamming ≤ 3 ---
+    // Bit i of a doc's signature is the sign of Σ±1 over its distinct
+    // words (+1 if bit i of h60(word) set). 4 bands of 15 bits guarantee
+    // every pair within Hamming 3 shares a band (pigeonhole).
+    "q_dedup_simhash" -> { (s, d) =>
+      val wh = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .distinct()
+        .select(col("doc_id"), h60(col("word")).as("h"))
+      val bitCols = (0 until SimBits).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$i")
+      }
+      val sim = wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until SimBits).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sim"))
+      val bands = sim.select(col("doc_id"), col("sim"),
+          explode(array((0 until SimBands).map(j =>
+            struct(lit(j).as("bj"),
+              shiftright(col("sim"), 15 * j).bitwiseAND(lit(BandMask))
+                .as("bv"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sim"),
+                col("bk.bj").as("bj"), col("bk.bv").as("bv"))
+      bands.alias("x").join(bands.alias("y"),
+          col("x.bj") === col("y.bj") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+                col("x.sim").as("s1"), col("y.sim").as("s2"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("d1"), col("d2"), col("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- q_dedup_ngram: word-bigram Jaccard with rare-gram candidates -
+    // Candidates = pairs sharing ≥1 bigram with doc-frequency ≤ 20 (prefix
+    // filtering); exact Jaccard ≥ 0.4 on the full bigram sets.
+    "q_dedup_ngram" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wordsArr = split(col("text"), " ")
+      val grams = docs.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(wordsArr) - 1, lit(1))),
+            i => concat_ws(" ", element_at(wordsArr, i),
+                           element_at(wordsArr, i + 1)))).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val rare = grams.join(
+        grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select(col("g")), Seq("g"))
+      val cand = rare.alias("x").join(rare.alias("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      val inter = cand
+        .join(grams.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+        .join(grams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .withColumn("jaccard", round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 4))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("d1"), col("d2"), col("jaccard"))
+        .orderBy(col("d1"), col("d2"))
+    },
+
+    // ---- q_dedup_embed: sign-bit LSH buckets + cosine ≥ 0.35 ----------
+    // Bucket = sign pattern of the first 4 dimensions (16 buckets); exact
+    // cosine only within a bucket. Near-identical vectors agree on every
+    // sign, so bucketing loses only borderline pairs — by construction the
+    // oracle runs the identical algorithm.
+    "q_dedup_embed" -> { (s, d) =>
+      val bucket = (0 until 4).map(i =>
+        when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+      e.alias("x").join(e.alias("y"),
+          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+          round(PipelineOps.dot(col("x.embedding"), col("y.embedding")) /
+            (sqrt(PipelineOps.dot(col("x.embedding"), col("x.embedding"))) *
+             sqrt(PipelineOps.dot(col("y.embedding"), col("y.embedding")))), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.35)
+        .orderBy(col("v1"), col("v2"))
+    },
+
+    // ---- q_ann_ivf: IVF-style ANN (16 lists, nprobe=4, top-5) ---------
+    // "Centroids" = vectors 0..15 (deterministic stand-in for k-means);
+    // every vector joins its nearest centroid's inverted list; each probe
+    // searches only its 4 nearest lists. The 100 TB path is identical —
+    // the centroid table stays broadcast-size and the corpus shuffles once
+    // by list id.
+    "q_ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      def cosTo(v: Column, c: Column): Column =
+        PipelineOps.dot(v, c) /
+          (sqrt(PipelineOps.dot(v, v)) * sqrt(PipelineOps.dot(c, c)))
+      val asg = e.join(broadcast(cents))
+        .select(col("vec_id"), col("cent_id"),
+                cosTo(col("embedding"), col("ce")).as("cc"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("cc").desc, col("cent_id"))))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+      val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val plists = probes.join(broadcast(cents))
+        .select(col("probe_id"), col("pe"), col("cent_id"),
+                cosTo(col("pe"), col("ce")).as("pc"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("pc").desc, col("cent_id"))))
+        .filter(col("rn") <= 4).select(col("probe_id"), col("pe"), col("cent_id"))
+      plists.join(asg, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+                round(cosTo(col("pe"), col("embedding")), 4).as("cos"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+
+    // ---- q_multimodal_meta: opaque-binary column plumbing -------------
+    // Media bytes as a BinaryType column with typed metadata: byte length,
+    // 4-byte magic prefix (hex), head bytes (base64), fixed-stride frame
+    // count. The decode stage itself is the MediaPipeline module (stubbed
+    // deterministically — no codecs in this environment); this key proves
+    // the schema/pushdown plumbing. Text fixture is pure ASCII, so DuckDB's
+    // char-substr on text ≡ Spark's byte-substr on the cast binary.
+    "q_multimodal_meta" -> { (s, d) =>
+      val bin = col("text").cast("binary")
+      Tables.documents(s, d)
+        .select(col("doc_id"), lit("text/plain").as("media_type"),
+                octet_length(col("text")).cast("long").as("n_bytes"),
+                hex(substring(bin, 1, 4)).as("magic_hex"),
+                base64(substring(bin, 1, 6)).as("head_b64"),
+                floor(octet_length(col("text")) / 64).cast("long")
+                  .as("n_frames"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Sequential-fold dot product (same fold order as DuckDB's
+    * list_dot_product over DOUBLE[] casts — see TextOps). */
+  private[ops] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  // ---------------- DuckDB oracles ----------------
+
+  private val simBitSumsSql = (0 until SimBits).map(i =>
+    s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i").mkString(", ")
+  private val simReconstructSql = (0 until SimBits).map(i =>
+    s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "q_lang_id" -> """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      profile AS (
+        SELECT p_lang, word FROM (
+          SELECT lang AS p_lang, word, count(*) AS n,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY count(*) DESC, word) AS rn
+          FROM w GROUP BY lang, word) WHERE rn <= 20),
+      pred AS (
+        SELECT doc_id, lang, p_lang FROM (
+          SELECT dw.doc_id, dw.lang, p.p_lang, count(*) AS score,
+                 row_number() OVER (PARTITION BY dw.doc_id
+                   ORDER BY count(*) DESC, p.p_lang) AS rn
+          FROM (SELECT DISTINCT doc_id, lang, word FROM w) dw
+          JOIN profile p ON dw.word = p.word
+          GROUP BY dw.doc_id, dw.lang, p.p_lang) WHERE rn = 1)
+      SELECT lang, p_lang AS pred_lang, count(*) AS n_docs
+      FROM pred GROUP BY lang, p_lang ORDER BY lang, pred_lang""",
+
+    "q_quality_score" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      stop AS (
+        SELECT word FROM w GROUP BY word
+        ORDER BY count(*) DESC, word LIMIT 10),
+      per_doc AS (
+        SELECT w.doc_id, count(*) AS n_tokens,
+               count(DISTINCT w.word) AS n_distinct,
+               count(s.word) AS n_stop
+        FROM w LEFT JOIN stop s ON w.word = s.word
+        GROUP BY w.doc_id)
+      SELECT doc_id, n_tokens, distinct_ratio, stop_ratio, avg_word_len,
+        CAST((q_int + 5) // 10 AS DOUBLE) / 10000.0 AS quality
+      FROM (
+        SELECT d.doc_id, p.n_tokens,
+          round(CAST(p.n_distinct AS DOUBLE) / p.n_tokens, 4) AS distinct_ratio,
+          round(CAST(p.n_stop AS DOUBLE) / p.n_tokens, 4) AS stop_ratio,
+          round(CAST(len(d.text) - p.n_tokens + 1 AS DOUBLE) / p.n_tokens, 4)
+            AS avg_word_len,
+          4 * CAST(round(round(CAST(p.n_distinct AS DOUBLE) / p.n_tokens, 4)
+                * 10000) AS BIGINT)
+            + 3 * (10000 - CAST(round(round(CAST(p.n_stop AS DOUBLE)
+                / p.n_tokens, 4) * 10000) AS BIGINT))
+            + 3 * least(p.n_tokens, 100) * 100 AS q_int
+        FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id)
+      ORDER BY doc_id""",
+
+    "q_token_count" -> """
+      SELECT lang,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+          AS BIGINT) AS re_tokens,
+        round(CAST(sum(len(text)) AS DOUBLE) /
+          sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
+          AS chars_per_token
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q_doc_fingerprint" -> s"""
+      WITH pos AS (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(len(text) - 4, 1) + 1)) AS pos
+        FROM documents),
+      g AS (
+        SELECT doc_id, pos, ${h60Sql("substr(text, pos, 5)")} AS h FROM pos),
+      fp AS (
+        SELECT DISTINCT doc_id,
+          min(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+        FROM g)
+      SELECT doc_id, count(*) AS n_fp, bit_xor(fp) AS fp_xor,
+             min(fp) AS fp_min
+      FROM fp GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dedup_simhash" -> s"""
+      WITH w AS (
+        SELECT DISTINCT doc_id, word FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents)),
+      h AS (SELECT doc_id, ${h60Sql("word")} AS h FROM w),
+      b AS (SELECT doc_id, $simBitSumsSql FROM h GROUP BY doc_id),
+      s AS (SELECT doc_id, $simReconstructSql AS sim FROM b),
+      bd AS (
+        SELECT doc_id, sim, t.j AS bj, (sim >> (15 * t.j)) & 32767 AS bv
+        FROM s, range(4) t(j)),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+               x.sim AS s1, y.sim AS s2
+        FROM bd x JOIN bd y
+          ON x.bj = y.bj AND x.bv = y.bv AND x.doc_id < y.doc_id)
+      SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+      ORDER BY d1, d2""",
+
+    "q_dedup_ngram" -> """
+      WITH warr AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT DISTINCT doc_id, g FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+              i -> ws[i] || ' ' || coalesce(ws[i + 1], ''))) AS g
+          FROM warr)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      rare AS (
+        SELECT g.doc_id, g.g FROM g
+        JOIN (SELECT g FROM g GROUP BY g HAVING count(*) <= 20) r
+          ON g.g = r.g),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT c.d1, c.d2, count(*) AS n_inter
+        FROM cand c
+        JOIN g g1 ON g1.doc_id = c.d1
+        JOIN g g2 ON g2.doc_id = c.d2 AND g2.g = g1.g
+        GROUP BY c.d1, c.d2)
+      SELECT i.d1, i.d2,
+        round(CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter), 4)
+          AS jaccard
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.d1
+      JOIN sizes s2 ON s2.doc_id = i.d2
+      WHERE round(CAST(i.n_inter AS DOUBLE) / (s1.n + s2.n - i.n_inter), 4)
+        >= 0.4
+      ORDER BY i.d1, i.d2""",
+
+    "q_dedup_embed" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+        FROM embeddings),
+      pairs AS (
+        SELECT x.vec_id AS v1, y.vec_id AS v2,
+          round(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) *
+             sqrt(list_dot_product(y.v, y.v))), 4) AS cos
+        FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+      SELECT v1, v2, cos FROM pairs WHERE cos >= 0.35 ORDER BY v1, v2""",
+
+    "q_ann_ivf" -> """
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id < 16),
+      asg AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              list_dot_product(e.v, c.ce) /
+                (sqrt(list_dot_product(e.v, e.v)) *
+                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cent_id) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e
+        WHERE vec_id >= 10 AND vec_id < 15),
+      plists AS (
+        SELECT probe_id, pe, cent_id FROM (
+          SELECT p.probe_id, p.pe, c.cent_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              list_dot_product(p.pe, c.ce) /
+                (sqrt(list_dot_product(p.pe, p.pe)) *
+                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cent_id) AS rn
+          FROM probes p, cents c) WHERE rn <= 4)
+      SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+        SELECT pl.probe_id, a.vec_id,
+          round(list_dot_product(pl.pe, e.v) /
+            (sqrt(list_dot_product(pl.pe, pl.pe)) *
+             sqrt(list_dot_product(e.v, e.v))), 4) AS cos,
+          row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+            round(list_dot_product(pl.pe, e.v) /
+              (sqrt(list_dot_product(pl.pe, pl.pe)) *
+               sqrt(list_dot_product(e.v, e.v))), 4) DESC, a.vec_id) AS rn
+        FROM plists pl
+        JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
+        JOIN e ON e.vec_id = a.vec_id)
+      WHERE rn <= 5 ORDER BY probe_id, rn""",
+
+    "q_multimodal_meta" -> """
+      SELECT doc_id, 'text/plain' AS media_type,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        upper(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        base64(encode(substr(text, 1, 6))) AS head_b64,
+        CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
+      FROM documents ORDER BY doc_id"""
+  )
+}
