@@ -225,15 +225,19 @@ object PipelineOps extends QueryPack {
       val bucket = (0 until 4).map(i =>
         when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
           .otherwise(lit(0L))).reduce(_ + _)
+      // Norms are precomputed once per vector, not once per pair: inside
+      // the bucket join each row would otherwise evaluate three 64-element
+      // higher-order folds; this leaves exactly one (the cross dot).
+      // sqrt(dot(v,v)) is the same double either way, so the oracle —
+      // which recomputes norms per pair — still hash-matches.
       val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucket.as("bkt"))
+        .select(col("vec_id"), col("embedding"), bucket.as("bkt"),
+          sqrt(PipelineOps.dot(col("embedding"), col("embedding"))).as("nrm"))
       e.alias("x").join(e.alias("y"),
           col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
           round(PipelineOps.dot(col("x.embedding"), col("y.embedding")) /
-            (sqrt(PipelineOps.dot(col("x.embedding"), col("x.embedding"))) *
-             sqrt(PipelineOps.dot(col("y.embedding"), col("y.embedding")))), 4)
-            .as("cos"))
+            (col("x.nrm") * col("y.nrm")), 4).as("cos"))
         .filter(col("cos") >= 0.35)
         .orderBy(col("v1"), col("v2"))
     },
@@ -245,31 +249,36 @@ object PipelineOps extends QueryPack {
     // the centroid table stays broadcast-size and the corpus shuffles once
     // by list id.
     "q_ann_ivf" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
+      // Norms precomputed once per vector/centroid (see q_dedup_embed).
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        sqrt(PipelineOps.dot(col("embedding"), col("embedding"))).as("nrm"))
       val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      def cosTo(v: Column, c: Column): Column =
-        PipelineOps.dot(v, c) /
-          (sqrt(PipelineOps.dot(v, v)) * sqrt(PipelineOps.dot(c, c)))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+                col("nrm").as("cnrm"))
       val asg = e.join(broadcast(cents))
         .select(col("vec_id"), col("cent_id"),
-                cosTo(col("embedding"), col("ce")).as("cc"))
+          (PipelineOps.dot(col("embedding"), col("ce")) /
+            (col("nrm") * col("cnrm"))).as("cc"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
           .orderBy(col("cc").desc, col("cent_id"))))
         .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
       val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+                col("nrm").as("pnrm"))
       val plists = probes.join(broadcast(cents))
-        .select(col("probe_id"), col("pe"), col("cent_id"),
-                cosTo(col("pe"), col("ce")).as("pc"))
+        .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
+          (PipelineOps.dot(col("pe"), col("ce")) /
+            (col("pnrm") * col("cnrm"))).as("pc"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
           .orderBy(col("pc").desc, col("cent_id"))))
-        .filter(col("rn") <= 4).select(col("probe_id"), col("pe"), col("cent_id"))
+        .filter(col("rn") <= 4)
+        .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"))
       plists.join(asg, Seq("cent_id"))
         .filter(col("vec_id") =!= col("probe_id"))
-        .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
         .select(col("probe_id"), col("vec_id"),
-                round(cosTo(col("pe"), col("embedding")), 4).as("cos"))
+                round(PipelineOps.dot(col("pe"), col("embedding")) /
+                  (col("pnrm") * col("nrm")), 4).as("cos"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= 5)
