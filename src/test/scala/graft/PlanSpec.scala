@@ -68,4 +68,29 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("*(1) HashAggregate") && s.contains("*(1) Filter"),
       "partial agg and filter not fused into one codegen stage")
   }
+
+  test("near-dup candidate generation never plans a cartesian product") {
+    for (k <- Seq("q_dedup_simhash", "q_dedup_ngram", "q_dedup_embed",
+                  "q_dedup_minhash")) {
+      val s = finalPlan(k)
+      assert(!s.contains("CartesianProduct"),
+        s"$k degenerated to an all-pairs cartesian join")
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$k pair join lost its bucket equi-key")
+    }
+  }
+
+  test("q_lang_id joins the tiny profile table by broadcast") {
+    assert(finalPlan("q_lang_id").contains("BroadcastHashJoin"))
+  }
+
+  test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
+    // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
+    // corpus-side list lookup and top-k must stay equi-joins
+    val s = finalPlan("q_ann_ivf")
+    assert(!s.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(s).size
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj == bnljAll, "non-broadcast nested loop join in IVF plan")
+  }
 }
