@@ -29,9 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object PipelineOps extends QueryPack {
 
-  /** Shared Spark/DuckDB 60-bit digest (see class doc). */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Shared Spark/DuckDB 60-bit digest (see class doc). On the Spark side
+    * this is the custom codegen'd expression [[graft.expr.Md5Prefix60]] —
+    * same value as the portable `conv(substr(md5(s),1,15),16,10)` chain
+    * (Md5Prefix60Spec pins the equivalence) without its three per-row
+    * string allocations; the DuckDB twin below stays the portable form.
+    */
+  private def h60(c: Column): Column = graft.expr.Md5Prefix60.h60(c)
   /** The DuckDB twin of [[h60]]. */
   private def h60Sql(e: String): String =
     s"('0x' || substr(md5($e),1,15))::BIGINT"
