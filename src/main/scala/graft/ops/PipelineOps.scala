@@ -153,10 +153,13 @@ object PipelineOps extends QueryPack {
     // words (+1 if bit i of h60(word) set). 4 bands of 15 bits guarantee
     // every pair within Hamming 3 shares a band (pigeonhole).
     "q_dedup_simhash" -> { (s, d) =>
+      // Hash before the distinct: the dedup shuffle moves (long, long)
+      // rows, not word strings. Distinct-by-hash ≡ distinct-by-word on
+      // both engines (identical digests), so the oracle mirrors this.
       val wh = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .distinct()
         .select(col("doc_id"), h60(col("word")).as("h"))
+        .distinct()
       val bitCols = (0 until SimBits).map { i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
           .otherwise(-1)).as(s"b$i")
@@ -192,11 +195,16 @@ object PipelineOps extends QueryPack {
     "q_dedup_ngram" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val wordsArr = split(col("text"), " ")
+      // Grams are digested to h60 immediately: every downstream shuffle,
+      // distinct, and join then moves 8-byte longs instead of bigram
+      // strings. Set semantics are over gram hashes on both engines
+      // identically, so the oracle is unchanged in kind.
       val grams = docs.select(col("doc_id"),
           explode(transform(
             sequence(lit(1), greatest(size(wordsArr) - 1, lit(1))),
             i => concat_ws(" ", element_at(wordsArr, i),
-                           element_at(wordsArr, i + 1)))).as("g"))
+                           element_at(wordsArr, i + 1)))).as("gs"))
+        .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val rare = grams.join(
@@ -401,10 +409,9 @@ object PipelineOps extends QueryPack {
 
     "q_dedup_simhash" -> s"""
       WITH w AS (
-        SELECT DISTINCT doc_id, word FROM (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word
-          FROM documents)),
-      h AS (SELECT doc_id, ${h60Sql("word")} AS h FROM w),
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      h AS (SELECT DISTINCT doc_id, ${h60Sql("word")} AS h FROM w),
       b AS (SELECT doc_id, $simBitSumsSql FROM h GROUP BY doc_id),
       s AS (SELECT doc_id, $simReconstructSql AS sim FROM b),
       bd AS (
@@ -423,10 +430,12 @@ object PipelineOps extends QueryPack {
       WITH warr AS (
         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       g AS (
-        SELECT DISTINCT doc_id, g FROM (
+        SELECT DISTINCT doc_id, ('0x' || substr(md5(gs),1,15))::BIGINT AS g
+        FROM (
           SELECT doc_id,
             unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
-              i -> ws[i] || ' ' || coalesce(ws[i + 1], ''))) AS g
+              i -> ws[i] || CASE WHEN ws[i + 1] IS NULL THEN ''
+                                 ELSE ' ' || ws[i + 1] END)) AS gs
           FROM warr)),
       sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       rare AS (
