@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expr.{GoTimestampFormat, Md5Prefix60}
+
+/** Session-extension hook: registers the engine's custom Catalyst
+  * expressions as SQL functions, so `spark.sql` users get them without the
+  * Scala Column API:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // programmatic
+  *   // or spark.sql.extensions=graft.GraftExtensions  // config-driven
+  *   spark.sql("SELECT go_ts(ts), md5_prefix60(text) FROM ...")
+  * }}}
+  *
+  * This is the standard extension-library seam (SparkSessionExtensions →
+  * injectFunction); no custom Rule/Strategy is needed anywhere in the
+  * engine (SURVEY §4.2), so function injection is the only hook used.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, clazz: Class[_], usage: String,
+                 build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name),
+     new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+     build)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("go_ts", classOf[GoTimestampFormat],
+      "go_ts(ts) - formats a timestamp like Go's 2006-01-02T15:04:05.999Z layout (trailing fraction zeros trimmed)",
+      { case Seq(child) => GoTimestampFormat(child) }))
+    ext.injectFunction(fn("md5_prefix60", classOf[Md5Prefix60],
+      "md5_prefix60(str) - the engine's shared 60-bit md5-prefix digest as BIGINT",
+      { case Seq(child) => Md5Prefix60(child) }))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL registration path: a session built with GraftExtensions can
+  * call the custom expressions from plain SQL.
+  *
+  * `getOrCreate` returns the shared test session (ignoring
+  * `withExtensions`) unless the default/active session is cleared first,
+  * so the suite builds its own session over the same SparkContext and
+  * restores the shared one afterwards.
+  */
+class GraftExtensionsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  private var shared: Option[SparkSession] = None
+  private lazy val spark: SparkSession = {
+    shared = Some(TestSpark.spark) // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    shared.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
+
+  test("go_ts is callable from SQL and trims like Go's .999 verb") {
+    val rows = spark.sql(
+      """SELECT go_ts(TIMESTAMP'2024-01-02 03:04:05.120') AS a,
+               go_ts(TIMESTAMP'2024-01-02 03:04:05') AS b""").head()
+    assert(rows.getString(0) == "2024-01-02T03:04:05.12Z")
+    assert(rows.getString(1) == "2024-01-02T03:04:05Z")
+  }
+
+  test("md5_prefix60 is callable from SQL and matches the portable form") {
+    val row = spark.sql(
+      """SELECT md5_prefix60('hello') AS fast,
+               CAST(conv(substr(md5('hello'), 1, 15), 16, 10) AS BIGINT)
+                 AS portable""").head()
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
+  test("registered functions carry usage docs") {
+    val desc = spark.sql("DESCRIBE FUNCTION go_ts").collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(desc.contains("go_ts"))
+  }
+}
