@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned parquet "lake" writer — the batch sink a 100 TB pipeline
+  * actually uses between stages (persisting dedup signatures, enriched
+  * events, features), as opposed to the per-record StreamSink of the
+  * ingestion façade.
+  *
+  * Layout policy, all standard data-lake idioms:
+  *  - directory-partitioned by a low-cardinality derived date column
+  *    (`dt=yyyy-MM-dd`) so readers get partition pruning for free;
+  *  - `repartition(partition cols)` before the write so each output
+  *    directory is written by the tasks that own its rows — without it,
+  *    every task writes a file into every partition (tasks × partitions
+  *    small files, the classic lake pathology);
+  *  - `maxRecordsPerFile` caps file size instead of a fixed file count,
+  *    so the same writer works at any scale factor.
+  */
+object LakeSink {
+
+  /** Write `df` date-partitioned on timestamp column `tsCol`. */
+  def writeByDay(df: DataFrame, tsCol: String, path: String,
+                 maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write
+      .partitionBy("dt")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Read back with partition pruning available on `dt`. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
