@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // JVM default TZ pinned too: tests build java.sql.Timestamps via
+  // Timestamp.valueOf (JVM-zone-dependent) and assert UTC-rendered window
+  // labels — on a non-UTC machine every such assertion would shift.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

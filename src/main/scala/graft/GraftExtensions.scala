@@ -31,11 +31,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
      build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // builders are total: wrong arity gets a descriptive error, not the
+    // analyzer-internal MatchError a bare partial function would throw
     ext.injectFunction(fn("go_ts", classOf[GoTimestampFormat],
       "go_ts(ts) - formats a timestamp like Go's 2006-01-02T15:04:05.999Z layout (trailing fraction zeros trimmed)",
-      { case Seq(child) => GoTimestampFormat(child) }))
+      {
+        case Seq(child) => GoTimestampFormat(child)
+        case args => throw new IllegalArgumentException(
+          s"go_ts requires exactly 1 argument, got ${args.length}")
+      }))
     ext.injectFunction(fn("md5_prefix60", classOf[Md5Prefix60],
       "md5_prefix60(str) - the engine's shared 60-bit md5-prefix digest as BIGINT",
-      { case Seq(child) => Md5Prefix60(child) }))
+      {
+        case Seq(child) => Md5Prefix60(child)
+        case args => throw new IllegalArgumentException(
+          s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
+      }))
   }
 }

@@ -98,8 +98,10 @@ object MediaPipeline {
                 resizeTo: Int): Dataset[MediaFeatures] = {
     val s = media.sparkSession
     import s.implicits._
-    val types = media.map(m => (m.doc_id, m.media_type))
-      .toDF("doc_id", "media_type")
+    // Column select, NOT a typed .map: the lambda form would force full
+    // deserialization of every row — including the payload bytes — just
+    // to read two scalar fields; the select prunes `bytes` at the scan.
+    val types = media.select(col("doc_id"), col("media_type"))
     frames.groupByKey(_.doc_id)
       .mapGroups { (id, it) =>
         val fs = it.toArray.sortBy(_.frame_idx)

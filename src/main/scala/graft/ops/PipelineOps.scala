@@ -199,11 +199,15 @@ object PipelineOps extends QueryPack {
       // distinct, and join then moves 8-byte longs instead of bigram
       // strings. Set semantics are over gram hashes on both engines
       // identically, so the oracle is unchanged in kind.
+      // try_element_at for the lookahead word: on a single-word doc the
+      // index past the end must yield null (concat_ws skips it, matching
+      // the oracle's CASE WHEN ws[i+1] IS NULL) — plain element_at throws
+      // under Spark 4's default ANSI mode.
       val grams = docs.select(col("doc_id"),
           explode(transform(
             sequence(lit(1), greatest(size(wordsArr) - 1, lit(1))),
             i => concat_ws(" ", element_at(wordsArr, i),
-                           element_at(wordsArr, i + 1)))).as("gs"))
+                           try_element_at(wordsArr, i + 1)))).as("gs"))
         .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -140,17 +140,22 @@ final class BufferedEventQueue private[queue] (
     */
   override def enqueue(event: Map[String, Any]): Try[Unit] =
     EventQueue.enrichAndValidate(event, origin, clock()).flatMap { enriched =>
-      val itemSize = Json.byteSize(enriched)
-      val toFlush: Seq[Map[String, Any]] = lock.synchronized {
-        val drained =
-          if (currentSize + itemSize >= maxSizeBytes) drainItemsLocked()
-          else Seq.empty
-        queue.enqueue(enriched)
-        currentSize += itemSize
-        drained
+      // Sizing inside Try: a non-finite number fails THIS enqueue loudly
+      // (upgrade over the reference, which discards the sizing-marshal
+      // error (main.go:202) and lets the bad item poison the whole batch
+      // at send time).
+      Try(Json.byteSize(enriched)).flatMap { itemSize =>
+        val toFlush: Seq[Map[String, Any]] = lock.synchronized {
+          val drained =
+            if (currentSize + itemSize >= maxSizeBytes) drainItemsLocked()
+            else Seq.empty
+          queue.enqueue(enriched)
+          currentSize += itemSize
+          drained
+        }
+        if (toFlush.isEmpty) Success(())
+        else sendBatch(toFlush).map(_ => ())
       }
-      if (toFlush.isEmpty) Success(())
-      else sendBatch(toFlush).map(_ => ())
     }
 
   /** `Flush` (`main.go:244-264`): drain under lock, send outside it.

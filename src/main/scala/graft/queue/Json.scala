@@ -19,8 +19,14 @@ object Json {
     case xs: Seq[_]  => xs.map(encode).mkString("[", ",", "]")
     case s: String   => str(s)
     case b: Boolean  => b.toString
-    case d: Double   => if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
-                        else d.toString
+    case d: Double   =>
+      // Go's json.Marshal errors on non-finite floats
+      // (json.UnsupportedValueError); rendering a bare NaN/Infinity token
+      // would silently corrupt the whole batch payload instead.
+      if (d.isNaN || d.isInfinite)
+        throw new IllegalArgumentException(s"json: unsupported value: $d")
+      else if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
     case f: Float    => encode(f.toDouble)
     case n: Number   => n.toString
     case other       => str(other.toString)

@@ -30,11 +30,15 @@ final class LocalSink(dir: String) extends StreamSink {
     Files.write(Paths.get(dir, f"$n%06d-$partitionKey.json"), data,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
-  /** Payloads in arrival order (test helper). */
-  def records(): Seq[String] =
-    Files.list(Paths.get(dir)).iterator().asScala.toSeq
+  /** Payloads in arrival order (test helper). Files.list holds an open
+    * DirectoryStream — close it instead of leaking an fd per call. */
+  def records(): Seq[String] = {
+    val stream = Files.list(Paths.get(dir))
+    try stream.iterator().asScala.toSeq
       .sortBy(_.getFileName.toString)
       .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+    finally stream.close()
+  }
 }
 
 /** In-memory sink for unit/property tests (the repo's analog of the

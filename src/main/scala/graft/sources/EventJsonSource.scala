@@ -39,13 +39,21 @@ object EventJsonSource {
     * down to only the corrupt-record column (the quarantine view does
     * exactly that), while the parsed form has no such restriction — and
     * the text source keeps the one-pass, no-inference property. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
-      .select(from_json(col("value"), schema, Map(
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val parsed = spark.read.text(path)
+      .select(col("value"), from_json(col("value"), schema, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> "_corrupt",
         "timestampFormat" -> TsFormat)).as("r"))
-      .select(col("r.*"))
+    // from_json returns a NULL STRUCT (not a struct with _corrupt set) for
+    // empty lines and the literal `null` — those must quarantine too, not
+    // slip through readValid as all-null events.
+    val dataCols = schema.fieldNames.filter(_ != "_corrupt")
+      .map(f => col(s"r.$f").as(f))
+    parsed.select(dataCols :+
+      when(col("r").isNull, col("value")).otherwise(col("r._corrupt"))
+        .as("_corrupt"): _*)
+  }
 
   /** The valid-row view (corrupt channel dropped). */
   def readValid(spark: SparkSession, path: String): DataFrame =

@@ -20,11 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object LakeSink {
 
-  /** Write `df` date-partitioned on timestamp column `tsCol`. */
+  /** Write `df` date-partitioned on timestamp column `tsCol`.
+    *
+    * The pre-write repartition keys on (dt, bounded salt), not dt alone:
+    * hashing only the low-cardinality date would funnel each entire day
+    * into ONE task — a multi-TB day written single-threaded. The salt
+    * gives every day up to `writersPerDay` parallel writers while still
+    * bounding files per directory to `writersPerDay` (not tasks ×
+    * partitions).
+    */
   def writeByDay(df: DataFrame, tsCol: String, path: String,
-                 maxRecordsPerFile: Long = 1000000L): Unit =
+                 maxRecordsPerFile: Long = 1000000L,
+                 writersPerDay: Int = 4): Unit =
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-      .repartition(col("dt"))
+      .repartition(col("dt"),
+        pmod(xxhash64(col(tsCol)), lit(writersPerDay.toLong)))
       .write
       .partitionBy("dt")
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -85,14 +85,20 @@ object BatchingProps extends Properties("batching") {
     val sink = new InMemorySink
     val q = EventQueue.withOpts("s", "", max, "", "", sink, () => T0)
       .get.asInstanceOf[BufferedEventQueue]
-    var preSizes = List.empty[Long] // buffered bytes before each enqueue
+    // replay the reference's trigger rule independently: a flush happens
+    // iff pre-size + item size reaches max AND the buffer is non-empty
+    // (main.go:208-210) — the sink must see exactly those records.
+    var predicted = 0
     evs.foreach { e =>
-      preSizes ::= q.bufferedBytes
+      val pre = q.bufferedBytes
+      val sz = Json.byteSize(EventQueue.enrichAndValidate(e, "", T0).get)
+      if (pre + sz >= max && pre > 0) predicted += 1
       q.enqueue(e).get
     }
-    // every emitted record was triggered by SOME enqueue whose pre-size
-    // plus item size reached max → pre-size > 0 at trigger time
-    sink.records().forall(_._1.count(_ == '{') > 0)
+    val emitted = sink.records().size
+    (Prop(emitted == predicted)
+      :| s"emitted $emitted records, trigger rule predicts $predicted") &&
+      Prop(sink.records().forall(_._1.count(_ == '{') > 0))
   }
 
   /** ARN parsing (main.go:107-113): name/`/`-count round trip. */

@@ -32,12 +32,14 @@ class EventJsonSourceSpec extends AnyFunSuite {
     val good =
       """{"event_id":1,"ts":"2024-01-01T00:00:00.000000Z","user_id":7,"event_type":"signup","value":1.5,"props":"{}"}"""
     val bad = """{"event_id": 2, "ts": NOT_JSON"""
+    // empty lines and literal `null` parse to a NULL struct, not a struct
+    // with _corrupt set — they must still land in quarantine
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "part-0.json"),
-      java.util.Arrays.asList(good, bad))
+      java.util.Arrays.asList(good, bad, "", "null"))
     assert(EventJsonSource.readValid(s, dir).count() == 1)
     val corrupt = EventJsonSource.readCorrupt(s, dir).collect().map(_.getString(0))
-    assert(corrupt.toSeq == Seq(bad))
+    assert(corrupt.sorted.toSeq == Seq("", bad, "null").sorted)
   }
 
   test("the source schema is explicit - no inference scan") {

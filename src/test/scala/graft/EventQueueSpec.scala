@@ -34,6 +34,17 @@ class EventQueueSpec extends AnyFunSuite {
     assert(q.send(Map("event" -> List(1))).isFailure)
   }
 
+  test("non-finite numbers fail the enqueue instead of corrupting payloads") {
+    // Go's json.Marshal errors on NaN/Inf; a bare NaN token in a batch
+    // payload would silently break every consumer of the record
+    val (q, sink) = newQueue(1024)
+    assert(q.enqueue(Map("event" -> "e", "value" -> Double.NaN)).isFailure)
+    assert(q.send(Map("event" -> "e", "value" -> Double.PositiveInfinity)).isFailure)
+    assert(q.enqueue(Map("event" -> "ok", "value" -> 1.5)).isSuccess)
+    q.flush().get
+    assert(sink.records().size == 1 && !sink.records().head._1.contains("NaN"))
+  }
+
   test("enrichment adds server_timestamp and conditionally origin") {
     val with0 = EventQueue.enrichAndValidate(Map("event" -> "e"), "", T0).get
     assert(with0("server_timestamp") == "2024-01-01T00:00:00Z")

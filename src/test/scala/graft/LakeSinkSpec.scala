@@ -23,14 +23,16 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(LakeSink.read(s, dir).count() == events.count())
   }
 
-  test("one file per partition directory (no small-file explosion)") {
+  test("files per partition directory bounded by writersPerDay") {
     val dir = tmpDir("lake-files")
-    LakeSink.writeByDay(Tables.events(s, TestSpark.Sf0001), "ts", dir)
+    LakeSink.writeByDay(Tables.events(s, TestSpark.Sf0001), "ts", dir,
+      writersPerDay = 4)
     val perDir = new java.io.File(dir).listFiles().filter(_.getName.startsWith("dt="))
       .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
     assert(perDir.nonEmpty)
     perDir.foreach { case (dt, n) =>
-      assert(n == 1, s"$dt has $n files; repartition-before-write broken")
+      assert(n >= 1 && n <= 4,
+        s"$dt has $n files; salted repartition-before-write broken")
     }
   }
 
