@@ -110,6 +110,39 @@ object Aggregates extends QueryPack {
              .as("nations"),
              count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Exact percentiles (linear interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` agree bit-for-bit on doubles after round 4).
+    // The exact form sorts per group; at 100 TB switch to
+    // approx_percentile (t-digest, one pass, mergeable) when a bounded
+    // error is acceptable — kept exact here for the oracle.
+    "q_agg_percentiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+             round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Pivot: order counts per status spread across priority columns —
+    // compiles to ONE conditional aggregation pass (no per-column scans),
+    // exactly the FILTER-aggregation form the oracle uses.
+    "q_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .pivot(col("o_orderpriority"),
+               Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderstatus"),
+                col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+                col("3-MEDIUM").as("medium"),
+                col("4-NOT SPECIFIED").as("unspecified"),
+                col("5-LOW").as("low"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -174,6 +207,23 @@ object Aggregates extends QueryPack {
       SELECT c_mktsegment,
         array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
         count(*) AS n
-      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_agg_percentiles" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_pivot" -> """
+      SELECT o_orderstatus,
+        count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+        count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+        count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+        count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+        count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
