@@ -30,5 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Timestamp.valueOf (JVM-zone-dependent) and assert UTC-rendered window
   // labels — on a non-UTC machine every such assertion would shift.
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: at 74 bench keys an 8g heap GC-thrashes — broadcast/shuffle
+  // state is reclaimed via weak refs (ContextCleaner), so a tight heap
+  // turns random queries 5-7x slower as full GCs pile up. The machine
+  // has 128 GiB; the driver JVM is the only tenant during bench/verify.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
