@@ -127,6 +127,22 @@ object Aggregates extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // Statistical aggregates: all single-pass mergeable moments
+    // (Welford-style partial+merge), so they scale like any hash agg;
+    // round(_,4) absorbs the ulp-level merge-order sensitivity.
+    "q_agg_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+             round(var_samp(col("l_quantity")), 4).as("var_qty"),
+             round(corr(col("l_extendedprice"), col("l_quantity")), 4)
+               .as("corr_pq"),
+             round(covar_samp(col("l_extendedprice"), col("l_discount")), 4)
+               .as("cov_pd"),
+             count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Pivot: order counts per status spread across priority columns —
     // compiles to ONE conditional aggregation pass (no per-column scans),
     // exactly the FILTER-aggregation form the oracle uses.
@@ -214,6 +230,15 @@ object Aggregates extends QueryPack {
         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_agg_stats" -> """
+      SELECT l_returnflag,
+        round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        round(var_samp(l_quantity), 4) AS var_qty,
+        round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+        round(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
