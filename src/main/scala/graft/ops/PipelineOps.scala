@@ -323,10 +323,12 @@ object PipelineOps extends QueryPack {
   )
 
   /** Sequential-fold dot product (same fold order as DuckDB's
-    * list_dot_product over DOUBLE[] casts — see TextOps). */
+    * list_dot_product over DOUBLE[] casts). Backed by the codegen'd
+    * [[graft.expr.DotProduct]] — identical doubles to the HOF
+    * `aggregate(zip_with(...))` form it replaced (DotProductSpec pins the
+    * equivalence) without its per-evaluation lambda/array overhead. */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+    graft.expr.DotProduct.dot(a, b)
 
   // ---------------- DuckDB oracles ----------------
 

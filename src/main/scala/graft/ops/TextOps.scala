@@ -61,11 +61,10 @@ object TextOps extends QueryPack {
 
   /** Sequential-fold dot product of two float-array columns, in double —
     * the same fold order DuckDB's list_dot_product uses, so a round(_, 4)
-    * on both sides hash-matches.
+    * on both sides hash-matches. Codegen'd expression (see PipelineOps).
     */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, x) => acc + x)
+    graft.expr.DotProduct.dot(a, b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per md5(text) + copy count.

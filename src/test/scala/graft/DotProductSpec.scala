@@ -1,0 +1,41 @@
+package graft
+
+import graft.expr.DotProduct
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The codegen'd dot product must stay bit-identical to the HOF fold it
+  * replaced — that equivalence is what keeps the cosine oracles green.
+  */
+class DotProductSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, x) => acc + x)
+
+  test("matches the aggregate(zip_with) fold bit-for-bit on fixture pairs") {
+    val e = Tables.embeddings(s, TestSpark.Sf0001)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val mismatches = e.join(broadcast(probes))
+      .select(DotProduct.dot(col("pe"), col("embedding")).as("fast"),
+              hofDot(col("pe"), col("embedding")).as("hof"))
+      .filter(col("fast") =!= col("hof")) // bit equality, not approximate
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("null array yields null, empty arrays yield 0.0") {
+    import s.implicits._
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
+      (None, Some(Seq(1f))),
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))
+    ).toDF("a", "b")
+    val out = df.select(DotProduct.dot(col("a"), col("b"))).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+}
