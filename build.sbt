@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // turns random queries 5-7x slower as full GCs pile up. The machine
   // has 128 GiB; the driver JVM is the only tenant during bench/verify.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 150 query executions generate hundreds of codegen classes; when the
+  // default 240 MB JIT code cache fills, HotSpot flushes/stops compiling
+  // and random heavy keys intermittently read 5-7x slower (q_cast_types
+  // 2.6 s warm in isolation vs 17.9 s mid-bench).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -194,20 +194,14 @@ object PipelineOps extends QueryPack {
     // filtering); exact Jaccard ≥ 0.4 on the full bigram sets.
     "q_dedup_ngram" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val wordsArr = split(col("text"), " ")
-      // Grams are digested to h60 immediately: every downstream shuffle,
-      // distinct, and join then moves 8-byte longs instead of bigram
-      // strings. Set semantics are over gram hashes on both engines
-      // identically, so the oracle is unchanged in kind.
-      // try_element_at for the lookahead word: on a single-word doc the
-      // index past the end must yield null (concat_ws skips it, matching
-      // the oracle's CASE WHEN ws[i+1] IS NULL) — plain element_at throws
-      // under Spark 4's default ANSI mode.
+      // Bigrams via the codegen'd WordShingles (empty set for single-word
+      // docs — they can't be near-dups; exact dedup catches identical
+      // short texts), digested to h60 immediately: every downstream
+      // shuffle, distinct, and join then moves 8-byte longs instead of
+      // bigram strings. Gram STRINGS must match the oracle's
+      // `ws[i] || ' ' || ws[i+1]` exactly — h60 runs on them.
       val grams = docs.select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), greatest(size(wordsArr) - 1, lit(1))),
-            i => concat_ws(" ", element_at(wordsArr, i),
-                           try_element_at(wordsArr, i + 1)))).as("gs"))
+          explode(graft.expr.WordShingles.of(col("text"), 2)).as("gs"))
         .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
         .distinct()
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -439,9 +433,8 @@ object PipelineOps extends QueryPack {
         SELECT DISTINCT doc_id, ('0x' || substr(md5(gs),1,15))::BIGINT AS g
         FROM (
           SELECT doc_id,
-            unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
-              i -> ws[i] || CASE WHEN ws[i + 1] IS NULL THEN ''
-                                 ELSE ' ' || ws[i + 1] END)) AS gs
+            unnest(list_transform(range(1, len(ws)),
+              i -> ws[i] || ' ' || ws[i + 1])) AS gs
           FROM warr)),
       sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
       rare AS (

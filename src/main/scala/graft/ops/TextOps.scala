@@ -39,19 +39,13 @@ object TextOps extends QueryPack {
   private[graft] val NumBands = 16 // × 4 rows per band
 
   /** Word-level 3-shingles of a space-separated text column; empty array
-    * for docs under 3 words (a `sequence(1, size-2)` with size < 3 would
-    * run BACKWARDS — Spark sequences step down when start > stop — and the
-    * out-of-range `element_at` throws under ANSI mode; such docs simply
-    * have no shingles and thus no signature, deterministically).
+    * for docs under 3 words (no signature, deterministically). Backed by
+    * the codegen'd [[graft.expr.WordShingles]] — the HOF formulation this
+    * replaces ran as interpreted lambdas and dominated the near-dup keys'
+    * cost (WordShinglesSpec pins the equivalence).
     * `private[graft]` so MinHashSpec exercises the same pipeline. */
-  private[graft] def shingles(text: Column): Column = {
-    val words = split(text, " ")
-    when(size(words) < 3, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-                       element_at(words, i + 2))))
-  }
+  private[graft] def shingles(text: Column): Column =
+    graft.expr.WordShingles.of(text, 3)
 
   /** doc_id → distinct (doc_id, shingle-hash) rows. */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame =

@@ -65,19 +65,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("short documents don't crash the n-gram lambdas under ANSI mode") {
+  test("short documents yield empty shingle sets instead of ANSI crashes") {
     import s.implicits._
-    // regression: element_at past the array end throws under Spark 4 ANSI;
-    // single-word docs must produce a degenerate gram, not kill the query
+    // regression class: the old HOF formulations indexed past the array
+    // end (throws under Spark 4 ANSI) or ran sequence() backwards on
+    // short docs; WordShingles must give empty sets below k
     val docs = Seq((1L, "solo"), (2L, "two words"), (3L, "a b c d")).toDF("doc_id", "text")
-    val wordsArr = split(col("text"), " ")
-    val grams = docs.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(1), greatest(size(wordsArr) - 1, lit(1))),
-        i => concat_ws(" ", element_at(wordsArr, i),
-                       try_element_at(wordsArr, i + 1)))).as("g")).collect()
-    assert(grams.map(_.getString(1)).contains("solo"))
-    // and TextOps.shingles yields an empty array for sub-3-word docs
+    val bi = docs.select(col("doc_id"),
+        graft.expr.WordShingles.of(col("text"), 2).as("g")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(bi(1L).isEmpty)
+    assert(bi(2L) == Seq("two words"))
+    assert(bi(3L) == Seq("a b", "b c", "c d"))
     val sh = docs.select(col("doc_id"),
       graft.ops.TextOps.shingles(col("text")).as("sh")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
