@@ -30,7 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Timestamp.valueOf (JVM-zone-dependent) and assert UTC-rendered window
   // labels — on a non-UTC machine every such assertion would shift.
   "-Duser.timezone=UTC",
-  // 24g: at 74 bench keys an 8g heap GC-thrashes — broadcast/shuffle
+  // 24g: at ~75 bench keys an 8g heap GC-thrashes — broadcast/shuffle
   // state is reclaimed via weak refs (ContextCleaner), so a tight heap
   // turns random queries 5-7x slower as full GCs pile up. The machine
   // has 128 GiB; the driver JVM is the only tenant during bench/verify.

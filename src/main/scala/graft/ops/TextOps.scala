@@ -53,12 +53,9 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .distinct()
 
-  /** Sequential-fold dot product of two float-array columns, in double —
-    * the same fold order DuckDB's list_dot_product uses, so a round(_, 4)
-    * on both sides hash-matches. Codegen'd expression (see PipelineOps).
-    */
-  private def dot(a: Column, b: Column): Column =
-    graft.expr.DotProduct.dot(a, b)
+  /** Shared dot-product helper (codegen'd expression; doc at
+    * [[PipelineOps.dot]]). */
+  private def dot(a: Column, b: Column): Column = PipelineOps.dot(a, b)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical doc per md5(text) + copy count.

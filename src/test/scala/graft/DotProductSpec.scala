@@ -21,21 +21,31 @@ class DotProductSpec extends AnyFunSuite {
     val mismatches = e.join(broadcast(probes))
       .select(DotProduct.dot(col("pe"), col("embedding")).as("fast"),
               hofDot(col("pe"), col("embedding")).as("hof"))
-      .filter(col("fast") =!= col("hof")) // bit equality, not approximate
+      // null-SAFE inequality: =!= would hide a NULL-vs-value divergence
+      .filter(!(col("fast") <=> col("hof")))
       .count()
     assert(mismatches == 0)
   }
 
-  test("null array yields null, empty arrays yield 0.0") {
+  test("nulls and length mismatches propagate null like the HOF fold") {
     import s.implicits._
     val df = Seq(
-      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),
-      (None, Some(Seq(1f))),
-      (Some(Seq.empty[Float]), Some(Seq.empty[Float]))
+      (Some(Seq(1f, 2f)), Some(Seq(3f, 4f))),       // 11.0
+      (None, Some(Seq(1f))),                        // null input
+      (Some(Seq.empty[Float]), Some(Seq.empty[Float])), // 0.0
+      (Some(Seq(1f, 2f)), Some(Seq(3f)))            // length mismatch → null
     ).toDF("a", "b")
     val out = df.select(DotProduct.dot(col("a"), col("b"))).collect()
     assert(out(0).getDouble(0) == 11.0)
     assert(out(1).isNullAt(0))
     assert(out(2).getDouble(0) == 0.0)
+    assert(out(3).isNullAt(0))
+    // null ELEMENT also propagates (the HOF's null-poisoned fold)
+    val withNullElem = Seq((Seq[java.lang.Float](1f, null), Seq[java.lang.Float](2f, 3f)))
+      .toDF("a", "b")
+      .select(DotProduct.dot(col("a").cast("array<float>"),
+                             col("b").cast("array<float>")))
+      .collect()
+    assert(withNullElem(0).isNullAt(0))
   }
 }

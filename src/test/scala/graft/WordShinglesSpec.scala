@@ -21,7 +21,7 @@ class WordShinglesSpec extends AnyFunSuite {
     // fixture docs all have >= 3 words, so the HOF form is safe here
     val mismatches = docs
       .select(WordShingles.of(col("text"), 3).as("fast"), hof.as("hof"))
-      .filter(col("fast") =!= col("hof")).count()
+      .filter(!(col("fast") <=> col("hof"))).count() // null-safe inequality
     assert(mismatches == 0)
   }
 
