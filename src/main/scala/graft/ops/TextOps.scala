@@ -53,6 +53,57 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
       .distinct()
 
+  /** MinHash near-dup pairs over any (doc_id, text) frame: 3-shingles →
+    * 64-perm signature → 16-band LSH candidates → exact Jaccard ≥
+    * `threshold`. Returns (d1, d2, jaccard) with d1 < d2. Reused by the
+    * `q_dedup_minhash` contract key and
+    * [[graft.pipeline.TrainingPipeline.dedupNearMinHash]].
+    *
+    * No cache(): a cached shingle set would make Bench's timed pass read
+    * warm blocks from the warm-up pass and pin memory for the rest of the
+    * session. The shingle scan recomputes per consumer; a production
+    * pipeline at 100 TB would persist signatures to parquet between
+    * stages instead of relying on executor block caches.
+    */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs)
+    // 64-perm signature: one hash-agg by doc_id, 64 fused min columns.
+    val sigCols = (0 until NumPerms).map { j =>
+      min(xxhash64(col("h"), lit(j))).as(s"m$j")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    // Band hashes: 16 × hash(band rows, band idx); explode to buckets.
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+             hash((0 until 4).map(r => col(s"m${4 * b + r}")) :+ lit(b): _*)
+               .as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    val cand = buckets.alias("x").join(buckets.alias("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact Jaccard on candidates only: |A∩B| via shingle-hash join,
+    // |A| and |B| via per-doc counts.
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n1") + col("n2") - col("n_inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
   /** Shared dot-product helper (codegen'd expression; doc at
     * [[PipelineOps.dot]]). */
   private def dot(a: Column, b: Column): Column = PipelineOps.dot(a, b)
@@ -71,47 +122,7 @@ object TextOps extends QueryPack {
     // exact Jaccard ≥ 0.5 on candidates only. No oracle (xxhash64 has no
     // DuckDB twin) — covered by MinHashSpec goldens + ε-bound property.
     "q_dedup_minhash" -> { (s, d) =>
-      // No cache(): a cached shingle set would (a) make Bench's timed pass
-      // read warm blocks from the warm-up pass and (b) pin memory for the
-      // rest of the session. The shingle scan recomputes per consumer; a
-      // production pipeline at 100 TB would persist signatures to parquet
-      // between stages instead of relying on executor block caches.
-      val sh = shingleHashes(Tables.documents(s, d))
-      // 64-perm signature: one hash-agg by doc_id, 64 fused min columns.
-      val sigCols = (0 until NumPerms).map { j =>
-        min(xxhash64(col("h"), lit(j))).as(s"m$j")
-      }
-      val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      // Band hashes: 16 × hash(band rows, band idx); explode to buckets.
-      val bandCols = (0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-               hash((0 until 4).map(r => col(s"m${4 * b + r}")) :+ lit(b): _*)
-                 .as("bh"))
-      }
-      val buckets = sigs.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-      val cand = buckets.alias("x").join(buckets.alias("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-      // Exact Jaccard on candidates only: |A∩B| via shingle-hash join,
-      // |A| and |B| via per-doc counts.
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
-        .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
-        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
-      cand
-        .join(inter, Seq("d1", "d2"), "left")
-        .na.fill(0L, Seq("n_inter"))
-        .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
-        .withColumn("jaccard", round(col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")), 4))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("d1"), col("d2"), col("jaccard"))
+      minhashPairs(Tables.documents(s, d), 0.5)
         .orderBy(col("d1"), col("d2"))
     },
 

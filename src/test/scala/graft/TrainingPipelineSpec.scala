@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.TrainingPipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end corpus prep over the documents fixture: the stages must
+  * compose, shrink monotonically, and leave a self-consistent corpus.
+  */
+class TrainingPipelineSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def docs = Tables.documents(s, TestSpark.Sf0001)
+
+  test("quality gate drops only below-threshold docs") {
+    val kept = TrainingPipeline.qualityFilter(docs, minTokens = 20,
+      minDistinctRatio = 0.2)
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+    val bad = kept.filter(size(split(col("text"), " ")) < 20).count()
+    assert(bad == 0)
+  }
+
+  test("exact dedup keeps one doc per distinct text, lowest id") {
+    val out = TrainingPipeline.dedupExact(docs)
+    assert(out.select(md5(col("text"))).distinct().count() == out.count())
+    // fixture has no exact dups, so nothing should be dropped
+    assert(out.count() == docs.count())
+  }
+
+  test("near-dup removal drops exactly the higher ids of matched pairs") {
+    val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
+    val dropped = pairs.select(col("d2")).distinct().count()
+    val out = TrainingPipeline.dedupNearMinHash(docs, 0.5)
+    assert(out.count() == docs.count() - dropped)
+    // no surviving pair: both sides of any remaining match would mean d2 survived
+    val survivors = out.select(col("doc_id"))
+    val leftover = pairs.join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"))
+      .count()
+    assert(leftover == 0)
+  }
+
+  test("full prepare() yields an annotated, deduped, quality corpus") {
+    val out = TrainingPipeline.prepare(docs, minTokens = 10,
+      nearDupThreshold = 0.5)
+    assert(out.count() > 0 && out.count() <= docs.count())
+    assert(out.columns.contains("pred_lang"))
+    // predictions exist for every doc (shared vocabulary ⇒ profile overlap)
+    assert(out.filter(col("pred_lang").isNull).count() == 0)
+    // composes with the lake sink (smoke: write + read back)
+    val dir = java.nio.file.Files.createTempDirectory("prep").toFile
+    dir.deleteOnExit()
+    out.withColumn("ts", lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .transform(df => { graft.sources.LakeSink.writeByDay(df, "ts", dir.getAbsolutePath); df })
+    assert(graft.sources.LakeSink.read(s, dir.getAbsolutePath).count() == out.count())
+  }
+}
