@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Backs SCALE.md's join claims with executable proof: salting preserves
+  * join semantics while spreading hot keys, and bucketed table layouts
+  * remove the join shuffle entirely.
+  */
+class SkewAndBucketSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  test("saltedJoin equals the plain join exactly") {
+    val orders = Tables.orders(s, TestSpark.Sf0001)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(s, TestSpark.Sf0001)
+      .select("c_custkey", "c_mktsegment")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, Seq("o_custkey"))
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", factor = 4)
+    val cols = plain.columns.map(col).toIndexedSeq
+    assert(salted.count() == plain.count())
+    assert(salted.select(cols: _*).exceptAll(plain.select(cols: _*)).count() == 0)
+    assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
+  }
+
+  test("hotKeys surfaces the heaviest join keys first") {
+    val hot = Skew.hotKeys(Tables.lineitem(s, TestSpark.Sf0001), "l_suppkey", 3)
+      .collect()
+    assert(hot.length == 3)
+    val counts = hot.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("joining two tables bucketed on the key plans no shuffle") {
+    // warehouse dir is a static conf — uses the session default
+    // (spark-warehouse/, gitignored); drop catalog entries AND any
+    // leftover location from an interrupted prior run
+    def scrub(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new java.io.File(s"spark-warehouse/$name")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    scrub("b_orders"); scrub("b_lineitem")
+    Tables.orders(s, TestSpark.Sf0001)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables.lineitem(s, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // at fixture size the planner would broadcast (which bypasses and
+    // disables bucketing) — force the fact⋈fact shape the claim is about
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = s.table("b_orders").join(s.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the whole point of bucketing: a fact-to-fact equi-join with no
+      // shuffle on either side (SCALE.md "bucketed layouts are directly
+      // usable")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      s.sql("DROP TABLE IF EXISTS b_orders")
+      s.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
