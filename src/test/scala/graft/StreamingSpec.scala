@@ -63,6 +63,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window closes a session only after the gap + watermark pass") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val sessions = input.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .count()
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // two events 5 min apart → one session; then a 30-min jump both
+      // exceeds the gap and advances the watermark enough to emit it
+      input.addData((ts("2024-01-01 00:00:00"), 1L), (ts("2024-01-01 00:05:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "session emitted too early")
+      input.addData((ts("2024-01-01 00:45:00"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 02:00:00"), 1L)) // close + flush session 2
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("session_window.start").cast("string"),
+                col("session_window.end").cast("string"), col("count"))
+        .as[(String, String, Long)].collect().sortBy(_._1)
+      // session 1: [00:00, 00:05+10min) with 2 events — gap extends the
+      // end past the LAST event, exactly Spark's session semantics
+      assert(rows.head == (("2024-01-01 00:00:00", "2024-01-01 00:15:00", 2L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user count matches batch equivalent") {
     import spark.implicits._
     val input = MemoryStream[(String, Double)](spark)
