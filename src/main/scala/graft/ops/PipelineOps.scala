@@ -296,6 +296,21 @@ object PipelineOps extends QueryPack {
         .orderBy(col("probe_id"), col("rn"))
     },
 
+    // ---- q_split_sample: deterministic train/val/test assignment ------
+    // The split a training pipeline actually needs: content-hash bucketed
+    // (NOT random — reproducible across reruns, machines, and engines;
+    // and duplicate texts land in the same split so no train/test leak),
+    // 80/10/10 by h60 mod 100. Narrow, no shuffle until the tiny count agg.
+    "q_split_sample" -> { (s, d) =>
+      val bucket = pmod(h60(col("text")), lit(100L))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy(col("lang"), col("split"))
+    },
+
     // ---- q_multimodal_meta: opaque-binary column plumbing -------------
     // Media bytes as a BinaryType column with typed metadata: byte length,
     // 4-byte magic prefix (hex), head bytes (base64), fixed-stride frame
@@ -513,6 +528,14 @@ object PipelineOps extends QueryPack {
         JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
         JOIN e ON e.vec_id = a.vec_id)
       WHERE rn <= 5 ORDER BY probe_id, rn""",
+
+    "q_split_sample" -> s"""
+      SELECT lang,
+        CASE WHEN ${h60Sql("text")} % 100 < 80 THEN 'train'
+             WHEN ${h60Sql("text")} % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
 
     "q_multimodal_meta" -> """
       SELECT doc_id, 'text/plain' AS media_type,
