@@ -49,27 +49,15 @@ object PipelineOps extends QueryPack {
     // ---- q_lang_id: n-gram-profile language identification ------------
     // Train: top-20 words per lang (count desc, word asc). Classify: each
     // doc votes for the lang whose profile shares the most distinct words.
-    // Output: confusion matrix actual × predicted.
+    // Output: confusion matrix actual × predicted. Shares its profile +
+    // vote logic with TrainingPipeline.annotateLanguage via the helpers
+    // below — one source of truth for the classifier.
     "q_lang_id" -> { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-                explode(split(col("text"), " ")).as("word"))
-      val profile = words
-        .groupBy(col("lang").as("p_lang"), col("word"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("p_lang")).orderBy(col("n").desc, col("word"))))
-        .filter(col("rn") <= 20)
-        .select(col("p_lang"), col("word"))
-      val pred = words.select(col("doc_id"), col("lang"), col("word")).distinct()
-        .join(broadcast(profile), Seq("word"))
-        .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-        .agg(count(lit(1)).as("score"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("score").desc, col("p_lang"))))
-        .filter(col("rn") === 1)
-      pred.groupBy(col("lang"), col("p_lang").as("pred_lang"))
+      val docs = Tables.documents(s, d)
+      val profiles = PipelineOps.languageProfiles(docs, 20)
+      PipelineOps.predictLanguage(docs, profiles)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("pred_lang"))
     },
@@ -338,6 +326,34 @@ object PipelineOps extends QueryPack {
     * equivalence) without its per-evaluation lambda/array overhead. */
   private[ops] def dot(a: Column, b: Column): Column =
     graft.expr.DotProduct.dot(a, b)
+
+  /** Language profiles from a LABELED corpus: top-`profileSize` words per
+    * lang (count desc, word asc). Tiny result — meant to be broadcast. */
+  def languageProfiles(labeled: DataFrame, profileSize: Int): DataFrame =
+    labeled.select(col("lang").as("p_lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("p_lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_lang")).orderBy(col("n").desc, col("word"))))
+      .filter(col("rn") <= profileSize)
+      .select(col("p_lang"), col("word"))
+
+  /** Profile-vote prediction for any (doc_id, text) frame: each doc votes
+    * for the lang whose profile shares the most distinct words (ties to
+    * the lexicographically first lang). Docs with zero profile overlap
+    * are absent from the result. Returns (doc_id, pred_lang). */
+  def predictLanguage(docs: DataFrame, profiles: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+      .join(broadcast(profiles), Seq("word"))
+      .groupBy(col("doc_id"), col("p_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("p_lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"))
 
   // ---------------- DuckDB oracles ----------------
 

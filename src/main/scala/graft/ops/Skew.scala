@@ -21,6 +21,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs must not already have a _salt column (it would be clobbered)")
     // salt from a hash of the whole big row (monotonically_increasing_id
     // would break determinism across reruns): any column set works, the
     // spread only needs to be roughly uniform

@@ -40,47 +40,43 @@ object TrainingPipeline {
   }
 
   /** Near-dup removal via the MinHash LSH pipeline (q_dedup_minhash
-    * semantics): of every candidate pair with exact Jaccard ≥ `threshold`,
-    * the higher doc_id is dropped. Survivor set = docs minus the
-    * greedily-removed right sides (deterministic: pairs are generated with
-    * d1 < d2, so the smallest doc of a dup cluster always survives). */
+    * semantics): every doc that is the HIGHER id of any ≥-threshold pair
+    * is dropped. Conservative: in a transitive chain (1~2, 2~3, 1≁3),
+    * doc 3 is removed along with 2 even though its only match was itself
+    * removed — the result never contains two near-dup docs, at the cost
+    * of over-removing inside chains. The smallest doc of every dup
+    * cluster always survives (pairs have d1 < d2, so a cluster minimum is
+    * never a right side). Keeping chain intermediates instead requires
+    * connected components + min-per-component — a multi-pass iterative
+    * job a 100 TB pipeline runs only when recall of borderline content
+    * matters more than strictness. */
   def dedupNearMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
     docs.join(pairs.select(col("d2").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
   }
 
-  /** Language annotation: profile-vote lang-ID (q_lang_id semantics),
-    * adding `pred_lang`. The profile table is corpus-derived and
-    * broadcast; docs with no profile overlap keep a null prediction. */
-  def annotateLanguage(docs: DataFrame, profileSize: Int = 20): DataFrame = {
-    val words = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("word"))
-    val profile = words
-      .groupBy(col("lang").as("p_lang"), col("word"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("p_lang")).orderBy(col("n").desc, col("word"))))
-      .filter(col("rn") <= profileSize)
-      .select(col("p_lang"), col("word"))
-    val pred = words.select(col("doc_id"), col("word")).distinct()
-      .join(broadcast(profile), Seq("word"))
-      .groupBy(col("doc_id"), col("p_lang"))
-      .agg(count(lit(1)).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("p_lang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("p_lang").as("pred_lang"))
-    docs.join(pred, Seq("doc_id"), "left")
+  /** Language annotation: profile-vote lang-ID (shared with q_lang_id via
+    * [[graft.ops.PipelineOps.predictLanguage]]), adding `pred_lang`.
+    * Profiles come from `labeled` — any (lang, text) frame; the corpus
+    * being annotated needs only (doc_id, text). Docs with no profile
+    * overlap keep a null prediction. */
+  def annotateLanguage(docs: DataFrame, labeled: DataFrame,
+                       profileSize: Int = 20): DataFrame = {
+    val profiles = graft.ops.PipelineOps.languageProfiles(labeled, profileSize)
+    docs.join(graft.ops.PipelineOps.predictLanguage(docs, profiles),
+              Seq("doc_id"), "left")
   }
 
-  /** The full prep flow. Returns the cleaned, annotated corpus; persist
-    * with [[graft.sources.LakeSink]] between runs at scale. */
+  /** The full prep flow. `labeled` trains the language profiles (defaults
+    * to the corpus itself when it carries a ground-truth `lang` column).
+    * Returns the cleaned, annotated corpus; persist with
+    * [[graft.sources.LakeSink]] between runs at scale. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
-              nearDupThreshold: Double = 0.5): DataFrame =
-    annotateLanguage(
-      dedupNearMinHash(
-        dedupExact(
-          qualityFilter(docs, minTokens)), nearDupThreshold))
+              nearDupThreshold: Double = 0.5,
+              labeled: DataFrame = null): DataFrame = {
+    val cleaned = dedupNearMinHash(
+      dedupExact(qualityFilter(docs, minTokens)), nearDupThreshold)
+    annotateLanguage(cleaned, Option(labeled).getOrElse(docs))
+  }
 }

@@ -14,7 +14,7 @@ class CodegenSpec extends AnyFunSuite {
 
   private val keys = Seq("q_expr_go_ts", "q_doc_fingerprint",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_embed",
-    "q_ann_ivf", "q_similarity_topk")
+    "q_ann_ivf", "q_similarity_topk", "q_split_sample")
 
   test("custom-expression keys run under CODEGEN_ONLY with fallback off") {
     val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
