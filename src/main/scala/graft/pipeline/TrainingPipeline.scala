@@ -46,10 +46,12 @@ object TrainingPipeline {
     * removed — the result never contains two near-dup docs, at the cost
     * of over-removing inside chains. The smallest doc of every dup
     * cluster always survives (pairs have d1 < d2, so a cluster minimum is
-    * never a right side). Keeping chain intermediates instead requires
-    * connected components + min-per-component — a multi-pass iterative
-    * job a 100 TB pipeline runs only when recall of borderline content
-    * matters more than strictness. */
+    * never a right side). Alternatives, both multi-pass: canonical
+    * one-doc-per-cluster needs connected components + min-per-component
+    * (removes even non-d2 members of a cluster); maximal retention needs
+    * a sequential greedy over pairs (keeps a doc whose only matches were
+    * themselves removed). This one-pass rule sits between them and is the
+    * shape a 100 TB pipeline runs by default. */
   def dedupNearMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
     docs.join(pairs.select(col("d2").as("doc_id")).distinct(),
