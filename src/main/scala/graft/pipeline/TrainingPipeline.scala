@@ -58,6 +58,20 @@ object TrainingPipeline {
               Seq("doc_id"), "left_anti")
   }
 
+  /** Canonical near-dup removal: MinHash pairs → connected components →
+    * keep exactly the minimum doc of every dup cluster (strictest of the
+    * alternatives in [[dedupNearMinHash]]'s doc — a non-minimum cluster
+    * member is removed even when it is never the right side of a pair).
+    */
+  def dedupNearCanonical(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
+      .select(col("d1"), col("d2"))
+    val comps = graft.ops.Components.connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Language annotation: profile-vote lang-ID (shared with q_lang_id via
     * [[graft.ops.PipelineOps.predictLanguage]]), adding `pred_lang`.
     * Profiles come from `labeled` — any (lang, text) frame; the corpus
