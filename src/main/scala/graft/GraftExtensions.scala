@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{GoTimestampFormat, Md5Prefix60}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expr.{DotProduct, GoTimestampFormat, Md5Prefix60, WordShingles}
 
 /** Session-extension hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without the
@@ -46,6 +46,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(child) => Md5Prefix60(child)
         case args => throw new IllegalArgumentException(
           s"md5_prefix60 requires exactly 1 argument, got ${args.length}")
+      }))
+    ext.injectFunction(fn("dot_f32", classOf[DotProduct],
+      "dot_f32(a, b) - sequential-fold dot product of two ARRAY<FLOAT> columns as DOUBLE",
+      {
+        case Seq(a, b) => DotProduct(a, b)
+        case args => throw new IllegalArgumentException(
+          s"dot_f32 requires exactly 2 arguments, got ${args.length}")
+      }))
+    ext.injectFunction(fn("word_shingles", classOf[WordShingles],
+      "word_shingles(text, k) - k-word shingles of space-separated text (k must be a literal int)",
+      {
+        case Seq(child, Literal(k: Int, _)) => WordShingles(child, k)
+        case args => throw new IllegalArgumentException(
+          s"word_shingles requires (string, literal int), got ${args.length} args")
       }))
   }
 }

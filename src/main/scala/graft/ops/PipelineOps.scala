@@ -299,6 +299,25 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("split"))
     },
 
+    // ---- q_corpus_mix: weighted per-source sampling (data mixing) -----
+    // The training-mix op: each source is down-sampled to its weight by
+    // the same content-hash buckets as q_split_sample (deterministic and
+    // engine-independent; a doc is in or out regardless of run or
+    // machine). Weights here: src0 100%, src1 75%, src2 50%, others 25%.
+    // Narrow filter — rows never shuffle until the tiny count agg.
+    "q_corpus_mix" -> { (s, d) =>
+      val bucket = pmod(h60(col("text")), lit(100L))
+      val keepPct = when(col("source") === "src0", 100L)
+        .when(col("source") === "src1", 75L)
+        .when(col("source") === "src2", 50L)
+        .otherwise(25L)
+      Tables.documents(s, d)
+        .filter(bucket < keepPct)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))
+    },
+
     // ---- q_multimodal_meta: opaque-binary column plumbing -------------
     // Media bytes as a BinaryType column with typed metadata: byte length,
     // 4-byte magic prefix (hex), head bytes (base64), fixed-stride frame
@@ -552,6 +571,15 @@ object PipelineOps extends QueryPack {
              ELSE 'test' END AS split,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q_corpus_mix" -> s"""
+      SELECT source, count(*) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS kept_chars
+      FROM documents
+      WHERE ${h60Sql("text")} % 100 <
+        CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+                    WHEN 'src2' THEN 50 ELSE 25 END
+      GROUP BY source ORDER BY source""",
 
     "q_multimodal_meta" -> """
       SELECT doc_id, 'text/plain' AS media_type,

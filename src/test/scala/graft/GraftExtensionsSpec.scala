@@ -50,6 +50,15 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("dot_f32 and word_shingles are callable from SQL") {
+    val r = spark.sql(
+      """SELECT dot_f32(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+                        array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d,
+                word_shingles('a b c', 2) AS g""").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+  }
+
   test("registered functions carry usage docs") {
     val desc = spark.sql("DESCRIBE FUNCTION go_ts").collect()
       .map(_.getString(0)).mkString("\n")
