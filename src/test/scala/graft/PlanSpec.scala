@@ -84,6 +84,19 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan("q_lang_id").contains("BroadcastHashJoin"))
   }
 
+  test("sampling keys are narrow: one scan, shuffle only for the final agg") {
+    for (k <- Seq("q_split_sample", "q_corpus_mix")) {
+      // the AQE plan string repeats the tree under "== Initial Plan ==" —
+      // count only the executed (final) section
+      val s = finalPlan(k).split("== Initial Plan ==")(0)
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+        s"$k reads more than one scan")
+      // exactly the partial→final agg exchange, nothing upstream of it
+      assert("Exchange hashpartitioning".r.findAllIn(s).size <= 1,
+        s"$k shuffles more than the final aggregation:\n$s")
+    }
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins
