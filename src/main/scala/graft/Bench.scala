@@ -38,7 +38,7 @@ object Bench {
     names.foreach(run) // warm-up: JIT + codegen cache + parquet footers
     // Pay the warm-up's accumulated garbage BEFORE the clock starts: the
     // first big materializer of the timed pass otherwise absorbs a major
-    // GC of 76 queries' worth of warm-up allocation (observed as a random
+    // GC of the full key set's worth of warm-up allocation (observed as a random
     // early key reading 5-10x slower run-to-run).
     System.gc()
     Thread.sleep(2000)

@@ -58,8 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "word_shingles(text, k) - k-word shingles of space-separated text (k must be a literal int)",
       {
         case Seq(child, Literal(k: Int, _)) => WordShingles(child, k)
-        case args => throw new IllegalArgumentException(
-          s"word_shingles requires (string, literal int), got ${args.length} args")
+        case args if args.length != 2 => throw new IllegalArgumentException(
+          s"word_shingles requires exactly 2 arguments, got ${args.length}")
+        case _ => throw new IllegalArgumentException(
+          "word_shingles' second argument must be a literal INT (e.g. word_shingles(text, 3))")
       }))
   }
 }

@@ -42,15 +42,17 @@ object Components {
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("bcomp")).as("nmin"))
+      // carry the previous label through the round so convergence is a
+      // filter+count on `next` itself — not a third full-labels join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("prev")).count()
+      // bound executor storage at two label snapshots (old + new) — the
+      // weak-ref ContextCleaner path would otherwise keep one per round
+      labels.unpersist()
+      labels = next.drop("prev")
       converged = changed == 0
       iter += 1
     }

@@ -63,10 +63,11 @@ object TrainingPipeline {
     * alternatives in [[dedupNearMinHash]]'s doc — a non-minimum cluster
     * member is removed even when it is never the right side of a pair).
     */
-  def dedupNearCanonical(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dedupNearCanonical(docs: DataFrame, threshold: Double = 0.5,
+                         maxIters: Int = 50): DataFrame = {
     val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
       .select(col("d1"), col("d2"))
-    val comps = graft.ops.Components.connectedComponents(pairs)
+    val comps = graft.ops.Components.connectedComponents(pairs, maxIters)
     val losers = comps.filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
