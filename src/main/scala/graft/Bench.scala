@@ -15,6 +15,12 @@ import java.nio.file.{Files, Paths}
   *    excluded from `value` (never a fast fake success).
   *  - the JSON line goes to stdout AND target/bench.json (sbt's [info]
   *    prefix on stdout broke the driver's parse in round 1).
+  *  - THREE timed passes per key, reported value = per-key MEDIAN (round-3
+  *    verdict item 1): this host shows sporadic CPU steal that inflates a
+  *    different random key 10-30x per run (BASELINE.md), so a single timed
+  *    pass gates acceptance on luck. Passes are pass-major (all keys, then
+  *    all keys again) so a steal burst lands on at most one of a key's three
+  *    samples; the median discards it. Total = sum of per-key medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,10 +49,22 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val samples = (1 to passes).flatMap { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        val r = run(name)
+        (name, (System.nanoTime() - t0) / 1e9, r.isRight)
+      }
+    }
+    // A key is `failed` if ANY pass crashed (a flaky crash is a crash, not a
+    // slow success); otherwise its reported time is the median of its passes.
     val timed = names.map { name =>
-      val t0 = System.nanoTime()
-      val r = run(name)
-      (name, (System.nanoTime() - t0) / 1e9, r.isRight)
+      val mine = samples.filter(_._1 == name)
+      val ok = mine.forall(_._3)
+      val ts = mine.map(_._2).sorted
+      val median = ts(ts.length / 2)
+      (name, median, ok)
     }
     // queries map holds ONLY numeric values (a "failed" string broke the
     // driver's round-2 parse → parsed:null); failures are named in `failed`.

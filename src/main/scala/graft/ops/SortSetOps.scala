@@ -1,9 +1,10 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** SURVEY.md §2.B "Sort / limit / top-k" + "Set operations".
   *
@@ -12,21 +13,39 @@ import org.apache.spark.sql.functions._
   * q_topk_per_group is one shuffle by group key + per-partition sort with
   * the rank filter pushed into the window (WindowGroupLimit in Spark 4
   * keeps only 3 rows per group per partition before the shuffle).
-  * q_sort_multi materializes an explicit global rank: that is inherently a
-  * total order (range-partitioned sort at scale); the unique trailing key
-  * keeps it deterministic.
+  * q_sort_multi materializes an explicit global rank as a range-partitioned
+  * sort + per-partition prefix counts (`RDD.zipWithIndex`), never a
+  * single-partition window — see the key's comment for why the declarative
+  * two-query form is unsafe.
   */
 object SortSetOps extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multi-key sort with mixed direction, made observable via global rank.
+    //
+    // Scale-safe form (round-3 verdict item 2): range-partition on the sort
+    // keys, sort within partitions, then zipWithIndex — per-partition counts
+    // collected as an O(numPartitions) driver array and added as prefix
+    // offsets, exactly Spark's own distributed-ranking primitive. No
+    // single-partition WindowExec anywhere. zipWithIndex's two internal jobs
+    // run on ONE RDD instance, so the sampled range boundaries are computed
+    // once and the count pass and the rank pass read the same shuffle output
+    // — the equivalent two-DataFrame formulation (counts query + rank query
+    // over separate executions of repartitionByRange) would re-sample the
+    // range partitioner per query and could disagree on boundaries.
     "q_sort_multi" -> { (s, d) =>
-      val w = Window.orderBy(col("c_mktsegment").asc, col("c_acctbal").desc,
-                             col("c_custkey").asc)
-      Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-                row_number().over(w).as("sort_pos"))
-        .orderBy(col("sort_pos"))
+      val keys = Seq(col("c_mktsegment").asc, col("c_acctbal").desc,
+                     col("c_custkey").asc)
+      val sorted = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .repartitionByRange(keys: _*)
+        .sortWithinPartitions(keys: _*)
+      val schema = StructType(sorted.schema.fields :+
+        StructField("sort_pos", IntegerType, nullable = false))
+      val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+      }
+      s.createDataFrame(ranked, schema).orderBy(col("sort_pos"))
     },
 
     // LIMIT + OFFSET over a total order.

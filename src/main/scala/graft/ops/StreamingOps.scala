@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale notes: tumbling/sliding/session windows shuffle once by
   * (window/user) key with partial aggregation; the sliding window's 4×
   * Expand (1h / 15m) is inherent to overlap. The watermark batch analog
-  * uses a single global arrival order — faithful to the reference's one
-  * producer; a cluster version tracks watermark per source partition
-  * exactly like Spark's streaming engine does.
+  * replays a single global arrival order — faithful to the reference's one
+  * producer — but computes the prefix max range-partitioned (see the key),
+  * never through a single-partition window; a cluster version tracks the
+  * watermark per source partition exactly like Spark's streaming engine.
   */
 object StreamingOps extends QueryPack {
 
@@ -72,14 +73,44 @@ object StreamingOps extends QueryPack {
     // Watermark late-drop, batch analog: arrival order = event_id; the
     // watermark after each arrival is max(ts seen so far) - 10 min; a row
     // is late iff its ts is below the watermark at arrival.
+    //
+    // Scale-safe form (round-3 verdict item 3): a global prefix-max, like a
+    // global rank, does NOT need a single-partition window. Range-partition
+    // by arrival order, then two jobs over ONE RDD instance (shuffle-stage
+    // reuse keeps the sampled range boundaries identical across them — the
+    // same determinism argument as q_sort_multi's zipWithIndex):
+    //   1. per-partition max(ts) → O(numPartitions) driver array, turned
+    //      into an EXCLUSIVE prefix max per partition (the carry-in);
+    //   2. per-partition sequential scan seeded with the carry-in computes
+    //      each row's strictly-preceding max and the late flag.
+    // Timestamps travel as long micros so the hot loop is primitive math.
     "q_watermark_late" -> { (s, d) =>
-      val w = Window.orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables.events(s, d)
-        .withColumn("wm", max(col("ts")).over(w) - expr("INTERVAL 10 MINUTES"))
-        .select(col("event_id"),
-                coalesce(col("ts") < col("wm"), lit(false)).as("is_late"))
-        .orderBy(col("event_id"))
+      import s.implicits._
+      val sorted = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+        .repartitionByRange(col("event_id"))
+        .sortWithinPartitions(col("event_id"))
+      val rdd = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      val partMax = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var m = Long.MinValue
+        it.foreach { case (_, t) => if (t > m) m = t }
+        Iterator.single((pid, m))
+      }.collect()
+      val prefix = new Array[Long](partMax.length)
+      var run = Long.MinValue
+      partMax.sortBy(_._1).foreach { case (pid, m) =>
+        prefix(pid) = run
+        if (m > run) run = m
+      }
+      val lateMicros = 10L * 60 * 1000000
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var m = prefix(pid) // max ts over ALL rows in earlier partitions
+        it.map { case (id, t) =>
+          val late = m != Long.MinValue && t < m - lateMicros
+          if (t > m) m = t
+          (id, late)
+        }
+      }.toDF("event_id", "is_late").orderBy(col("event_id"))
     },
 
     // Per-user running state (event count + value sum) — the batch twin of
