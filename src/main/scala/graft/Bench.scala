@@ -49,7 +49,11 @@ object Bench {
     System.gc()
     Thread.sleep(2000)
 
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Malformed/zero/negative override must not crash the gate artifact:
+    // fall back to 3 passes and clamp to >= 1 (ADVICE r4).
+    val passes = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt)
+        .getOrElse(3))
     val samples = (1 to passes).flatMap { _ =>
       names.map { name =>
         val t0 = System.nanoTime()

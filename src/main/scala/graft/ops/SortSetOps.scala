@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** SURVEY.md §2.B "Sort / limit / top-k" + "Set operations".
   *
@@ -40,10 +40,12 @@ object SortSetOps extends QueryPack {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
         .repartitionByRange(keys: _*)
         .sortWithinPartitions(keys: _*)
+      // sort_pos is LongType (ADVICE r4): an Int rank silently wraps negative
+      // past 2^31-1 rows, contradicting the key's scale-safe claim.
       val schema = StructType(sorted.schema.fields :+
-        StructField("sort_pos", IntegerType, nullable = false))
+        StructField("sort_pos", LongType, nullable = false))
       val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+        Row.fromSeq(r.toSeq :+ (i + 1))
       }
       s.createDataFrame(ranked, schema).orderBy(col("sort_pos"))
     },
@@ -114,8 +116,8 @@ object SortSetOps extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_sort_multi" -> """
       SELECT c_custkey, c_mktsegment, c_acctbal,
-        CAST(row_number() OVER (ORDER BY c_mktsegment ASC, c_acctbal DESC,
-                                c_custkey ASC) AS INT) AS sort_pos
+        row_number() OVER (ORDER BY c_mktsegment ASC, c_acctbal DESC,
+                           c_custkey ASC) AS sort_pos
       FROM customer ORDER BY sort_pos""",
 
     "q_limit_offset" -> """

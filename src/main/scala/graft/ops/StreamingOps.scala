@@ -84,6 +84,14 @@ object StreamingOps extends QueryPack {
     //   2. per-partition sequential scan seeded with the carry-in computes
     //      each row's strictly-preceding max and the late flag.
     // Timestamps travel as long micros so the hot loop is primitive math.
+    //
+    // SIDE EFFECT (ADVICE r4): step 1's per-partition max + collect() run
+    // EAGERLY when this lambda builds the DataFrame — constructing the query
+    // costs one scan even if the caller never executes it, and the returned
+    // frame is bound to the prefix array materialized at build time. This is
+    // the deliberate batch-replay trade-off: the prefix maxes are query
+    // *parameters* (like AQE's runtime statistics), and the streaming form in
+    // StreamingSpec carries the same state incrementally instead.
     "q_watermark_late" -> { (s, d) =>
       import s.implicits._
       val sorted = Tables.events(s, d)

@@ -97,6 +97,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_sort_multi and q_watermark_late never collapse to one partition") {
+    // Round-3 verdict items 2-3 replaced the global-window forms with
+    // range-partitioned two-pass algorithms; this pins the fix. A regression
+    // to `Window.orderBy(...)` with no partitionBy would reintroduce an
+    // `Exchange SinglePartition` + partition-less WindowExec — the two plans
+    // that die at 100x scale.
+    for (k <- Seq("q_sort_multi", "q_watermark_late")) {
+      val s = finalPlan(k)
+      assert(!s.contains("Exchange SinglePartition"),
+        s"$k funnels all rows through one partition:\n$s")
+      assert(!s.contains("Window "),
+        s"$k regressed to a window-based global scan:\n$s")
+    }
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins
