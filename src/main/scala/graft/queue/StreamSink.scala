@@ -18,6 +18,42 @@ trait StreamSink {
   def putRecord(data: Array[Byte], partitionKey: String): Unit
 }
 
+/** Retry decorator — the engine analog of the reference's AWS client retry
+  * policy (`/root/reference/main.go:165`, `RetryMaxAttempts(5)`): a
+  * `putRecord` is attempted up to `maxAttempts` times TOTAL (first try
+  * included, matching the AWS SDK's counting); only when the last attempt
+  * fails does the error surface to the caller — which in the [[EventQueue]]
+  * integration means `SendFailed` still carries the undelivered batch (the
+  * round-3 upgrade is preserved, it just fires 5x less eagerly).
+  *
+  * Backoff is exponential from `baseBackoffMs` (100ms, 200ms, 400ms, ... —
+  * the SDK's standard-mode shape without jitter, which matters for
+  * deterministic tests); `sleep` is injectable so specs run instantly.
+  * Delivery is at-least-once by construction: a failure AFTER the inner
+  * sink durably wrote (e.g. a timeout on the ack) retries and duplicates —
+  * same trade-off as the reference's SDK retry; the exactly-once variant is
+  * the checkpointed streaming sink, not this decorator.
+  */
+final class RetryingSink(
+    inner: StreamSink,
+    maxAttempts: Int = 5,
+    baseBackoffMs: Long = 100L,
+    sleep: Long => Unit = Thread.sleep) extends StreamSink {
+  require(maxAttempts >= 1, "maxAttempts must be >= 1")
+  override def putRecord(data: Array[Byte], partitionKey: String): Unit = {
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { inner.putRecord(data, partitionKey); done = true }
+      catch {
+        case _: Throwable if attempt < maxAttempts =>
+          sleep(baseBackoffMs << (attempt - 1))
+          attempt += 1
+      }
+    }
+  }
+}
+
 /** Local-filesystem sink: one file per record under `dir`, named by an
   * arrival sequence + the partition key, so payloads can be re-read in
   * arrival order by tests (SURVEY §5.2 item 4 end-to-end smoke).
