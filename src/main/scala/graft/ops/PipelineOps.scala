@@ -215,73 +215,26 @@ object PipelineOps extends QueryPack {
     },
 
     // ---- q_dedup_embed: sign-bit LSH buckets + cosine ≥ 0.35 ----------
-    // Bucket = sign pattern of the first 4 dimensions (16 buckets); exact
+    // Bucket = sign pattern of the first `signBits` dimensions; exact
     // cosine only within a bucket. Near-identical vectors agree on every
     // sign, so bucketing loses only borderline pairs — by construction the
-    // oracle runs the identical algorithm.
+    // oracle runs the identical algorithm. signBits=4 is the FIXTURE width
+    // (what the oracle pins); [[embedNearDup]]'s doc carries the scale
+    // sizing rule (round-3 verdict item 4).
     "q_dedup_embed" -> { (s, d) =>
-      val bucket = (0 until 4).map(i =>
-        when(element_at(col("embedding"), i + 1) >= 0f, lit(1L << i))
-          .otherwise(lit(0L))).reduce(_ + _)
-      // Norms are precomputed once per vector, not once per pair: inside
-      // the bucket join each row would otherwise evaluate three 64-element
-      // higher-order folds; this leaves exactly one (the cross dot).
-      // sqrt(dot(v,v)) is the same double either way, so the oracle —
-      // which recomputes norms per pair — still hash-matches.
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), bucket.as("bkt"),
-          sqrt(PipelineOps.dot(col("embedding"), col("embedding"))).as("nrm"))
-      e.alias("x").join(e.alias("y"),
-          col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
-          round(PipelineOps.dot(col("x.embedding"), col("y.embedding")) /
-            (col("x.nrm") * col("y.nrm")), 4).as("cos"))
-        .filter(col("cos") >= 0.35)
-        .orderBy(col("v1"), col("v2"))
+      PipelineOps.embedNearDup(Tables.embeddings(s, d), signBits = 4,
+        minCos = 0.35)
     },
 
     // ---- q_ann_ivf: IVF-style ANN (16 lists, nprobe=4, top-5) ---------
-    // "Centroids" = vectors 0..15 (deterministic stand-in for k-means);
-    // every vector joins its nearest centroid's inverted list; each probe
-    // searches only its 4 nearest lists. The 100 TB path is identical —
-    // the centroid table stays broadcast-size and the corpus shuffles once
-    // by list id.
+    // Fixture parameters of [[ivfTopK]] — what the oracle pins; the
+    // helper's doc carries the ~√n list-count sizing rule (round-3 verdict
+    // item 4). The 100 TB path is identical — the centroid table stays
+    // broadcast-size and the corpus shuffles once by list id.
     "q_ann_ivf" -> { (s, d) =>
-      // Norms precomputed once per vector/centroid (see q_dedup_embed).
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
-        sqrt(PipelineOps.dot(col("embedding"), col("embedding"))).as("nrm"))
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-                col("nrm").as("cnrm"))
-      val asg = e.join(broadcast(cents))
-        .select(col("vec_id"), col("cent_id"),
-          (PipelineOps.dot(col("embedding"), col("ce")) /
-            (col("nrm") * col("cnrm"))).as("cc"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-          .orderBy(col("cc").desc, col("cent_id"))))
-        .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
-      val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
-                col("nrm").as("pnrm"))
-      val plists = probes.join(broadcast(cents))
-        .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
-          (PipelineOps.dot(col("pe"), col("ce")) /
-            (col("pnrm") * col("cnrm"))).as("pc"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
-          .orderBy(col("pc").desc, col("cent_id"))))
-        .filter(col("rn") <= 4)
-        .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"))
-      plists.join(asg, Seq("cent_id"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
-        .select(col("probe_id"), col("vec_id"),
-                round(PipelineOps.dot(col("pe"), col("embedding")) /
-                  (col("pnrm") * col("nrm")), 4).as("cos"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
-          .orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= 5)
-        .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
-        .orderBy(col("probe_id"), col("rn"))
+      PipelineOps.ivfTopK(Tables.embeddings(s, d),
+        isProbe = col("vec_id") >= 10 && col("vec_id") < 15,
+        nLists = 16, nProbe = 4, k = 5)
     },
 
     // ---- q_split_sample: deterministic train/val/test assignment ------
@@ -345,6 +298,105 @@ object PipelineOps extends QueryPack {
     * equivalence) without its per-evaluation lambda/array overhead. */
   private[ops] def dot(a: Column, b: Column): Column =
     graft.expr.DotProduct.dot(a, b)
+
+  /** Sign-bit LSH bucket id: the sign pattern of the first `signBits`
+    * dimensions, packed little-endian into a Long (2^signBits buckets).
+    * For a random-hyperplane reading: dimension i IS the hyperplane normal
+    * e_i, so two vectors share a bucket iff no probed dimension separates
+    * them. */
+  def signBucket(emb: Column, signBits: Int): Column = {
+    require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
+    (0 until signBits).map(i =>
+      when(element_at(emb, i + 1) >= 0f, lit(1L << i))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs over sign-bucket candidates:
+    * exact cosine runs only inside a bucket, and the bucket width is the
+    * SCALE KNOB (round-3 verdict item 4). Candidate volume is
+    * Σ_buckets(size²)/2 ≈ n²/2^(signBits+1) for balanced buckets, so
+    * 2^signBits must GROW with the corpus: pick
+    * `signBits ≈ log2(n / targetRowsPerBucket)` — e.g. ~2k rows per bucket
+    * keeps the per-bucket cross bounded; for n = 10^10 that's signBits ≈ 22.
+    * Widening buckets only ever REMOVES candidate pairs (bucket ids are
+    * sign-prefixes: agreement on b+1 bits implies agreement on b), a
+    * monotonicity EmbedLshSpec pins, and loses only pairs that disagree on
+    * some probed sign — true near-duplicates agree on every non-borderline
+    * dimension. Multi-table LSH (OR of several independent dimension sets)
+    * buys recall back at scale if the single-table loss matters.
+    *
+    * Norms are precomputed once per vector, not once per pair: inside the
+    * bucket join each row would otherwise evaluate three 64-element folds;
+    * this leaves exactly one (the cross dot). sqrt(dot(v,v)) is the same
+    * double either way, so an oracle recomputing norms per pair still
+    * hash-matches.
+    */
+  def embedNearDup(emb: DataFrame, signBits: Int, minCos: Double): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), signBits).as("bkt"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    e.alias("x").join(e.alias("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** IVF-style approximate nearest neighbour: assign every vector to its
+    * nearest of `nLists` "centroids" (deterministically vectors
+    * 0..nLists-1 — a k-means stand-in that keeps the op oracle-able), then
+    * each probe (rows matching `isProbe`) searches only its `nProbe`
+    * nearest inverted lists for its cosine top-`k`.
+    *
+    * Scale knob (round-3 verdict item 4): probe work is
+    * ~`nProbe * n / nLists` per query, so `nLists` must grow with the
+    * corpus — the classic IVF rule is `nLists ≈ √n` (balances the
+    * broadcast centroid scan `nLists` against the list scan `n/nLists`);
+    * n = 10^9 ⇒ ~32k lists, still trivially broadcast-size. Recall is
+    * tuned by `nProbe` alone: `nProbe = nLists` degrades gracefully to the
+    * exact brute-force top-k (EmbedLshSpec pins this identity).
+    */
+  def ivfTopK(emb: DataFrame, isProbe: Column, nLists: Int, nProbe: Int,
+              k: Int): DataFrame = {
+    require(nLists >= 1 && nProbe >= 1 && k >= 1, "ivfTopK params must be >= 1")
+    // Norms precomputed once per vector/centroid (see embedNearDup).
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = e.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              col("nrm").as("cnrm"))
+    val asg = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("embedding"), col("ce")) /
+          (col("nrm") * col("cnrm"))).as("cc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    val plists = probes.join(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
+        (dot(col("pe"), col("ce")) /
+          (col("pnrm") * col("cnrm"))).as("pc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("pc").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"))
+    plists.join(asg, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+              round(dot(col("pe"), col("embedding")) /
+                (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
 
   /** Language profiles from a LABELED corpus: top-`profileSize` words per
     * lang (count desc, word asc). Tiny result — meant to be broadcast. */
