@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The second entry path SURVEY §3.2 item 3 promises: every DSL query is
+  * equally expressible as ANSI SQL through `spark.sql` over temp views,
+  * with the engine's custom expressions available by name via
+  * [[GraftExtensions]]. One representative key per pack, asserted
+  * row-for-row equal against the DSL form ON THE SAME SESSION — pinning
+  * both the SQL surface and the extension registration.
+  *
+  * (Session juggling as in GraftExtensionsSpec: `withExtensions` only
+  * applies to a NEW session, so the shared one is swapped out and back.)
+  */
+class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  private var shared: Option[SparkSession] = None
+  private lazy val spark: SparkSession = {
+    shared = Some(TestSpark.spark)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    for (t <- Seq("customer", "orders", "lineitem", "documents"))
+      Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
+    // shared nanos→micros reader, so SQL sees the same `ts` the DSL does
+    Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
+    s
+  }
+
+  override def afterAll(): Unit = {
+    shared.foreach { s =>
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    super.afterAll()
+  }
+
+  private def assertParity(key: String, sql: String): Unit = {
+    val dsl = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
+    val viaSql = spark.sql(sql)
+    assert(dsl.columns.toSeq == viaSql.columns.toSeq,
+      s"$key column names: DSL ${dsl.columns.toSeq} vs SQL ${viaSql.columns.toSeq}")
+    val a = dsl.collect().toSeq
+    val b = viaSql.collect().toSeq
+    assert(a.size == b.size, s"$key row counts: DSL ${a.size} vs SQL ${b.size}")
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra == rb, s"$key row $i: DSL $ra vs SQL $rb")
+    }
+  }
+
+  test("scans: q_filter DSL == SQL") {
+    assertParity("q_filter", """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE o_orderstatus IN ('F', 'P')
+        AND o_totalprice BETWEEN 1000 AND 50000
+        AND o_orderpriority LIKE '%URGENT%'
+        AND o_orderdate >= TIMESTAMP'1995-01-01'
+      ORDER BY o_orderkey""")
+  }
+
+  test("joins: q_join_inner DSL == SQL") {
+    assertParity("q_join_inner", """
+      SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")
+  }
+
+  test("aggregates: q_agg_groupby DSL == SQL") {
+    assertParity("q_agg_groupby", """
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_disc_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+          * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE), 4) AS sum_charge,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1), 4) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1), 4) AS avg_price,
+        round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1), 4) AS avg_disc,
+        count(1) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP'1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  test("windows: q_window_rank DSL == SQL") {
+    assertParity("q_window_rank", """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        row_number() OVER w AS rn, rank() OVER w AS rnk,
+        dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ORDER BY c_custkey""")
+  }
+
+  test("set ops: q_union_distinct DSL == SQL") {
+    assertParity("q_union_distinct", """
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      ORDER BY c_custkey""")
+  }
+
+  test("scalar funcs: q_string_funcs DSL == SQL") {
+    assertParity("q_string_funcs", """
+      SELECT c_custkey,
+        upper(c_mktsegment) AS seg_up,
+        lower(c_name) AS name_lo,
+        substring(c_name, 10, 9) AS digits,
+        trim(LEADING '0' FROM substring(c_name, 10, 9)) AS digits_trim,
+        concat(c_mktsegment, ':', c_name) AS tagged,
+        lpad(CAST(c_custkey AS STRING), 10, '0') AS key_pad,
+        replace(c_name, 'Customer#', 'C-') AS name_repl,
+        regexp_extract(c_name, '([0-9]+)$', 1) AS name_num,
+        c_name LIKE '%42%' AS has42,
+        length(c_name) AS name_len,
+        element_at(split(c_name, '#'), 2) AS after_hash
+      FROM customer ORDER BY c_custkey""")
+  }
+
+  test("streaming twins: q_tumbling_window DSL == SQL") {
+    assertParity("q_tumbling_window", """
+      SELECT window.start AS win_start, count(1) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value
+      FROM events
+      GROUP BY window(ts, '1 hour')
+      ORDER BY win_start""")
+  }
+
+  test("text ops: q_dedup_exact DSL == SQL") {
+    assertParity("q_dedup_exact", """
+      SELECT min(doc_id) AS keep_id, md5(text) AS text_hash, count(1) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""")
+  }
+
+  test("pipeline ops: q_split_sample DSL == SQL (via md5_prefix60 extension)") {
+    assertParity("q_split_sample", """
+      SELECT lang,
+        CASE WHEN pmod(md5_prefix60(text), 100) < 80 THEN 'train'
+             WHEN pmod(md5_prefix60(text), 100) < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        count(1) AS n_docs, sum(n_chars) AS n_chars
+      FROM documents GROUP BY 1, 2 ORDER BY lang, split""")
+  }
+
+  test("ingestion: q_event_enrich DSL == SQL") {
+    assertParity("q_event_enrich", """
+      SELECT event_id, event_type, 'graft-app' AS origin,
+        date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'") AS server_ts
+      FROM events ORDER BY event_id""")
+  }
+
+  test("custom exprs: q_expr_go_ts DSL == SQL (via go_ts extension)") {
+    assertParity("q_expr_go_ts", """
+      SELECT event_id, go_ts(ts) AS go_ts
+      FROM events ORDER BY event_id""")
+  }
+}
