@@ -28,15 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object TextOps extends QueryPack {
 
-  /** MinHash family: perm j of shingle-hash h is `xxhash64(h, j)` — a
-    * keyed rehash per permutation index. Deterministic across JVMs,
-    * partitions, and reruns (SURVEY §7.4: no Math.random), and — unlike the
-    * classic `a*h+b` linear perm — safe under Spark 4's default ANSI mode,
-    * where a Long multiply that wraps throws ARITHMETIC_OVERFLOW instead of
-    * wrapping. Used identically by MinHashSpec's ε-bound property test.
+  /** MinHash family: perm j of shingle-hash h is the classic universal
+    * hash `(a_j * h32 + b_j) mod p` over the 32-bit-truncated shingle
+    * digest, with `p` the smallest prime above 2^32. Chosen so the WHOLE
+    * pipeline is DuckDB-oracle-able (round-5 upgrade — xxhash64, the old
+    * family, has no DuckDB twin): both engines evaluate the same plain
+    * BIGINT arithmetic. ANSI-overflow-safe by construction — a_j < 2^30
+    * and h32 < 2^32 keep `a*h+b` under 2^62, so Spark 4's ANSI mode never
+    * sees a wrapping multiply (the reason the naive 64-bit `a*h+b` family
+    * was rejected in round 2). Constants come from a fixed xorshift seed:
+    * deterministic across JVMs, partitions, and reruns (SURVEY §7.4), and
+    * emitted into the DuckDB oracle SQL from the SAME vals — one source of
+    * truth. MinHashSpec's ε-bound property runs on this family.
     */
   private[graft] val NumPerms = 64
   private[graft] val NumBands = 16 // × 4 rows per band
+  private[graft] val PermP = 4294967311L // smallest prime > 2^32
+  private[graft] val (permA, permB) = {
+    var x = 0x2545F4914F6CDD1DL
+    def next(): Long = { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; x }
+    val a = (0 until NumPerms).map(_ => math.floorMod(next(), (1L << 30) - 1) + 1)
+    val b = (0 until NumPerms).map(_ => math.floorMod(next(), PermP))
+    (a, b)
+  }
 
   /** Word-level 3-shingles of a space-separated text column; empty array
     * for docs under 3 words (no signature, deterministically). Backed by
@@ -47,11 +61,25 @@ object TextOps extends QueryPack {
   private[graft] def shingles(text: Column): Column =
     graft.expr.WordShingles.of(text, 3)
 
-  /** doc_id → distinct (doc_id, shingle-hash) rows. */
+  /** doc_id → distinct (doc_id, shingle-hash) rows. The digest is the
+    * engine-shared 60-bit md5 prefix (codegen'd [[graft.expr.Md5Prefix60]])
+    * so DuckDB computes the identical value — the hinge that makes the
+    * whole minhash pipeline oracle-able. */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("sh")).as("h"))
       .distinct()
+
+  /** 64-slot MinHash signature per doc: one hash-agg, 64 fused min columns
+    * `m0..m63` over the [[permA]]/[[permB]] family. Shared by
+    * [[minhashPairs]] and MinHashSpec (same family, same code path). */
+  private[graft] def signatureFrame(sh: DataFrame): DataFrame = {
+    val h32 = col("h") % lit(1L << 32) // h >= 0, so % == pmod
+    val sigCols = (0 until NumPerms).map { j =>
+      min((lit(permA(j)) * h32 + lit(permB(j))) % lit(PermP)).as(s"m$j")
+    }
+    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  }
 
   /** MinHash near-dup pairs over any (doc_id, text) frame: 3-shingles →
     * 64-perm signature → 16-band LSH candidates → exact Jaccard ≥
@@ -67,22 +95,27 @@ object TextOps extends QueryPack {
     */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingleHashes(docs)
-    // 64-perm signature: one hash-agg by doc_id, 64 fused min columns.
-    val sigCols = (0 until NumPerms).map { j =>
-      min(xxhash64(col("h"), lit(j))).as(s"m$j")
-    }
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    // Band hashes: 16 × hash(band rows, band idx); explode to buckets.
+    val sigs = signatureFrame(sh)
+    // Band buckets: 16 × the raw 4-slot tuple; explode to one bucket row
+    // per (doc, band) and equi-join on the tuple itself. (The previous
+    // form hashed the tuple with murmur3 first — a narrower shuffle key,
+    // but murmur3 has no DuckDB twin; 4 longs + a band id is still a ~36-
+    // byte key, dwarfed by the text it replaces. At cluster scale, re-
+    // hashing bands Spark-side is a legal optimization because band
+    // equality is what's joined either way.)
     val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-             hash((0 until 4).map(r => col(s"m${4 * b + r}")) :+ lit(b): _*)
-               .as("bh"))
+      struct(lit(b).as("band") +:
+        (0 until 4).map(r => col(s"m${4 * b + r}").as(s"v$r")): _*)
     }
     val buckets = sigs.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+              col("bk.v0").as("v0"), col("bk.v1").as("v1"),
+              col("bk.v2").as("v2"), col("bk.v3").as("v3"))
     val cand = buckets.alias("x").join(buckets.alias("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.band") === col("y.band") &&
+          col("x.v0") === col("y.v0") && col("x.v1") === col("y.v1") &&
+          col("x.v2") === col("y.v2") && col("x.v3") === col("y.v3") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
@@ -119,8 +152,10 @@ object TextOps extends QueryPack {
     },
 
     // Near-dup detection: 3-shingles → 64-perm MinHash → 16-band LSH →
-    // exact Jaccard ≥ 0.5 on candidates only. No oracle (xxhash64 has no
-    // DuckDB twin) — covered by MinHashSpec goldens + ε-bound property.
+    // exact Jaccard ≥ 0.5 on candidates only. Oracle-backed since round 5
+    // (md5-prefix shingle digest + overflow-safe (a*h+b) mod p perms —
+    // every stage plain integer SQL both engines evaluate identically);
+    // the family/ε-bound behavior stays covered by MinHashSpec.
     "q_dedup_minhash" -> { (s, d) =>
       minhashPairs(Tables.documents(s, d), 0.5)
         .orderBy(col("d1"), col("d2"))
@@ -174,7 +209,69 @@ object TextOps extends QueryPack {
     }
   )
 
+  /** DuckDB mirror of [[minhashPairs]], generated from the SAME
+    * `permA`/`permB` vals the Spark side uses (single source of truth for
+    * the 128 constants). Stage-for-stage: shingles → md5-prefix digest →
+    * 64 perm mins → 16 band tuples → candidate pairs → exact Jaccard.
+    */
+  private def minhashOracleSql: String = {
+    val permMins = (0 until NumPerms).map { j =>
+      s"min((${permA(j)} * h32 + ${permB(j)}) % $PermP) AS m$j"
+    }.mkString(",\n          ")
+    val bandRows = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, m${4 * b} AS v0, m${4 * b + 1} AS v1, " +
+        s"m${4 * b + 2} AS v2, m${4 * b + 3} AS v3 FROM sigs"
+    }.mkString("\n        UNION ALL ")
+    s"""
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id,
+          ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+        FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                   || ' ' || w[CAST(i AS INT) + 2])) AS s
+          FROM words WHERE len(w) >= 3
+        )
+      ), sh32 AS (
+        SELECT doc_id, h, h % 4294967296 AS h32 FROM sh
+      ), sigs AS (
+        SELECT doc_id,
+          $permMins
+        FROM sh32 GROUP BY doc_id
+      ), bands AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+         AND x.v2 = y.v2 AND x.v3 = y.v3 AND x.doc_id < y.doc_id
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      ), inter AS (
+        SELECT c.d1, c.d2, count(*) AS n_inter
+        FROM cand c
+        JOIN sh s1 ON s1.doc_id = c.d1
+        JOIN sh s2 ON s2.doc_id = c.d2 AND s2.h = s1.h
+        GROUP BY c.d1, c.d2
+      )
+      SELECT d1, d2, jaccard FROM (
+        SELECT c.d1, c.d2,
+          round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+                (z1.n + z2.n - coalesce(i.n_inter, 0)), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+        JOIN sizes z1 ON z1.doc_id = c.d1
+        JOIN sizes z2 ON z2.doc_id = c.d2
+      ) WHERE jaccard >= 0.5
+      ORDER BY d1, d2"""
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> minhashOracleSql,
+
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,
              count(*) AS n_copies

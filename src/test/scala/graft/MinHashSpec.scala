@@ -16,13 +16,12 @@ class MinHashSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Build a documents-shaped DF and compute 64-slot signatures via the
-    * SAME xxhash64 family q_dedup_minhash uses. */
+    * SAME (a*h+b) mod p family q_dedup_minhash uses (shared code path:
+    * TextOps.signatureFrame). */
   private def signatures(docs: Seq[(Long, String)]): Map[Long, Seq[Long]] = {
     import spark.implicits._
     val df = docs.toDF("doc_id", "text")
-    val sh = TextOps.shingleHashes(df)
-    val sigCols = (0 until 64).map(j => min(xxhash64(col("h"), lit(j))).as(s"m$j"))
-    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    TextOps.signatureFrame(TextOps.shingleHashes(df))
       .collect()
       .map(r => r.getLong(0) -> (1 to 64).map(r.getLong(_)).toSeq)
       .toMap
