@@ -63,4 +63,42 @@ object StreamingQueueSink {
         queue.flush().get
         ledger.commit(batchId)
       }
+
+  /** The cluster-scale variant (SURVEY §3.2): one façade PER PARTITION,
+    * built ON the executor by `makeQueue(partitionId)` — rows never move
+    * to the driver, delivery parallelism = partition count, and each
+    * partition's queue preserves that partition's arrival order (the
+    * reference's one-producer ordering, sharded).
+    *
+    * Exactly-once bookkeeping stays at batch granularity: the ledger is
+    * consulted/committed on the driver around the `foreachPartition` job,
+    * so a replayed batchId is skipped wholesale and a crash before commit
+    * re-delivers the whole batch. A TASK retry inside one delivery job
+    * re-sends only that partition's prefix — the same at-least-once
+    * residue as the single-queue writer's mid-batch flush window, bounded
+    * here by one partition instead of one batch. `makeQueue` and `toEvent`
+    * are shipped to executors, so both must be serializable and
+    * `makeQueue` must not capture driver-only state.
+    *
+    * `makeQueue` receives BOTH ids because a sink shard must be unique per
+    * (batch, partition) unless the underlying sink is append-safe across
+    * queue instances: a fresh façade restarts its record sequence, so two
+    * batches writing the same shard path would overwrite each other's
+    * records (a real Kinesis `PutRecord` is append-only and doesn't care;
+    * file-shaped sinks very much do).
+    */
+  def partitionedWriter[T](ledger: BatchIdLedger,
+      makeQueue: (Long, Int) => EventQueue)(
+      toEvent: T => Map[String, Any]): (Dataset[T], Long) => Unit =
+    (batch, batchId) =>
+      if (!ledger.committed(batchId)) {
+        batch.foreachPartition { (it: Iterator[T]) =>
+          val queue =
+            makeQueue(batchId, org.apache.spark.TaskContext.getPartitionId())
+          it.foreach(row => queue.enqueue(toEvent(row)).get)
+          queue.flush().get
+          ()
+        }
+        ledger.commit(batchId)
+      }
 }

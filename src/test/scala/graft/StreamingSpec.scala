@@ -188,6 +188,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("partitioned exactly-once sink: executor-side queues, replay is a no-op") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pq_sink").toString
+    val ckpt = Files.createTempDirectory("pq_ckpt").toString
+    val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
+    // one LocalSink shard per (batch, partition) — built ON the executor
+    // from the two ids alone (nothing driver-only in the closure); the
+    // batch id in the path is load-bearing: a fresh façade restarts its
+    // record sequence, so a shared shard would overwrite earlier batches
+    val deliver = StreamingQueueSink.partitionedWriter[String](ledger,
+      (bid, pid) => EventQueue.withOpts("s", "", 1 << 20, "", "",
+        new graft.queue.LocalSink(s"$dir/b$bid-p$pid")).get)(
+      s => Map("event" -> s))
+    def delivered(): Map[String, Int] =
+      "\"event\":\"(\\w+)\"".r.findAllMatchIn(
+        new java.io.File(dir).listFiles().toSeq.flatMap(p =>
+          Option(p.listFiles()).toSeq.flatten)
+          .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+          .mkString)
+        .map(_.group(1)).toSeq.groupBy(identity).view.mapValues(_.size).toMap
+
+    val input = MemoryStream[String](spark)
+    @volatile var crashOnce = true
+    def start() = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[String], id: Long) =>
+        deliver(b.repartition(2), id)
+        if (crashOnce) { crashOnce = false; throw new RuntimeException("boom") }
+      }.start()
+
+    val q1 = start()
+    input.addData((1 to 20).map(i => s"ev$i"): _*)
+    intercept[Exception](q1.processAllAvailable())
+    assert(delivered() == (1 to 20).map(i => s"ev$i" -> 1).toMap)
+    // both partition shards actually delivered (parallelism is real)
+    assert(new java.io.File(dir).listFiles().count(
+      p => Option(p.listFiles()).exists(_.nonEmpty)) == 2,
+      "expected two non-empty per-partition shards")
+
+    val q2 = start() // recovery replays the uncommitted batchId → skipped
+    try {
+      input.addData("ev21")
+      q2.processAllAvailable()
+      assert(delivered() == (1 to 21).map(i => s"ev$i" -> 1).toMap,
+        "replayed batch duplicated or lost records")
+    } finally q2.stop()
+  }
+
   test("exactly-once sink: crash BEFORE delivery loses nothing on restart") {
     import spark.implicits._
     val sink = new InMemorySink
