@@ -46,10 +46,10 @@ final class BatchIdLedger(dir: String) {
   * and closes even that window. Either way it strictly dominates the
   * reference, which loses data instead.
   *
-  * The façade is a driver-side client library (mutex-serialized, like the
-  * reference's `kinesisQueue`), so the batch is collected to the driver; a
-  * cluster-scale deployment shards with `foreachPartition` + one queue per
-  * partition and a per-partition ledger (SURVEY §3.2).
+  * [[writer]] treats the façade as the driver-side client library it is
+  * (mutex-serialized, like the reference's `kinesisQueue`) and collects the
+  * batch; [[partitionedWriter]] is the cluster-scale form — executor-side
+  * queues via `foreachPartition`, no driver collect (SURVEY §3.2).
   */
 object StreamingQueueSink {
   /** A `foreachBatch`-shaped function: wire with
