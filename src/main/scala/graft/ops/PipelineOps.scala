@@ -36,8 +36,11 @@ object PipelineOps extends QueryPack {
     * string allocations; the DuckDB twin below stays the portable form.
     */
   private def h60(c: Column): Column = graft.expr.Md5Prefix60.h60(c)
-  /** The DuckDB twin of [[h60]]. */
-  private def h60Sql(e: String): String =
+  /** The DuckDB twin of [[h60]] — the ONLY place this idiom may be
+    * spelled (TextOps' minhash oracle interpolates it too); two copies
+    * could silently desynchronize the digest the whole parity story
+    * hinges on. */
+  private[ops] def h60Sql(e: String): String =
     s"('0x' || substr(md5($e),1,15))::BIGINT"
 
   private val SimBits = 60

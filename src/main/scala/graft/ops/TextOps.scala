@@ -227,7 +227,7 @@ object TextOps extends QueryPack {
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ), sh AS (
         SELECT DISTINCT doc_id,
-          ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+          ${PipelineOps.h60Sql("s")} AS h
         FROM (
           SELECT doc_id,
             unnest(list_transform(range(1, len(w) - 1),

@@ -28,7 +28,11 @@ trait StreamSink {
   *
   * Backoff is exponential from `baseBackoffMs` (100ms, 200ms, 400ms, ... —
   * the SDK's standard-mode shape without jitter, which matters for
-  * deterministic tests); `sleep` is injectable so specs run instantly.
+  * deterministic tests), capped at `maxBackoffMs` so a large `maxAttempts`
+  * can neither overflow the shift nor sleep unboundedly; `sleep` is
+  * injectable so specs run instantly. Only `NonFatal` errors are retried:
+  * an `InterruptedException` from a killed Spark task or a JVM error must
+  * propagate immediately, not burn 4 more delivery attempts.
   * Delivery is at-least-once by construction: a failure AFTER the inner
   * sink durably wrote (e.g. a timeout on the ack) retries and duplicates —
   * same trade-off as the reference's SDK retry; the exactly-once variant is
@@ -38,6 +42,7 @@ final class RetryingSink(
     inner: StreamSink,
     maxAttempts: Int = 5,
     baseBackoffMs: Long = 100L,
+    maxBackoffMs: Long = 20000L,
     sleep: Long => Unit = Thread.sleep) extends StreamSink {
   require(maxAttempts >= 1, "maxAttempts must be >= 1")
   override def putRecord(data: Array[Byte], partitionKey: String): Unit = {
@@ -46,8 +51,10 @@ final class RetryingSink(
     while (!done) {
       try { inner.putRecord(data, partitionKey); done = true }
       catch {
-        case _: Throwable if attempt < maxAttempts =>
-          sleep(baseBackoffMs << (attempt - 1))
+        case scala.util.control.NonFatal(_) if attempt < maxAttempts =>
+          // shift clamped to 30 before the min so the Long never overflows
+          sleep(math.min(maxBackoffMs,
+            baseBackoffMs << math.min(attempt - 1, 30)))
           attempt += 1
       }
     }

@@ -32,19 +32,24 @@ final class BatchIdLedger(dir: String) {
   *   1. skips a batch whose id is already in the [[BatchIdLedger]] — a
   *      replay of a batch that WAS fully delivered becomes a no-op (no
   *      duplicates);
-  *   2. delivers the whole batch through the façade, then `flush()`es, so
-  *      queue contents never straddle a batch boundary (a straddling buffer
-  *      would make the idempotent skip unsound);
-  *   3. commits the ledger marker ONLY after the flush succeeds — a crash
-  *      anywhere before that point leaves the marker absent and the batch
-  *      is re-delivered in full on restart (no loss).
+  *   2. builds a FRESH façade per delivery attempt (`makeQueue`), so no
+  *      queue state can straddle batch boundaries or replay attempts — a
+  *      failed attempt's leftover buffer (e.g. the pre-insert-flush trigger
+  *      item that stays seeded after a mid-batch send failure) dies with
+  *      its queue instead of double-delivering when the batch replays;
+  *   3. delivers the whole batch, `flush()`es, and commits the ledger
+  *      marker ONLY after the flush succeeds — a crash anywhere before
+  *      that point leaves the marker absent and the batch is re-delivered
+  *      in full on restart (no loss).
   *
   * Failure window: a crash BETWEEN a mid-batch threshold flush and the
   * ledger commit re-sends the already-flushed prefix on replay — the
   * standard non-transactional `foreachBatch` at-least-once residue. Sizing
-  * the queue threshold ≥ the micro-batch payload makes delivery single-shot
-  * and closes even that window. Either way it strictly dominates the
-  * reference, which loses data instead.
+  * the queue threshold strictly larger than the micro-batch payload (the
+  * façade flushes on `size + item >= threshold`, so equality still
+  * triggers) makes delivery single-shot and closes even that window.
+  * Either way it strictly dominates the reference, which loses data
+  * instead.
   *
   * [[writer]] treats the façade as the driver-side client library it is
   * (mutex-serialized, like the reference's `kinesisQueue`) and collects the
@@ -54,11 +59,14 @@ final class BatchIdLedger(dir: String) {
 object StreamingQueueSink {
   /** A `foreachBatch`-shaped function: wire with
     * `ds.writeStream.option("checkpointLocation", ...).foreachBatch(writer(...))`.
+    * `makeQueue` is called once per delivery attempt (see class doc item 2);
+    * point every instance at the same underlying sink.
     */
-  def writer[T](queue: EventQueue, ledger: BatchIdLedger)(
+  def writer[T](makeQueue: () => EventQueue, ledger: BatchIdLedger)(
       toEvent: T => Map[String, Any]): (Dataset[T], Long) => Unit =
     (batch, batchId) =>
       if (!ledger.committed(batchId)) {
+        val queue = makeQueue()
         batch.collect().foreach(row => queue.enqueue(toEvent(row)).get)
         queue.flush().get
         ledger.commit(batchId)

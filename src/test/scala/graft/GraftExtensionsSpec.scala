@@ -6,31 +6,16 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The SQL registration path: a session built with GraftExtensions can
   * call the custom expressions from plain SQL.
   *
-  * `getOrCreate` returns the shared test session (ignoring
-  * `withExtensions`) unless the default/active session is cleared first,
-  * so the suite builds its own session over the same SparkContext and
-  * restores the shared one afterwards.
+  * Session juggling (clear → build with extensions → restore) lives in
+  * TestSpark.extensionsSession / restoreSharedSession.
   */
 class GraftExtensionsSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
 
-  private var shared: Option[SparkSession] = None
-  private lazy val spark: SparkSession = {
-    shared = Some(TestSpark.spark) // ensure the shared context exists first
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.session.timeZone", "UTC")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-  }
+  private lazy val spark: SparkSession = TestSpark.extensionsSession()
 
   override def afterAll(): Unit = {
-    shared.foreach { s =>
-      SparkSession.setDefaultSession(s)
-      SparkSession.setActiveSession(s)
-    }
+    TestSpark.restoreSharedSession()
     super.afterAll()
   }
 

@@ -10,23 +10,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * row-for-row equal against the DSL form ON THE SAME SESSION — pinning
   * both the SQL surface and the extension registration.
   *
-  * (Session juggling as in GraftExtensionsSpec: `withExtensions` only
-  * applies to a NEW session, so the shared one is swapped out and back.)
+  * (Session juggling via TestSpark.extensionsSession: `withExtensions`
+  * only applies to a NEW session, so the shared one is swapped out and
+  * restored in afterAll.)
   */
 class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
-  private var shared: Option[SparkSession] = None
   private lazy val spark: SparkSession = {
-    shared = Some(TestSpark.spark)
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val s = TestSpark.extensionsSession()
     for (t <- Seq("customer", "orders", "lineitem", "documents"))
       Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
     // shared nanos→micros reader, so SQL sees the same `ts` the DSL does
@@ -35,10 +26,7 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   }
 
   override def afterAll(): Unit = {
-    shared.foreach { s =>
-      SparkSession.setDefaultSession(s)
-      SparkSession.setActiveSession(s)
-    }
+    TestSpark.restoreSharedSession()
     super.afterAll()
   }
 

@@ -155,11 +155,12 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     val sink = new InMemorySink
     // threshold >> payload → whole batch delivers in the single flush,
-    // closing even the mid-batch-flush replay window (see Scaladoc)
-    val queue = EventQueue.withOpts("s", "", 1 << 20, "", "", sink).get
+    // closing even the mid-batch-flush replay window (see Scaladoc); the
+    // writer builds a FRESH queue per attempt over this shared sink
     val ckpt = Files.createTempDirectory("eq_ckpt").toString
     val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
-    val deliver = StreamingQueueSink.writer[String](queue, ledger)(
+    val deliver = StreamingQueueSink.writer[String](
+      () => EventQueue.withOpts("s", "", 1 << 20, "", "", sink).get, ledger)(
       s => Map("event" -> s))
     val input = MemoryStream[String](spark)
     @volatile var crashOnce = true
@@ -180,11 +181,43 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = start() // recovery: Spark re-runs the uncommitted batchId
     try {
       input.addData("d", "e")
-      q2.processAllAvailable()
-      queue.flush().get
+      q2.processAllAvailable() // writer flushes its per-attempt queue itself
       assert(countEvents(sink) ==
         Map("a" -> 1, "b" -> 1, "c" -> 1, "d" -> 1, "e" -> 1),
         "replayed batch duplicated or lost records")
+    } finally q2.stop()
+  }
+
+  test("exactly-once sink: mid-batch flush failure never double-delivers the trigger item") {
+    // The code-review regression (round 5): with a threshold smaller than
+    // the batch payload, a failed mid-batch flush leaves the pre-insert
+    // trigger item seeded in the queue; a writer REUSING that queue on
+    // replay would enqueue the full batch on top and deliver the trigger
+    // twice. The fresh-queue-per-attempt writer must deliver every event
+    // exactly once here (the failed putRecord wrote nothing).
+    import spark.implicits._
+    val sink = new InMemorySink
+    sink.failNext = true // first mid-batch flush of attempt 1 fails
+    val ckpt = Files.createTempDirectory("eq_ckpt").toString
+    val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
+    val deliver = StreamingQueueSink.writer[String](
+      () => EventQueue.withOpts("s", "", 300, "", "", sink).get, ledger)(
+      s => Map("event" -> s))
+    val input = MemoryStream[String](spark)
+    def start() = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(deliver).start()
+
+    val q1 = start()
+    input.addData((1 to 12).map(i => s"ev$i"): _*)
+    intercept[Exception](q1.processAllAvailable()) // SendFailed kills query
+    assert(countEvents(sink).isEmpty, "failed flush should deliver nothing")
+
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(countEvents(sink) == (1 to 12).map(i => s"ev$i" -> 1).toMap,
+        "leftover trigger item double-delivered on replay")
     } finally q2.stop()
   }
 
@@ -239,10 +272,10 @@ class StreamingSpec extends AnyFunSuite {
   test("exactly-once sink: crash BEFORE delivery loses nothing on restart") {
     import spark.implicits._
     val sink = new InMemorySink
-    val queue = EventQueue.withOpts("s", "", 1 << 20, "", "", sink).get
     val ckpt = Files.createTempDirectory("eq_ckpt").toString
     val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
-    val deliver = StreamingQueueSink.writer[String](queue, ledger)(
+    val deliver = StreamingQueueSink.writer[String](
+      () => EventQueue.withOpts("s", "", 1 << 20, "", "", sink).get, ledger)(
       s => Map("event" -> s))
     val input = MemoryStream[String](spark)
     @volatile var crashOnce = true

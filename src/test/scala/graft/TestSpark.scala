@@ -7,17 +7,41 @@ import org.apache.spark.sql.SparkSession
   * read as long for the TIMESTAMP(NANOS) events fixture.
   */
 object TestSpark {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
+  private def baseBuilder(master: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+
+  lazy val spark: SparkSession = {
+    val s = baseBuilder("local[4]").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** A NEW session with [[GraftExtensions]] loaded and the SAME canonical
+    * config as [[spark]] (one source of truth — a hand-copied config here
+    * once silently dropped a parity-relevant conf). `getOrCreate` ignores
+    * `withExtensions` while an active/default session exists, so those are
+    * cleared first; call [[restoreSharedSession]] from afterAll. */
+  def extensionsSession(): SparkSession = {
+    val _ = spark // materialize the shared context before clearing refs
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = baseBuilder("local[4]").withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Undo [[extensionsSession]]'s swap so later suites see the shared one. */
+  def restoreSharedSession(): Unit = {
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+  }
+
   val Sf0001 = "/root/testdata/sf0.001"
 }
