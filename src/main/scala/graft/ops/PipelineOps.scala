@@ -307,10 +307,17 @@ object PipelineOps extends QueryPack {
     * For a random-hyperplane reading: dimension i IS the hyperplane normal
     * e_i, so two vectors share a bucket iff no probed dimension separates
     * them. */
-  def signBucket(emb: Column, signBits: Int): Column = {
+  def signBucket(emb: Column, signBits: Int): Column =
+    signBucketAt(emb, 0, signBits)
+
+  /** [[signBucket]] over dimensions [offset, offset+signBits) — the
+    * building block for multi-table LSH, where each table probes a
+    * disjoint dimension range. */
+  def signBucketAt(emb: Column, offset: Int, signBits: Int): Column = {
     require(signBits >= 1 && signBits <= 62, s"signBits out of range: $signBits")
+    require(offset >= 0, s"offset out of range: $offset")
     (0 until signBits).map(i =>
-      when(element_at(emb, i + 1) >= 0f, lit(1L << i))
+      when(element_at(emb, offset + i + 1) >= 0f, lit(1L << i))
         .otherwise(lit(0L))).reduce(_ + _)
   }
 
@@ -343,6 +350,41 @@ object PipelineOps extends QueryPack {
       .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
         round(dot(col("x.embedding"), col("y.embedding")) /
           (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= minCos)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Multi-table variant of [[embedNearDup]] — the recall-back path
+    * SCALE.md prescribes when single-table sign-LSH gets wide enough to
+    * drop borderline pairs: `tables` independent single-table passes, each
+    * probing its own disjoint dimension range [t·signBits, (t+1)·signBits),
+    * candidates OR-ed before one exact-cosine confirm. A pair is found iff
+    * SOME table's probed dimensions all agree in sign — per-table candidate
+    * volume stays n²/2^(signBits+1), total work scales linearly in
+    * `tables`, and recall only grows (table 0 alone IS the single-table
+    * pass; EmbedLshSpec pins both directions). Classic LSH tuning applies:
+    * widen `signBits` to cut candidates, add `tables` to buy recall back.
+    */
+  def embedNearDupMulti(emb: DataFrame, signBits: Int, tables: Int,
+                        minCos: Double): DataFrame = {
+    require(tables >= 1, s"tables out of range: $tables")
+    val bktCols = (0 until tables).map(t =>
+      signBucketAt(col("embedding"), t * signBits, signBits).as(s"bkt$t"))
+    val e = emb.select(Seq(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm")) ++ bktCols: _*)
+    val cand = (0 until tables).map { t =>
+      e.alias("x").join(e.alias("y"),
+          col(s"x.bkt$t") === col(s"y.bkt$t") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+    }.reduce(_ unionAll _).distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1"),
+        col("nrm").as("n1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2"),
+        col("nrm").as("n2")), Seq("v2"))
+      .select(col("v1"), col("v2"),
+        round(dot(col("e1"), col("e2")) / (col("n1") * col("n2")), 4).as("cos"))
       .filter(col("cos") >= minCos)
       .orderBy(col("v1"), col("v2"))
   }

@@ -51,6 +51,26 @@ class EmbedLshSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-table LSH: one table IS the single-table pass; more tables only add recall") {
+    def multi(bits: Int, tables: Int): Set[(Long, Long)] =
+      PipelineOps.embedNearDupMulti(emb, bits, tables, minCos = 0.35)
+        .select("v1", "v2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single6 = pairs(6)
+    assert(multi(6, 1) == single6, "1-table multi diverged from embedNearDup")
+    val m3 = multi(6, 3)
+    assert(single6.subsetOf(m3), "adding tables lost pairs")
+    // the point of the construction: tables over other dimension ranges
+    // recover borderline pairs the first table's signs rejected
+    assert(m3.size > single6.size,
+      s"3 tables found no extra pairs (single=${single6.size})")
+    // and every recovered pair is genuine — it also appears in the 4-bit
+    // single-table result, which subsumes 6-bit candidates of table 0 only
+    // via a LOOSER bucket; cross-check against minCos via values instead:
+    // embedNearDupMulti filters on cos >= 0.35 itself, so just check shape
+    assert(m3.forall { case (a, b) => a < b })
+  }
+
   test("ivfTopK with nProbe = nLists degrades to exact brute-force top-k") {
     val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
     val ivf = PipelineOps.ivfTopK(emb, isProbe, nLists = 16, nProbe = 16, k = 5)
