@@ -73,6 +73,23 @@ object TrainingPipeline {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup removal in EMBEDDING space (q_dedup_embed semantics, for
+    * corpora where semantic duplicates don't share surface text): sign-LSH
+    * candidates — multi-table when `tables` > 1, the SCALE.md recall knob —
+    * confirmed by exact cosine ≥ `minCos`, then the same one-pass
+    * drop-the-higher-id rule as [[dedupNearMinHash]] (same chain
+    * trade-off; [[dedupNearCanonical]]'s components approach composes here
+    * too if canonical clusters are needed). Expects (doc_id, embedding)
+    * columns; everything else rides along. */
+  def dedupNearEmbedding(docs: DataFrame, minCos: Double = 0.95,
+                         signBits: Int = 4, tables: Int = 1): DataFrame = {
+    val pairs = graft.ops.PipelineOps.embedNearDupMulti(
+      docs.select(col("doc_id").as("vec_id"), col("embedding")),
+      signBits, tables, minCos)
+    docs.join(pairs.select(col("v2").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+  }
+
   /** Language annotation: profile-vote lang-ID (shared with q_lang_id via
     * [[graft.ops.PipelineOps.predictLanguage]]), adding `pred_lang`.
     * Profiles come from `labeled` — any (lang, text) frame; the corpus

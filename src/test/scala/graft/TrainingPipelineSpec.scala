@@ -39,6 +39,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(leftover == 0)
   }
 
+  test("embedding-space dedup drops the planted noisy copy, keeps the base") {
+    // plant near-identical copies at doc_id + 10000 (sign-preserving
+    // per-coordinate scale, cos ~0.9998 — see EmbedLshSpec)
+    val base = Tables.embeddings(s, TestSpark.Sf0001)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val noisy = base.select((col("doc_id") + 10000).as("doc_id"),
+      transform(col("embedding"), (x, i) =>
+        x * (lit(1.0f) + lit(0.02f) * sin(i.cast("double")).cast("float")))
+        .as("embedding"))
+    val corpus = base.unionAll(noisy)
+    val out = TrainingPipeline.dedupNearEmbedding(corpus, minCos = 0.99)
+    // every planted copy (the higher id of its pair) is gone, every base
+    // survives — natural fixture pairs are far below cos 0.99
+    assert(out.count() == base.count())
+    assert(out.filter(col("doc_id") >= 10000).count() == 0)
+    // multi-table run composes identically on these (sign-stable) pairs
+    val outMulti = TrainingPipeline.dedupNearEmbedding(corpus,
+      minCos = 0.99, signBits = 8, tables = 3)
+    assert(outMulti.count() == base.count())
+  }
+
   test("full prepare() yields an annotated, deduped, quality corpus") {
     val out = TrainingPipeline.prepare(docs, minTokens = 10,
       nearDupThreshold = 0.5)
