@@ -170,6 +170,41 @@ object Aggregates extends QueryPack {
                 col("4-NOT SPECIFIED").as("unspecified"),
                 col("5-LOW").as("low"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Unpivot (melt) — the inverse of q_pivot: three measure columns fold
+    // into (measure, value) rows. Compiles to ONE Expand over a single
+    // scan (narrow, no shuffle before the output sort) — the 100 TB cost
+    // is exactly one pass over the table with 3x row amplification.
+    "q_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_quantity").as("quantity"),
+                col("l_extendedprice").as("price"),
+                col("l_discount").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+                 Array(col("quantity"), col("price"), col("discount")),
+                 "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+                 col("value"))
+    },
+
+    // FILTER-clause aggregation: per-group aggregates over DIFFERENT
+    // predicates in one pass (the idiom pivot desugars to, exposed
+    // directly). One hash agg, conditional accumulation — never N
+    // filtered scans.
+    "q_agg_filtered" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(when(col("o_totalprice") > 100000, 1)).as("n_big"),
+          outd(sum(when(col("o_orderpriority") === "1-URGENT",
+            dec(col("o_totalprice"))))).as("urgent_total"),
+          outd(sum(when(col("o_orderdate") >=
+              lit("1996-01-01").cast("timestamp"),
+            dec(col("o_totalprice"))))).as("recent_total"))
+        .orderBy(col("o_orderstatus"))
     }
   )
 
@@ -260,6 +295,30 @@ object Aggregates extends QueryPack {
         count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
         count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
         count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem)
+      ORDER BY l_orderkey, l_linenumber, measure, value""",
+
+    "q_agg_filtered" -> """
+      SELECT o_orderstatus,
+        count(*) AS n_all,
+        count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 4)
+          AS urgent_total,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01') AS DOUBLE), 4)
+          AS recent_total
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }
