@@ -112,6 +112,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_unpivot is one Expand over one scan — no shuffle before the sort") {
+    val s = finalPlan("q_unpivot").split("== Initial Plan ==")(0)
+    assert(s.contains("Expand"), "unpivot should compile to Expand")
+    assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "unpivot re-scanned the table per measure column")
+    assert(!s.contains("Exchange hashpartitioning"),
+      "unpivot shuffled before the output sort")
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins
