@@ -364,6 +364,9 @@ object PipelineOps extends QueryPack {
     * `tables`, and recall only grows (table 0 alone IS the single-table
     * pass; EmbedLshSpec pins both directions). Classic LSH tuning applies:
     * widen `signBits` to cut candidates, add `tables` to buy recall back.
+    * `signBits * tables` must not exceed the embedding dimensionality —
+    * ANSI-mode `element_at` fails fast (INVALID_ARRAY_INDEX) past the end
+    * rather than silently bucketing on nulls.
     */
   def embedNearDupMulti(emb: DataFrame, signBits: Int, tables: Int,
                         minCos: Double): DataFrame = {
