@@ -60,15 +60,31 @@ class EmbedLshSpec extends AnyFunSuite {
     assert(multi(6, 1) == single6, "1-table multi diverged from embedNearDup")
     val m3 = multi(6, 3)
     assert(single6.subsetOf(m3), "adding tables lost pairs")
-    // the point of the construction: tables over other dimension ranges
-    // recover borderline pairs the first table's signs rejected
-    assert(m3.size > single6.size,
-      s"3 tables found no extra pairs (single=${single6.size})")
-    // and every recovered pair is genuine — it also appears in the 4-bit
-    // single-table result, which subsumes 6-bit candidates of table 0 only
-    // via a LOOSER bucket; cross-check against minCos via values instead:
-    // embedNearDupMulti filters on cos >= 0.35 itself, so just check shape
-    assert(m3.forall { case (a, b) => a < b })
+    // independent ground truth: ALL pairs with cos >= 0.35 by brute force
+    // — multi-table output must sit between single-table and exhaustive,
+    // which pins the cosine-confirm stage (a dropped/misapplied minCos
+    // filter would surface spurious low-cos pairs here)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.DotProduct.dot(col("embedding"), col("embedding")))
+        .as("nrm"))
+    val brute = e.alias("x").crossJoin(e.alias("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(graft.expr.DotProduct.dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m3.subsetOf(brute),
+      s"multi-table invented sub-threshold pairs: ${m3 -- brute}")
+    // recall-back demonstration, guarded so it only fires when the fixture
+    // actually HAS borderline pairs the first table's signs reject (it
+    // does — seed-42 fixtures are deterministic; the guard keeps the test
+    // property-shaped rather than fixture-shaped)
+    val lost = brute -- single6
+    if (lost.nonEmpty)
+      assert((m3 -- single6).nonEmpty,
+        s"tables 2-3 recovered none of the ${lost.size} borderline pairs")
   }
 
   test("ivfTopK with nProbe = nLists degrades to exact brute-force top-k") {
