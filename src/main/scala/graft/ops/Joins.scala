@@ -32,6 +32,22 @@ object Joins extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Uncorrelated scalar subquery: orders priced above the global mean.
+    // The aggregate is a 1-row broadcast (BNLJ with a 1-row build side —
+    // the plan a SQL scalar subquery also produces); the comparison is
+    // rewritten multiply-vs-total (price*n > sum) so both engines compare
+    // EXACT decimals — a divided average would differ in engine-specific
+    // division scale and could flip borderline rows.
+    "q_scalar_subquery" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val stats = o.agg(sum(dec(col("o_totalprice"))).as("tot"),
+                        count(lit(1)).as("n"))
+      o.crossJoin(broadcast(stats))
+        .filter(dec(col("o_totalprice")) * col("n") > col("tot"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Broadcast equi join lineitem⋈part: dim side ships to every executor,
     // fact side never shuffles. Spec asserts BroadcastHashJoinExec.
     "q_join_broadcast" -> { (s, d) =>
@@ -145,6 +161,13 @@ object Joins extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_scalar_subquery" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+            > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      ORDER BY o_orderkey""",
+
     "q_join_inner" -> """
       SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey

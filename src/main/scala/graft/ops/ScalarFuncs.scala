@@ -37,6 +37,24 @@ object ScalarFuncs extends QueryPack {
         .orderBy(col("c_custkey"))
     },
 
+    // Regex function family over document text: global replace, match
+    // counting, extraction, boolean match. Patterns stay in the
+    // RE2 ∩ java.util.regex common subset (no backreferences, no
+    // lookaround) so DuckDB computes identical results; DuckDB's
+    // regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all default.
+    "q_regex_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", "*")
+            .as("head_devoweled"),
+          size(expr("regexp_extract_all(text, 'data', 0)")).as("n_data"),
+          regexp_extract(col("text"), "[a-z]{9,}", 0).as("first_long_word"),
+          col("text").rlike("(ing|tion) ").as("has_suffix"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_date_funcs" -> { (s, d) =>
       Tables.orders(s, d)
         .select(
@@ -134,6 +152,15 @@ object ScalarFuncs extends QueryPack {
         CAST(length(c_name) AS INT) AS name_len,
         string_split(c_name, '#')[2] AS after_hash
       FROM customer ORDER BY c_custkey""",
+
+    "q_regex_funcs" -> """
+      SELECT doc_id,
+        regexp_replace(substr(text, 1, 40), '[aeiou]', '*', 'g')
+          AS head_devoweled,
+        CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+        regexp_extract(text, '[a-z]{9,}', 0) AS first_long_word,
+        regexp_matches(text, '(ing|tion) ') AS has_suffix
+      FROM documents ORDER BY doc_id""",
 
     "q_date_funcs" -> """
       SELECT o_orderkey,
