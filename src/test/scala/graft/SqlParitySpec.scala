@@ -153,4 +153,43 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       SELECT event_id, go_ts(ts) AS go_ts
       FROM events ORDER BY event_id""")
   }
+
+  // The round-5 keys each have a DISTINCT SQL-native form (UNPIVOT clause,
+  // FILTER clause, scalar subquery) that goes through its own parser/plan
+  // path — worth pinning separately from the generic one-per-pack rows.
+
+  test("q_unpivot DSL == SQL UNPIVOT clause") {
+    assertParity("q_unpivot", """
+      SELECT l_orderkey, l_linenumber, measure, value FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS quantity, l_extendedprice AS price,
+               l_discount AS discount
+        FROM lineitem)
+      UNPIVOT (value FOR measure IN (quantity, price, discount))
+      ORDER BY l_orderkey, l_linenumber, measure, value""")
+  }
+
+  test("q_agg_filtered DSL == SQL FILTER clause") {
+    assertParity("q_agg_filtered", """
+      SELECT o_orderstatus,
+        count(1) AS n_all,
+        count(1) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 4)
+          AS urgent_total,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderdate >= TIMESTAMP'1996-01-01') AS DOUBLE), 4)
+          AS recent_total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  test("q_scalar_subquery DSL == SQL scalar subquery") {
+    assertParity("q_scalar_subquery", """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE CAST(o_totalprice AS DECIMAL(18,2))
+              * (SELECT count(1) FROM orders)
+            > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      ORDER BY o_orderkey""")
+  }
 }
