@@ -121,6 +121,14 @@ class PlanSpec extends AnyFunSuite {
       "unpivot shuffled before the output sort")
   }
 
+  test("q_scalar_subquery broadcasts the 1-row aggregate (never shuffles the table for it)") {
+    val s = finalPlan("q_scalar_subquery")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "1-row aggregate should join as a broadcast nested loop")
+    assert(!s.contains("CartesianProduct"),
+      "scalar subquery degenerated to a cartesian product")
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins
