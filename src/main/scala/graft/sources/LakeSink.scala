@@ -32,11 +32,25 @@ object LakeSink {
   def writeByDay(df: DataFrame, tsCol: String, path: String,
                  maxRecordsPerFile: Long = 1000000L,
                  writersPerDay: Int = 4): Unit =
-    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
-      .repartition(col("dt"),
-        pmod(xxhash64(col(tsCol)), lit(writersPerDay.toLong)))
+    writeByKey(df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd")),
+      "dt", xxhash64(col(tsCol)), path, maxRecordsPerFile, writersPerDay)
+
+  /** Generic form: partition directories by any low-cardinality column
+    * (a language, a source, a corpus split — the partitions a training
+    * pipeline reads selectively). Same layout policy as [[writeByDay]]:
+    * salted repartition for up to `writersPerKey` parallel writers per
+    * directory without the tasks×partitions small-file blow-up.
+    * `saltExpr` must be a deterministic column expression with enough
+    * cardinality to spread within a partition (a row id, a content hash).
+    */
+  def writeByKey(df: DataFrame, partCol: String, saltExpr:
+                 org.apache.spark.sql.Column, path: String,
+                 maxRecordsPerFile: Long = 1000000L,
+                 writersPerKey: Int = 4): Unit =
+    df.repartition(col(partCol),
+        pmod(xxhash64(saltExpr), lit(writersPerKey.toLong)))
       .write
-      .partitionBy("dt")
+      .partitionBy(partCol)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)

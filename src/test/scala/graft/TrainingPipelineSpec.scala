@@ -60,6 +60,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(outMulti.count() == base.count())
   }
 
+  test("prepare() -> LakeSink -> pruned read-back round-trips end to end") {
+    // the SURVEY §5.2 end-to-end smoke: clean the corpus, persist it
+    // lang-partitioned to the lake, read one language back and confirm
+    // (a) rows survive bit-exact and (b) the scan actually prunes to the
+    // lang=... directories rather than reading the whole lake
+    val out = java.nio.file.Files.createTempDirectory("lake_e2e").toString
+    val prepared = TrainingPipeline.prepare(docs).filter(col("pred_lang").isNotNull)
+    graft.sources.LakeSink.writeByKey(prepared, "lang", col("doc_id"),
+      out, writersPerKey = 2)
+    val back = graft.sources.LakeSink.read(s, out)
+    assert(back.count() == prepared.count(), "lake round-trip lost rows")
+    val one = back.filter(col("lang") === "en")
+    val expect = prepared.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(one.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(expect), "lang=en partition content diverged")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"lang filter did not prune partitions:\n$plan")
+  }
+
   test("full prepare() yields an annotated, deduped, quality corpus") {
     val out = TrainingPipeline.prepare(docs, minTokens = 10,
       nearDupThreshold = 0.5)
