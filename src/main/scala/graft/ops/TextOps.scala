@@ -40,6 +40,16 @@ object TextOps extends QueryPack {
     * deterministic across JVMs, partitions, and reruns (SURVEY §7.4), and
     * emitted into the DuckDB oracle SQL from the SAME vals — one source of
     * truth. MinHashSpec's ε-bound property runs on this family.
+    *
+    * Trade-off of the 32-bit truncation: distinct shingles collide at the
+    * 32-bit birthday bound (~50% odds of SOME collision near 2^16 distinct
+    * shingles per corpus), whereas the old xxhash64 family kept the full
+    * 64-bit space. A collision only nudges one signature slot toward a
+    * false near-dup, so dedup quality degrades marginally at 100 TB corpus
+    * scale; parity is unaffected (DuckDB truncates identically). If full
+    * width matters later, swap to a 61-bit Mersenne-prime family
+    * (p = 2^61−1 with 128-bit multiply via split limbs) — at the cost of
+    * losing the plain-BIGINT oracle twin.
     */
   private[graft] val NumPerms = 64
   private[graft] val NumBands = 16 // × 4 rows per band

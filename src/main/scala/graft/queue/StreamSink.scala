@@ -45,6 +45,11 @@ final class RetryingSink(
     maxBackoffMs: Long = 20000L,
     sleep: Long => Unit = Thread.sleep) extends StreamSink {
   require(maxAttempts >= 1, "maxAttempts must be >= 1")
+  // The shift clamp below only prevents Long overflow while
+  // baseBackoffMs << 30 stays positive; reject pathological bases up front
+  // so the clamp's no-overflow claim holds for every constructor input.
+  require(baseBackoffMs > 0 && baseBackoffMs <= maxBackoffMs,
+    "baseBackoffMs must be in (0, maxBackoffMs]")
   override def putRecord(data: Array[Byte], partitionKey: String): Unit = {
     var attempt = 1
     var done = false

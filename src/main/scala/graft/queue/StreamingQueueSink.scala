@@ -1,23 +1,42 @@
 package graft.queue
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.Dataset
 
 /** Durable set of committed micro-batch ids backing the exactly-once
   * `foreachBatch` sink: one `<batchId>.done` marker file per delivered
-  * batch, created by write-then-atomic-rename so a crash mid-commit never
-  * leaves a half-visible marker. O(1) lookup, no compaction needed — Spark
-  * batch ids are a monotone Long sequence and a marker is ~0 bytes.
+  * batch, created by write-then-rename so a crash mid-commit never leaves a
+  * half-visible marker. O(1) lookup, no compaction needed — Spark batch ids
+  * are a monotone Long sequence and a marker is ~0 bytes.
+  *
+  * The ledger resolves `dir` through the Hadoop `FileSystem` API, the same
+  * resolution Structured Streaming applies to `checkpointLocation`. That
+  * matters for the guarantee: the driver can restart on a DIFFERENT node,
+  * so the ledger must live on the same durable shared storage as the
+  * checkpoint (point both at the same HDFS/S3 prefix) — a ledger on a lost
+  * local disk would silently downgrade exactly-once to at-least-once while
+  * the offset log survives. A bare local path still works (resolves to
+  * `file://`) and is exactly as durable as a local checkpoint: fine for
+  * single-node deployments and tests, not for a cluster.
   */
-final class BatchIdLedger(dir: String) {
-  private val root: Path = Files.createDirectories(Paths.get(dir))
+final class BatchIdLedger(dir: String,
+    hadoopConf: Configuration = new Configuration()) {
+  private val root = new HPath(dir)
+  private val fs: FileSystem = root.getFileSystem(hadoopConf)
+  fs.mkdirs(root)
   def committed(batchId: Long): Boolean =
-    Files.exists(root.resolve(s"$batchId.done"))
+    fs.exists(new HPath(root, s"$batchId.done"))
   def commit(batchId: Long): Unit = {
-    val tmp = root.resolve(s"$batchId.tmp")
-    Files.write(tmp, Array.emptyByteArray)
-    Files.move(tmp, root.resolve(s"$batchId.done"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val tmp = new HPath(root, s"$batchId.tmp")
+    fs.create(tmp, true).close()
+    val dst = new HPath(root, s"$batchId.done")
+    // rename-over-existing is FS-dependent; an existing marker only means a
+    // concurrent/previous commit of the SAME batch already won, so clear it
+    // first and treat the rename as the commit point.
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"ledger commit failed: $tmp -> $dst")
   }
 }
 

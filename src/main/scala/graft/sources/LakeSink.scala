@@ -32,8 +32,11 @@ object LakeSink {
   def writeByDay(df: DataFrame, tsCol: String, path: String,
                  maxRecordsPerFile: Long = 1000000L,
                  writersPerDay: Int = 4): Unit =
+    // raw ts column, NOT pre-hashed: writeByKey applies the single xxhash64
+    // (double-hashing would silently change writer-bucket assignment vs the
+    // original pmod(xxhash64(ts), writers) layout)
     writeByKey(df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd")),
-      "dt", xxhash64(col(tsCol)), path, maxRecordsPerFile, writersPerDay)
+      "dt", col(tsCol), path, maxRecordsPerFile, writersPerDay)
 
   /** Generic form: partition directories by any low-cardinality column
     * (a language, a source, a corpus split — the partitions a training
