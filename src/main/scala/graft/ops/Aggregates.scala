@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.B "Aggregation": hash agg, distinct agg, sketches,
@@ -205,6 +206,50 @@ object Aggregates extends QueryPack {
               lit("1996-01-01").cast("timestamp"),
             dec(col("o_totalprice"))))).as("recent_total"))
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Median + deterministic mode per group. Spark's built-in mode() is
+    // explicitly non-deterministic on ties, so the mode here is the
+    // pinned-tiebreak form (highest count, then smallest value) computed
+    // as a groupBy + windowed argmax — the same plan both engines run.
+    // Median interpolates (quantile_cont semantics in both engines);
+    // quantities are integral doubles so the midpoint is exact.
+    "q_median_mode" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(round(median(col("l_quantity")), 4).as("med_qty"),
+             count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+                col("cnt").as("mode_n"))
+      med.join(mode, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Two-phase salted aggregation — the skew-proof form of groupBy for
+    // hot keys (l_returnflag has only 3 values, the worst case: a plain
+    // final agg funnels each flag's entire partial stream through one
+    // reducer). Phase 1 aggregates by (key, salt) spreading each hot key
+    // over `SaltFactor` reducers; phase 2 merges the per-salt partials.
+    // sum/count are mergeable, and the DECIMAL sums make the re-
+    // association exact, so the result equals the direct groupBy — which
+    // is exactly what the oracle runs. (Spark's own partial aggregation
+    // already does this per-partition; the explicit salt is the pattern
+    // for when the FINAL stage itself is the bottleneck, e.g. billions of
+    // rows of one key, and for engines/paths without partial agg.)
+    "q_agg_salted" -> { (s, d) =>
+      Skew.saltedSumCount(
+          Tables.lineitem(s, d), "l_returnflag",
+          dec(col("l_quantity")), factor = 32)
+        .select(col("l_returnflag"),
+                outd(col("sum")).as("sum_qty"),
+                col("n").as("n_rows"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -319,6 +364,31 @@ object Aggregates extends QueryPack {
         round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
           FILTER (WHERE o_orderdate >= TIMESTAMP '1996-01-01') AS DOUBLE), 4)
           AS recent_total
-      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q_median_mode" -> """
+      WITH med AS (
+        SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag),
+      mode_t AS (
+        SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n FROM (
+          SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY count(*) DESC, l_quantity) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rn = 1)
+      SELECT m.l_returnflag, m.med_qty, m.n, t.mode_qty, t.mode_n
+      FROM med m JOIN mode_t t USING (l_returnflag)
+      ORDER BY m.l_returnflag""",
+
+    // oracle is the DIRECT groupBy: the salted two-phase form must be
+    // indistinguishable from it.
+    "q_agg_salted" -> """
+      SELECT l_returnflag,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
+          AS sum_qty,
+        count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }

@@ -141,6 +141,30 @@ object Joins extends QueryPack {
         .orderBy(col("event_id"))
     },
 
+    // Range (band) join: each part lands in the price band containing its
+    // retail price. The band table is tiny and broadcast, so the physical
+    // plan is a broadcast nested-loop join — the fact side never shuffles
+    // and never materializes more than bands× its rows. At 100 TB the same
+    // shape holds for any O(100s)-row band/calendar/SLA-tier table; a
+    // fact⋈fact interval join would instead bucket both sides by
+    // overlapping coarse ranges first (the minhash-band pattern on
+    // intervals) — documented in SCALE.md, not needed for a dim-side band.
+    "q_join_range" -> { (s, d) =>
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 0.0, 1200.0),
+        ("mainstream", 1200.0, 1700.0),
+        ("premium", 1700.0, 1e9)).toDF("band", "lo", "hi")
+      val p = Tables.part(s, d)
+      p.join(broadcast(bands),
+             p("p_retailprice") >= col("lo") && p("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+             outd(sum(dec(col("p_retailprice")))).as("sum_price"),
+             min(col("p_partkey")).as("min_part"))
+        .orderBy(col("band"))
+    },
+
     // 4-way star join (TPC-H Q5 shape): region⋈nation⋈supplier⋈lineitem.
     // region/nation/supplier auto-broadcast; lineitem never shuffles until
     // the final low-cardinality groupBy.
@@ -161,6 +185,16 @@ object Joins extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_range" -> """
+      SELECT band, count(*) AS n_parts,
+        round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
+        min(p_partkey) AS min_part
+      FROM part JOIN (VALUES ('budget', 0.0, 1200.0),
+                             ('mainstream', 1200.0, 1700.0),
+                             ('premium', 1700.0, 1e9)) AS bands(band, lo, hi)
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band ORDER BY band""",
+
     "q_scalar_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice
       FROM orders

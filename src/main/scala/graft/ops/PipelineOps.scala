@@ -5,6 +5,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Row types for the sequence-packing scan (q_seq_pack). Top-level for the
+  * same Janino reason as [[EvIn]]/[[EvBatch]]: Spark's generated
+  * SafeProjection cannot instantiate private nested case classes.
+  */
+case class DocTok(doc_id: Long, lang: String, tok: Long)
+case class DocPack(doc_id: Long, lang: String, pack_id: Long, tok: Long)
+
 /** Training-data-pipeline operators beyond the reference's own surface
   * (SURVEY.md §2.B "LLM-data-pipeline", second wave): SimHash and n-gram
   * Jaccard near-dup detection, embedding-cosine near-dup, IVF-style ANN,
@@ -272,6 +279,42 @@ object PipelineOps extends QueryPack {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("source"))
+    },
+
+    // ---- q_seq_pack: training sequence packing ------------------------
+    // Greedy token-budget packing: per lang, docs in doc_id order are
+    // concatenated into packs of ≤512 tokens; a doc that would overflow
+    // the budget closes the pack and seeds the next (oversized docs get a
+    // pack of their own — same boundary rule as the reference's pre-insert
+    // flush, applied to context windows instead of Kinesis records).
+    // Inherently sequential PER LANG (each doc's pack depends on all prior
+    // sizes), so it runs as flatMapGroups keyed by the partition column —
+    // one shuffle then a linear pass per group, the same shape a cluster
+    // uses with real per-shard packing keys (file, source, shard id).
+    // Output: per-pack doc count + token total (the collector's manifest).
+    "q_seq_pack" -> { (s, d) =>
+      import s.implicits._
+      val budget = 512L
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+                size(split(col("text"), " ")).cast("long").as("tok"))
+        .as[DocTok]
+        .groupByKey(_.lang)
+        .flatMapGroups { (lang, it) =>
+          val sorted = it.toSeq.sortBy(_.doc_id)
+          var cur = 0L
+          var pack = 0L
+          sorted.iterator.map { t =>
+            if (cur + t.tok > budget && cur > 0) { pack += 1; cur = 0 }
+            val out = DocPack(t.doc_id, lang, pack, t.tok)
+            cur += t.tok
+            out
+          }
+        }
+        .toDF()
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
+        .orderBy(col("lang"), col("pack_id"))
     },
 
     // ---- q_multimodal_meta: opaque-binary column plumbing -------------
@@ -680,6 +723,31 @@ object PipelineOps extends QueryPack {
         CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
                     WHEN 'src2' THEN 50 ELSE 25 END
       GROUP BY source ORDER BY source""",
+
+    // Recursive-CTE mirror of the greedy per-lang pack scan, kept
+    // line-for-line parallel with the flatMapGroups pass (the same
+    // construction as Ingestion's batch CTE — SURVEY §7.4).
+    "q_seq_pack" -> """
+      WITH RECURSIVE dv AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+      ), st AS (
+        SELECT lang, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS pack_id, tok AS cur_after
+        FROM dv WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, d.tok,
+          CASE WHEN s.cur_after + d.tok > 512 AND s.cur_after > 0
+               THEN s.pack_id + 1 ELSE s.pack_id END,
+          CASE WHEN s.cur_after + d.tok > 512 AND s.cur_after > 0
+               THEN 0 ELSE s.cur_after END + d.tok
+        FROM st s JOIN dv d ON d.lang = s.lang AND d.rn = s.rn + 1
+      )
+      SELECT lang, pack_id, count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS sum_tokens
+      FROM st GROUP BY lang, pack_id ORDER BY lang, pack_id""",
 
     "q_multimodal_meta" -> """
       SELECT doc_id, 'text/plain' AS media_type,

@@ -127,6 +127,43 @@ object ScalarFuncs extends QueryPack {
         .orderBy(col("event_id"))
     },
 
+    // Bitwise family — scalar ops (&, |, xor, shifts, popcount) fused into
+    // one projection, then the bit-reduction aggregates (bit_and/or/xor)
+    // per event type. The aggregate trio is mergeable (map-side partial →
+    // final), so the shuffle carries one 3-long row per (partition, type).
+    "q_bitwise_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+                col("event_id").bitwiseAND(lit(255L)).as("low8"),
+                shiftleft(col("user_id"), 3).bitwiseOR(lit(5L)).as("tag"),
+                col("event_id").bitwiseXOR(col("user_id")).as("mix"),
+                bit_count(col("event_id")).as("nbits"))
+        .groupBy(col("event_type"))
+        .agg(bit_and(col("low8")).as("and_low8"),
+             bit_or(col("tag")).as("or_tag"),
+             bit_xor(col("mix")).as("xor_mix"),
+             sum(col("nbits")).as("sum_bits"),
+             count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // Calendar/interval arithmetic family: month addition (with end-of-
+    // month clamping), last_day, quarter / ISO week, Monday-based weekday,
+    // and day subtraction. Complements q_date_funcs (trunc/extract/format/
+    // epoch); all closed-form projections, no shuffle.
+    "q_interval_arith" -> { (s, d) =>
+      val dd = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dd.as("d"),
+                add_months(dd, 2).as("plus2m"),
+                last_day(dd).as("eom"),
+                quarter(dd).as("qtr"),
+                weekofyear(dd).as("iso_wk"),
+                weekday(dd).as("wd"),
+                date_sub(dd, 90).as("minus90d"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Generator path: posexplode of the first 4 embedding dims (GenerateExec).
     "q_explode" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -213,6 +250,26 @@ object ScalarFuncs extends QueryPack {
         json_extract_string(props, '$.k') AS k_val,
         CAST(len(json_keys(props)) AS INT) AS n_keys
       FROM events ORDER BY event_id""",
+
+    "q_bitwise_funcs" -> """
+      SELECT event_type,
+        bit_and(event_id & 255) AS and_low8,
+        bit_or((user_id << 3) | 5) AS or_tag,
+        bit_xor(xor(event_id, user_id)) AS xor_mix,
+        CAST(sum(bit_count(event_id)) AS BIGINT) AS sum_bits,
+        count(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_interval_arith" -> """
+      SELECT o_orderkey,
+        CAST(o_orderdate AS DATE) AS d,
+        CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        last_day(CAST(o_orderdate AS DATE)) AS eom,
+        CAST(quarter(o_orderdate) AS INT) AS qtr,
+        CAST(weekofyear(o_orderdate) AS INT) AS iso_wk,
+        CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        CAST(o_orderdate AS DATE) - 90 AS minus90d
+      FROM orders ORDER BY o_orderkey""",
 
     "q_explode" -> """
       SELECT vec_id, CAST(t.r AS INT) AS pos,

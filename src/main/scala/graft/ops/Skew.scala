@@ -33,6 +33,27 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Two-phase salted sum+count by `key`: phase 1 aggregates by
+    * (key, salt) so a hot key's rows spread over `factor` reducers; phase
+    * 2 merges the ≤`factor` partials per key. Exact for any mergeable
+    * aggregate — here sum+count, from which avg also falls out; pass a
+    * DECIMAL-cast `value` when the sum must be reassociation-stable.
+    * min/max salt identically; count-distinct instead needs the two-level
+    * expand (distinct first, then count). Result ≡
+    * `df.groupBy(key).agg(sum(value), count(*))` — contract-pinned by
+    * `q_agg_salted`'s oracle, which runs the direct form.
+    */
+  def saltedSumCount(df: DataFrame, key: String, value: Column,
+                     factor: Int): DataFrame = {
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    df.withColumn("_salt",
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor.toLong)))
+      .groupBy(col(key), col("_salt"))
+      .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
+      .groupBy(col(key))
+      .agg(sum(col("_psum")).as("sum"), sum(col("_pn")).as("n"))
+  }
+
   /** Top-`n` hottest values of `key` with their row counts — the probe a
     * pipeline runs before deciding to salt. One partial-aggregated pass. */
   def hotKeys(df: DataFrame, key: String, n: Int = 10): DataFrame =

@@ -74,6 +74,25 @@ object Windows extends QueryPack {
         .orderBy(col("p_partkey"))
     },
 
+    // IGNORE NULLS analytics: the gap-filling idiom (carry the last known
+    // reading over rows whose measurement is missing). Nulls are derived
+    // deterministically — 'error' events have no usable value — so both
+    // engines see the identical null mask.
+    "q_window_ignore_nulls" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null).cast("double"))
+            .otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("v"),
+                lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+                lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"),
+                first(col("v"), ignoreNulls = true).over(w).as("first_v"),
+                last(col("v"), ignoreNulls = true).over(w).as("carry_v"))
+        .orderBy(col("event_id"))
+    },
+
     // Classic running total per customer ordered by order date.
     "q_window_running" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
@@ -129,6 +148,19 @@ object Windows extends QueryPack {
       WINDOW w AS (PARTITION BY p_brand ORDER BY p_size
                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
       ORDER BY p_partkey""",
+
+    // DuckDB spells IGNORE NULLS inside the call parens.
+    "q_window_ignore_nulls" -> """
+      SELECT event_id, user_id, v,
+        lag(v, 1 IGNORE NULLS) OVER w AS prev_v,
+        lead(v, 1 IGNORE NULLS) OVER w AS next_v,
+        first_value(v IGNORE NULLS) OVER w AS first_v,
+        last_value(v IGNORE NULLS) OVER w AS carry_v
+      FROM (SELECT event_id, user_id, ts,
+              CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""",
 
     "q_window_running" -> """
       SELECT o_orderkey, o_custkey,

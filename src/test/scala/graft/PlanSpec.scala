@@ -129,6 +129,27 @@ class PlanSpec extends AnyFunSuite {
       "scalar subquery degenerated to a cartesian product")
   }
 
+  test("q_join_range broadcasts the band table (fact side never shuffles for the join)") {
+    val s = finalPlan("q_join_range")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      "band join should be a broadcast nested loop (non-equi, tiny build side)")
+    assert(!s.contains("CartesianProduct"),
+      "band join degenerated to a cartesian product")
+  }
+
+  test("q_agg_salted spreads the hot keys: both phases are multi-partition") {
+    val s = finalPlan("q_agg_salted")
+    assert(!s.contains("Exchange SinglePartition"),
+      "salted aggregation collapsed to one partition")
+    assert(s.toLowerCase.contains("partial"),
+      "no partial aggregate in the salted plan")
+  }
+
+  test("q_bitwise_funcs aggregates are two-phase (bit reductions are mergeable)") {
+    val s = finalPlan("q_bitwise_funcs")
+    assert(s.contains("HashAggregate") && s.toLowerCase.contains("partial"))
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins

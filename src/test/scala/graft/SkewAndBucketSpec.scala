@@ -25,6 +25,17 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(plain.select(cols: _*).exceptAll(salted.select(cols: _*)).count() == 0)
   }
 
+  test("saltedSumCount equals the direct groupBy exactly") {
+    val li = Tables.lineitem(s, TestSpark.Sf0001)
+    val direct = li.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum"),
+           count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(
+      li, "l_returnflag", col("l_quantity").cast("decimal(18,2)"), factor = 8)
+    assert(salted.exceptAll(direct).count() == 0)
+    assert(direct.exceptAll(salted).count() == 0)
+  }
+
   test("hotKeys surfaces the heaviest join keys first") {
     val hot = Skew.hotKeys(Tables.lineitem(s, TestSpark.Sf0001), "l_suppkey", 3)
       .collect()
