@@ -149,12 +149,16 @@ object Joins extends QueryPack {
     // fact⋈fact interval join would instead bucket both sides by
     // overlapping coarse ranges first (the minhash-band pattern on
     // intervals) — documented in SCALE.md, not needed for a dim-side band.
+    // Band edges sit INSIDE the fixture's retail-price range (~900-999.9)
+    // so all three bands are populated and the boundary semantics
+    // (>= lo, < hi, rows on an edge) are actually exercised — edges far
+    // outside the data would let a constant-band bug pass the oracle.
     "q_join_range" -> { (s, d) =>
       import s.implicits._
       val bands = Seq(
-        ("budget", 0.0, 1200.0),
-        ("mainstream", 1200.0, 1700.0),
-        ("premium", 1700.0, 1e9)).toDF("band", "lo", "hi")
+        ("budget", 0.0, 930.0),
+        ("mainstream", 930.0, 960.0),
+        ("premium", 960.0, 1e9)).toDF("band", "lo", "hi")
       val p = Tables.part(s, d)
       p.join(broadcast(bands),
              p("p_retailprice") >= col("lo") && p("p_retailprice") < col("hi"))
@@ -189,9 +193,9 @@ object Joins extends QueryPack {
       SELECT band, count(*) AS n_parts,
         round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_price,
         min(p_partkey) AS min_part
-      FROM part JOIN (VALUES ('budget', 0.0, 1200.0),
-                             ('mainstream', 1200.0, 1700.0),
-                             ('premium', 1700.0, 1e9)) AS bands(band, lo, hi)
+      FROM part JOIN (VALUES ('budget', 0.0, 930.0),
+                             ('mainstream', 930.0, 960.0),
+                             ('premium', 960.0, 1e9)) AS bands(band, lo, hi)
         ON p_retailprice >= lo AND p_retailprice < hi
       GROUP BY band ORDER BY band""",
 

@@ -287,31 +287,13 @@ object PipelineOps extends QueryPack {
     // the budget closes the pack and seeds the next (oversized docs get a
     // pack of their own — same boundary rule as the reference's pre-insert
     // flush, applied to context windows instead of Kinesis records).
-    // Inherently sequential PER LANG (each doc's pack depends on all prior
-    // sizes), so it runs as flatMapGroups keyed by the partition column —
-    // one shuffle then a linear pass per group, the same shape a cluster
-    // uses with real per-shard packing keys (file, source, shard id).
-    // Output: per-pack doc count + token total (the collector's manifest).
+    // Output: per-pack doc count + token total (the collator's manifest).
     "q_seq_pack" -> { (s, d) =>
-      import s.implicits._
-      val budget = 512L
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-                size(split(col("text"), " ")).cast("long").as("tok"))
-        .as[DocTok]
-        .groupByKey(_.lang)
-        .flatMapGroups { (lang, it) =>
-          val sorted = it.toSeq.sortBy(_.doc_id)
-          var cur = 0L
-          var pack = 0L
-          sorted.iterator.map { t =>
-            if (cur + t.tok > budget && cur > 0) { pack += 1; cur = 0 }
-            val out = DocPack(t.doc_id, lang, pack, t.tok)
-            cur += t.tok
-            out
-          }
-        }
-        .toDF()
+      PipelineOps.seqPack(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+                  size(split(col("text"), " ")).cast("long").as("tok")),
+        budget = 512L)
         .groupBy(col("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tokens"))
         .orderBy(col("lang"), col("pack_id"))
@@ -336,6 +318,40 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Greedy sequence packing as a streaming secondary sort. Input must have
+    * columns (doc_id LONG, lang STRING, tok LONG); output adds pack_id.
+    *
+    * Shape: `repartition(lang)` + `sortWithinPartitions(lang, doc_id)` +
+    * `mapPartitions` — ONE shuffle, then an O(1)-memory linear pass. Rows
+    * of a lang arrive contiguous and already ordered, so the fold carries
+    * only (current lang, running token count, pack counter) — no per-group
+    * buffering, unlike a `flatMapGroups` + sort which materializes each
+    * group in one task and OOMs on a hot lang at corpus scale (a hot
+    * natural language IS most of a 100 TB corpus). Packing is inherently
+    * sequential per key (each doc's pack depends on all prior sizes);
+    * real pipelines pack by finer keys (shard/file id) for parallelism —
+    * the operator is key-agnostic, same shape either way. */
+  def seqPack(docs: DataFrame, budget: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.as[DocTok]
+      .repartition(col("lang"))
+      .sortWithinPartitions(col("lang"), col("doc_id"))
+      .mapPartitions { it =>
+        var curLang: String = null
+        var cur = 0L
+        var pack = 0L
+        it.map { t =>
+          if (t.lang != curLang) { curLang = t.lang; cur = 0L; pack = 0L }
+          if (cur + t.tok > budget && cur > 0) { pack += 1; cur = 0 }
+          val out = DocPack(t.doc_id, t.lang, pack, t.tok)
+          cur += t.tok
+          out
+        }
+      }
+      .toDF()
+  }
 
   /** Sequential-fold dot product (same fold order as DuckDB's
     * list_dot_product over DOUBLE[] casts). Backed by the codegen'd

@@ -150,6 +150,22 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("HashAggregate") && s.toLowerCase.contains("partial"))
   }
 
+  test("q_seq_pack streams: partition-local sort feeding MapPartitions, no per-group buffering") {
+    // r6 verdict item 1: the flatMapGroups form buffered each lang group in
+    // one task (`it.toSeq.sortBy`) — OOM on a hot lang at corpus scale. The
+    // streamed form is repartition(lang) + sortWithinPartitions + a linear
+    // mapPartitions pass; its plan signature is a NON-global Sort (the
+    // `false` flag) directly under the object map, and no single-partition
+    // funnel anywhere.
+    val s = finalPlan("q_seq_pack")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"q_seq_pack funnels all rows through one partition:\n$s")
+    assert("Sort \\[lang[^\\]]*doc_id[^\\]]*\\], false".r.findFirstIn(s).isDefined,
+      s"q_seq_pack lost its partition-local (lang, doc_id) sort:\n$s")
+    assert(s.contains("MapPartitions"),
+      s"q_seq_pack no longer runs the linear mapPartitions pass:\n$s")
+  }
+
   test("q_ann_ivf nested-loop joins only against the broadcast centroids") {
     // the 16-row centroid cross joins are deliberate broadcast BNLJs; the
     // corpus-side list lookup and top-k must stay equi-joins
