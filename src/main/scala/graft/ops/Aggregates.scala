@@ -214,6 +214,13 @@ object Aggregates extends QueryPack {
     // as a groupBy + windowed argmax — the same plan both engines run.
     // Median interpolates (quantile_cont semantics in both engines);
     // quantities are integral doubles so the midpoint is exact.
+    // SCALE SWAP (SCALE.md "median / percentiles"): exact median() buffers
+    // every group's values in the final aggregate — n/groups rows on one
+    // reducer; with 3 group keys that dies at corpus scale. At 100 TB use
+    // approx_percentile(col, 0.5) (t-digest: mergeable partials, bounded
+    // memory) — same swap q_agg_percentiles documents. The exact form here
+    // is the oracle-parity fixture path. The mode half is two-phase
+    // mergeable (groupBy-count + windowed argmax) and scale-safe as is.
     "q_median_mode" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val med = li.groupBy(col("l_returnflag"))

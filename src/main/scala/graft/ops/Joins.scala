@@ -146,9 +146,10 @@ object Joins extends QueryPack {
     // plan is a broadcast nested-loop join — the fact side never shuffles
     // and never materializes more than bands× its rows. At 100 TB the same
     // shape holds for any O(100s)-row band/calendar/SLA-tier table; a
-    // fact⋈fact interval join would instead bucket both sides by
-    // overlapping coarse ranges first (the minhash-band pattern on
-    // intervals) — documented in SCALE.md, not needed for a dim-side band.
+    // fact⋈fact interval join instead buckets both sides by coarse ranges
+    // first so the range predicate becomes an equi-join —
+    // [[graft.ops.Skew.rangeBucketJoin]], SCALE.md "interval joins" — not
+    // needed for a dim-side band.
     // Band edges sit INSIDE the fixture's retail-price range (~900-999.9)
     // so all three bands are populated and the boundary semantics
     // (>= lo, < hi, rows on an edge) are actually exercised — edges far

@@ -11,23 +11,36 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, factor). `saltFrom` picks the hash
+    * input: default is every column of `df` (works for narrow rows of
+    * hashable types); pass a narrow high-cardinality column (row id,
+    * natural key) when rows are wide — full-row hashing pays for bytes the
+    * spread doesn't need — or when any column is Map-typed (hashing a
+    * MapType is disallowed at analysis time by default). Any choice is
+    * fine for correctness; the spread only needs to be roughly uniform.
+    * (`monotonically_increasing_id` would NOT be — it breaks determinism
+    * across reruns.) */
+  private def salt(df: DataFrame, factor: Int,
+                   saltFrom: Seq[Column]): Column = {
+    val src = if (saltFrom.nonEmpty) saltFrom
+              else df.columns.map(col).toIndexedSeq
+    pmod(xxhash64(src: _*), lit(factor.toLong))
+  }
+
   /** Equi-join `big ⋈ small` on `key`, salted `factor` ways: the big side
     * gets a deterministic per-row salt, the small side is replicated once
     * per salt value, and the join key becomes (key, salt) — a hot key's
     * rows spread over `factor` shuffle partitions instead of one.
     * Result equals `big.join(small, Seq(key), "inner")` exactly; cost is
     * `factor`× the small side (keep it the dimension/smaller input).
+    * `saltFrom`: see [[salt]].
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 factor: Int): DataFrame = {
+                 factor: Int, saltFrom: Seq[Column] = Nil): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
     require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
       "inputs must not already have a _salt column (it would be clobbered)")
-    // salt from a hash of the whole big row (monotonically_increasing_id
-    // would break determinism across reruns): any column set works, the
-    // spread only needs to be roughly uniform
-    val salted = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(factor.toLong)))
+    val salted = big.withColumn("_salt", salt(big, factor, saltFrom))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -42,16 +55,53 @@ object Skew {
     * expand (distinct first, then count). Result ≡
     * `df.groupBy(key).agg(sum(value), count(*))` — contract-pinned by
     * `q_agg_salted`'s oracle, which runs the direct form.
+    * `saltFrom`: see [[salt]].
     */
   def saltedSumCount(df: DataFrame, key: String, value: Column,
-                     factor: Int): DataFrame = {
+                     factor: Int, saltFrom: Seq[Column] = Nil): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
-    df.withColumn("_salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor.toLong)))
+    df.withColumn("_salt", salt(df, factor, saltFrom))
       .groupBy(col(key), col("_salt"))
       .agg(sum(value).as("_psum"), count(lit(1)).as("_pn"))
       .groupBy(col(key))
       .agg(sum(col("_psum")).as("sum"), sum(col("_pn")).as("n"))
+  }
+
+  /** Fact⋈fact interval join at scale (SCALE.md "interval joins"): pairs
+    * each `points` row whose `pointCol` value falls in a `intervals` row's
+    * `[loCol, hiCol)` — WITHOUT the broadcast the dim-side band join
+    * (q_join_range) relies on, and without a nested-loop join.
+    *
+    * The minhash-band pattern applied to ranges: both sides are assigned
+    * coarse buckets of width `bucketWidth` — a point to the single bucket
+    * containing it, an interval to every bucket it overlaps — turning the
+    * range predicate into a bucket EQUI-join both engines can hash/SMJ-
+    * shuffle; the exact `>= lo AND < hi` then filters bucket-mates. No
+    * pair is produced twice (a point lives in exactly one bucket), so no
+    * dedup pass is needed.
+    *
+    * Cost knob: an interval is replicated `⌈len/bucketWidth⌉ + 1` ways —
+    * pick `bucketWidth` near the typical interval length so replication
+    * stays O(1) while buckets stay selective. Intervals must satisfy
+    * `lo <= hi`. Result ≡ the theta join
+    * `points.join(intervals, point >= lo && point < hi)` — pinned by
+    * SkewAndBucketSpec.
+    */
+  def rangeBucketJoin(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    require(!points.columns.contains("_bucket") &&
+            !intervals.columns.contains("_bucket"),
+      "inputs must not already have a _bucket column (it would be clobbered)")
+    val p = points.withColumn("_bucket",
+      floor(points(pointCol) / bucketWidth).cast("long"))
+    val i = intervals.withColumn("_bucket", explode(sequence(
+      floor(intervals(loCol) / bucketWidth).cast("long"),
+      floor(intervals(hiCol) / bucketWidth).cast("long"))))
+    p.join(i, p("_bucket") === i("_bucket") &&
+           p(pointCol) >= i(loCol) && p(pointCol) < i(hiCol))
+      .drop("_bucket")
   }
 
   /** Top-`n` hottest values of `key` with their row counts — the probe a

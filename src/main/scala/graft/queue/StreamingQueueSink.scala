@@ -18,7 +18,11 @@ import org.apache.spark.sql.Dataset
   * local disk would silently downgrade exactly-once to at-least-once while
   * the offset log survives. A bare local path still works (resolves to
   * `file://`) and is exactly as durable as a local checkpoint: fine for
-  * single-node deployments and tests, not for a cluster.
+  * single-node deployments and tests, not for a cluster. For any remote
+  * prefix, construct via [[BatchIdLedger.forSession]] (or pass
+  * `spark.sparkContext.hadoopConfiguration` explicitly) — the default
+  * `new Configuration()` does not carry the session's `spark.hadoop.*`
+  * settings (S3 credentials, fs implementations).
   */
 final class BatchIdLedger(dir: String,
     hadoopConf: Configuration = new Configuration()) {
@@ -28,16 +32,35 @@ final class BatchIdLedger(dir: String,
   def committed(batchId: Long): Boolean =
     fs.exists(new HPath(root, s"$batchId.done"))
   def commit(batchId: Long): Unit = {
+    val dst = new HPath(root, s"$batchId.done")
+    // An existing marker means a previous/concurrent commit of the SAME
+    // batch already won — that IS success. Never delete it: a crash (or the
+    // loser of a zombie-driver race) between a delete and the re-rename
+    // would erase a durable commit and re-deliver the batch (duplicates).
+    if (fs.exists(dst)) return
     val tmp = new HPath(root, s"$batchId.tmp")
     fs.create(tmp, true).close()
-    val dst = new HPath(root, s"$batchId.done")
-    // rename-over-existing is FS-dependent; an existing marker only means a
-    // concurrent/previous commit of the SAME batch already won, so clear it
-    // first and treat the rename as the commit point.
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"ledger commit failed: $tmp -> $dst")
+    if (!fs.rename(tmp, dst)) {
+      // rename refused: either a concurrent committer won the race (their
+      // marker is the commit — success) or the FS failed. Clean the tmp
+      // either way so failed commits don't accrete garbage.
+      val concurrentWin = fs.exists(dst)
+      fs.delete(tmp, false)
+      if (!concurrentWin)
+        throw new java.io.IOException(s"ledger commit failed: $tmp -> $dst")
+    }
   }
+}
+
+object BatchIdLedger {
+  /** Ledger wired with the session's Hadoop configuration
+    * (`spark.hadoop.*`: S3 credentials, fs implementations). REQUIRED for
+    * any non-`file://` `dir` — the parameterless `new Configuration()`
+    * default of the constructor carries none of the session's settings and
+    * can fail to resolve, or mis-resolve, an HDFS/S3 prefix. */
+  def forSession(dir: String,
+      spark: org.apache.spark.sql.SparkSession): BatchIdLedger =
+    new BatchIdLedger(dir, spark.sparkContext.hadoopConfiguration)
 }
 
 /** Checkpointed exactly-once `foreachBatch` → [[EventQueue]] sink — the

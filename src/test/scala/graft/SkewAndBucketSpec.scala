@@ -36,6 +36,40 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("rangeBucketJoin equals the theta interval join and stays an equi-join") {
+    import s.implicits._
+    val parts = Tables.part(s, TestSpark.Sf0001)
+      .select("p_partkey", "p_retailprice")
+    // overlapping, disjoint, whole-range, empty, and boundary intervals —
+    // incl. one lo landing mid-bucket and one on a bucket edge (928 = 29*32)
+    val intervals = Seq(
+      ("a", 900.0, 928.0), ("b", 910.0, 955.5), ("c", 955.5, 1000.0),
+      ("d", 0.0, 2000.0), ("e", 990.0, 990.0)).toDF("iv", "lo", "hi")
+    val theta = parts.join(intervals,
+      col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+    val bucketed = Skew.rangeBucketJoin(
+      parts, "p_retailprice", intervals, "lo", "hi", bucketWidth = 32.0)
+    val cols = theta.columns.map(col).toIndexedSeq
+    assert(bucketed.count() == theta.count())
+    assert(bucketed.select(cols: _*).exceptAll(theta).count() == 0)
+    assert(theta.exceptAll(bucketed.select(cols: _*)).count() == 0)
+    // the scale claim: with broadcast off (the fact⋈fact regime), the
+    // bucket join is still an EQUI join — never a nested loop / cartesian
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val b2 = Skew.rangeBucketJoin(
+        parts, "p_retailprice", intervals, "lo", "hi", bucketWidth = 32.0)
+      b2.collect()
+      val plan = b2.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"rangeBucketJoin lost its bucket equi-key:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join:\n$plan")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hotKeys surfaces the heaviest join keys first") {
     val hot = Skew.hotKeys(Tables.lineitem(s, TestSpark.Sf0001), "l_suppkey", 3)
       .collect()
