@@ -21,6 +21,13 @@ import java.nio.file.{Files, Paths}
   *    pass gates acceptance on luck. Passes are pass-major (all keys, then
   *    all keys again) so a steal burst lands on at most one of a key's three
   *    samples; the median discards it. Total = sum of per-key medians.
+  *  - /proc/stat steal+total CPU ticks are sampled around each timed pass
+  *    and emitted as `steal_ticks`/`cpu_ticks` arrays (round-6 verdict item
+  *    6): a steal storm that outlasts all passes (the BENCH_r04/r06
+  *    signature) is then machine-detectable from the artifact itself —
+  *    steal_ticks[i]/cpu_ticks[i] is the fraction of host CPU stolen during
+  *    pass i — instead of needing a manual clean re-run to adjudicate.
+  *    -1 entries mean /proc/stat was unreadable (non-Linux host).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,12 +61,28 @@ object Bench {
     val passes = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").trim.toInt)
         .getOrElse(3))
-    val samples = (1 to passes).flatMap { _ =>
-      names.map { name =>
+    // (steal, total) jiffies from /proc/stat's aggregate cpu line; (-1,-1)
+    // when unreadable. Steal is field 8 (0-based 7 after the "cpu" tag).
+    def cpuTicks(): (Long, Long) =
+      try {
+        val f = Files.readString(Paths.get("/proc/stat")).linesIterator
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val stealPerPass = Array.ofDim[Long](passes)
+    val ticksPerPass = Array.ofDim[Long](passes)
+    val samples = (1 to passes).flatMap { pi =>
+      val (steal0, ticks0) = cpuTicks()
+      val res = names.map { name =>
         val t0 = System.nanoTime()
         val r = run(name)
         (name, (System.nanoTime() - t0) / 1e9, r.isRight)
       }
+      val (steal1, ticks1) = cpuTicks()
+      val ok = steal0 >= 0 && steal1 >= 0
+      stealPerPass(pi - 1) = if (ok) steal1 - steal0 else -1L
+      ticksPerPass(pi - 1) = if (ok) ticks1 - ticks0 else -1L
+      res
     }
     // A key is `failed` if ANY pass crashed (a flaky crash is a crash, not a
     // slow success); otherwise its reported time is the median of its passes.
@@ -78,8 +101,10 @@ object Bench {
     val failed = timed.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = timed.collect { case (_, v, true) => v }.sum
+    val steal = stealPerPass.mkString("[", ",", "]")
+    val ticks = ticksPerPass.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"sf":"$sfDir"}"""
     println(json)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")

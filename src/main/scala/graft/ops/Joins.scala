@@ -48,6 +48,29 @@ object Joins extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Correlated scalar subquery: orders priced above their OWN status
+    // group's average — the complement of the uncorrelated key above.
+    // Written as SQL on purpose: it pins Spark's decorrelation path
+    // (DecorrelateInnerQuery + RewriteCorrelatedScalarSubquery), which
+    // rewrites each correlated aggregate into a groupBy(o_orderstatus)
+    // + equi-join on the correlation key — a 3-row broadcast side, never
+    // a per-row re-execution and never a nested loop (PlanSpec asserts).
+    // Same multiply-vs-total trick as q_scalar_subquery: both engines
+    // compare exact decimals, no division-scale divergence.
+    "q_correlated_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("corr_orders")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM corr_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT count(*) FROM corr_orders i
+               WHERE i.o_orderstatus = o.o_orderstatus)
+            > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FROM corr_orders i
+               WHERE i.o_orderstatus = o.o_orderstatus)
+        ORDER BY o_orderkey""")
+    },
+
     // Broadcast equi join lineitem⋈part: dim side ships to every executor,
     // fact side never shuffles. Spec asserts BroadcastHashJoinExec.
     "q_join_broadcast" -> { (s, d) =>
@@ -205,6 +228,16 @@ object Joins extends QueryPack {
       FROM orders
       WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      ORDER BY o_orderkey""",
+
+    "q_correlated_subquery" -> """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM orders i
+             WHERE i.o_orderstatus = o.o_orderstatus)
+          > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders i
+             WHERE i.o_orderstatus = o.o_orderstatus)
       ORDER BY o_orderkey""",
 
     "q_join_inner" -> """

@@ -121,6 +121,32 @@ object StreamingOps extends QueryPack {
       }.toDF("event_id", "is_late").orderBy(col("event_id"))
     },
 
+    // Stream⋈stream interval join, batch twin: each purchase pairs with
+    // every signup of the same user in the preceding 2 hours — the
+    // enrichment join an event pipeline (the reference's producer domain)
+    // hits first. The join key is the EQUI user_id (hash/SMJ-shuffleable;
+    // one shuffle per side, AQE-splittable); the time-range predicate
+    // filters matches — never a nested loop (PlanSpec asserts). The
+    // streaming form is the identical join with `withWatermark` on BOTH
+    // sides: the range constraint bounds each side's buffered state and
+    // late rows drop at ingestion — exercised against MemoryStream in
+    // StreamingSpec ("stream-stream interval join").
+    "q_stream_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+                col("ts").as("purchase_ts"), col("value"))
+      val g = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"),
+                col("user_id").as("signup_user"), col("ts").as("signup_ts"))
+      p.join(g, col("user_id") === col("signup_user") &&
+                col("purchase_ts") >= col("signup_ts") &&
+                col("purchase_ts") < col("signup_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+                col("signup_id"), col("signup_ts"), col("value"))
+        .orderBy(col("purchase_id"), col("signup_id"))
+    },
+
     // Per-user running state (event count + value sum) — the batch twin of
     // the transformWithState/flatMapGroupsWithState query in StreamingSpec.
     "q_stateful_running" -> { (s, d) =>
@@ -177,6 +203,17 @@ object StreamingOps extends QueryPack {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
           - INTERVAL '10 minutes', false) AS is_late
       FROM events ORDER BY event_id""",
+
+    "q_stream_join" -> """
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+             g.event_id AS signup_id, CAST(g.ts AS TIMESTAMP) AS signup_ts,
+             p.value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'signup') g
+        ON p.user_id = g.user_id
+       AND p.ts >= g.ts AND p.ts < g.ts + INTERVAL '2 hours'
+      ORDER BY purchase_id, signup_id""",
 
     "q_stateful_running" -> """
       SELECT event_id, user_id,

@@ -129,6 +129,30 @@ class PlanSpec extends AnyFunSuite {
       "scalar subquery degenerated to a cartesian product")
   }
 
+  test("q_stream_join joins on the user equi-key (range predicate is a filter, not the join)") {
+    val s = finalPlan("q_stream_join")
+    assert(!s.contains("CartesianProduct") &&
+           !s.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its user_id equi-key:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+           s.contains("ShuffledHashJoin"),
+      s"no equi-join in the interval-join plan:\n$s")
+  }
+
+  test("q_correlated_subquery decorrelates to equi-joins (no per-row re-execution shape)") {
+    // DecorrelateInnerQuery must rewrite each correlated aggregate into a
+    // groupBy(status) + equi-join on the correlation key; a nested loop or
+    // cartesian here would mean the subquery re-runs per outer row.
+    val s = finalPlan("q_correlated_subquery")
+    assert(!s.contains("CartesianProduct"),
+      s"correlated subquery degenerated to a cartesian product:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"correlated subquery planned a nested loop:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+           s.contains("ShuffledHashJoin"),
+      s"no equi-join in the decorrelated plan:\n$s")
+  }
+
   test("q_join_range broadcasts the band table (fact side never shuffles for the join)") {
     val s = finalPlan("q_join_range")
     assert(s.contains("BroadcastNestedLoopJoin"),

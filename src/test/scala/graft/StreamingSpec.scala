@@ -94,6 +94,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs in-window rows and drops late rows") {
+    // The streaming form of q_stream_join: purchases⋈signups inner join on
+    // user_id with a time-range predicate, BOTH sides watermarked — the
+    // range constraint is what lets Spark bound each side's buffered state.
+    import spark.implicits._
+    val purchases = MemoryStream[(Timestamp, Long, Long)](spark)
+    val signups = MemoryStream[(Timestamp, Long, Long)](spark)
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "10 minutes")
+    val g = signups.toDF().toDF("g_ts", "g_user", "signup_id")
+      .withWatermark("g_ts", "10 minutes")
+    val joined = p.join(g,
+      col("p_user") === col("g_user") &&
+      col("p_ts") >= col("g_ts") &&
+      col("p_ts") < col("g_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("signup_id"))
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      def pairs(): Set[(Long, Long)] =
+        spark.table("sj_out").as[(Long, Long)].collect().toSet
+      // u1: signup 00:00 → purchase 00:10 matches; purchase 00:50 is
+      // outside the 30-min window. u2: signup 00:45 → purchase 01:00
+      // matches. A u1 purchase with no signup in range pairs with nothing.
+      signups.addData((ts("2024-01-01 00:00:00"), 1L, 500L),
+                      (ts("2024-01-01 00:45:00"), 2L, 501L))
+      purchases.addData((ts("2024-01-01 00:10:00"), 1L, 100L),
+                        (ts("2024-01-01 00:50:00"), 1L, 101L),
+                        (ts("2024-01-01 01:00:00"), 2L, 102L))
+      q.processAllAvailable()
+      assert(pairs() == Set((100L, 500L), (102L, 501L)), s"got ${pairs()}")
+      // advance both watermarks to ~01:50, then send a LATE signup at
+      // 00:05 — in-range for the already-seen purchase 00:10, but behind
+      // the watermark → dropped, no new pair may appear
+      purchases.addData((ts("2024-01-01 02:00:00"), 9L, 199L))
+      signups.addData((ts("2024-01-01 02:00:00"), 9L, 599L))
+      q.processAllAvailable()
+      signups.addData((ts("2024-01-01 00:05:00"), 1L, 502L))
+      q.processAllAvailable()
+      purchases.addData((ts("2024-01-01 02:30:00"), 8L, 198L)) // flush
+      q.processAllAvailable()
+      assert(!pairs().contains((100L, 502L)),
+        "late signup joined despite being behind the watermark")
+      assert(pairs().filter(_._2 == 502L).isEmpty &&
+             pairs().size >= 2, s"got ${pairs()}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user count matches batch equivalent") {
     import spark.implicits._
     val input = MemoryStream[(String, Double)](spark)
