@@ -102,6 +102,24 @@ object TrainingPipeline {
               Seq("doc_id"), "left")
   }
 
+  /** Sequence-packing stage (q_seq_pack semantics via
+    * [[graft.ops.PipelineOps.seqPack]]'s streaming secondary sort): greedy
+    * ≤`budget`-token packs per `key` in doc_id order — a doc that would
+    * overflow closes the pack and seeds the next; an oversized doc gets a
+    * pack of its own. Returns the collator manifest
+    * (doc_id, `key`, pack_id, tok); join back on doc_id to carry text, or
+    * hand it straight to the collator. Run AFTER dedup so no budget is
+    * spent on docs a later stage removes. `key` defaults to lang; at
+    * cluster scale pack by a finer key (shard/file id) for parallelism —
+    * same operator, same boundary rule. */
+  def pack(docs: DataFrame, budget: Long = 512L,
+           key: String = "lang"): DataFrame =
+    graft.ops.PipelineOps.seqPack(
+      docs.select(col("doc_id"), col(key).cast("string").as("lang"),
+                  size(split(col("text"), " ")).cast("long").as("tok")),
+      budget)
+      .withColumnRenamed("lang", key)
+
   /** The full prep flow. `labeled` trains the language profiles (defaults
     * to the corpus itself when it carries a ground-truth `lang` column).
     * Returns the cleaned, annotated corpus; persist with

@@ -81,6 +81,42 @@ class TrainingPipelineSpec extends AnyFunSuite {
       s"lang filter did not prune partitions:\n$plan")
   }
 
+  test("pack() after dedup: complete manifest, budget-bounded packs, greedy boundary") {
+    val budget = 256L
+    val prepared = TrainingPipeline.prepare(docs)
+      .filter(col("pred_lang").isNotNull)
+    val manifest = TrainingPipeline.pack(prepared, budget, key = "lang")
+    // complete and 1:1 — every surviving doc packed exactly once
+    assert(manifest.count() == prepared.count())
+    assert(manifest.select("doc_id").distinct().count() == prepared.count())
+    val packs = manifest.groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tot"),
+           min(col("doc_id")).as("first_doc"))
+    // ≤ budget unless a singleton oversized doc (the q_seq_pack rule)
+    assert(packs.filter(col("tot") > budget && col("n_docs") > 1).count() == 0,
+      "multi-doc pack exceeds the token budget")
+    // greedy boundary rule (same as the reference's pre-insert flush): a
+    // pack closes ONLY because the next pack's first doc would overflow it
+    val firsts = manifest.join(
+        packs.select(col("lang"), col("pack_id"), col("first_doc")),
+        Seq("lang", "pack_id"))
+      .filter(col("doc_id") === col("first_doc"))
+      .select(col("lang"), (col("pack_id") - 1).as("pack_id"),
+              col("tok").as("next_first_tok"))
+    val early = packs.join(firsts, Seq("lang", "pack_id"))
+      .filter(col("tot") + col("next_first_tok") <= budget).count()
+    assert(early == 0, "pack closed early — boundary diverges from q_seq_pack")
+    // multiple packs actually exist (the invariants weren't vacuous)
+    assert(packs.count() > manifest.select("lang").distinct().count())
+    // composes with the lake sink: manifest + text, pack-partitioned read-back
+    val dir = java.nio.file.Files.createTempDirectory("pack_lake").toString
+    val withText = manifest.join(prepared.select("doc_id", "text"), Seq("doc_id"))
+    graft.sources.LakeSink.writeByKey(withText, "lang", col("pack_id"), dir,
+      writersPerKey = 2)
+    assert(graft.sources.LakeSink.read(s, dir).count() == manifest.count(),
+      "packed lake round-trip lost rows")
+  }
+
   test("full prepare() yields an annotated, deduped, quality corpus") {
     val out = TrainingPipeline.prepare(docs, minTokens = 10,
       nearDupThreshold = 0.5)
