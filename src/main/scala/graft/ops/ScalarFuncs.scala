@@ -164,6 +164,25 @@ object ScalarFuncs extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Calendar-spine gap detection: generate the full day range between
+    // the first and last order date (`sequence` + explode — the date-spine
+    // idiom), anti-join the days that have orders, return the days with
+    // none. The spine is O(calendar days) regardless of fact size — it
+    // explodes from a 1-row min/max aggregate (broadcast-sized by
+    // construction); the fact side contributes one `groupBy(day)` shuffle
+    // of pre-aggregated partials. The anti-join broadcasts whichever side
+    // is smaller at runtime (AQE) — at 100 TB that's still the spine.
+    "q_date_spine" -> { (s, d) =>
+      val days = Tables.orders(s, d)
+        .select(col("o_orderdate").cast("date").as("day"))
+      val bounds = days.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+      spine.join(days.distinct(), Seq("day"), "left_anti")
+        .orderBy(col("day"))
+    },
+
     // Generator path: posexplode of the first 4 embedding dims (GenerateExec).
     "q_explode" -> { (s, d) =>
       Tables.embeddings(s, d)
@@ -270,6 +289,20 @@ object ScalarFuncs extends QueryPack {
         CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
         CAST(o_orderdate AS DATE) - 90 AS minus90d
       FROM orders ORDER BY o_orderkey""",
+
+    "q_date_spine" -> """
+      WITH days AS (
+        SELECT CAST(o_orderdate AS DATE) AS day FROM orders
+      ), bounds AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM days
+      ), spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+          AS day
+        FROM bounds
+      )
+      SELECT s.day FROM spine s
+      WHERE NOT EXISTS (SELECT 1 FROM days d WHERE d.day = s.day)
+      ORDER BY s.day""",
 
     "q_explode" -> """
       SELECT vec_id, CAST(t.r AS INT) AS pos,

@@ -216,6 +216,51 @@ object TextOps extends QueryPack {
                 size(split(col("text"), " ")).as("n_tokens"))
         .filter(col("tf") > 0)
         .orderBy(col("tf").desc, col("doc_id"))
+    },
+
+    // Connected components over the minhash near-dup graph — the finisher
+    // that turns pairwise matches into dedup clusters (Components.scala's
+    // min-label propagation, used by TrainingPipeline.dedupNearCanonical).
+    // Output: one row per cluster (component = min doc id) with member
+    // count and max member. Oracle: recursive-CTE transitive closure over
+    // the same pair SQL — O(cluster² ) only because near-dup clusters are
+    // tiny; the Spark side stays the O(diameter)-round label propagation
+    // that scales.
+    "q_connected_components" -> { (s, d) =>
+      val pairs = minhashPairs(Tables.documents(s, d), 0.5)
+        .select(col("d1"), col("d2"))
+      Components.connectedComponents(pairs)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy(col("comp"))
+    },
+
+    // Dictionary fuzzy match (spell-correction shape): probe terms are the
+    // corpus vocabulary with the last character dropped (a deterministic
+    // "typo" both engines derive identically); each probe matches every
+    // vocab word within levenshtein ≤ 1 — candidates generated by
+    // FIRST-LETTER BLOCKING + length band, the standard entity-resolution
+    // idiom: the edit-distance predicate runs only inside a block, never
+    // all-pairs (same recall trade-off every blocking scheme documents: a
+    // first-letter typo falls outside the block). At 100 TB the block key
+    // widens to (prefix, length band) buckets exactly like
+    // Skew.rangeBucketJoin's coarse ranges; the fixture's one-letter key
+    // is the same plan in miniature — an equi-join both engines hash.
+    "q_fuzzy_match" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_occ"))
+      val probes = words
+        .select(expr("substr(word, 1, length(word) - 1)").as("probe"))
+        .filter(length(col("probe")) >= 3).distinct()
+      probes.withColumn("blk", substring(col("probe"), 1, 1))
+        .join(words.withColumn("blk", substring(col("word"), 1, 1)), Seq("blk"))
+        .filter(abs(length(col("probe")) - length(col("word"))) <= 1 &&
+                levenshtein(col("probe"), col("word")) <= 1)
+        .select(col("probe"), col("word"),
+                levenshtein(col("probe"), col("word")).cast("long").as("dist"),
+                col("n_occ"))
+        .orderBy(col("probe"), col("word"))
     }
   )
 
@@ -223,8 +268,9 @@ object TextOps extends QueryPack {
     * `permA`/`permB` vals the Spark side uses (single source of truth for
     * the 128 constants). Stage-for-stage: shingles → md5-prefix digest →
     * 64 perm mins → 16 band tuples → candidate pairs → exact Jaccard.
+    * Body (no ORDER BY) so the components oracle can nest it as a CTE.
     */
-  private def minhashOracleSql: String = {
+  private def minhashPairsSql: String = {
     val permMins = (0 until NumPerms).map { j =>
       s"min((${permA(j)} * h32 + ${permB(j)}) % $PermP) AS m$j"
     }.mkString(",\n          ")
@@ -275,12 +321,49 @@ object TextOps extends QueryPack {
         LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
         JOIN sizes z1 ON z1.doc_id = c.d1
         JOIN sizes z2 ON z2.doc_id = c.d2
-      ) WHERE jaccard >= 0.5
-      ORDER BY d1, d2"""
+      ) WHERE jaccard >= 0.5"""
   }
 
+  /** Recursive-CTE twin of Components.connectedComponents over the
+    * [[minhashPairsSql]] graph: transitive closure (reach), then
+    * component = min reachable id per node, then per-component rollup.
+    */
+  private def componentsOracleSql: String = s"""
+      WITH RECURSIVE pairs AS (
+        $minhashPairsSql
+      ), edges AS (
+        SELECT d1 AS a, d2 AS b FROM pairs
+        UNION
+        SELECT d2 AS a, d1 AS b FROM pairs
+      ), reach(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
+      )
+      SELECT comp, count(*) AS n_members, max(id) AS max_id
+      FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+      GROUP BY comp ORDER BY comp"""
+
   def oracles: Map[String, String] = Map(
-    "q_dedup_minhash" -> minhashOracleSql,
+    "q_dedup_minhash" -> (minhashPairsSql + "\n      ORDER BY d1, d2"),
+
+    "q_connected_components" -> componentsOracleSql,
+
+    "q_fuzzy_match" -> """
+      WITH words AS (
+        SELECT w AS word, count(*) AS n_occ
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+      ), probes AS (
+        SELECT DISTINCT substr(word, 1, len(word) - 1) AS probe FROM words
+        WHERE len(word) - 1 >= 3
+      )
+      SELECT p.probe, w.word, levenshtein(p.probe, w.word) AS dist, w.n_occ
+      FROM probes p JOIN words w
+        ON substr(p.probe, 1, 1) = substr(w.word, 1, 1)
+       AND abs(len(p.probe) - len(w.word)) <= 1
+       AND levenshtein(p.probe, w.word) <= 1
+      ORDER BY probe, word""",
 
     "q_dedup_exact" -> """
       SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,

@@ -103,10 +103,36 @@ object Windows extends QueryPack {
                 count(lit(1)).over(w).as("run_n"),
                 outd(sum(dec(col("o_totalprice"))).over(w)).as("run_total"))
         .orderBy(col("o_orderkey"))
+    },
+
+    // Distribution analytics: percent_rank / cume_dist / nth_value per
+    // segment. The (acctbal, custkey) order key is a TOTAL order, so no
+    // peer groups exist and both engines' distribution functions agree
+    // bit-for-bit: each is one division of identical integers — emitted
+    // UNROUNDED on purpose (rounding could only introduce a tie-break
+    // divergence; the raw doubles are already identical).
+    "q_window_percent" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                percent_rank().over(w).as("pct_rank"),
+                cume_dist().over(w).as("cume"),
+                nth_value(col("c_custkey"), 3).over(w).as("third_key"))
+        .orderBy(col("c_custkey"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q_window_percent" -> """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume,
+        nth_value(c_custkey, 3) OVER w AS third_key
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""",
+
     "q_window_rank" -> """
       SELECT c_custkey, c_mktsegment, c_acctbal,
         CAST(row_number() OVER w AS INT) AS rn,

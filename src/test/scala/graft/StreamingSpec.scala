@@ -142,6 +142,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-matched rows after the window closes") {
+    // Outer variant of the interval join: a purchase with no signup in
+    // range must still surface — with a null signup — but only once the
+    // watermark proves no matching signup can still arrive (state
+    // eviction is what triggers the null emission, so this pins the
+    // eviction path, not just the match path).
+    import spark.implicits._
+    val purchases = MemoryStream[(Timestamp, Long, Long)](spark)
+    val signups = MemoryStream[(Timestamp, Long, Long)](spark)
+    val p = purchases.toDF().toDF("p_ts", "p_user", "purchase_id")
+      .withWatermark("p_ts", "5 minutes")
+    val g = signups.toDF().toDF("g_ts", "g_user", "signup_id")
+      .withWatermark("g_ts", "5 minutes")
+    val joined = p.join(g,
+      col("p_user") === col("g_user") &&
+      col("p_ts") >= col("g_ts") &&
+      col("p_ts") < col("g_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("purchase_id"), col("signup_id"))
+    val q = joined.writeStream.format("memory").queryName("sjo_out")
+      .outputMode("append").start()
+    try {
+      def rows(): Set[(Long, Option[Long])] =
+        spark.table("sjo_out").as[(Long, Option[Long])].collect().toSet
+      // u1 purchase matches its signup; u3 purchase has NO signup
+      signups.addData((ts("2024-01-01 00:00:00"), 1L, 500L))
+      purchases.addData((ts("2024-01-01 00:10:00"), 1L, 100L),
+                        (ts("2024-01-01 00:15:00"), 3L, 101L))
+      q.processAllAvailable()
+      assert(rows().contains((100L, Some(500L))), s"got ${rows()}")
+      assert(!rows().exists(_._1 == 101L),
+        "unmatched row emitted before its window could be ruled out")
+      // advance both watermarks far past 00:15 + 30min so the u3 purchase
+      // can no longer match any future signup → null row must emit
+      purchases.addData((ts("2024-01-01 02:00:00"), 9L, 199L))
+      signups.addData((ts("2024-01-01 02:00:00"), 9L, 599L))
+      q.processAllAvailable()
+      purchases.addData((ts("2024-01-01 03:00:00"), 9L, 198L))
+      signups.addData((ts("2024-01-01 03:00:00"), 9L, 598L))
+      q.processAllAvailable()
+      assert(rows().contains((101L, None)),
+        s"evicted unmatched purchase never emitted its null row: ${rows()}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user count matches batch equivalent") {
     import spark.implicits._
     val input = MemoryStream[(String, Double)](spark)
