@@ -193,6 +193,46 @@ object Joins extends QueryPack {
         .orderBy(col("band"))
     },
 
+    // Salted fact⋈dim join (Skew.saltedJoin under the oracle gate): the
+    // big side takes a deterministic per-row salt, the dim side replicates
+    // `factor` ways, and the join key widens to (key, salt) — a hot
+    // custkey's rows spread over 8 shuffle partitions instead of one.
+    // Result ≡ the plain join (the oracle runs the plain form); the
+    // replication cost is bounded by the dim side. Companion of
+    // q_agg_salted (the aggregation half of the skew toolkit).
+    "q_join_salted" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "o_custkey", factor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+             outd(sum(dec(col("o_totalprice")))).as("total"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Fact⋈fact interval join (Skew.rangeBucketJoin under the oracle
+    // gate): per-brand [min, max+1) price intervals derived from the data
+    // itself, joined back against every part's price — the range predicate
+    // becomes a coarse-bucket EQUI-join (each interval explodes to the
+    // buckets it overlaps, each point to its one bucket), so the plan is
+    // hash/SMJ-shuffleable with NO nested loop even when neither side is
+    // broadcast-size (PlanSpec asserts; SkewAndBucketSpec pins theta-join
+    // equality with broadcast disabled). Contrast with q_join_range, whose
+    // band table is dim-sized and deliberately broadcast.
+    "q_join_range_fact" -> { (s, d) =>
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"))
+      val iv = Tables.part(s, d).groupBy(col("p_brand"))
+        .agg(min(col("p_retailprice")).as("lo"),
+             (max(col("p_retailprice")) + lit(1.0)).as("hi"))
+      Skew.rangeBucketJoin(p, "p_retailprice", iv, "lo", "hi",
+          bucketWidth = 25.0)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_in_range"), min(col("p_partkey")).as("min_part"))
+        .orderBy(col("p_brand"))
+    },
+
     // 4-way star join (TPC-H Q5 shape): region⋈nation⋈supplier⋈lineitem.
     // region/nation/supplier auto-broadcast; lineitem never shuffles until
     // the final low-cardinality groupBy.
@@ -303,6 +343,23 @@ object Joins extends QueryPack {
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
       FROM tagged QUALIFY kind = 1 ORDER BY event_id""",
+
+    "q_join_salted" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_join_range_fact" -> """
+      WITH iv AS (
+        SELECT p_brand, min(p_retailprice) AS lo, max(p_retailprice) + 1 AS hi
+        FROM part GROUP BY p_brand
+      )
+      SELECT iv.p_brand AS p_brand, count(*) AS n_in_range,
+             min(p.p_partkey) AS min_part
+      FROM part p JOIN iv
+        ON p.p_retailprice >= iv.lo AND p.p_retailprice < iv.hi
+      GROUP BY iv.p_brand ORDER BY iv.p_brand""",
 
     "q_join_multiway" -> """
       SELECT n_name,

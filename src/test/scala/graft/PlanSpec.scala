@@ -139,6 +139,33 @@ class PlanSpec extends AnyFunSuite {
       s"no equi-join in the interval-join plan:\n$s")
   }
 
+  test("q_fuzzy_match blocks candidates on the equi block key (never all-pairs)") {
+    val s = finalPlan("q_fuzzy_match")
+    assert(!s.contains("CartesianProduct"),
+      s"fuzzy match degenerated to all-pairs:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match lost its blocking equi-key:\n$s")
+  }
+
+  test("q_join_range_fact buckets the range predicate into an equi-join") {
+    val s = finalPlan("q_join_range_fact")
+    assert(!s.contains("CartesianProduct") &&
+           !s.contains("BroadcastNestedLoopJoin"),
+      s"fact-fact interval join planned a nested loop:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+           s.contains("ShuffledHashJoin"),
+      s"no equi-join in the bucketed interval plan:\n$s")
+  }
+
+  test("q_join_salted spreads the join key: equi-join on (key, salt), no single partition") {
+    val s = finalPlan("q_join_salted")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"salted join collapsed to one partition:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin") ||
+           s.contains("ShuffledHashJoin"),
+      s"salted join lost its equi-key:\n$s")
+  }
+
   test("q_correlated_subquery decorrelates to equi-joins (no per-row re-execution shape)") {
     // DecorrelateInnerQuery must rewrite each correlated aggregate into a
     // groupBy(status) + equi-join on the correlation key; a nested loop or
