@@ -9,7 +9,7 @@ import graft.ops._
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps,
-    Ingestion, StreamingOps, TextOps, UdfOps, PipelineOps
+    Ingestion, StreamingOps, TextOps, UdfOps, PipelineOps, Lakehouse
   )
 
   private lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance patterns (SURVEY.md §2.B "Lakehouse"): the two
+  * table-maintenance shapes every warehouse-on-parquet user runs — SCD-1
+  * upsert (merge a change set into a base table) and SCD-2 history build
+  * (turn an event log into validity intervals). Both are pure DataFrame
+  * algebra — no table format required — which is exactly how an engine
+  * without a transactional format expresses MERGE.
+  *
+  * Scale notes (100 TB lens):
+  *  - q_upsert is ONE full outer join on the merge key (hash/SMJ,
+  *    AQE-splittable) + a coalesce projection; no iteration, no driver
+  *    state. With the base bucketed on the key (SkewAndBucketSpec's
+  *    layout) the join is shuffle-free on the base side — the change set
+  *    is typically ≪ the base and shuffles cheaply or broadcasts.
+  *  - q_scd2 is one shuffle by the entity key + a partition-local ordered
+  *    window (`lead`) — the per-entity history never crosses executors.
+  */
+object Lakehouse extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD-1 upsert (MERGE shape): base = negative-balance customers,
+    // change set = per-customer P-order totals. Key in both → UPDATE
+    // (balance + delta), change-only → INSERT, base-only → KEEP — the
+    // three MERGE branches as one full outer join + coalesce, with an
+    // action column proving which branch each row took.
+    "q_upsert" -> { (s, d) =>
+      val base = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"),
+                dec(col("c_acctbal")).as("balance"))
+      val changes = Tables.orders(s, d).filter(col("o_orderstatus") === "P")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("delta"))
+      base.join(changes, Seq("custkey"), "full")
+        .select(col("custkey"),
+                outd(coalesce(col("balance"), dec(lit(0))) +
+                     coalesce(col("delta"), dec(lit(0)))).as("new_balance"),
+                when(col("balance").isNull, "insert")
+                  .when(col("delta").isNull, "keep")
+                  .otherwise("update").as("action"))
+        .orderBy(col("custkey"))
+    },
+
+    // SCD-2 history build: each user's purchase log becomes validity
+    // intervals — valid_from = the event ts, valid_to = the next event's
+    // ts (null = current row), is_current flag. One shuffle by user, one
+    // partition-local lead() over (ts, event_id) — a total order, so both
+    // engines pick identical successors.
+    "q_scd2" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("ts").as("valid_from"),
+                lead(col("ts"), 1).over(w).as("valid_to"),
+                lead(col("ts"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_upsert" -> """
+      WITH base AS (
+        SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS balance
+        FROM customer WHERE c_acctbal < 0
+      ), changes AS (
+        SELECT o_custkey AS custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS delta
+        FROM orders WHERE o_orderstatus = 'P' GROUP BY o_custkey
+      )
+      SELECT coalesce(b.custkey, c.custkey) AS custkey,
+        round(CAST(coalesce(b.balance, 0) + coalesce(c.delta, 0) AS DOUBLE), 4)
+          AS new_balance,
+        CASE WHEN b.custkey IS NULL THEN 'insert'
+             WHEN c.custkey IS NULL THEN 'keep'
+             ELSE 'update' END AS action
+      FROM base b FULL JOIN changes c ON b.custkey = c.custkey
+      ORDER BY custkey""",
+
+    "q_scd2" -> """
+      SELECT user_id, event_id, value,
+        CAST(ts AS TIMESTAMP) AS valid_from,
+        CAST(lead(ts, 1) OVER w AS TIMESTAMP) AS valid_to,
+        lead(ts, 1) OVER w IS NULL AS is_current
+      FROM events WHERE event_type = 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, valid_from, event_id"""
+  )
+}
