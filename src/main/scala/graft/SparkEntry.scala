@@ -9,7 +9,8 @@ import graft.ops._
 object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps,
-    Ingestion, StreamingOps, TextOps, UdfOps, PipelineOps, Lakehouse
+    Ingestion, StreamingOps, TextOps, UdfOps, PipelineOps, Lakehouse,
+    Analytics
   )
 
   private lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =

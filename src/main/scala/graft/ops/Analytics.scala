@@ -1,0 +1,275 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Product-analytics + IR-ranking pack: the query shapes a user of the
+  * reference's event pipeline (`/root/reference/main.go:197-231` producers)
+  * runs once the events land in a lake, plus the two classic text-ranking
+  * scores (TF-IDF, BM25) that complete the LLM-pipeline text-analysis
+  * story (SURVEY.md §2.B).
+  *
+  * Scale notes (100 TB lens):
+  *  - q_funnel is ONE hash-shuffle by user_id (conditional min per step,
+  *    map-side combinable) + a single-row global agg; step counts come out
+  *    of one pass no matter how many events per user.
+  *  - q_retention shuffles the DISTINCT (user, day) activity set — the
+  *    events table collapses to ≤ users×days rows before the join; the
+  *    cohort side is a re-aggregation of the same frame (shuffle reuse),
+  *    never a second scan.
+  *  - q_anomaly_zscore keeps per-group moments EXACT (decimal sum /
+  *    sum-of-squares — single-pass, mergeable, no Welford merge-order
+  *    drift) and broadcasts the 5-row stats frame back onto the fact
+  *    side: the big table never shuffles at all.
+  *  - q_histogram is pure arithmetic binning (integer cents DIV width) —
+  *    narrow map + one tiny hash agg; no sort, no window, no join.
+  *  - q_tfidf / q_bm25 shuffle token counts (doc_id, word) once; corpus
+  *    scalars (N, avgdl, df) ride in as broadcast 1-row frames, exactly
+  *    how a real index-build pipeline ships corpus statistics.
+  */
+object Analytics extends QueryPack {
+
+  private val Bm25K1 = 1.2
+  private val Bm25B  = 0.75
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Conversion funnel signup → view → purchase ordered by each user's
+    // FIRST occurrence of each step (strict ts order). One groupBy(user)
+    // with conditional mins, one global conditional count, unpivoted to
+    // (step, n_users) rows.
+    "q_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val perUser = ev
+        .filter(col("event_type").isin("signup", "view", "purchase"))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+             min(when(col("event_type") === "view", col("ts"))).as("t2"),
+             min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+      val counts = perUser.agg(
+        count(col("t1")).as("c1"),
+        count(when(col("t1") < col("t2"), lit(1))).as("c2"),
+        count(when(col("t1") < col("t2") && col("t2") < col("t3"), lit(1)))
+          .as("c3"))
+      counts
+        .select(explode(map(
+          lit("1_signup"), col("c1"),
+          lit("2_view"), col("c2"),
+          lit("3_purchase"), col("c3"))).as(Seq("step", "n_users")))
+        .orderBy(col("step"))
+    },
+
+    // Cohort retention: cohort = a user's first active day; one row per
+    // (cohort_day, day_offset) with the distinct users active that day.
+    // Activity first collapses to DISTINCT (user, day) — the fact table
+    // never joins at event grain.
+    "q_retention" -> { (s, d) =>
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .distinct()
+      val cohort = activity.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      activity.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+                 datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // Per-event-type z-score outliers (|z| > 2.5), population stddev.
+    // Moments are computed from EXACT decimal sums (value is a 2-decimal
+    // money column, so sum(dec) and sum(dec4(value²)) are exact — no
+    // float merge-order drift), then the 5-row stats frame broadcasts
+    // back onto the events scan: the fact side never shuffles.
+    "q_anomaly_zscore" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("value"))).as("s1"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 4))).as("s2"))
+        .select(col("event_type"),
+          (col("s1").cast("double") / col("n")).as("mean"),
+          sqrt(col("s2").cast("double") / col("n") -
+            pow(col("s1").cast("double") / col("n"), 2)).as("sd"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // Equi-width histogram of l_extendedprice: 10 fixed bins over
+    // [0, 120000). Binning is exact integer arithmetic on cents
+    // (round(p*100) is an exact integer for a 2-decimal column), so both
+    // engines bin identically — no float-edge ambiguity. Narrow map +
+    // one 10-group agg; the scale cost is one pass over the table.
+    "q_histogram" -> { (s, d) =>
+      val w = 12000L * 100L // bin width in cents
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice").as("p"),
+          least(floor(round(col("l_extendedprice") * 100).cast("long") / w),
+                lit(9L)).cast("int").as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+             min(col("p")).as("min_price"), max(col("p")).as("max_price"))
+        .select(col("bin"), (col("bin") * 12000L).as("bin_lo"),
+                col("n"), col("min_price"), col("max_price"))
+        .orderBy(col("bin"))
+    },
+
+    // TF-IDF: top-3 terms per document, tfidf = (tf/dl) · ln(N/df).
+    // Token counts shuffle once at (doc_id, word) grain; dl is a
+    // re-aggregation of the same frame; N rides in as a broadcast 1-row
+    // frame (no driver collect). Ranking is over the ROUNDED score with a
+    // word tie-break, so both engines rank identically.
+    "q_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round((col("tf") / col("dl")) *
+          log(col("n_docs") / col("df").cast("double")), 4))
+      val rankW = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("word"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+
+    // BM25 ranking for the single-term query 'spark' (k1=1.2, b=0.75):
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    // score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+    // Per-doc tf/dl come from one narrow projection; corpus stats
+    // (N, avgdl, df) are two broadcast 1-row aggregates. All arithmetic
+    // is deterministic doubles over exact integer inputs.
+    "q_bm25" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val hits = docs.select(col("doc_id"),
+          size(filter(col("toks"), _ === "spark")).as("tf"),
+          size(col("toks")).as("dl"))
+        .filter(col("tf") > 0)
+      val corpus = docs.agg(count(lit(1)).as("n_docs"),
+                            avg(size(col("toks"))).as("avgdl"))
+      val dfreq = hits.agg(count(lit(1)).as("df_t"))
+      hits.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfreq))
+        .withColumn("bm25", round(
+          log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
+            (col("df_t") + lit(0.5))) *
+          (col("tf") * lit(Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 4))
+        .select(col("doc_id"), col("tf"), col("dl"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_funnel" -> """
+      WITH per_user AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY user_id),
+      c AS (
+        SELECT count(t1) AS c1,
+               count(CASE WHEN t1 < t2 THEN 1 END) AS c2,
+               count(CASE WHEN t1 < t2 AND t2 < t3 THEN 1 END) AS c3
+        FROM per_user)
+      SELECT '1_signup' AS step, c1 AS n_users FROM c
+      UNION ALL SELECT '2_view', c2 FROM c
+      UNION ALL SELECT '3_purchase', c3 FROM c
+      ORDER BY step""",
+
+    "q_retention" -> """
+      WITH activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      cohort AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id)
+      SELECT c.cohort_day,
+             CAST(date_diff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_day, day_offset""",
+
+    "q_anomaly_zscore" -> """
+      WITH stats AS (
+        SELECT event_type,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+          sqrt(CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE)
+                 / count(*)
+               - pow(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*), 2)) AS sd
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+             round((e.value - s.mean) / s.sd, 4) AS z
+      FROM events e JOIN stats s USING (event_type)
+      WHERE abs(round((e.value - s.mean) / s.sd, 4)) > 2.5
+      ORDER BY event_type, event_id""",
+
+    "q_histogram" -> """
+      WITH binned AS (
+        SELECT l_extendedprice AS p,
+          CAST(least(floor(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             / 1200000.0), 9) AS INT) AS bin
+        FROM lineitem)
+      SELECT bin, CAST(bin AS BIGINT) * 12000 AS bin_lo, count(*) AS n,
+             min(p) AS min_price, max(p) AS max_price
+      FROM binned GROUP BY bin ORDER BY bin""",
+
+    "q_tfidf" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.word,
+          round((t.tf / CAST(d.dl AS DOUBLE)) *
+                ln(n.n_docs / CAST(f.df AS DOUBLE)), 4) AS tfidf
+        FROM tf t JOIN dl d USING (doc_id) JOIN df f USING (word), n)
+      SELECT doc_id, CAST(rn AS INT) AS rn, word, tfidf FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, word) AS rn
+        FROM scored)
+      WHERE rn <= 3
+      ORDER BY doc_id, rn""",
+
+    "q_bm25" -> """
+      WITH hits AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '),
+                               x -> x = 'spark')) AS INT) AS tf,
+          CAST(len(string_split(text, ' ')) AS INT) AS dl
+        FROM documents),
+      corpus AS (
+        SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+        FROM documents),
+      dft AS (SELECT count(*) AS df_t FROM hits WHERE tf > 0)
+      SELECT h.doc_id, h.tf, h.dl,
+        round(ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5)) *
+              (h.tf * CAST(2.2 AS DOUBLE)) /
+              (h.tf + CAST(1.2 AS DOUBLE) *
+                (CAST(0.25 AS DOUBLE) +
+                 CAST(0.75 AS DOUBLE) * h.dl / c.avgdl)), 4) AS bm25
+      FROM hits h, corpus c, dft d
+      WHERE h.tf > 0
+      ORDER BY bm25 DESC, doc_id"""
+  )
+}

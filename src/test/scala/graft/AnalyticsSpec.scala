@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the product-analytics/ranking pack (ops/Analytics.scala)
+  * that the DuckDB hash-match can't express, plus the plan shapes that ARE
+  * the 100 TB cost model (stats broadcast, no cartesian fan-out).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, TestSpark.Sf0001).collect()
+
+  test("q_funnel steps are monotonically non-increasing") {
+    val rows = run("q_funnel").sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_signup", "2_view", "3_purchase"))
+    val counts = rows.map(_.getLong(1)).toSeq
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel widened downstream: $counts")
+  }
+
+  test("q_retention day_offset 0 row exists per cohort and no negative offsets") {
+    val rows = run("q_retention")
+    val byCohort = rows.groupBy(_.getDate(0))
+    byCohort.foreach { case (day, rs) =>
+      assert(rs.exists(_.getInt(1) == 0), s"cohort $day missing offset-0 row")
+      assert(rs.forall(_.getInt(1) >= 0), s"cohort $day has a negative offset")
+    }
+    // offset-0 users per cohort = cohort size = max users at any offset
+    byCohort.foreach { case (day, rs) =>
+      val d0 = rs.find(_.getInt(1) == 0).get.getLong(2)
+      assert(rs.forall(_.getLong(2) <= d0),
+        s"cohort $day retains more users than it started with")
+    }
+  }
+
+  test("q_anomaly_zscore flags only |z| > 2.5 and broadcasts the stats side") {
+    val df = SparkEntry.queries("q_anomaly_zscore")(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.forall(r => math.abs(r.getDouble(3)) > 2.5))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-type stats frame must broadcast — the fact side may not shuffle")
+  }
+
+  test("q_histogram bins partition the table exactly") {
+    val rows = run("q_histogram")
+    val total = rows.map(_.getLong(2)).sum
+    val n = Tables.lineitem(spark, TestSpark.Sf0001).count()
+    assert(total == n, s"histogram dropped/duplicated rows: $total != $n")
+    rows.foreach { r =>
+      val bin = r.getInt(0); val lo = r.getLong(1).toDouble
+      assert(r.getDouble(3) >= lo || bin == 0,
+        s"bin $bin min ${r.getDouble(3)} below its lower edge $lo")
+      assert(bin < 9 || r.getDouble(4) >= lo,
+        "overflow bin should clamp, not wrap")
+    }
+  }
+
+  test("q_tfidf emits at most 3 ranked terms per doc, rank contiguous from 1") {
+    val rows = run("q_tfidf")
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val rns = rs.map(_.getInt(1)).sorted.toSeq
+      assert(rns == (1 to rns.size), s"doc $doc ranks not contiguous: $rns")
+      assert(rns.size <= 3)
+    }
+  }
+
+  test("q_bm25 scores every doc containing the term, ordered by score") {
+    val rows = run("q_bm25")
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) > 0), "a zero-tf doc leaked into the ranking")
+    val scores = rows.map(_.getDouble(3)).toSeq
+    assert(scores == scores.sorted.reverse, "not ordered by descending score")
+  }
+
+  test("ranking keys plan no cartesian product (corpus-scalar joins stay broadcast)") {
+    for (k <- Seq("q_tfidf", "q_bm25")) {
+      val df = SparkEntry.queries(k)(spark, TestSpark.Sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$k: 1-row corpus-stat join degenerated to a cartesian product")
+    }
+  }
+}
