@@ -257,6 +257,31 @@ object Aggregates extends QueryPack {
                 outd(col("sum")).as("sum_qty"),
                 col("n").as("n_rows"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // NULL semantics, pinned end-to-end: NULL forms its OWN group under
+    // GROUP BY (distinct from any value), count(*) counts it while
+    // count(col) / count(DISTINCT col) / sum(col) all skip NULLs,
+    // coalesce re-admits them, `<=>` (IS NOT DISTINCT FROM) is the
+    // null-safe comparison, and the output sort places the NULL group
+    // FIRST explicitly (engines disagree on the default — Spark sorts
+    // nulls first ASC, DuckDB last — so portable queries must say it).
+    // NULLs are manufactured deterministically with nullif on fixture
+    // values so both engines derive the identical nullable columns.
+    "q_null_semantics" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          expr("nullif(l_returnflag, 'R')").as("grp"),
+          expr("nullif(l_quantity, 1.0)").as("qn"),
+          expr("nullif(l_quantity, 2.0)").as("qn2"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("qn")).as("n_qn"),
+             count_distinct(col("qn")).as("nd_qn"),
+             outd(sum(dec(col("qn")))).as("sum_qn"),
+             outd(sum(dec(coalesce(col("qn"), lit(0.0))))).as("sum_coalesced"),
+             count(when(col("qn") <=> col("qn2"), lit(1))).as("n_nullsafe_eq"))
+        .orderBy(col("grp").asc_nulls_first)
     }
   )
 
@@ -396,6 +421,21 @@ object Aggregates extends QueryPack {
         round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 4)
           AS sum_qty,
         count(*) AS n_rows
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_null_semantics" -> """
+      WITH base AS (
+        SELECT nullif(l_returnflag, 'R') AS grp,
+               nullif(l_quantity, 1.0) AS qn,
+               nullif(l_quantity, 2.0) AS qn2
+        FROM lineitem)
+      SELECT grp, count(*) AS n_rows, count(qn) AS n_qn,
+        count(DISTINCT qn) AS nd_qn,
+        round(CAST(sum(CAST(qn AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qn,
+        round(CAST(sum(CAST(coalesce(qn, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 4)
+          AS sum_coalesced,
+        count(CASE WHEN qn IS NOT DISTINCT FROM qn2 THEN 1 END)
+          AS n_nullsafe_eq
+      FROM base GROUP BY grp ORDER BY grp NULLS FIRST"""
   )
 }

@@ -299,6 +299,35 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("pack_id"))
     },
 
+    // ---- q_embed_quantize: symmetric int8 vector quantization ---------
+    // Per-vector symmetric int8 quantization (the PQ/scalar-quant step of
+    // every vector-index build): scale = maxabs/127, q_i = round(x_i /
+    // scale), plus the L2 reconstruction error. Narrow per-row math — no
+    // shuffle at all before the output sort; at 100 TB this is one pass
+    // that shrinks the index payload 4× (f32 → i8 + one scale). The
+    // integer checksum Σq is exact in both engines (64 ints ≤ 127 sum
+    // exactly in doubles in any order); the error uses the 3-dot-product
+    // expansion ‖e‖² − 2·e·dq + ‖dq‖² so both engines evaluate the SAME
+    // expression tree over the same sequential folds.
+    "q_embed_quantize" -> { (s, d) =>
+      val dotD = (a: Column, b: Column) =>
+        aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        .withColumn("maxabs", array_max(transform(col("e"), abs(_))))
+        .filter(col("maxabs") > 0)
+        .withColumn("scale", col("maxabs") / lit(127.0d))
+        .withColumn("qd", transform(col("e"), x => round(x / col("scale"), 0)))
+        .withColumn("dq", transform(col("qd"), x => x * col("scale")))
+        .select(col("vec_id"),
+          aggregate(col("qd"), lit(0.0d), _ + _).cast("long").as("sum_q"),
+          round(col("scale"), 6).as("scale_r"),
+          round(sqrt(dotD(col("e"), col("e"))
+            - lit(2.0d) * dotD(col("e"), col("dq"))
+            + dotD(col("dq"), col("dq"))), 6).as("l2_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // ---- q_multimodal_meta: opaque-binary column plumbing -------------
     // Media bytes as a BinaryType column with typed metadata: byte length,
     // 4-byte magic prefix (hex), head bytes (base64), fixed-stride frame
@@ -764,6 +793,28 @@ object PipelineOps extends QueryPack {
       SELECT lang, pack_id, count(*) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS sum_tokens
       FROM st GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    "q_embed_quantize" -> """
+      WITH q AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+          list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> abs(x)), 'max') AS maxabs
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, e, maxabs / 127.0 AS scale,
+          list_transform(e, x -> round(x / (maxabs / 127.0))) AS qd
+        FROM q WHERE maxabs > 0),
+      d AS (
+        SELECT vec_id, e, scale, qd,
+          list_transform(qd, x -> x * scale) AS dq
+        FROM s)
+      SELECT vec_id,
+        CAST(list_aggregate(qd, 'sum') AS BIGINT) AS sum_q,
+        round(scale, 6) AS scale_r,
+        round(sqrt(list_dot_product(e, e)
+          - 2.0 * list_dot_product(e, dq)
+          + list_dot_product(dq, dq)), 6) AS l2_err
+      FROM d ORDER BY vec_id""",
 
     "q_multimodal_meta" -> """
       SELECT doc_id, 'text/plain' AS media_type,

@@ -158,6 +158,28 @@ object StreamingOps extends QueryPack {
                 count(lit(1)).over(w).as("run_n"),
                 outd(sum(dec10(col("value"))).over(w)).as("run_sum"))
         .orderBy(col("event_id"))
+    },
+
+    // Chained stateful aggregation, batch twin: 15-min tumbling counts
+    // re-aggregated into hourly avg/max/sum — the "aggregate the
+    // aggregates" pipeline (Spark 4 runs multiple stateful operators in
+    // one streaming query when each carries event-time, i.e. the first
+    // agg groups by window and the second windows over window.start; the
+    // MemoryStream form is pinned in StreamingSpec "chained windowed
+    // aggregations"). Both levels are two-phase hash aggs over window
+    // keys; level 2's input is already only O(windows) rows.
+    "q_stream_agg_chain" -> { (s, d) =>
+      val sub = Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("n15"))
+        .select(col("window.start").as("w15"), col("n15"))
+      sub.groupBy(window(col("w15"), "1 hour"))
+        .agg(round(avg(col("n15")), 4).as("avg_n15"),
+             max(col("n15")).as("max_n15"),
+             sum(col("n15")).as("sum_n"))
+        .select(col("window.start").as("win_start"),
+                col("avg_n15"), col("max_n15"), col("sum_n"))
+        .orderBy(col("win_start"))
     }
   )
 
@@ -222,6 +244,17 @@ object StreamingOps extends QueryPack {
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      ORDER BY event_id"""
+      ORDER BY event_id""",
+
+    "q_stream_agg_chain" -> """
+      WITH sub AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts) AS w15,
+               count(*) AS n15
+        FROM events GROUP BY 1)
+      SELECT date_trunc('hour', w15) AS win_start,
+        round(avg(n15), 4) AS avg_n15,
+        max(n15) AS max_n15,
+        CAST(sum(n15) AS BIGINT) AS sum_n
+      FROM sub GROUP BY 1 ORDER BY win_start"""
   )
 }

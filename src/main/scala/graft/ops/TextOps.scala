@@ -261,6 +261,29 @@ object TextOps extends QueryPack {
                 levenshtein(col("probe"), col("word")).cast("long").as("dist"),
                 col("n_occ"))
         .orderBy(col("probe"), col("word"))
+    },
+
+    // Unigram language-model scoring — the perplexity-style quality filter
+    // every training-data pipeline runs (low avg log-prob ⇒ gibberish /
+    // off-distribution text): p(w) = count(w)/total_tokens over the whole
+    // corpus, per-doc score = Σ tf·ln(p(w)) / Σ tf. Token stream collapses
+    // to (doc_id, word, tf) grain BEFORE joining the vocabulary (the join
+    // input shrinks from token count to distinct-pair count), and the
+    // 1-row total rides in broadcast. At 100 TB: one (doc,word) shuffle +
+    // one word-keyed join of two aggregated frames.
+    "q_unigram_lm" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(count(lit(1)).as("total"))
+      tf.join(vocab, Seq("word")).crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+             round((sum(col("tf") * log(col("cnt") / col("total").cast("double"))) /
+               sum(col("tf"))), 4).as("avg_logp"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -391,6 +414,19 @@ object TextOps extends QueryPack {
       SELECT w AS word, count(*) AS n
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       GROUP BY w ORDER BY n DESC, word LIMIT 20""",
+
+    "q_unigram_lm" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT count(*) AS total FROM toks)
+      SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+        round(sum(t.tf * ln(v.cnt / CAST(tot.total AS DOUBLE)))
+          / sum(t.tf), 4) AS avg_logp
+      FROM tf t JOIN vocab v USING (word), tot
+      GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     "q_text_stats" -> """
       SELECT lang, source, count(*) AS n_docs,

@@ -187,6 +187,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained windowed aggregations emit finalized hours (multi-stateful)") {
+    // The streaming form of q_stream_agg_chain: 15-min tumbling counts
+    // re-aggregated into hourly stats — TWO stateful aggregations in one
+    // append-mode query (Spark 4 multi-stateful support). The second agg
+    // must window over window_time(window) so the event-time column (and
+    // the watermark) propagates through level 1.
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val sub = input.toDF().toDF("ts", "event_id")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes")).agg(count(lit(1)).as("n15"))
+    val hourly = sub
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(round(avg(col("n15")), 4).as("avg_n15"),
+           max(col("n15")).as("max_n15"), sum(col("n15")).as("sum_n"))
+      .select(col("window.start").cast("string").as("win_start"),
+              col("avg_n15"), col("max_n15"), col("sum_n"))
+    val q = hourly.writeStream.format("memory").queryName("chain_out")
+      .outputMode("append").start()
+    try {
+      // hour 0: 15-min window counts [1, 2, 1, 3]
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L),
+        (ts("2024-01-01 00:16:00"), 2L), (ts("2024-01-01 00:17:00"), 3L),
+        (ts("2024-01-01 00:31:00"), 4L),
+        (ts("2024-01-01 00:46:00"), 5L), (ts("2024-01-01 00:47:00"), 6L),
+        (ts("2024-01-01 00:48:00"), 7L))
+      q.processAllAvailable()
+      // sentinels: first closes level-1's hour-0 windows, the next lets
+      // level 2 see a watermark past 01:00 and emit the finalized hour
+      for (h <- Seq("02", "03", "04")) {
+        input.addData((ts(s"2024-01-01 $h:00:00"), 90L + h.toLong))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("chain_out")
+        .as[(String, Double, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(rows.contains("2024-01-01 00:00:00"),
+        s"hour-0 window never finalized: $rows")
+      assert(rows("2024-01-01 00:00:00") == ((1.75, 3L, 7L)),
+        s"wrong hour-0 stats: ${rows("2024-01-01 00:00:00")}")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user count matches batch equivalent") {
     import spark.implicits._
     val input = MemoryStream[(String, Double)](spark)
