@@ -169,6 +169,69 @@ object Analytics extends QueryPack {
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 4))
         .select(col("doc_id"), col("tf"), col("dl"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"))
+    },
+
+    // Time-series gap fill + linear interpolation: hourly purchase sums
+    // over a dense hour spine (derived from the data's own min/max — a
+    // 1-row aggregate exploded into O(calendar) rows, never fact-sized);
+    // interior gaps interpolate between the nearest present neighbors via
+    // IGNORE NULLS windows. The windows order the SPINE (720 rows/month at
+    // any data scale), not the events — the fact table's only cost is the
+    // hourly pre-aggregation. Slopes divide exact integer epochs and the
+    // neighbor values are exact decimal sums, so both engines interpolate
+    // identically.
+    "q_interpolate" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(dec(col("value"))).as("v"))
+      val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+      val wp = Window.orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.orderBy(col("h"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val vd = col("v").cast("double")
+      spine.join(hourly, Seq("h"), "left")
+        .withColumn("pv", last(vd, ignoreNulls = true).over(wp))
+        .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(vd, ignoreNulls = true).over(wn))
+        .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .select(col("h").as("win_h"), col("v").isNull.as("is_gap"),
+          round(when(col("v").isNotNull, vd).otherwise(
+            col("pv") + (col("nv") - col("pv")) *
+              (unix_timestamp(col("h")) - unix_timestamp(col("ph"))) /
+              (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))), 4)
+            .as("v_filled"))
+        .orderBy(col("win_h"))
+    },
+
+    // Order-insensitive table fingerprint — the "did the copy/migration
+    // preserve every row" data-quality check: a 60-bit per-row digest over
+    // the business columns (timestamps as integer micros, money as exact
+    // 2-decimal strings — every piece formats identically in both
+    // engines), folded with commutative aggregates (xor/min/max/count) so
+    // partitioning and row order can't change the answer. Pure narrow map
+    // + one tiny hash agg: one pass at any scale.
+    "q_table_checksum" -> { (s, d) =>
+      val rh = graft.expr.Md5Prefix60.h60(concat_ws("|",
+        col("l_orderkey").cast("string"), col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"), col("l_linenumber").cast("string"),
+        dec(col("l_quantity")).cast("string"),
+        dec(col("l_extendedprice")).cast("string"),
+        col("l_returnflag"), col("l_linestatus"),
+        // l_shipdate is TIMESTAMP_NTZ; the NTZ→TZ cast is a micros
+        // identity because every graft session pins UTC (Verify/Bench/
+        // TestSpark), matching DuckDB's naive epoch_us view byte-for-byte.
+        unix_micros(col("l_shipdate").cast("timestamp")).cast("string")))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), rh.as("rh"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             expr("bit_xor(rh)").as("xor_h"),
+             min(col("rh")).as("min_h"), max(col("rh")).as("max_h"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -270,6 +333,45 @@ object Analytics extends QueryPack {
                  CAST(0.75 AS DOUBLE) * h.dl / c.avgdl)), 4) AS bm25
       FROM hits h, corpus c, dft d
       WHERE h.tf > 0
-      ORDER BY bm25 DESC, doc_id"""
+      ORDER BY bm25 DESC, doc_id""",
+
+    "q_interpolate" -> """
+      WITH s AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+               sum(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series((SELECT min(h) FROM s),
+                                      (SELECT max(h) FROM s),
+                                      INTERVAL '1 hour')) AS h),
+      j AS (SELECT spine.h, s.v FROM spine LEFT JOIN s USING (h)),
+      m AS (
+        SELECT h, v,
+          last_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER wp AS pv,
+          last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER wp AS ph,
+          first_value(CAST(v AS DOUBLE) IGNORE NULLS) OVER wn AS nv,
+          first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER wn AS nh
+        FROM j WINDOW
+          wp AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wn AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT h AS win_h, (v IS NULL) AS is_gap,
+        round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+          ELSE pv + (nv - pv) * (epoch(h) - epoch(ph))
+                 / (epoch(nh) - epoch(ph)) END, 4) AS v_filled
+      FROM m ORDER BY win_h""",
+
+    "q_table_checksum" -> ("""
+      WITH r AS (
+        SELECT l_returnflag, """ + graft.ops.PipelineOps.h60Sql(
+          "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, " +
+          "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), " +
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), " +
+          "l_returnflag, l_linestatus, epoch_us(l_shipdate))") + """ AS rh
+        FROM lineitem)
+      SELECT l_returnflag, count(*) AS n_rows, bit_xor(rh) AS xor_h,
+             min(rh) AS min_h, max(rh) AS max_h
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 }

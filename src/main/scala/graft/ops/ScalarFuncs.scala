@@ -164,6 +164,26 @@ object ScalarFuncs extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Error-safe expression surface (ANSI mode's escape hatches): under
+    // Spark 4's default ANSI semantics a bad cast or a divide-by-zero
+    // THROWS, so robust pipelines over dirty data use the try_* family —
+    // failures become NULLs that flow through downstream aggregation
+    // instead of killing the job. DuckDB twins: TRY_CAST, and DuckDB's
+    // own division, which yields NULL on zero divisors. (try_add/
+    // try_multiply overflow has no NULL-returning DuckDB twin — DuckDB
+    // errors on integer overflow — so overflow stays out of the oracle-
+    // matched surface.)
+    "q_try_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          substring(col("o_orderpriority"), 1, 1).try_cast("int")
+            .as("prio_num"),
+          col("o_orderstatus").try_cast("int").as("bad_int"),
+          round(try_divide(col("o_totalprice"),
+            (col("o_orderkey") % 3).cast("double")), 4).as("div3"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Calendar-spine gap detection: generate the full day range between
     // the first and last order date (`sequence` + explode — the date-spine
     // idiom), anti-join the days that have orders, return the days with
@@ -278,6 +298,13 @@ object ScalarFuncs extends QueryPack {
         CAST(sum(bit_count(event_id)) AS BIGINT) AS sum_bits,
         count(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_try_funcs" -> """
+      SELECT o_orderkey,
+        try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        try_cast(o_orderstatus AS INT) AS bad_int,
+        round(o_totalprice / CAST(o_orderkey % 3 AS DOUBLE), 4) AS div3
+      FROM orders ORDER BY o_orderkey""",
 
     "q_interval_arith" -> """
       SELECT o_orderkey,
