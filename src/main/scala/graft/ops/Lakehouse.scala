@@ -60,6 +60,34 @@ object Lakehouse extends QueryPack {
                 lead(col("ts"), 1).over(w).as("valid_to"),
                 lead(col("ts"), 1).over(w).isNull.as("is_current"))
         .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    },
+
+    // Z-order clustering summary — the space-filling-curve layout step
+    // behind multi-dimensional data skipping (Delta/Iceberg OPTIMIZE
+    // ZORDER BY): interleave the bits of two 8-bit dimension buckets into
+    // a 16-bit z-value, tile the curve into 16 ranges, and report each
+    // tile's per-dimension envelope. The invariant that MAKES skipping
+    // work falls out of the math — a 4096-wide z-range fixes the top 2
+    // bits of BOTH dimensions, so every tile confines x and y to 64-wide
+    // bands (asserted in AnalyticsSpec) — i.e. a file written per z-range
+    // can be pruned by min/max stats on EITHER column. The layout pass at
+    // 100 TB is `repartitionByRange(zvalue)` + write; this key computes
+    // the same z arithmetic (pure narrow bit math, one tiny agg) in both
+    // engines.
+    "q_zorder" -> { (s, d) =>
+      val x = pmod(col("l_partkey"), lit(256L))
+      val y = pmod(col("l_suppkey"), lit(256L))
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      }.reduce(_ + _)
+      Tables.lineitem(s, d)
+        .select(x.as("x"), y.as("y"), z.as("z"))
+        .groupBy(floor(col("z") / lit(4096)).cast("int").as("z_tile"))
+        .agg(count(lit(1)).as("n"),
+             min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+             min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_tile"))
     }
   )
 
@@ -89,6 +117,20 @@ object Lakehouse extends QueryPack {
         lead(ts, 1) OVER w IS NULL AS is_current
       FROM events WHERE event_type = 'purchase'
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ORDER BY user_id, valid_from, event_id"""
+      ORDER BY user_id, valid_from, event_id""",
+
+    "q_zorder" -> ("""
+      WITH b AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem),
+      zed AS (
+        SELECT x, y, """ +
+        (0 until 8).map(i =>
+          s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ") + """ AS z
+        FROM b)
+      SELECT CAST(floor(z / 4096) AS INT) AS z_tile, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zed GROUP BY 1 ORDER BY z_tile""")
   )
 }

@@ -75,6 +75,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse, "not ordered by descending score")
   }
 
+  test("q_zorder tiles confine BOTH dimensions to 64-wide bands (the skipping invariant)") {
+    // A 4096-wide z-range fixes the top 2 bits of each 8-bit dimension, so
+    // min/max stats on either column prune a tile — the property that makes
+    // z-order layout worth the write cost.
+    val rows = run("q_zorder")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tile = r.getInt(0)
+      assert(r.getLong(3) - r.getLong(2) <= 63,
+        s"tile $tile x-envelope wider than a 64 band")
+      assert(r.getLong(5) - r.getLong(4) <= 63,
+        s"tile $tile y-envelope wider than a 64 band")
+    }
+  }
+
   test("ranking keys plan no cartesian product (corpus-scalar joins stay broadcast)") {
     for (k <- Seq("q_tfidf", "q_bm25")) {
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf0001)
