@@ -47,7 +47,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save())
       catch { case e: Throwable => Left(s"$name: ${e.getClass.getSimpleName}") }
 
+    // Optional positional args restrict the run to the named keys — for
+    // re-measuring a suspect key without paying the full suite (unknown
+    // names fail fast rather than silently shrinking the run).
+    val only = args.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown bench keys: ${unknown.mkString(", ")}")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach(run) // warm-up: JIT + codegen cache + parquet footers
     // Pay the warm-up's accumulated garbage BEFORE the clock starts: the
     // first big materializer of the timed pass otherwise absorbs a major

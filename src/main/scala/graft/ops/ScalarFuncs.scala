@@ -173,12 +173,22 @@ object ScalarFuncs extends QueryPack {
     // try_multiply overflow has no NULL-returning DuckDB twin — DuckDB
     // errors on integer overflow — so overflow stays out of the oracle-
     // matched surface.)
+    //
+    // SCALE NOTE (measured): Spark's TRY string→int cast returns its NULL
+    // by CATCHING a per-row exception, ~7 µs per FAILING row (an
+    // always-failing 150k-row column benched 6× the same table's 8-func
+    // date projection). try_cast is priced for occasionally-dirty data —
+    // the dirty column here fails 1% of rows, the realistic shape; a
+    // mostly-invalid column wants a regex pre-filter, not try_cast
+    // (SCALE.md "error-safe expressions").
     "q_try_funcs" -> { (s, d) =>
+      val dirty = when(col("o_orderkey") % 100 === 0, col("o_orderstatus"))
+        .otherwise((col("o_orderkey") % 50).cast("string"))
       Tables.orders(s, d)
         .select(col("o_orderkey"),
           substring(col("o_orderpriority"), 1, 1).try_cast("int")
             .as("prio_num"),
-          col("o_orderstatus").try_cast("int").as("bad_int"),
+          dirty.try_cast("int").as("dirty_int"),
           round(try_divide(col("o_totalprice"),
             (col("o_orderkey") % 3).cast("double")), 4).as("div3"))
         .orderBy(col("o_orderkey"))
@@ -302,7 +312,9 @@ object ScalarFuncs extends QueryPack {
     "q_try_funcs" -> """
       SELECT o_orderkey,
         try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
-        try_cast(o_orderstatus AS INT) AS bad_int,
+        try_cast(CASE WHEN o_orderkey % 100 = 0 THEN o_orderstatus
+                      ELSE CAST(o_orderkey % 50 AS VARCHAR) END AS INT)
+          AS dirty_int,
         round(o_totalprice / CAST(o_orderkey % 3 AS DOUBLE), 4) AS div3
       FROM orders ORDER BY o_orderkey""",
 
