@@ -265,27 +265,36 @@ object TextOps extends QueryPack {
 
     // Unigram language-model scoring — the perplexity-style quality filter
     // every training-data pipeline runs (low avg log-prob ⇒ gibberish /
-    // off-distribution text): p(w) = count(w)/total_tokens over the whole
-    // corpus, per-doc score = Σ tf·ln(p(w)) / Σ tf. Token stream collapses
-    // to (doc_id, word, tf) grain BEFORE joining the vocabulary (the join
-    // input shrinks from token count to distinct-pair count), and the
-    // 1-row total rides in broadcast. At 100 TB: one (doc,word) shuffle +
-    // one word-keyed join of two aggregated frames.
+    // off-distribution text). Shared machinery in [[unigramLogProb]];
+    // pipeline stage = TrainingPipeline.lmQualityFilter.
     "q_unigram_lm" -> { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      val tf = toks.groupBy(col("doc_id"), col("word"))
-        .agg(count(lit(1)).as("tf"))
-      val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(count(lit(1)).as("total"))
-      tf.join(vocab, Seq("word")).crossJoin(broadcast(total))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n_tokens"),
-             round((sum(col("tf") * log(col("cnt") / col("total").cast("double"))) /
-               sum(col("tf"))), 4).as("avg_logp"))
+      unigramLogProb(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+                round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy(col("doc_id"))
     }
   )
+
+  /** Corpus unigram LM score per doc: p(w) = count(w)/total_tokens over
+    * the whole corpus, score = Σ tf·ln(p(w)) / Σ tf (unrounded). The token
+    * stream collapses to (doc_id, word, tf) grain BEFORE joining the
+    * vocabulary (the join input shrinks from token count to distinct-pair
+    * count), and the 1-row total rides in broadcast. At 100 TB: one
+    * (doc, word) shuffle + one word-keyed join of two aggregated frames.
+    * Returns (doc_id, n_tokens, avg_logp). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    tf.join(vocab, Seq("word")).crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           (sum(col("tf") * log(col("cnt") / col("total").cast("double"))) /
+             sum(col("tf"))).as("avg_logp"))
+  }
 
   /** DuckDB mirror of [[minhashPairs]], generated from the SAME
     * `permA`/`permB` vals the Spark side uses (single source of truth for

@@ -31,6 +31,28 @@ object TrainingPipeline {
       .drop("n_tokens", "distinct_ratio")
   }
 
+  /** Model-based quality gate (q_unigram_lm semantics): scores every doc
+    * with the corpus unigram LM ([[graft.ops.TextOps.unigramLogProb]]) and
+    * drops the lowest-scoring `dropFraction` — the perplexity-style filter
+    * run AFTER the cheap heuristic [[qualityFilter]] (heuristics first:
+    * they're narrow; the LM score costs a (doc, word) shuffle). The cut
+    * point is an `approx_percentile` t-digest over the scores — mergeable,
+    * bounded memory, broadcast back as ONE row — so the stage adds no
+    * driver-side collect and no global sort at any corpus size. */
+  def lmQualityFilter(docs: DataFrame, dropFraction: Double = 0.05): DataFrame = {
+    require(dropFraction >= 0 && dropFraction < 1,
+      s"dropFraction must be in [0, 1), got $dropFraction")
+    val scores = graft.ops.TextOps.unigramLogProb(docs)
+      .select(col("doc_id"), col("avg_logp"))
+    val cut = scores.agg(
+      percentile_approx(col("avg_logp"), lit(dropFraction), lit(10000))
+        .as("cut"))
+    docs.join(scores, Seq("doc_id"))
+      .crossJoin(broadcast(cut))
+      .filter(col("avg_logp") >= col("cut"))
+      .drop("avg_logp", "cut")
+  }
+
   /** Exact dedup: keep the lowest-id doc per md5(text). One shuffle of
     * (digest, id) — the text column never moves. */
   def dedupExact(docs: DataFrame): DataFrame = {

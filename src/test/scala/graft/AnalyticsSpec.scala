@@ -75,6 +75,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(scores == scores.sorted.reverse, "not ordered by descending score")
   }
 
+  test("q_funnel plans two-phase aggregation and no per-user event lists") {
+    val df = SparkEntry.queries("q_funnel")(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"),
+      "funnel's per-user conditional mins lost map-side combine")
+    assert(!plan.contains("CollectList") && !plan.contains("collect_list"),
+      "funnel materialized per-user event lists — the anti-pattern")
+  }
+
+  test("q_histogram and q_table_checksum aggregate two-phase (map-side combine)") {
+    for (k <- Seq("q_histogram", "q_table_checksum")) {
+      val df = SparkEntry.queries(k)(spark, TestSpark.Sf0001)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate") && plan.toLowerCase.contains("partial"),
+        s"$k lost partial aggregation:\n$plan")
+    }
+  }
+
   test("q_zorder tiles confine BOTH dimensions to 64-wide bands (the skipping invariant)") {
     // A 4096-wide z-range fixes the top 2 bits of each 8-bit dimension, so
     // min/max stats on either column prune a tile — the property that makes

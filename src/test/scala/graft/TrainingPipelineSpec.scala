@@ -20,6 +20,26 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("LM quality gate drops a clean bottom slice by score") {
+    val kept = TrainingPipeline.lmQualityFilter(docs, dropFraction = 0.1)
+    val total = docs.count()
+    val nKept = kept.count()
+    // approx_percentile cut: the kept fraction lands near 90%, never above
+    // what an exact cut could keep
+    assert(nKept < total && nKept >= (total * 0.8).toLong,
+      s"kept $nKept of $total — cut point off")
+    // the cut is a single threshold: every kept doc outscores every dropped
+    val scores = graft.ops.TextOps.unigramLogProb(docs)
+      .select(col("doc_id"), col("avg_logp"))
+    val keptMin = kept.join(scores, "doc_id").agg(min("avg_logp"))
+      .head().getDouble(0)
+    val dropMax = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(scores, "doc_id").agg(max("avg_logp")).head().getDouble(0)
+    assert(dropMax < keptMin,
+      s"overlap across the cut: dropped max $dropMax >= kept min $keptMin")
+    assert(kept.columns.toSeq == docs.columns.toSeq, "stage changed the schema")
+  }
+
   test("exact dedup keeps one doc per distinct text, lowest id") {
     val out = TrainingPipeline.dedupExact(docs)
     assert(out.select(md5(col("text"))).distinct().count() == out.count())
