@@ -76,14 +76,25 @@ object Bench {
           .next().trim.split("\\s+").drop(1).map(_.toLong)
         (if (f.length > 7) f(7) else 0L, f.sum)
       } catch { case _: Throwable => (-1L, -1L) }
+    // Driver-JVM GC time attributable to each timed run: the r6/r7 bench
+    // transients (one key reading 5-7x slow with ~zero host steal) are
+    // stop-the-world collections landing inside a pass — recording the
+    // per-key GC delta makes a GC-poisoned pass machine-detectable the
+    // same way steal_ticks makes a noisy-host pass detectable.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
     val stealPerPass = Array.ofDim[Long](passes)
     val ticksPerPass = Array.ofDim[Long](passes)
     val samples = (1 to passes).flatMap { pi =>
       val (steal0, ticks0) = cpuTicks()
       val res = names.map { name =>
+        val g0 = gcMillis()
         val t0 = System.nanoTime()
         val r = run(name)
-        (name, (System.nanoTime() - t0) / 1e9, r.isRight)
+        (name, (System.nanoTime() - t0) / 1e9, r.isRight, gcMillis() - g0)
       }
       val (steal1, ticks1) = cpuTicks()
       val ok = steal0 >= 0 && steal1 >= 0
@@ -100,6 +111,11 @@ object Bench {
       val median = ts(ts.length / 2)
       (name, median, ok)
     }
+    // max single-pass GC hit per key, ms — a large value next to a slow
+    // median tells the reader the key ate a collection, not a regression
+    val gcMax = names.map { name =>
+      name -> samples.filter(_._1 == name).map(_._4).max
+    }
     // queries map holds ONLY numeric values (a "failed" string broke the
     // driver's round-2 parse → parsed:null); failures are named in `failed`.
     val qs = timed.collect { case (k, v, true) =>
@@ -110,8 +126,10 @@ object Bench {
     val total = timed.collect { case (_, v, true) => v }.sum
     val steal = stealPerPass.mkString("[", ",", "]")
     val ticks = ticksPerPass.mkString("[", ",", "]")
+    val gcs = gcMax.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"gc_ms_max":$gcs,"sf":"$sfDir"}"""
     println(json)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
