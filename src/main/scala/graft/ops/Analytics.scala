@@ -63,15 +63,19 @@ object Analytics extends QueryPack {
 
     // Cohort retention: cohort = a user's first active day; one row per
     // (cohort_day, day_offset) with the distinct users active that day.
-    // Activity first collapses to DISTINCT (user, day) — the fact table
-    // never joins at event grain.
+    // ONE scan: activity collapses to DISTINCT (user, day), and the cohort
+    // day is a min() WINDOW over that same frame's user partitions — no
+    // self-join. (The join formulation plans TWO full scans of the fact
+    // table: Catalyst drops the redundant distinct under the cohort-side
+    // min, which breaks exchange-subtree equality and with it ReuseExchange
+    // — measured, and pinned by AnalyticsSpec's single-scan assertion.)
     "q_retention" -> { (s, d) =>
       val activity = Tables.events(s, d)
         .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
         .distinct()
-      val cohort = activity.groupBy(col("user_id"))
-        .agg(min(col("day")).as("cohort_day"))
-      activity.join(cohort, Seq("user_id"))
+      val wUser = Window.partitionBy(col("user_id"))
+      activity
+        .withColumn("cohort_day", min(col("day")).over(wUser))
         .groupBy(col("cohort_day"),
                  datediff(col("day"), col("cohort_day")).as("day_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))

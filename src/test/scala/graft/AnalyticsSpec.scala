@@ -35,6 +35,21 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_retention scans the events table exactly once (window cohort, no self-join)") {
+    // The join formulation read the fact table twice: Catalyst removes the
+    // redundant distinct under the cohort-side min, which breaks exchange-
+    // subtree equality and ReuseExchange. The window form can't regress to
+    // that without this failing.
+    val df = SparkEntry.queries("q_retention")(spark, TestSpark.Sf0001)
+    df.collect()
+    // AQE's toString prints the final plan AND the initial plan — count
+    // scans in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"retention reads the fact table $scans times:\n$plan")
+  }
+
   test("q_anomaly_zscore flags only |z| > 2.5 and broadcasts the stats side") {
     val df = SparkEntry.queries("q_anomaly_zscore")(spark, TestSpark.Sf0001)
     val rows = df.collect()
