@@ -124,19 +124,22 @@ object Analytics extends QueryPack {
     },
 
     // TF-IDF: top-3 terms per document, tfidf = (tf/dl) · ln(N/df).
-    // Token counts shuffle once at (doc_id, word) grain; dl is a
-    // re-aggregation of the same frame; N rides in as a broadcast 1-row
-    // frame (no driver collect). Ranking is over the ROUNDED score with a
-    // word tie-break, so both engines rank identically.
+    // dl and df are WINDOW sums over the one (doc_id, word, tf) lineage —
+    // separate aggregate branches each re-tokenize the text (column
+    // pruning makes the subtrees differ, so ReuseExchange can't fire;
+    // measured as 3 text scans) — and N joins in from a metadata-only
+    // count of documents (zero text bytes read). Net: the text column is
+    // tokenized exactly ONCE at any corpus size (AnalyticsSpec pins the
+    // scan count). Ranking is over the ROUNDED score with a word
+    // tie-break, so both engines rank identically.
     "q_tfidf" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val tf = docs
+      val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("word"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", round((col("tf") / col("dl")) *
           log(col("n_docs") / col("df").cast("double")), 4))
@@ -151,20 +154,22 @@ object Analytics extends QueryPack {
     // BM25 ranking for the single-term query 'spark' (k1=1.2, b=0.75):
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
     // score = idf · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
-    // Per-doc tf/dl come from one narrow projection; corpus stats
-    // (N, avgdl, df) are two broadcast 1-row aggregates. All arithmetic
-    // is deterministic doubles over exact integer inputs.
+    // Per-doc tf/dl come from one narrow projection, and ALL THREE corpus
+    // scalars (N, avgdl, df) come out of ONE aggregate over that same
+    // projection (df as a conditional count) — two text scans total, down
+    // from three in the original per-scalar formulation (AnalyticsSpec
+    // pins the count). All arithmetic is deterministic doubles over exact
+    // integer inputs.
     "q_bm25" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val hits = docs.select(col("doc_id"),
-          size(filter(col("toks"), _ === "spark")).as("tf"),
-          size(col("toks")).as("dl"))
-        .filter(col("tf") > 0)
-      val corpus = docs.agg(count(lit(1)).as("n_docs"),
-                            avg(size(col("toks"))).as("avgdl"))
-      val dfreq = hits.agg(count(lit(1)).as("df_t"))
-      hits.crossJoin(broadcast(corpus)).crossJoin(broadcast(dfreq))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), _ === "spark")).as("tf"),
+          size(split(col("text"), " ")).as("dl"))
+      val hits = base.filter(col("tf") > 0)
+      val corpus = base.agg(count(lit(1)).as("n_docs"),
+                            avg(col("dl")).as("avgdl"),
+                            count(when(col("tf") > 0, lit(1))).as("df_t"))
+      hits.crossJoin(broadcast(corpus))
         .withColumn("bm25", round(
           log(lit(1.0) + (col("n_docs") - col("df_t") + lit(0.5)) /
             (col("df_t") + lit(0.5))) *
@@ -175,38 +180,40 @@ object Analytics extends QueryPack {
         .orderBy(col("bm25").desc, col("doc_id"))
     },
 
-    // Time-series gap fill + linear interpolation: hourly purchase sums
-    // over a dense hour spine (derived from the data's own min/max — a
-    // 1-row aggregate exploded into O(calendar) rows, never fact-sized);
-    // interior gaps interpolate between the nearest present neighbors via
-    // IGNORE NULLS windows. The windows order the SPINE (720 rows/month at
+    // Time-series gap fill + linear interpolation over hourly purchase
+    // sums. The window orders the AGGREGATED hour frame (720 rows/month at
     // any data scale), not the events — the fact table's only cost is the
-    // hourly pre-aggregation. Slopes divide exact integer epochs and the
-    // neighbor values are exact decimal sums, so both engines interpolate
-    // identically.
+    // hourly pre-aggregation, once. Slopes divide exact integer epochs and
+    // the neighbor values are exact decimal sums, so both engines
+    // interpolate identically.
     "q_interpolate" -> { (s, d) =>
       val hourly = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .groupBy(date_trunc("hour", col("ts")).as("h"))
         .agg(sum(dec(col("value"))).as("v"))
-      val spine = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("h"))
-      val wp = Window.orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wn = Window.orderBy(col("h"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // Single pass, no spine join: each PRESENT hour emits itself plus
+      // the missing hours up to (exclusive) the next present hour, with
+      // the gap values interpolated between the two neighbors directly
+      // (pv = this row, nv = lead). Equivalent to the spine + IGNORE NULLS
+      // formulation — interior gaps sit between exactly these neighbors,
+      // and the spine's ends are present by construction — but the fact
+      // table is scanned ONCE (the spine variant's min/max bounds
+      // aggregate forced a second scan: the pruned subtree no longer
+      // matched, so ReuseExchange couldn't fire; AnalyticsSpec pins it).
+      val wNext = Window.orderBy(col("h"))
       val vd = col("v").cast("double")
-      spine.join(hourly, Seq("h"), "left")
-        .withColumn("pv", last(vd, ignoreNulls = true).over(wp))
-        .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
-        .withColumn("nv", first(vd, ignoreNulls = true).over(wn))
-        .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
-        .select(col("h").as("win_h"), col("v").isNull.as("is_gap"),
-          round(when(col("v").isNotNull, vd).otherwise(
+      hourly
+        .withColumn("nh", lead(col("h"), 1).over(wNext))
+        .withColumn("nv", lead(vd, 1).over(wNext))
+        .select(col("h"), vd.as("pv"), col("nh"), col("nv"),
+          explode(sequence(col("h"),
+            coalesce(col("nh") - expr("INTERVAL 1 HOUR"), col("h")),
+            expr("INTERVAL 1 HOUR"))).as("win_h"))
+        .select(col("win_h"), (col("win_h") =!= col("h")).as("is_gap"),
+          round(when(col("win_h") === col("h"), col("pv")).otherwise(
             col("pv") + (col("nv") - col("pv")) *
-              (unix_timestamp(col("h")) - unix_timestamp(col("ph"))) /
-              (unix_timestamp(col("nh")) - unix_timestamp(col("ph")))), 4)
+              (unix_timestamp(col("win_h")) - unix_timestamp(col("h"))) /
+              (unix_timestamp(col("nh")) - unix_timestamp(col("h")))), 4)
             .as("v_filled"))
         .orderBy(col("win_h"))
     },

@@ -277,18 +277,19 @@ object TextOps extends QueryPack {
 
   /** Corpus unigram LM score per doc: p(w) = count(w)/total_tokens over
     * the whole corpus, score = Σ tf·ln(p(w)) / Σ tf (unrounded). The token
-    * stream collapses to (doc_id, word, tf) grain BEFORE joining the
-    * vocabulary (the join input shrinks from token count to distinct-pair
-    * count), and the 1-row total rides in broadcast. At 100 TB: one
-    * (doc, word) shuffle + one word-keyed join of two aggregated frames.
-    * Returns (doc_id, n_tokens, avg_logp). */
+    * stream collapses to (doc_id, word, tf) grain ONCE, and everything
+    * else derives from that frame — vocabulary counts are Σtf per word,
+    * the corpus total is Σcnt over the vocabulary (broadcast 1-row) — so
+    * the raw text column is scanned exactly once at any corpus size
+    * (AnalyticsSpec pins the count; a per-stat formulation re-scanned it
+    * twice more). Returns (doc_id, n_tokens, avg_logp). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = docs
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
     tf.join(vocab, Seq("word")).crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),

@@ -35,19 +35,38 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  // AQE's toString prints the final plan AND the initial plan — count
+  // scans in the final section only
+  private def finalScans(key: String): Int = {
+    val df = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    "FileScan parquet".r.findAllIn(plan).size
+  }
+
   test("q_retention scans the events table exactly once (window cohort, no self-join)") {
     // The join formulation read the fact table twice: Catalyst removes the
     // redundant distinct under the cohort-side min, which breaks exchange-
     // subtree equality and ReuseExchange. The window form can't regress to
     // that without this failing.
-    val df = SparkEntry.queries("q_retention")(spark, TestSpark.Sf0001)
-    df.collect()
-    // AQE's toString prints the final plan AND the initial plan — count
-    // scans in the final section only
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"retention reads the fact table $scans times:\n$plan")
+    assert(finalScans("q_retention") == 1)
+  }
+
+  test("scan-count budget: each key tokenizes/aggregates its fact table the minimum number of times") {
+    // Pinned floors (measured): unigram_lm and interpolate derive every
+    // corpus statistic from one scanned lineage; funnel is one pass;
+    // tfidf = tokenize scan + a metadata-only doc count (reads no text
+    // bytes); bm25/zscore = stats pass + fact pass (the broadcast-stats
+    // floor without persist). A regression to per-statistic branches
+    // (each re-scanning the raw table) fails here.
+    val budget = Map("q_unigram_lm" -> 1, "q_interpolate" -> 1,
+                     "q_funnel" -> 1, "q_tfidf" -> 2, "q_bm25" -> 2,
+                     "q_anomaly_zscore" -> 2)
+    for ((k, n) <- budget) {
+      val got = finalScans(k)
+      assert(got <= n, s"$k scans its input $got times (budget $n)")
+    }
   }
 
   test("q_anomaly_zscore flags only |z| > 2.5 and broadcasts the stats side") {
