@@ -74,9 +74,13 @@ object PipelineOps extends QueryPack {
 
     // ---- q_quality_score: length/diversity/stopword heuristics --------
     // Stopwords = global top-10 words (data-derived, deterministic).
+    // Text length rides THROUGH the token frame (max() of a per-doc
+    // constant) so no third raw-doc scan is needed for avg word length —
+    // the text column is read twice total: the stopword derivation and
+    // the scoring pass, the broadcast-stats floor.
     "q_quality_score" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"),
+      val words = docs.select(col("doc_id"), length(col("text")).as("len"),
         explode(split(col("text"), " ")).as("word"))
       val stop = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(10)
@@ -85,18 +89,19 @@ object PipelineOps extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
              countDistinct(col("word")).as("n_distinct"),
-             sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"))
+             sum(coalesce(col("is_stop"), lit(0L))).as("n_stop"),
+             max(col("len")).as("len"))
       val dr = round(col("n_distinct").cast("double") / col("n_tokens"), 4)
       val sr = round(col("n_stop").cast("double") / col("n_tokens"), 4)
       // avg word length in closed form: single-space text ⇒
       // total word chars = len(text) − (n_tokens − 1).
-      val awl = round((length(col("text")) - col("n_tokens") + 1)
+      val awl = round((col("len") - col("n_tokens") + 1)
                         .cast("double") / col("n_tokens"), 4)
       // Composite score in exact integer basis points (1e-5 units):
       // double-arithmetic composition would tie-break round() differently
       // across engines at x.xxxx5. HALF_UP via (+5) div 10, then an exact
       // /10000 conversion — bit-identical on both sides by construction.
-      docs.join(perDoc, Seq("doc_id"))
+      perDoc
         .select(col("doc_id"), col("n_tokens"),
                 dr.as("distinct_ratio"), sr.as("stop_ratio"),
                 awl.as("avg_word_len"))

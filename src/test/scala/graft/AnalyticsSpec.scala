@@ -62,7 +62,7 @@ class AnalyticsSpec extends AnyFunSuite {
     // (each re-scanning the raw table) fails here.
     val budget = Map("q_unigram_lm" -> 1, "q_interpolate" -> 1,
                      "q_funnel" -> 1, "q_tfidf" -> 2, "q_bm25" -> 2,
-                     "q_anomaly_zscore" -> 2)
+                     "q_anomaly_zscore" -> 2, "q_quality_score" -> 2)
     for ((k, n) <- budget) {
       val got = finalScans(k)
       assert(got <= n, s"$k scans its input $got times (budget $n)")
