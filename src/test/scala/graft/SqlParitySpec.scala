@@ -192,4 +192,55 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
             > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
       ORDER BY o_orderkey""")
   }
+
+  test("analytics: q_funnel DSL == SQL (explode(map) unpivot)") {
+    assertParity("q_funnel", """
+      WITH per_user AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+          min(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS t3
+        FROM events
+        WHERE event_type IN ('signup', 'view', 'purchase')
+        GROUP BY user_id),
+      c AS (
+        SELECT count(t1) AS c1,
+               count(CASE WHEN t1 < t2 THEN 1 END) AS c2,
+               count(CASE WHEN t1 < t2 AND t2 < t3 THEN 1 END) AS c3
+        FROM per_user)
+      SELECT explode(map('1_signup', c1, '2_view', c2, '3_purchase', c3))
+               AS (step, n_users)
+      FROM c ORDER BY step""")
+  }
+
+  test("lakehouse: q_zorder DSL == SQL (shiftleft/shiftright bit math)") {
+    val zExpr = (0 until 8).map { i =>
+      s"shiftleft(shiftright(x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(y, $i) & 1, ${2 * i + 1})"
+    }.mkString(" + ")
+    assertParity("q_zorder", s"""
+      WITH b AS (
+        SELECT pmod(l_partkey, 256) AS x, pmod(l_suppkey, 256) AS y
+        FROM lineitem),
+      zed AS (SELECT x, y, $zExpr AS z FROM b)
+      SELECT CAST(floor(z / 4096) AS INT) AS z_tile, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM zed GROUP BY z_tile ORDER BY z_tile""")
+  }
+
+  test("aggregates: q_null_semantics DSL == SQL (null-safe <=>, NULLS FIRST)") {
+    assertParity("q_null_semantics", """
+      SELECT grp, count(*) AS n_rows, count(qn) AS n_qn,
+        count(DISTINCT qn) AS nd_qn,
+        round(CAST(sum(CAST(qn AS DECIMAL(18,2))) AS DOUBLE), 4) AS sum_qn,
+        round(CAST(sum(CAST(coalesce(qn, 0.0) AS DECIMAL(18,2))) AS DOUBLE), 4)
+          AS sum_coalesced,
+        count(CASE WHEN qn <=> qn2 THEN 1 END) AS n_nullsafe_eq
+      FROM (SELECT nullif(l_returnflag, 'R') AS grp,
+                   nullif(l_quantity, 1.0) AS qn,
+                   nullif(l_quantity, 2.0) AS qn2
+            FROM lineitem)
+      GROUP BY grp ORDER BY grp ASC NULLS FIRST""")
+  }
 }
