@@ -144,13 +144,20 @@ object TrainingPipeline {
 
   /** The full prep flow. `labeled` trains the language profiles (defaults
     * to the corpus itself when it carries a ground-truth `lang` column).
-    * Returns the cleaned, annotated corpus; persist with
+    * `lmDropFraction` > 0 inserts the model-based [[lmQualityFilter]]
+    * between the heuristic gate and dedup (cheapest-first still holds:
+    * heuristics are narrow, the LM score costs a token shuffle, dedup's
+    * LSH is the most expensive — each stage shrinks the next one's
+    * input). Returns the cleaned, annotated corpus; persist with
     * [[graft.sources.LakeSink]] between runs at scale. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
               nearDupThreshold: Double = 0.5,
-              labeled: DataFrame = null): DataFrame = {
-    val cleaned = dedupNearMinHash(
-      dedupExact(qualityFilter(docs, minTokens)), nearDupThreshold)
+              labeled: DataFrame = null,
+              lmDropFraction: Double = 0.0): DataFrame = {
+    val gated = qualityFilter(docs, minTokens)
+    val scored =
+      if (lmDropFraction > 0) lmQualityFilter(gated, lmDropFraction) else gated
+    val cleaned = dedupNearMinHash(dedupExact(scored), nearDupThreshold)
     annotateLanguage(cleaned, Option(labeled).getOrElse(docs))
   }
 }

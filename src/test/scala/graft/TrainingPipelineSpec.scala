@@ -151,4 +151,22 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .transform(df => { graft.sources.LakeSink.writeByDay(df, "ts", dir.getAbsolutePath); df })
     assert(graft.sources.LakeSink.read(s, dir.getAbsolutePath).count() == out.count())
   }
+
+  test("prepare() with lmDropFraction inserts the LM gate between heuristics and dedup") {
+    val base = TrainingPipeline.prepare(docs, minTokens = 10,
+      nearDupThreshold = 0.5)
+    val gated = TrainingPipeline.prepare(docs, minTokens = 10,
+      nearDupThreshold = 0.5, lmDropFraction = 0.1)
+    assert(gated.count() < base.count(),
+      "LM gate dropped nothing despite a 10% drop fraction")
+    // NOT a subset of the ungated output: dedup keeps the LOWEST id of a
+    // near-dup pair, so gating away a low-id doc can let its pair partner
+    // through. The correct invariant: every surviving doc passed the LM
+    // gate itself (= is in the gate's own output).
+    val passedGate = TrainingPipeline.lmQualityFilter(
+      TrainingPipeline.qualityFilter(docs, 10), 0.1).select("doc_id")
+    val leaked = gated.select("doc_id")
+      .join(passedGate, Seq("doc_id"), "left_anti").count()
+    assert(leaked == 0, s"$leaked docs in the output never passed the LM gate")
+  }
 }
