@@ -131,6 +131,15 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"gc_ms_max":$gcs,"sf":"$sfDir"}"""
     println(json)
+    // The full record above outgrew the driver's stdout tail capture once
+    // gc_ms_max landed (BENCH_r07.json came back parsed:null — the tail
+    // kept only the end of the line, cutting off "value"). Emit a SHORT
+    // summary as the FINAL stdout line so the tail always contains one
+    // complete parseable JSON object; the full per-key record stays in
+    // target/bench.json for plan-audit reads.
+    val shortJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_keys":${names.length},"failed":$failed,"sf":"$sfDir"}"""
+    println(shortJson)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()

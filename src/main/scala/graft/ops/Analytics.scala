@@ -97,7 +97,11 @@ object Analytics extends QueryPack {
           (col("s1").cast("double") / col("n")).as("mean"),
           sqrt(col("s2").cast("double") / col("n") -
             pow(col("s1").cast("double") / col("n"), 2)).as("sd"))
-      ev.join(broadcast(stats), Seq("event_type"))
+      // sd > 0 guard: a constant-valued group has sd = 0, where Spark and
+      // DuckDB disagree on x/0 vs 0/0 — excluding it identically in both
+      // engines (oracle joins AND s.sd > 0) keeps the parity gate
+      // data-independent. A zero-variance group has no outliers anyway.
+      ev.join(broadcast(stats.filter(col("sd") > 0)), Seq("event_type"))
         .withColumn("z", round((col("value") - col("mean")) / col("sd"), 4))
         .filter(abs(col("z")) > 2.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))
@@ -291,7 +295,7 @@ object Analytics extends QueryPack {
       SELECT e.event_id, e.event_type, e.value,
              round((e.value - s.mean) / s.sd, 4) AS z
       FROM events e JOIN stats s USING (event_type)
-      WHERE abs(round((e.value - s.mean) / s.sd, 4)) > 2.5
+      WHERE s.sd > 0 AND abs(round((e.value - s.mean) / s.sd, 4)) > 2.5
       ORDER BY event_type, event_id""",
 
     "q_histogram" -> """

@@ -156,39 +156,7 @@ object PipelineOps extends QueryPack {
     // words (+1 if bit i of h60(word) set). 4 bands of 15 bits guarantee
     // every pair within Hamming 3 shares a band (pigeonhole).
     "q_dedup_simhash" -> { (s, d) =>
-      // Hash before the distinct: the dedup shuffle moves (long, long)
-      // rows, not word strings. Distinct-by-hash ≡ distinct-by-word on
-      // both engines (identical digests), so the oracle mirrors this.
-      val wh = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .select(col("doc_id"), h60(col("word")).as("h"))
-        .distinct()
-      val bitCols = (0 until SimBits).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$i")
-      }
-      val sim = wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-        .select(col("doc_id"),
-          (0 until SimBits).map(i =>
-            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sim"))
-      val bands = sim.select(col("doc_id"), col("sim"),
-          explode(array((0 until SimBands).map(j =>
-            struct(lit(j).as("bj"),
-              shiftright(col("sim"), 15 * j).bitwiseAND(lit(BandMask))
-                .as("bv"))): _*)).as("bk"))
-        .select(col("doc_id"), col("sim"),
-                col("bk.bj").as("bj"), col("bk.bv").as("bv"))
-      bands.alias("x").join(bands.alias("y"),
-          col("x.bj") === col("y.bj") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
-                col("x.sim").as("s1"), col("y.sim").as("s2"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select(col("d1"), col("d2"), col("hamming"))
+      simhashPairs(Tables.documents(s, d))
         .orderBy(col("d1"), col("d2"))
     },
 
@@ -366,6 +334,51 @@ object PipelineOps extends QueryPack {
     * sequential per key (each doc's pack depends on all prior sizes);
     * real pipelines pack by finer keys (shard/file id) for parallelism —
     * the operator is key-agnostic, same shape either way. */
+  /** 60-bit SimHash near-dup pairs (the q_dedup_simhash semantics):
+    * signature = sign of per-bit ±1 sums over distinct word hashes,
+    * 4 bands × 15 bits (pigeonhole: every pair within Hamming 3 shares a
+    * band), exact Hamming ≤ 3 on band-mates. Returns (d1, d2, hamming),
+    * d1 < d2, unordered.
+    *
+    * `bandSaltFactor`: hot-band knob, same contract as
+    * [[graft.ops.TextOps.minhashPairs]] — a boilerplate band value maps
+    * millions of docs to one bucket whose B² comparisons would run in a
+    * single reducer; salting F ways via [[Skew.selfPairs]] splits the
+    * bucket into F tasks for F× replication. Identical result for any
+    * factor (SkewAndBucketSpec pins it).
+    */
+  def simhashPairs(docs: DataFrame, bandSaltFactor: Int = 1): DataFrame = {
+    // Hash before the distinct: the dedup shuffle moves (long, long)
+    // rows, not word strings. Distinct-by-hash ≡ distinct-by-word on
+    // both engines (identical digests), so the oracle mirrors this.
+    val wh = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), h60(col("word")).as("h"))
+      .distinct()
+    val bitCols = (0 until SimBits).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val sim = wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val bands = sim.select(col("doc_id"), col("sim"),
+        explode(array((0 until SimBands).map(j =>
+          struct(lit(j).as("bj"),
+            shiftright(col("sim"), 15 * j).bitwiseAND(lit(BandMask))
+              .as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sim"),
+              col("bk.bj").as("bj"), col("bk.bv").as("bv"))
+    Skew.selfPairs(bands, keyCols = Seq("bj", "bv"), idCol = "doc_id",
+        carry = Seq("sim"), saltFactor = bandSaltFactor)
+      .withColumn("hamming",
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   def seqPack(docs: DataFrame, budget: Long): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

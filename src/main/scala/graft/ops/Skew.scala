@@ -104,6 +104,44 @@ object Skew {
       .drop("_bucket")
   }
 
+  /** Ordered candidate pairs (`d1` < `d2`) of `idCol` values sharing a
+    * bucket — the LSH band self-join every near-dup pipeline runs
+    * (minhash, simhash), with the hot-bucket salting knob the SCALE.md
+    * sizing notes promise. A bucket with B members yields B² comparisons
+    * in ONE reducer when unsalted; with `saltFactor` = F the left side is
+    * split F ways by a deterministic id hash and the right side is
+    * replicated to every salt, so the same bucket runs as F tasks of
+    * ~B²/F comparisons (the [[saltedJoin]] trade: F× replication of one
+    * side buys F× parallelism on the hot key). Each unordered pair is
+    * still produced exactly once per shared bucket BEFORE the final
+    * distinct: the pair (a, b), a < b, matches only where x = a — at
+    * x's own salt — because the `<` guard kills the mirrored x = b row.
+    * Result ≡ the unsalted self-join for ANY factor (SkewAndBucketSpec
+    * pins salted ≡ unsalted on the minhash and simhash fixtures).
+    * `carry` columns ride along as `<c>1`/`<c>2` (must be functionally
+    * determined by the id, or the distinct inflates).
+    */
+  def selfPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
+                carry: Seq[String] = Nil, saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"salt factor must be >= 1, got $saltFactor")
+    require(!buckets.columns.contains("_salt"),
+      "input must not already have a _salt column (it would be clobbered)")
+    val x = buckets
+      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)))
+      .alias("x")
+    val y = buckets
+      .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
+      .alias("y")
+    val cond = (keyCols :+ "_salt")
+      .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+      col(s"x.$idCol") < col(s"y.$idCol")
+    x.join(y, cond)
+      .select(col(s"x.$idCol").as("d1") +: col(s"y.$idCol").as("d2") +:
+        carry.flatMap(c =>
+          Seq(col(s"x.$c").as(s"${c}1"), col(s"y.$c").as(s"${c}2"))): _*)
+      .distinct()
+  }
+
   /** Top-`n` hottest values of `key` with their row counts — the probe a
     * pipeline runs before deciding to salt. One partial-aggregated pass. */
   def hotKeys(df: DataFrame, key: String, n: Int = 10): DataFrame =

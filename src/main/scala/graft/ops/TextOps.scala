@@ -102,8 +102,17 @@ object TextOps extends QueryPack {
     * session. The shingle scan recomputes per consumer; a production
     * pipeline at 100 TB would persist signatures to parquet between
     * stages instead of relying on executor block caches.
+    *
+    * `bandSaltFactor` is the hot-band knob SCALE.md documents: boilerplate
+    * text (a shared license header, an empty-page template) puts millions
+    * of docs in ONE band bucket, and the candidate self-join then runs
+    * that bucket's B² comparisons in a single reducer. Salting `F` ways
+    * (via [[Skew.selfPairs]]) splits it into F tasks at F× replication of
+    * the bucket rows; the result is identical for any factor
+    * (SkewAndBucketSpec pins salted ≡ unsalted).
     */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashPairs(docs: DataFrame, threshold: Double,
+                   bandSaltFactor: Int = 1): DataFrame = {
     val sh = shingleHashes(docs)
     val sigs = signatureFrame(sh)
     // Band buckets: 16 × the raw 4-slot tuple; explode to one bucket row
@@ -122,13 +131,9 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), col("bk.band").as("band"),
               col("bk.v0").as("v0"), col("bk.v1").as("v1"),
               col("bk.v2").as("v2"), col("bk.v3").as("v3"))
-    val cand = buckets.alias("x").join(buckets.alias("y"),
-        col("x.band") === col("y.band") &&
-          col("x.v0") === col("y.v0") && col("x.v1") === col("y.v1") &&
-          col("x.v2") === col("y.v2") && col("x.v3") === col("y.v3") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val cand = Skew.selfPairs(buckets,
+      keyCols = Seq("band", "v0", "v1", "v2", "v3"), idCol = "doc_id",
+      saltFactor = bandSaltFactor)
     // Exact Jaccard on candidates only: |A∩B| via shingle-hash join,
     // |A| and |B| via per-doc counts.
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -239,13 +244,17 @@ object TextOps extends QueryPack {
     // corpus vocabulary with the last character dropped (a deterministic
     // "typo" both engines derive identically); each probe matches every
     // vocab word within levenshtein ≤ 1 — candidates generated by
-    // FIRST-LETTER BLOCKING + length band, the standard entity-resolution
+    // (FIRST-LETTER, WORD-LENGTH) BLOCKING, the standard entity-resolution
     // idiom: the edit-distance predicate runs only inside a block, never
     // all-pairs (same recall trade-off every blocking scheme documents: a
-    // first-letter typo falls outside the block). At 100 TB the block key
-    // widens to (prefix, length band) buckets exactly like
-    // Skew.rangeBucketJoin's coarse ranges; the fixture's one-letter key
-    // is the same plan in miniature — an equi-join both engines hash.
+    // first-letter typo falls outside the block). The |Δlen| ≤ 1 band is
+    // IN the equi-join key, not a post-filter: each probe explodes to the
+    // three word lengths it accepts (len-1, len, len+1 — a fixed ×3 on
+    // the small distinct-probe side), so the shuffle hashes on
+    // (first-char × length) — hundreds of buckets instead of ≤26, and the
+    // hot 's' block splits by length for free. This is the scale shape:
+    // block granularity grows with the key domain, never with corpus
+    // size, and PlanSpec pins the composite key (r7 verdict item 3).
     "q_fuzzy_match" -> { (s, d) =>
       val words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -253,10 +262,15 @@ object TextOps extends QueryPack {
       val probes = words
         .select(expr("substr(word, 1, length(word) - 1)").as("probe"))
         .filter(length(col("probe")) >= 3).distinct()
-      probes.withColumn("blk", substring(col("probe"), 1, 1))
-        .join(words.withColumn("blk", substring(col("word"), 1, 1)), Seq("blk"))
-        .filter(abs(length(col("probe")) - length(col("word"))) <= 1 &&
-                levenshtein(col("probe"), col("word")) <= 1)
+      probes
+        .withColumn("blk", substring(col("probe"), 1, 1))
+        .withColumn("wl", explode(array(length(col("probe")) - 1,
+                                        length(col("probe")),
+                                        length(col("probe")) + 1)))
+        .join(words.withColumn("blk", substring(col("word"), 1, 1))
+                   .withColumn("wl", length(col("word"))),
+              Seq("blk", "wl"))
+        .filter(levenshtein(col("probe"), col("word")) <= 1)
         .select(col("probe"), col("word"),
                 levenshtein(col("probe"), col("word")).cast("long").as("dist"),
                 col("n_occ"))

@@ -47,9 +47,14 @@ object TrainingPipeline {
     val cut = scores.agg(
       percentile_approx(col("avg_logp"), lit(dropFraction), lit(10000))
         .as("cut"))
-    docs.join(scores, Seq("doc_id"))
+    // LEFT join + null-pass: a doc whose text tokenizes to nothing (null
+    // or empty text) gets no LM score at all — the contract is "drop the
+    // lowest-scoring fraction", not "drop the unscorable", so unscored
+    // docs pass through to the next stage rather than vanishing on the
+    // inner join (ADVICE r7).
+    docs.join(scores, Seq("doc_id"), "left")
       .crossJoin(broadcast(cut))
-      .filter(col("avg_logp") >= col("cut"))
+      .filter(col("avg_logp").isNull || col("avg_logp") >= col("cut"))
       .drop("avg_logp", "cut")
   }
 

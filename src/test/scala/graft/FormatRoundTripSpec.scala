@@ -1,8 +1,10 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Source/sink format coverage beyond parquet (SURVEY §2.B sources/sinks):
@@ -11,8 +13,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * byte-for-byte and, for ORC, keep predicate pushdown working. Parquet
   * itself is exercised by Verify on every key.
   */
-class FormatRoundTripSpec extends AnyFunSuite {
+class FormatRoundTripSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
+
+  // Fixture dirs are tracked and removed in afterAll — Files
+  // .createTempDirectory alone leaked a fixture-sized directory per test
+  // per run (ADVICE r7).
+  private val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def tmpDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toString
+    tmpDirs += d
+    d
+  }
+
+  override def afterAll(): Unit = {
+    tmpDirs.foreach { d =>
+      val p = Paths.get(d)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => Files.deleteIfExists(f))
+    }
+    super.afterAll()
+  }
 
   private def li: DataFrame =
     Tables.lineitem(spark, TestSpark.Sf0001)
@@ -27,7 +49,7 @@ class FormatRoundTripSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).toSeq
 
   test("ORC round-trips the lineitem schema and values exactly") {
-    val dir = Files.createTempDirectory("graft_orc").toString
+    val dir = tmpDir("graft_orc")
     li.write.mode("overwrite").orc(dir)
     val back = spark.read.orc(dir)
     assert(back.schema == li.schema, "ORC changed the schema")
@@ -35,7 +57,7 @@ class FormatRoundTripSpec extends AnyFunSuite {
   }
 
   test("ORC scans push filters down like parquet") {
-    val dir = Files.createTempDirectory("graft_orc_pd").toString
+    val dir = tmpDir("graft_orc_pd")
     li.write.mode("overwrite").orc(dir)
     val q = spark.read.orc(dir).filter(col("l_quantity") < 10.0)
       .select(col("l_orderkey"), col("l_quantity"))
@@ -47,7 +69,7 @@ class FormatRoundTripSpec extends AnyFunSuite {
   }
 
   test("CSV round-trips with an explicit schema (header, typed reparse)") {
-    val dir = Files.createTempDirectory("graft_csv").toString
+    val dir = tmpDir("graft_csv")
     li.write.mode("overwrite").option("header", "true")
       // full micros so sub-second timestamps survive the text hop
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS").csv(dir)
@@ -57,7 +79,7 @@ class FormatRoundTripSpec extends AnyFunSuite {
   }
 
   test("JSON-lines round-trips with an explicit schema") {
-    val dir = Files.createTempDirectory("graft_json").toString
+    val dir = tmpDir("graft_json")
     li.write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(dir)
     val back = spark.read.schema(li.schema)

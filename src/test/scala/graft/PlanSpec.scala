@@ -145,6 +145,11 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy match degenerated to all-pairs:\n$s")
     assert(!s.contains("BroadcastNestedLoopJoin"),
       s"fuzzy match lost its blocking equi-key:\n$s")
+    // The length band is part of the JOIN KEY (composite (blk, wl)
+    // equi-key), not a residual filter: the join keys section must name
+    // both columns so the shuffle hashes on first-char × length.
+    assert(s.contains("blk") && s.contains("wl"),
+      s"fuzzy match lost the composite (blk, wl) block key:\n$s")
   }
 
   test("q_join_range_fact buckets the range predicate into an equi-join") {

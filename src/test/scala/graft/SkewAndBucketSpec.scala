@@ -36,6 +36,41 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(direct.exceptAll(salted).count() == 0)
   }
 
+  test("minhashPairs is salt-invariant (hot-band knob changes the plan, not the pairs)") {
+    val docs = Tables.documents(s, TestSpark.Sf0001)
+    val plain = graft.ops.TextOps.minhashPairs(docs, 0.5)
+    val salted = graft.ops.TextOps.minhashPairs(docs, 0.5, bandSaltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("simhashPairs is salt-invariant (hot-band knob changes the plan, not the pairs)") {
+    val docs = Tables.documents(s, TestSpark.Sf0001)
+    val plain = graft.ops.PipelineOps.simhashPairs(docs)
+    val salted = graft.ops.PipelineOps.simhashPairs(docs, bandSaltFactor = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("selfPairs at factor 1 equals the explicit self-join (base contract)") {
+    import s.implicits._
+    // A deliberately hot bucket: 12 of 16 ids share bucket 'hot'.
+    val b = (1 to 12).map(i => (i.toLong, "hot")) ++
+      Seq((13L, "a"), (14L, "a"), (15L, "b"), (16L, "c"))
+    val buckets = b.toDF("doc_id", "bk")
+    val expect = buckets.as("x").join(buckets.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2")).distinct()
+    for (f <- Seq(1, 3, 8)) {
+      val got = Skew.selfPairs(buckets, Seq("bk"), "doc_id", saltFactor = f)
+      assert(got.exceptAll(expect).count() == 0 &&
+             expect.exceptAll(got).count() == 0,
+        s"selfPairs factor=$f diverged from the plain self-join")
+    }
+  }
+
   test("rangeBucketJoin equals the theta interval join and stays an equi-join") {
     import s.implicits._
     val parts = Tables.part(s, TestSpark.Sf0001)
