@@ -31,6 +31,17 @@ import scala.util.{Failure, Success, Try}
   * Intentional upgrade over the reference (documented, SURVEY §4.1): on a
   * send failure the drained items are RETURNED inside the Failure (the
   * reference drops them, `main.go:213-219`); callers can re-enqueue.
+  *
+  * Error ARITY vs the reference (`errors.Join`, `main.go:216`): the Go
+  * client can in principle accumulate several errors from one `Enqueue`
+  * (a flush failure joined with later ones). Here a flush maps the whole
+  * drained batch to ONE `putRecord` — one possible failure per call — so
+  * `Try` carries a single [[SendFailed]] and nothing is discarded: the
+  * arity narrowing is deliberate, traded for the richer payload (the
+  * full undelivered batch) that the reference's joined errors lack. If a
+  * future sink fans a flush out into multiple records, `sendBatch` is
+  * the seam to collect per-record failures into one SendFailed whose
+  * batch is the union of the undelivered records.
   */
 trait EventQueue {
   def enqueue(event: Map[String, Any]): Try[Unit]

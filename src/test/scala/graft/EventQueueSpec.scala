@@ -190,4 +190,56 @@ class EventQueueSpec extends AnyFunSuite {
     // each payload respects the reference's batch shape: one JSON array
     payloads.foreach(p => assert(p.startsWith("[") && p.endsWith("]")))
   }
+
+  // --- concurrency: the reference's one nontrivial concurrent behavior ---
+  // (main.go:205-222: mutex-serialized Enqueue with I/O outside the lock;
+  // r7 verdict item 5 — previously only single-thread tested)
+
+  test("N threads hammering enqueue lose nothing, duplicate nothing, conserve bytes") {
+    val nThreads = 8
+    val perThread = 250
+    val maxBytes = 400L
+    val (q, sink) = newQueue(maxBytes)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try (0 until perThread).foreach { i =>
+          q.enqueue(Map("event" -> "e", "id" -> s"$t-$i")).get
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent enqueue failed: ${errs.peek()}")
+    assert(q.flush().isSuccess)
+    // nothing buffered after the final drain — counter and queue agree
+    assert(q.bufferedBytes == 0L && q.bufferedCount == 0)
+    val payloads = sink.records().map(_._1)
+    // no lost / no duplicated items: every (thread, i) id exactly once
+    val idRe = """"id":"(\d+-\d+)"""".r
+    val ids = payloads.flatMap(p => idRe.findAllMatchIn(p).map(_.group(1)))
+    assert(ids.length == nThreads * perThread,
+      s"item count ${ids.length} != ${nThreads * perThread}")
+    assert(ids.distinct.length == ids.length, "duplicated items in payloads")
+    // byte conservation: the enriched items' encoded bytes all arrive.
+    // Every payload is [i1,...,in]: item bytes = len - brackets - commas.
+    val itemCounts = payloads.map(_.count(_ == '{'))
+    val arrivedItemBytes = payloads.zip(itemCounts)
+      .map { case (p, n) => p.getBytes("UTF-8").length - 2 - (n - 1) }.sum
+    val expectedBytes = (0 until nThreads).flatMap(t =>
+      (0 until perThread).map(i =>
+        Json.byteSize(EventQueue.enrichAndValidate(
+          Map("event" -> "e", "id" -> s"$t-$i"), "", T0).get))).sum
+    assert(arrivedItemBytes.toLong == expectedBytes,
+      s"byte conservation broke: arrived $arrivedItemBytes != $expectedBytes")
+    // every batch respects the pre-insert-flush bound: a drain empties the
+    // whole queue, whose bytes never exceed threshold + one item's size
+    val maxItem = (0 until nThreads).flatMap(t => (0 until perThread).map(i =>
+      Json.byteSize(EventQueue.enrichAndValidate(
+        Map("event" -> "e", "id" -> s"$t-$i"), "", T0).get))).max
+    payloads.zip(itemCounts).foreach { case (p, n) =>
+      val itemBytes = p.getBytes("UTF-8").length - 2 - (n - 1)
+      assert(itemBytes < maxBytes + maxItem,
+        s"batch of $itemBytes bytes exceeds threshold $maxBytes + max item $maxItem")
+    }
+  }
 }

@@ -193,6 +193,61 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ORDER BY o_orderkey""")
   }
 
+  // The round-8 additions: the join-pack and window-pack keys most likely
+  // to drift between DSL and SQL forms (r7 verdict item 8) — the as-of
+  // union+window idiom, decorrelation, and IGNORE NULLS syntax.
+
+  test("q_join_asof DSL == SQL (union + last IGNORE NULLS)") {
+    assertParity("q_join_asof", """
+      WITH s AS (
+        SELECT user_id, ts, event_id, CAST(NULL AS DOUBLE) AS value,
+               ts AS signup_src, 0 AS kind
+        FROM events WHERE event_type = 'signup'),
+      p AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(NULL AS TIMESTAMP) AS signup_src, 1 AS kind
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM s UNION ALL SELECT * FROM p),
+      carried AS (
+        SELECT event_id, user_id, ts, value, kind,
+          last(signup_src) IGNORE NULLS OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+        FROM u)
+      SELECT event_id, user_id, ts, value, signup_ts
+      FROM carried WHERE kind = 1 ORDER BY event_id""")
+  }
+
+  test("q_correlated_subquery DSL == SQL over the shared views") {
+    assertParity("q_correlated_subquery", """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM orders i
+             WHERE i.o_orderstatus = o.o_orderstatus)
+          > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders i
+             WHERE i.o_orderstatus = o.o_orderstatus)
+      ORDER BY o_orderkey""")
+  }
+
+  test("q_window_ignore_nulls DSL == SQL IGNORE NULLS clause") {
+    assertParity("q_window_ignore_nulls", """
+      WITH base AS (
+        SELECT event_id, user_id, ts,
+          CASE WHEN event_type = 'error' THEN CAST(NULL AS DOUBLE)
+               ELSE value END AS v
+        FROM events)
+      SELECT event_id, user_id, v,
+        lag(v, 1) IGNORE NULLS OVER w AS prev_v,
+        lead(v, 1) IGNORE NULLS OVER w AS next_v,
+        first(v) IGNORE NULLS OVER w AS first_v,
+        last(v) IGNORE NULLS OVER w AS carry_v
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id""")
+  }
+
   test("analytics: q_funnel DSL == SQL (explode(map) unpivot)") {
     assertParity("q_funnel", """
       WITH per_user AS (
