@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** One-pass 10× scale smoke (r7 verdict item 6): the 100×-scale claims in
+  * SCALE.md are argued from plan shape; this main produces the empirical
+  * datapoint — per-key seconds at sf0.1 vs a synthesized "sf1" (10× rows)
+  * for the top bench keys, plus output-row counts for the dedup keys
+  * (candidate growth is the quantity that decides whether an LSH design
+  * survives scale-up).
+  *
+  * sf1 synthesis (driver ships no sf1 fixture): 10 id-remapped copies of
+  * the sf0.1 tables the smoke keys touch, under `target/sf1`.
+  *  - documents: every WORD gets a per-copy prefix, so copies share no
+  *    vocabulary — near-dup structure is preserved inside each copy and
+  *    never bridges copies (a plain text copy would make every doc a
+  *    10-way near-dup of itself and measure a pathological dup-rate
+  *    instead of scale-up).
+  *  - events/lineitem: ids shifted per copy — per-user / per-order group
+  *    SIZES stay constant while group COUNT grows 10×, which is how a
+  *    bigger corpus actually looks.
+  * Remaining tables pass through unscaled (no smoke key reads them).
+  *
+  * NOT a gate: results land in SCALE.md §"10× smoke" with interpretation.
+  */
+object ScaleSmoke {
+  private val Keys = Seq(
+    "q_json_funcs", "q_math_funcs", "q_doc_fingerprint", "q_cast_types",
+    "q_dedup_simhash", "q_connected_components", "q_map_funcs", "q_unpivot",
+    "q_agg_percentiles", "q_dedup_minhash", "q_seq_pack")
+  // rows-out tracked where output size ≈ candidate/pair count (the scale
+  // health metric for LSH designs); timing keys alone say nothing about
+  // whether candidates exploded.
+  private val CountKeys =
+    Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
+        "q_seq_pack")
+
+  def main(args: Array[String]): Unit = {
+    val src = "/root/testdata/sf0.1"
+    val out = "target/sf1"
+    val copies = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildSf1(spark, src, out, copies)
+
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // warm both scales (JIT/codegen/footers), then one timed pass each
+    Keys.foreach(k => run(k, src)); Keys.foreach(k => run(k, out))
+    System.gc(); Thread.sleep(2000)
+    val small = Keys.map(k => k -> run(k, src)).toMap
+    val big = Keys.map(k => k -> run(k, out)).toMap
+    val counts = CountKeys.toSeq.sorted.map { k =>
+      k -> (SparkEntry.queries(k)(spark, src).count(),
+            SparkEntry.queries(k)(spark, out).count())
+    }
+
+    println(f"%nkey | sf0.1 s | sf1 s | ratio")
+    Keys.foreach { k =>
+      println(f"$k | ${small(k)}%.2f | ${big(k)}%.2f | ${big(k) / small(k)}%.1fx")
+    }
+    println("\nkey | rows sf0.1 | rows sf1 | ratio")
+    counts.foreach { case (k, (a, b)) =>
+      println(f"$k | $a | $b | ${b.toDouble / a}%.1fx")
+    }
+    spark.stop()
+  }
+
+  /** Synthesize target/sf1 once (marker-file guarded; delete the dir to
+    * rebuild). */
+  private def buildSf1(spark: SparkSession, src: String, out: String,
+                       copies: Int): Unit = {
+    if (Files.exists(Paths.get(s"$out/_built"))) return
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), w -> concat('x$c', w)), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // ts stays a raw nanos long (nanosAsLong read → plain int64 write);
+    // Tables.events' `ts div 1000` works on both encodings.
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    (0 until copies).map { c =>
+      ev.select(
+        (col("event_id") + lit(c * 10000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(c * 10000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000000L))
+    }.reduce(_ unionByName _)
+      .coalesce(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "embeddings"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    Files.createFile(Paths.get(s"$out/_built"))
+  }
+}
