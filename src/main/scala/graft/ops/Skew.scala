@@ -126,13 +126,18 @@ object Skew {
     require(saltFactor >= 1, s"salt factor must be >= 1, got $saltFactor")
     require(!buckets.columns.contains("_salt"),
       "input must not already have a _salt column (it would be clobbered)")
-    val x = buckets
-      .withColumn("_salt", pmod(xxhash64(col(idCol)), lit(saltFactor.toLong)))
-      .alias("x")
-    val y = buckets
-      .withColumn("_salt", explode(sequence(lit(0L), lit(saltFactor - 1L))))
-      .alias("y")
-    val cond = (keyCols :+ "_salt")
+    // factor 1 = the plain self-join, with NO salt columns: the default
+    // path pays zero plan overhead (no xxhash64 projection, no 1-element
+    // explode) — the knob only reshapes the plan when actually turned.
+    val (x, y, joinKeys) =
+      if (saltFactor == 1) (buckets.alias("x"), buckets.alias("y"), keyCols)
+      else (
+        buckets.withColumn("_salt",
+          pmod(xxhash64(col(idCol)), lit(saltFactor.toLong))).alias("x"),
+        buckets.withColumn("_salt",
+          explode(sequence(lit(0L), lit(saltFactor - 1L)))).alias("y"),
+        keyCols :+ "_salt")
+    val cond = joinKeys
       .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
     x.join(y, cond)
