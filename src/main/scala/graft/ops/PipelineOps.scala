@@ -318,6 +318,96 @@ object PipelineOps extends QueryPack {
                 floor(octet_length(col("text")) / 64).cast("long")
                   .as("n_frames"))
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_repetition_score: duplicate-n-gram quality signals ---------
+    // The Gopher/Dolma repetition filters: per doc, the fraction of
+    // bigram OCCURRENCES that are repeats (1 − distinct/total) and the
+    // most-frequent bigram's share of all occurrences. Bigrams digest to
+    // h60 immediately, so the per-(doc, gram) shuffle moves (long, long)
+    // rows, never gram strings; docs under 2 words have no bigrams and
+    // drop out identically in both engines. Narrow explode + two
+    // hash-aggs — one pass over the text at any corpus size.
+    "q_repetition_score" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.expr.WordShingles.of(col("text"), 2)).as("gs"))
+        .select(col("doc_id"), h60(col("gs")).as("g"))
+      grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_bigrams"), count(lit(1)).as("nd"),
+             max(col("cnt")).as("top"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(lit(1.0) - col("nd").cast("double") /
+            col("n_bigrams").cast("double"), 4).as("dup_frac"),
+          round(col("top").cast("double") /
+            col("n_bigrams").cast("double"), 4).as("top_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ---- q_pii_scrub: PII redaction (emails / phones / URLs) ----------
+    // The redaction pass every corpus runs before training. The fixture
+    // carries no PII, so the dirty text is CONSTRUCTED deterministically
+    // from customer columns (same expression in the oracle — both engines
+    // scrub the identical string), then scrubbed with three anchored
+    // character-class regexes (no lookaround — portable across Java regex
+    // and RE2). Counts are measured pre-scrub. Pure narrow projection:
+    // zero shuffles before the output sort, trivially scale-safe.
+    "q_pii_scrub" -> { (s, d) =>
+      val key = col("c_custkey")
+      val raw = lower(concat(
+        col("c_name"), lit(" contact user"), key.cast("string"),
+        lit("@example.com"),
+        when(key % 3 =!= 0, concat(lit(" or 555-"),
+          lpad(((key * 7) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(key % 5 === 0, concat(lit(" cc admin"), key.cast("string"),
+          lit("@corp.net"))).otherwise(lit("")),
+        lit(" via https://ex.com/"), col("c_mktsegment")))
+      val email = "[a-z0-9.#]+@[a-z0-9.]+"
+      val phone = "555-[0-9]{4}"
+      val url = "https://[a-z0-9./]+"
+      Tables.customer(s, d)
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          size(regexp_extract_all(col("raw"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phone), lit(0)))
+            .as("n_phones"),
+          size(regexp_extract_all(col("raw"), lit(url), lit(0)))
+            .as("n_urls"),
+          regexp_replace(regexp_replace(regexp_replace(col("raw"),
+            email, "<EMAIL>"), phone, "<PHONE>"), url, "<URL>")
+            .as("scrubbed"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ---- q_eval_contamination: benchmark n-gram overlap ---------------
+    // Decontamination check: docs whose 8-gram sets overlap an eval set
+    // (here: every 20th doc plays the benchmark) above 50%. The eval
+    // side's distinct gram digests are BROADCAST — eval suites are tiny
+    // next to a training corpus, so the corpus-side gram stream never
+    // shuffles for the membership test (only the per-doc count does, by
+    // doc_id). Grams ride as h60 longs; inner join on the hit count keeps
+    // only contaminated docs.
+    "q_eval_contamination" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.expr.WordShingles.of(col("text"), 8)).as("gs"))
+        .select(col("doc_id"), h60(col("gs")).as("g"))
+        .distinct()
+      val evalGrams = grams.filter(col("doc_id") % 20 === 0)
+        .select(col("g")).distinct()
+      val train = grams.filter(col("doc_id") % 20 =!= 0)
+      val hits = train.join(broadcast(evalGrams), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"))
+        .select(col("doc_id"), col("n_grams"),
+          round(col("n_hit").cast("double") /
+            col("n_grams").cast("double"), 4).as("contamination"))
+        .filter(col("contamination") >= 0.5)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -840,6 +930,82 @@ object PipelineOps extends QueryPack {
         upper(hex(encode(substr(text, 1, 4)))) AS magic_hex,
         base64(encode(substr(text, 1, 6))) AS head_b64,
         CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "q_repetition_score" -> s"""
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), grams AS (
+        SELECT doc_id, ${h60Sql("g")} AS g FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w)),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])) AS g
+          FROM words WHERE len(w) >= 2)
+      ), per AS (
+        SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY doc_id, g
+      )
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+          AS dup_frac,
+        round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+          AS top_frac
+      FROM per GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pii_scrub" -> """
+      WITH dirty AS (
+        SELECT c_custkey, lower(
+          c_name || ' contact user' || CAST(c_custkey AS VARCHAR)
+          || '@example.com'
+          || CASE WHEN c_custkey % 3 <> 0
+               THEN ' or 555-' ||
+                 lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+          || CASE WHEN c_custkey % 5 = 0
+               THEN ' cc admin' || CAST(c_custkey AS VARCHAR) || '@corp.net'
+               ELSE '' END
+          || ' via https://ex.com/' || c_mktsegment) AS raw
+        FROM customer)
+      SELECT c_custkey,
+        CAST(len(regexp_extract_all(raw, '[a-z0-9.#]+@[a-z0-9.]+')) AS INT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(raw, '555-[0-9]{4}')) AS INT)
+          AS n_phones,
+        CAST(len(regexp_extract_all(raw, 'https://[a-z0-9./]+')) AS INT)
+          AS n_urls,
+        regexp_replace(regexp_replace(regexp_replace(raw,
+          '[a-z0-9.#]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+          '555-[0-9]{4}', '<PHONE>', 'g'),
+          'https://[a-z0-9./]+', '<URL>', 'g') AS scrubbed
+      FROM dirty ORDER BY c_custkey""",
+
+    "q_eval_contamination" -> s"""
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), grams AS (
+        SELECT DISTINCT doc_id, ${h60Sql("g")} AS g FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 6),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                || ' ' || w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3]
+                || ' ' || w[CAST(i AS INT) + 4] || ' ' || w[CAST(i AS INT) + 5]
+                || ' ' || w[CAST(i AS INT) + 6] || ' ' || w[CAST(i AS INT) + 7]
+            )) AS g
+          FROM words WHERE len(w) >= 8)
+      ), eval_g AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0
+      ), train AS (
+        SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0
+      ), tot AS (
+        SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id
+      ), hit AS (
+        SELECT t.doc_id, count(*) AS n_hit
+        FROM train t JOIN eval_g e USING (g) GROUP BY t.doc_id
+      )
+      SELECT doc_id, n_grams,
+        round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4)
+          AS contamination
+      FROM tot JOIN hit USING (doc_id)
+      WHERE round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.5
+      ORDER BY doc_id"""
   )
 }

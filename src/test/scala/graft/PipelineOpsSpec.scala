@@ -92,4 +92,66 @@ class PipelineOpsSpec extends AnyFunSuite {
       .agg(countDistinct(col("fp_xor"), col("fp_min"), col("n_fp")).as("v"))
     assert(joined.filter(col("v") > 1).count() == 0)
   }
+
+  test("q_repetition_score fractions are in range and identical texts score identically") {
+    val out = q("q_repetition_score")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val dup = r.getDouble(2); val top = r.getDouble(3)
+      assert(n >= 1)
+      assert(dup >= 0.0 && dup < 1.0, s"dup_frac out of range: $dup")
+      // the top bigram accounts for at least its own occurrences and for
+      // every occurrence when there is only one distinct bigram
+      assert(top > 0.0 && top <= 1.0, s"top_frac out of range: $top")
+      // top_frac is rounded to 4 decimals, which can land up to 5e-5
+      // below the true >= 1/n bound
+      assert(top >= 1.0 / n - 5e-5 - 1e-9)
+    }
+    val dupes = out.join(
+        Tables.documents(s, TestSpark.Sf0001)
+          .select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+      .groupBy("th")
+      .agg(countDistinct(col("dup_frac"), col("top_frac")).as("v"))
+    assert(dupes.filter(col("v") > 1).count() == 0,
+      "identical texts must get identical repetition scores")
+  }
+
+  test("q_pii_scrub removes every match it counted") {
+    val rows = q("q_pii_scrub").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scrubbed = r.getString(4)
+      assert(!scrubbed.contains("@"), s"email survived scrub: $scrubbed")
+      assert(!scrubbed.matches(".*555-[0-9]{4}.*"),
+        s"phone survived scrub: $scrubbed")
+      assert(!scrubbed.contains("https://"), s"url survived scrub: $scrubbed")
+      assert(r.getInt(1) >= 1, "constructed text always has >= 1 email")
+      assert(scrubbed.contains("<EMAIL>") && scrubbed.contains("<URL>"))
+      // placeholder count equals the pre-scrub match count
+      assert("<EMAIL>".r.findAllIn(scrubbed).length == r.getInt(1))
+      assert("<PHONE>".r.findAllIn(scrubbed).length == r.getInt(2))
+    }
+  }
+
+  test("q_eval_contamination flags the planted duplicates and nothing about eval docs") {
+    val out = q("q_eval_contamination").collect()
+    out.foreach { r =>
+      assert(r.getLong(0) % 20 != 0, "eval docs must not appear as train")
+      val c = r.getDouble(2)
+      assert(c >= 0.5 && c <= 1.0, s"contamination out of range: $c")
+    }
+    // a doc TEXT-identical to an eval doc is contamination 1.0 by
+    // construction — verify the check finds every such planted pair
+    val docs = Tables.documents(s, TestSpark.Sf0001)
+    val evalHashes = docs.filter(col("doc_id") % 20 === 0)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(md5(col("text")).as("th")).distinct()
+    val planted = docs.filter(col("doc_id") % 20 =!= 0)
+      .join(evalHashes, md5(col("text")) === col("th"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = out.map(_.getLong(0)).toSet
+    assert(planted.subsetOf(flagged),
+      s"exact eval copies missed: ${planted -- flagged}")
+  }
 }

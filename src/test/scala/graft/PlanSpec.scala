@@ -152,6 +152,14 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy match lost the composite (blk, wl) block key:\n$s")
   }
 
+  test("q_eval_contamination broadcasts the eval gram set (corpus side never shuffles for membership)") {
+    val s = finalPlan("q_eval_contamination")
+    assert(s.contains("BroadcastHashJoin"),
+      s"eval-gram membership join is not broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"contamination check degenerated to all-pairs:\n$s")
+  }
+
   test("q_join_range_fact buckets the range predicate into an equi-join") {
     val s = finalPlan("q_join_range_fact")
     assert(!s.contains("CartesianProduct") &&
