@@ -58,6 +58,41 @@ object TrainingPipeline {
       .drop("avg_logp", "cut")
   }
 
+  /** Repetition gate (q_repetition_score semantics): drop docs whose
+    * duplicate-bigram fraction exceeds `maxDupFrac` — the Gopher/Dolma
+    * boilerplate filter (template pages repeat the same n-grams). LEFT
+    * join + null-pass like [[lmQualityFilter]]: a doc too short to have
+    * bigrams is unscorable, not low-quality, and passes through. One
+    * narrow explode + two hash-aggs; grams ride as h60 longs. */
+  def repetitionFilter(docs: DataFrame, maxDupFrac: Double = 0.3): DataFrame = {
+    require(maxDupFrac >= 0 && maxDupFrac <= 1,
+      s"maxDupFrac must be in [0, 1], got $maxDupFrac")
+    val grams = docs.select(col("doc_id"),
+        explode(graft.expr.WordShingles.of(col("text"), 2)).as("gs"))
+      .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
+    val scores = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((lit(1.0) - count(lit(1)).cast("double") /
+        sum(col("cnt")).cast("double")).as("dup_frac"))
+    docs.join(scores, Seq("doc_id"), "left")
+      .filter(col("dup_frac").isNull || col("dup_frac") <= maxDupFrac)
+      .drop("dup_frac")
+  }
+
+  /** PII scrub (q_pii_scrub semantics): replace emails, simple phone
+    * shapes, and URLs in `text` with placeholder tokens. Pure narrow
+    * projection — zero shuffles; run it FIRST so no downstream stage
+    * (dedup digests, LM scores, packs) ever sees raw PII. Patterns are
+    * lookaround-free character classes (portable, codegen-friendly);
+    * widen per corpus. */
+  def scrubPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        "[a-zA-Z0-9.#_]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+        "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b", "<PHONE>"),
+        "https?://[^ ]+", "<URL>"))
+
   /** Exact dedup: keep the lowest-id doc per md5(text). One shuffle of
     * (digest, id) — the text column never moves. */
   def dedupExact(docs: DataFrame): DataFrame = {
@@ -150,18 +185,28 @@ object TrainingPipeline {
   /** The full prep flow. `labeled` trains the language profiles (defaults
     * to the corpus itself when it carries a ground-truth `lang` column).
     * `lmDropFraction` > 0 inserts the model-based [[lmQualityFilter]]
-    * between the heuristic gate and dedup (cheapest-first still holds:
-    * heuristics are narrow, the LM score costs a token shuffle, dedup's
-    * LSH is the most expensive — each stage shrinks the next one's
-    * input). Returns the cleaned, annotated corpus; persist with
+    * between the heuristic gate and dedup; `maxDupFrac` < 1 inserts the
+    * [[repetitionFilter]] boilerplate gate; `scrub` = true rewrites text
+    * through [[scrubPii]] FIRST (so no later stage sees raw PII, and
+    * dedup digests are computed over the scrubbed form). Cheapest-first
+    * still holds: scrub is a free narrow map, heuristics are narrow, the
+    * repetition/LM scores cost one token shuffle each, dedup's LSH is
+    * the most expensive — each stage shrinks the next one's input.
+    * Returns the cleaned, annotated corpus; persist with
     * [[graft.sources.LakeSink]] between runs at scale. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
               nearDupThreshold: Double = 0.5,
               labeled: DataFrame = null,
-              lmDropFraction: Double = 0.0): DataFrame = {
-    val gated = qualityFilter(docs, minTokens)
+              lmDropFraction: Double = 0.0,
+              maxDupFrac: Double = 1.0,
+              scrub: Boolean = false): DataFrame = {
+    val clean = if (scrub) scrubPii(docs) else docs
+    val gated = qualityFilter(clean, minTokens)
+    val unrepeated =
+      if (maxDupFrac < 1.0) repetitionFilter(gated, maxDupFrac) else gated
     val scored =
-      if (lmDropFraction > 0) lmQualityFilter(gated, lmDropFraction) else gated
+      if (lmDropFraction > 0) lmQualityFilter(unrepeated, lmDropFraction)
+      else unrepeated
     val cleaned = dedupNearMinHash(dedupExact(scored), nearDupThreshold)
     annotateLanguage(cleaned, Option(labeled).getOrElse(docs))
   }
