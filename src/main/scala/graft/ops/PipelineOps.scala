@@ -388,8 +388,11 @@ object PipelineOps extends QueryPack {
     // side's distinct gram digests are BROADCAST — eval suites are tiny
     // next to a training corpus, so the corpus-side gram stream never
     // shuffles for the membership test (only the per-doc count does, by
-    // doc_id). Grams ride as h60 longs; inner join on the hit count keeps
-    // only contaminated docs.
+    // doc_id). Grams ride as h60 longs. Totals and hits come from ONE
+    // aggregation over a LEFT join against the marked eval set (a
+    // separate hits branch would re-evaluate the train gram pipeline —
+    // a second full text scan; the %20 filters push below the distinct,
+    // so ReuseExchange cannot dedupe the branches).
     "q_eval_contamination" -> { (s, d) =>
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -397,12 +400,12 @@ object PipelineOps extends QueryPack {
         .select(col("doc_id"), h60(col("gs")).as("g"))
         .distinct()
       val evalGrams = grams.filter(col("doc_id") % 20 === 0)
-        .select(col("g")).distinct()
-      val train = grams.filter(col("doc_id") % 20 =!= 0)
-      val hits = train.join(broadcast(evalGrams), Seq("g"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-        .join(hits, Seq("doc_id"))
+        .select(col("g")).distinct().withColumn("hit", lit(1L))
+      grams.filter(col("doc_id") % 20 =!= 0)
+        .join(broadcast(evalGrams), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .select(col("doc_id"), col("n_grams"),
           round(col("n_hit").cast("double") /
             col("n_grams").cast("double"), 4).as("contamination"))

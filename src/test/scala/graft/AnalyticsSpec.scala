@@ -60,9 +60,14 @@ class AnalyticsSpec extends AnyFunSuite {
     // bytes); bm25/zscore = stats pass + fact pass (the broadcast-stats
     // floor without persist). A regression to per-statistic branches
     // (each re-scanning the raw table) fails here.
+    // eval_contamination = train gram pass + eval gram pass (pushed %20
+    // filters make the two scans partial — ~1 full table in bytes); a
+    // regression to a separate hits branch re-scanning train fails here.
+    // repetition_score is one bigram pass.
     val budget = Map("q_unigram_lm" -> 1, "q_interpolate" -> 1,
                      "q_funnel" -> 1, "q_tfidf" -> 2, "q_bm25" -> 2,
-                     "q_anomaly_zscore" -> 2, "q_quality_score" -> 2)
+                     "q_anomaly_zscore" -> 2, "q_quality_score" -> 2,
+                     "q_eval_contamination" -> 2, "q_repetition_score" -> 1)
     for ((k, n) <- budget) {
       val got = finalScans(k)
       assert(got <= n, s"$k scans its input $got times (budget $n)")
