@@ -248,6 +248,22 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ORDER BY event_id""")
   }
 
+  test("q_repetition_score DSL == SQL (word_shingles + md5_prefix60 extensions)") {
+    assertParity("q_repetition_score", """
+      WITH grams AS (
+        SELECT doc_id, md5_prefix60(g) AS g
+        FROM (SELECT doc_id, explode(word_shingles(text, 2)) AS g
+              FROM documents)),
+      per AS (
+        SELECT doc_id, g, count(1) AS cnt FROM grams GROUP BY doc_id, g)
+      SELECT doc_id, sum(cnt) AS n_bigrams,
+        round(1.0 - CAST(count(1) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+          AS dup_frac,
+        round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 4)
+          AS top_frac
+      FROM per GROUP BY doc_id ORDER BY doc_id""")
+  }
+
   test("analytics: q_funnel DSL == SQL (explode(map) unpivot)") {
     assertParity("q_funnel", """
       WITH per_user AS (
