@@ -81,14 +81,21 @@ object TextOps extends QueryPack {
       .distinct()
 
   /** 64-slot MinHash signature per doc: one hash-agg, 64 fused min columns
-    * `m0..m63` over the [[permA]]/[[permB]] family. Shared by
-    * [[minhashPairs]] and MinHashSpec (same family, same code path). */
+    * `m0..m63` over the [[permA]]/[[permB]] family, PLUS the shingle-set
+    * size `n` (last column — MinHashSpec reads the slots positionally).
+    * Carrying n here is what lets [[minhashPairs]] drop its separate
+    * `sizes` aggregation: the size the Jaccard denominator needs rides
+    * the signature row instead of re-aggregating the shingle pipeline —
+    * two fewer evaluations of the most expensive lineage in the query.
+    * Shared by [[minhashPairs]] and MinHashSpec (same family, same code
+    * path). */
   private[graft] def signatureFrame(sh: DataFrame): DataFrame = {
     val h32 = col("h") % lit(1L << 32) // h >= 0, so % == pmod
     val sigCols = (0 until NumPerms).map { j =>
       min((lit(permA(j)) * h32 + lit(permB(j))) % lit(PermP)).as(s"m$j")
     }
-    sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    sh.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n"): _*)
   }
 
   /** MinHash near-dup pairs over any (doc_id, text) frame: 3-shingles →
@@ -126,26 +133,27 @@ object TextOps extends QueryPack {
       struct(lit(b).as("band") +:
         (0 until 4).map(r => col(s"m${4 * b + r}").as(s"v$r")): _*)
     }
-    val buckets = sigs.select(col("doc_id"),
+    // The set size `n` rides the signature row through the band explode
+    // (8 bytes × 16 band rows), so the Jaccard denominator needs NO
+    // separate `sizes` aggregation — the old two renamed-sizes joins each
+    // re-evaluated the whole shingle pipeline (two extra text scans at
+    // corpus scale when exchange reuse doesn't fire across the renames).
+    val buckets = sigs.select(col("doc_id"), col("n"),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"),
+      .select(col("doc_id"), col("n"), col("bk.band").as("band"),
               col("bk.v0").as("v0"), col("bk.v1").as("v1"),
               col("bk.v2").as("v2"), col("bk.v3").as("v3"))
     val cand = Skew.selfPairs(buckets,
       keyCols = Seq("band", "v0", "v1", "v2", "v3"), idCol = "doc_id",
-      saltFactor = bandSaltFactor)
-    // Exact Jaccard on candidates only: |A∩B| via shingle-hash join,
-    // |A| and |B| via per-doc counts.
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
+      carry = Seq("n"), saltFactor = bandSaltFactor)
+    // Exact Jaccard on candidates only: |A∩B| via shingle-hash join.
+    val inter = cand.select(col("d1"), col("d2"))
       .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("d2", "h"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
     cand
       .join(inter, Seq("d1", "d2"), "left")
       .na.fill(0L, Seq("n_inter"))
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n1") + col("n2") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
