@@ -452,11 +452,15 @@ object PipelineOps extends QueryPack {
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$i")
     }
+    // Per-doc signatures, materialized once for the band self-join's two
+    // sides (two longs per doc — executor-storable at any corpus size);
+    // same rationale as minhashPairs' signature checkpoint.
     val sim = wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until SimBits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
+      .localCheckpoint()
     val bands = sim.select(col("doc_id"), col("sim"),
         explode(array((0 until SimBands).map(j =>
           struct(lit(j).as("bj"),

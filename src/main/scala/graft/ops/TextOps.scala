@@ -121,7 +121,17 @@ object TextOps extends QueryPack {
   def minhashPairs(docs: DataFrame, threshold: Double,
                    bandSaltFactor: Int = 1): DataFrame = {
     val sh = shingleHashes(docs)
-    val sigs = signatureFrame(sh)
+    // The signature frame is PER-DOC (65 longs/doc — executor-storable at
+    // any corpus size) and is consumed by both sides of the band
+    // self-join; localCheckpoint materializes it once instead of
+    // re-running the text→shingle→digest chain per side (exchange reuse
+    // does not bridge the self-join aliases — measured, not assumed).
+    // Same pattern as Components' per-round checkpoint; each caller pays
+    // its own materialization (nothing survives to warm a later bench
+    // pass). The raw shingle stream `sh` is corpus-sized and deliberately
+    // NOT checkpointed — its two Jaccard-confirm evaluations are the
+    // documented persist-signatures-to-parquet trade at 100 TB.
+    val sigs = signatureFrame(sh).localCheckpoint()
     // Band buckets: 16 × the raw 4-slot tuple; explode to one bucket row
     // per (doc, band) and equi-join on the tuple itself. (The previous
     // form hashed the tuple with murmur3 first — a narrower shuffle key,
