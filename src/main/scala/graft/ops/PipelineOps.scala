@@ -235,6 +235,24 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("split"))
     },
 
+    // ---- q_stratified_sample: deterministic k-per-group sample --------
+    // The ablation/eval-subset primitive: exactly k docs per lang, picked
+    // by content-hash order (uniform over the group, reproducible across
+    // engines and reruns — no RNG state). Rank within lang by
+    // (h60(text), doc_id) and keep rank ≤ k; Spark plans the per-group
+    // rank with a WindowGroupLimit partial limit BEFORE the shuffle
+    // (the q_topk_per_group machinery), so each partition forwards at
+    // most k rows per group at any corpus size.
+    "q_stratified_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(h60(col("text")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+                row_number().over(w).as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("lang"), col("rk"))
+    },
+
     // ---- q_corpus_mix: weighted per-source sampling (data mixing) -----
     // The training-mix op: each source is down-sampled to its weight by
     // the same content-hash buckets as q_split_sample (deterministic and
@@ -874,6 +892,14 @@ object PipelineOps extends QueryPack {
              ELSE 'test' END AS split,
         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
       FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
+
+    "q_stratified_sample" -> s"""
+      SELECT lang, doc_id, n_chars, rk FROM (
+        SELECT lang, doc_id, n_chars,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY ${h60Sql("text")}, doc_id) AS INT) AS rk
+        FROM documents)
+      WHERE rk <= 5 ORDER BY lang, rk""",
 
     "q_corpus_mix" -> s"""
       SELECT source, count(*) AS n_kept,

@@ -152,6 +152,12 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy match lost the composite (blk, wl) block key:\n$s")
   }
 
+  test("q_stratified_sample limits groups partially before the shuffle (WindowGroupLimit)") {
+    val s = finalPlan("q_stratified_sample")
+    assert(s.contains("WindowGroupLimit"),
+      s"per-group rank filter did not plan a partial group limit:\n$s")
+  }
+
   test("q_eval_contamination broadcasts the eval gram set (corpus side never shuffles for membership)") {
     val s = finalPlan("q_eval_contamination")
     assert(s.contains("BroadcastHashJoin"),
