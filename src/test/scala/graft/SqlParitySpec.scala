@@ -141,6 +141,16 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       FROM documents GROUP BY 1, 2 ORDER BY lang, split""")
   }
 
+  test("pipeline ops: q_stratified_sample DSL == SQL (hash-order rank via extension)") {
+    assertParity("q_stratified_sample", """
+      SELECT lang, doc_id, n_chars, rk FROM (
+        SELECT lang, doc_id, n_chars,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5_prefix60(text), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 5 ORDER BY lang, rk""")
+  }
+
   test("ingestion: q_event_enrich DSL == SQL") {
     assertParity("q_event_enrich", """
       SELECT event_id, event_type, 'graft-app' AS origin,
