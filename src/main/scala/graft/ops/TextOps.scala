@@ -184,6 +184,31 @@ object TextOps extends QueryPack {
         .orderBy(col("keep_id"))
     },
 
+    // Incremental (cross-snapshot) dedup: the per-crawl staple — dedup a
+    // NEW batch (doc_id ≥ 250) against the already-canonical corpus
+    // (doc_id < 250) AND within itself, keyed by a content-prefix digest
+    // (md5 of the first 5 words — the CCNet/Dolma-style leading-content
+    // hash; the full-text digest is q_dedup_exact's job). At 100 TB the
+    // canon side is a digest-only frame (16 bytes/doc, persisted once per
+    // snapshot cycle, not recomputed from text) so the anti-join shuffles
+    // digests, never documents; in-batch grouping is a two-phase hash agg
+    // on the same digest. Fixture derives both sides from one `documents`
+    // scan — production points `canon` at the prior snapshot's digest
+    // table, same plan shape.
+    "q_dedup_incremental" -> { (s, d) =>
+      val digested = Tables.documents(s, d).select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
+          .as("prefix_hash"))
+      val canon = digested.filter(col("doc_id") < 250)
+        .select(col("prefix_hash")).distinct()
+      digested.filter(col("doc_id") >= 250)
+        .join(canon, Seq("prefix_hash"), "left_anti")
+        .groupBy(col("prefix_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("prefix_hash"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
     // Near-dup detection: 3-shingles → 64-perm MinHash → 16-band LSH →
     // exact Jaccard ≥ 0.5 on candidates only. Oracle-backed since round 5
     // (md5-prefix shingle digest + overflow-safe (a*h+b) mod p perms —
@@ -434,6 +459,20 @@ object TextOps extends QueryPack {
       SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,
              count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_dedup_incremental" -> """
+      WITH d AS (
+        SELECT doc_id,
+          md5(array_to_string(list_slice(string_split(text, ' '), 1, 5),
+              ' ')) AS prefix_hash
+        FROM documents),
+      canon AS (SELECT DISTINCT prefix_hash FROM d WHERE doc_id < 250)
+      SELECT min(doc_id) AS keep_id, prefix_hash, count(*) AS n_copies
+      FROM d b
+      WHERE doc_id >= 250
+        AND NOT EXISTS (SELECT 1 FROM canon c
+                        WHERE c.prefix_hash = b.prefix_hash)
+      GROUP BY prefix_hash ORDER BY keep_id""",
 
     "q_similarity_topk" -> """
       WITH probes AS (

@@ -158,6 +158,14 @@ class PlanSpec extends AnyFunSuite {
       s"per-group rank filter did not plan a partial group limit:\n$s")
   }
 
+  test("q_dedup_incremental anti-joins on the digest (no text past the scan, no cartesian)") {
+    val s = finalPlan("q_dedup_incremental")
+    assert(s.contains("LeftAnti"),
+      s"canon exclusion did not plan an anti-join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"snapshot dedup degenerated to all-pairs:\n$s")
+  }
+
   test("q_eval_contamination broadcasts the eval gram set (corpus side never shuffles for membership)") {
     val s = finalPlan("q_eval_contamination")
     assert(s.contains("BroadcastHashJoin"),
