@@ -101,6 +101,41 @@ object TrainingPipeline {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** The canon digest ledger (q_dedup_incremental semantics): one
+    * (digest) row per doc — md5 of the full text by default, or of the
+    * first `prefixWords` words (the CCNet-style leading-content hash)
+    * when near-exact snapshot matching is wanted. Persist THIS per
+    * snapshot cycle (16 bytes/doc — ~160 GB at 10¹⁰ docs), so the next
+    * crawl's [[dedupAgainstCanon]] never recomputes digests from the old
+    * corpus's text. */
+  def contentDigests(docs: DataFrame, prefixWords: Int = 0): DataFrame = {
+    val keyed =
+      if (prefixWords > 0)
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, prefixWords)))
+      else md5(col("text"))
+    docs.select(keyed.as("digest")).distinct()
+  }
+
+  /** Incremental (cross-snapshot) dedup: drop every doc whose digest
+    * already exists in `canonDigests` (a [[contentDigests]] frame from
+    * the prior snapshot), then dedup the batch against itself the
+    * [[dedupExact]] way. The anti-join is digest-keyed — text never
+    * shuffles — and SMJ-shuffles (long, long) pairs when the canon
+    * outgrows broadcast. `prefixWords` must match the value the ledger
+    * was built with. */
+  def dedupAgainstCanon(docs: DataFrame, canonDigests: DataFrame,
+                        prefixWords: Int = 0): DataFrame = {
+    val keyed =
+      if (prefixWords > 0)
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, prefixWords)))
+      else md5(col("text"))
+    val fresh = docs.withColumn("digest", keyed)
+      .join(canonDigests, Seq("digest"), "left_anti")
+    val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+    fresh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn", "digest")
+  }
+
   /** Near-dup removal via the MinHash LSH pipeline (q_dedup_minhash
     * semantics): every doc that is the HIGHER id of any ≥-threshold pair
     * is dropped. Conservative: in a transitive chain (1~2, 2~3, 1≁3),

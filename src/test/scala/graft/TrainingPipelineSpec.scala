@@ -47,6 +47,31 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out.count() == docs.count())
   }
 
+  test("incremental dedup drops canon-known digests and in-batch copies, keeps the rest") {
+    val canonDocs = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+    // prefixWords = 5: the fixture has prefix collisions but no full-text
+    // dups, so the prefix ledger actually excludes something
+    val ledger = TrainingPipeline.contentDigests(canonDocs, prefixWords = 5)
+    val out = TrainingPipeline.dedupAgainstCanon(batch, ledger, prefixWords = 5)
+    assert(out.columns.toSeq == batch.columns.toSeq, "stage changed the schema")
+    // survivors: distinct prefix-digests, none of which exist in canon
+    val outDigests = TrainingPipeline.contentDigests(out, prefixWords = 5)
+    assert(outDigests.count() == out.count(), "in-batch copies survived")
+    assert(outDigests.join(ledger, Seq("digest")).count() == 0,
+      "a canon-known digest survived")
+    // nothing over-dropped: every excluded batch doc matches canon or a
+    // lower-id batch doc on its digest
+    val batchDigests = TrainingPipeline.contentDigests(batch, prefixWords = 5)
+    val expectKept = batchDigests.join(ledger, Seq("digest"), "left_anti").count()
+    assert(out.count() == expectKept,
+      s"kept ${out.count()} but ${expectKept} batch digests are canon-free")
+    // full-text mode on the dup-free fixture: ledger excludes nothing new
+    val full = TrainingPipeline.dedupAgainstCanon(
+      batch, TrainingPipeline.contentDigests(canonDocs))
+    assert(full.count() == batch.count())
+  }
+
   test("near-dup removal drops exactly the higher ids of matched pairs") {
     val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
     val dropped = pairs.select(col("d2")).distinct().count()
