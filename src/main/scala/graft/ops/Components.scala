@@ -23,37 +23,47 @@ object Components {
   /** `pairs` must have two long columns (d1, d2), one row per undirected
     * edge. Returns (id, component) where component = the minimum node id
     * reachable from `id`. Nodes with no edges are absent (they are their
-    * own component by definition — callers union them in if needed). */
+    * own component by definition — callers union them in if needed).
+    *
+    * Each round is ONE join + one aggregation: self-edges (a, a) ride in
+    * the adjacency list, so `min` over a node's neighborhood already
+    * includes its own label and no merge-back join is needed. Convergence
+    * is a scalar invariant, not a join: labels are monotonically
+    * non-increasing (every round takes a `min` that includes the previous
+    * label), so the label sum strictly decreases until the fixpoint —
+    * `sum(comp)` unchanged ⇔ every label unchanged. Summed as
+    * decimal(38,0): 10¹⁰ nodes × 10¹⁰ max id ≈ 10²⁰ overflows a long. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val d1 = pairs.columns(0)
     val d2 = pairs.columns(1)
-    // symmetric neighbor list: min-labels must flow both directions
-    val edges = pairs.select(col(d1).as("a"), col(d2).as("b"))
+    // symmetric neighbor list (labels must flow both directions) + self
+    val sym = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
+    val adj = sym
+      .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    var labels = adj.filter(col("a") === col("b"))
+      .select(col("a").as("id"), col("a").as("comp"))
       .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges
+      val next = adj
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
         .groupBy(col("a").as("id"))
-        .agg(min(col("bcomp")).as("nmin"))
-      // carry the previous label through the round so convergence is a
-      // filter+count on `next` itself — not a third full-labels join
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .agg(min(col("bcomp")).as("comp"))
         .localCheckpoint()
-      val changed = next.filter(col("comp") =!= col("prev")).count()
+      val s = labelSum(next)
       // bound executor storage at two label snapshots (old + new) — the
       // weak-ref ContextCleaner path would otherwise keep one per round
       labels.unpersist()
-      labels = next.drop("prev")
-      converged = changed == 0
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
