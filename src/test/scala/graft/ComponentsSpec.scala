@@ -28,6 +28,37 @@ class ComponentsSpec extends AnyFunSuite {
     assert(comp.size == 12)
   }
 
+  test("random graphs match a reference union-find (property over 12 seeds)") {
+    // The sum-invariant convergence is the part a wrong proof would break
+    // silently (stopping one round early on SOME graph shape), so pin it
+    // against an independent union-find on deterministic pseudo-random
+    // graphs — mixed sparse/dense, with self-loops and duplicate edges.
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // path-compress to the true minimum root
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(25)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = unionFind(n, edges)
+      val got = cc(edges)
+      // cc() omits edge-less nodes; compare only nodes that appear in
+      // edges. min-root merging makes the union-find root the class
+      // minimum, and a present node's class holds only present nodes.
+      val present = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val want = present.map(id => id -> expected(id)).toMap
+      assert(got == want, s"seed $seed: n=$n edges=$edges")
+    }
+  }
+
   test("dedupNearCanonical keeps exactly one doc per dup cluster") {
     val docs = Tables.documents(s, TestSpark.Sf0001)
     val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
