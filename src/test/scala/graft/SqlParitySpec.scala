@@ -151,6 +151,20 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       WHERE rk <= 5 ORDER BY lang, rk""")
   }
 
+  test("pipeline ops: q_dedup_incremental DSL == SQL anti-join via NOT IN") {
+    assertParity("q_dedup_incremental", """
+      WITH d AS (
+        SELECT doc_id,
+          md5(concat_ws(' ', slice(split(text, ' '), 1, 5))) AS prefix_hash
+        FROM documents),
+      canon AS (SELECT DISTINCT prefix_hash FROM d WHERE doc_id < 250)
+      SELECT min(doc_id) AS keep_id, prefix_hash, count(1) AS n_copies
+      FROM d
+      WHERE doc_id >= 250
+        AND prefix_hash NOT IN (SELECT prefix_hash FROM canon)
+      GROUP BY prefix_hash ORDER BY keep_id""")
+  }
+
   test("ingestion: q_event_enrich DSL == SQL") {
     assertParity("q_event_enrich", """
       SELECT event_id, event_type, 'graft-app' AS origin,
