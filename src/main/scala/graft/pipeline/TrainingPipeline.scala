@@ -228,7 +228,11 @@ object TrainingPipeline {
     * repetition/LM scores cost one token shuffle each, dedup's LSH is
     * the most expensive — each stage shrinks the next one's input.
     * Returns the cleaned, annotated corpus; persist with
-    * [[graft.sources.LakeSink]] between runs at scale. */
+    * [[graft.sources.LakeSink]] between runs at scale. Incremental
+    * (per-crawl) flows run [[dedupAgainstCanon]] on the raw batch FIRST
+    * — against the prior snapshot's [[contentDigests]] ledger — so
+    * prepare() never pays quality/LSH work for docs the corpus already
+    * holds, then append the survivors' digests to the ledger. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
               nearDupThreshold: Double = 0.5,
               labeled: DataFrame = null,
