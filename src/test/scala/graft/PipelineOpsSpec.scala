@@ -13,6 +13,34 @@ class PipelineOpsSpec extends AnyFunSuite {
   private def q(name: String) =
     PipelineOps.queries(name)(s, TestSpark.Sf0001)
 
+  test("seqPack matches a reference greedy fold on random inputs (12 seeds)") {
+    // Fixture tests pin the happy path; random shapes cover oversized
+    // docs mid-stream, exact fits, tiny budgets, and single-doc keys —
+    // where an off-by-one in the boundary rule would hide.
+    import s.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(100 + seed)
+      val budget = (1 + rnd.nextInt(20)).toLong
+      val langs = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      val docs = (0 until (5 + rnd.nextInt(40))).map { i =>
+        (i.toLong, langs(rnd.nextInt(langs.size)), (1 + rnd.nextInt(30)).toLong)
+      }
+      val expected = docs.groupBy(_._2).flatMap { case (lang, ds) =>
+        var cur = 0L; var pack = 0L
+        ds.sortBy(_._1).map { case (id, _, tok) =>
+          if (cur + tok > budget && cur > 0) { pack += 1; cur = 0 }
+          cur += tok
+          (id, lang, pack, tok)
+        }
+      }.toSet
+      val got = PipelineOps.seqPack(docs.toDF("doc_id", "lang", "tok"), budget)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"seed $seed budget=$budget docs=$docs")
+    }
+  }
+
   test("q_dedup_simhash pairs are ordered, deduped, and within Hamming 3") {
     val rows = q("q_dedup_simhash")
       .select("d1", "d2", "hamming").as[(Long, Long, Long)](
