@@ -253,6 +253,40 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("rk"))
     },
 
+    // ---- q_token_budget: per-lang token-budget sampling ---------------
+    // Training mixes are budgeted in TOKENS, not docs: take docs in
+    // content-hash order until each lang's running token total crosses
+    // the budget (the first crossing doc is kept — fill-until-exceeded,
+    // so one oversized doc can't stall a lang). A naive per-lang running
+    // sum is a hot-key scale problem (parallelism = #langs, one task
+    // streams a whole language), so the prefix sum is two-level: h60's
+    // top 6 bits give 64 ORDER-PRESERVING range buckets (all h in bucket
+    // b sort before bucket b+1), the within-(lang, bucket) window runs at
+    // langs×64-way parallelism, and per-bucket totals — a ≤64-row-per-lang
+    // frame — prefix-sum into offsets that broadcast back. Same exact
+    // integers as the single-window form, which is what the oracle runs.
+    "q_token_budget" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          h60(col("text")).as("h"))
+        .withColumn("bucket", shiftright(col("h"), 54))
+      val wIn = Window.partitionBy(col("lang"), col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("lang"), col("bucket"))
+        .agg(sum(col("tok")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+        .select(col("lang"), col("bucket"), col("off"))
+      base.withColumn("wcum", sum(col("tok")).over(wIn))
+        .join(broadcast(offsets), Seq("lang", "bucket"))
+        .withColumn("cum", col("off") + col("wcum"))
+        .filter(col("cum") - col("tok") < 2000)
+        .select(col("lang"), col("doc_id"), col("tok"), col("cum"))
+        .orderBy(col("lang"), col("cum"))
+    },
+
     // ---- q_corpus_mix: weighted per-source sampling (data mixing) -----
     // The training-mix op: each source is down-sampled to its weight by
     // the same content-hash buckets as q_split_sample (deterministic and
@@ -900,6 +934,16 @@ object PipelineOps extends QueryPack {
             ORDER BY ${h60Sql("text")}, doc_id) AS INT) AS rk
         FROM documents)
       WHERE rk <= 5 ORDER BY lang, rk""",
+
+    "q_token_budget" -> s"""
+      SELECT lang, doc_id, tok, cum FROM (
+        SELECT lang, doc_id, tok,
+          CAST(sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id)
+               AS BIGINT) AS cum
+        FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS tok,
+                     ${h60Sql("text")} AS h
+              FROM documents))
+      WHERE cum - tok < 2000 ORDER BY lang, cum""",
 
     "q_corpus_mix" -> s"""
       SELECT source, count(*) AS n_kept,

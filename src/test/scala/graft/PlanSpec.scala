@@ -166,6 +166,14 @@ class PlanSpec extends AnyFunSuite {
       s"snapshot dedup degenerated to all-pairs:\n$s")
   }
 
+  test("q_token_budget runs the doc-level window at (lang, bucket) grain with broadcast offsets") {
+    val s = finalPlan("q_token_budget")
+    assert("windowspecdefinition\\(lang#\\d+, bucket#\\d+".r.findFirstIn(s).isDefined,
+      s"doc-level prefix sum is not bucket-partitioned (per-lang hot-key window):\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"bucket offsets did not broadcast:\n$s")
+  }
+
   test("q_eval_contamination broadcasts the eval gram set (corpus side never shuffles for membership)") {
     val s = finalPlan("q_eval_contamination")
     assert(s.contains("BroadcastHashJoin"),
