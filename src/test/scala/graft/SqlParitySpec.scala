@@ -165,6 +165,21 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       GROUP BY prefix_hash ORDER BY keep_id""")
   }
 
+  test("pipeline ops: q_token_budget two-level prefix sum == single-window SQL") {
+    // The SQL twin is the naive one-window cumsum — this parity case IS
+    // the Spark-side proof that the bucketed two-level form computes the
+    // identical integers.
+    assertParity("q_token_budget", """
+      SELECT lang, doc_id, tok, cum FROM (
+        SELECT lang, doc_id, tok,
+          sum(tok) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+        FROM (SELECT lang, doc_id,
+                CAST(size(split(text, ' ')) AS BIGINT) AS tok,
+                md5_prefix60(text) AS h
+              FROM documents))
+      WHERE cum - tok < 2000 ORDER BY lang, cum""")
+  }
+
   test("ingestion: q_event_enrich DSL == SQL") {
     assertParity("q_event_enrich", """
       SELECT event_id, event_type, 'graft-app' AS origin,
