@@ -266,24 +266,7 @@ object PipelineOps extends QueryPack {
     // frame — prefix-sum into offsets that broadcast back. Same exact
     // integers as the single-window form, which is what the oracle runs.
     "q_token_budget" -> { (s, d) =>
-      val base = Tables.documents(s, d).select(
-          col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("tok"),
-          h60(col("text")).as("h"))
-        .withColumn("bucket", shiftright(col("h"), 54))
-      val wIn = Window.partitionBy(col("lang"), col("bucket"))
-        .orderBy(col("h"), col("doc_id"))
-      val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = base.groupBy(col("lang"), col("bucket"))
-        .agg(sum(col("tok")).as("btot"))
-        .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
-        .select(col("lang"), col("bucket"), col("off"))
-      base.withColumn("wcum", sum(col("tok")).over(wIn))
-        .join(broadcast(offsets), Seq("lang", "bucket"))
-        .withColumn("cum", col("off") + col("wcum"))
-        .filter(col("cum") - col("tok") < 2000)
-        .select(col("lang"), col("doc_id"), col("tok"), col("cum"))
+      tokenBudgetSample(Tables.documents(s, d), 2000L)
         .orderBy(col("lang"), col("cum"))
     },
 
@@ -526,6 +509,39 @@ object PipelineOps extends QueryPack {
         bit_count(col("sim1").bitwiseXOR(col("sim2"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  /** Per-lang token-budget sampling (q_token_budget semantics): docs in
+    * content-hash order until each lang's running token total crosses
+    * `budget` (the crossing doc is kept — fill-until-exceeded, so one
+    * oversized doc can't stall a lang). Returns the manifest
+    * (lang, doc_id, tok, cum); join back on doc_id to carry text.
+    *
+    * The prefix sum is two-level so no single task streams a whole
+    * language: h60's top 6 bits are 64 ORDER-PRESERVING range buckets
+    * (every h in bucket b sorts before bucket b+1), the doc-level cumsum
+    * window runs at langs×64-way parallelism, and the ≤64-rows-per-lang
+    * bucket totals prefix-sum into offsets that broadcast back. Exact
+    * same integers as the naive single window (SqlParitySpec pins it). */
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    val base = docs.select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("tok"),
+        h60(col("text")).as("h"))
+      .withColumn("bucket", shiftright(col("h"), 54))
+    val wIn = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("tok")).as("btot"))
+      .withColumn("off", coalesce(sum(col("btot")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bucket"), col("off"))
+    base.withColumn("wcum", sum(col("tok")).over(wIn))
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", col("off") + col("wcum"))
+      .filter(col("cum") - col("tok") < budget)
+      .select(col("lang"), col("doc_id"), col("tok"), col("cum"))
   }
 
   def seqPack(docs: DataFrame, budget: Long): DataFrame = {

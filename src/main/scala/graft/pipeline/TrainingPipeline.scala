@@ -217,6 +217,19 @@ object TrainingPipeline {
       budget)
       .withColumnRenamed("lang", key)
 
+  /** Token-budget sampling stage (q_token_budget semantics via
+    * [[graft.ops.PipelineOps.tokenBudgetSample]]'s two-level prefix sum):
+    * keep docs in content-hash order until each lang's running token
+    * total crosses `budget` — the training-mix primitive when the budget
+    * is tokens, not documents (pair with [[pack]] downstream: sample the
+    * budget, then pack the sample). Returns the sampled docs with their
+    * manifest columns dropped — schema-stable like the other stages. */
+  def sampleTokens(docs: DataFrame, budget: Long): DataFrame =
+    docs.join(
+      graft.ops.PipelineOps.tokenBudgetSample(docs, budget)
+        .select(col("doc_id")),
+      Seq("doc_id"))
+
   /** The full prep flow. `labeled` trains the language profiles (defaults
     * to the corpus itself when it carries a ground-truth `lang` column).
     * `lmDropFraction` > 0 inserts the model-based [[lmQualityFilter]]

@@ -72,6 +72,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(full.count() == batch.count())
   }
 
+  test("sampleTokens fills each lang's budget and never overshoots before the crossing doc") {
+    val budget = 500L
+    val out = TrainingPipeline.sampleTokens(docs, budget)
+    assert(out.columns.toSeq == docs.columns.toSeq, "stage changed the schema")
+    val manifest = graft.ops.PipelineOps.tokenBudgetSample(docs, budget)
+    assert(out.count() == manifest.count())
+    // fill-until-exceeded: every kept doc started strictly under budget
+    assert(manifest.filter(col("cum") - col("tok") >= budget).count() == 0)
+    // and the budget is actually filled — per lang, kept tokens reach the
+    // budget unless the lang ran out of docs entirely
+    val kept = manifest.groupBy("lang")
+      .agg(sum("tok").as("kept_tok"), count(lit(1)).as("n_kept"))
+    val all = docs
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("lang").agg(count(lit(1)).as("n_all"))
+    val underfilled = kept.join(all, "lang")
+      .filter(col("kept_tok") < budget && col("n_kept") < col("n_all"))
+      .count()
+    assert(underfilled == 0, "a lang stopped short of its budget with docs left")
+  }
+
   test("near-dup removal drops exactly the higher ids of matched pairs") {
     val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
     val dropped = pairs.select(col("d2")).distinct().count()
