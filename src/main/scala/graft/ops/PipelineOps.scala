@@ -307,6 +307,29 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("pack_id"))
     },
 
+    // ---- q_doc_chunk: fixed-token chunking with overlap (RAG prep) ----
+    // The retrieval/pretraining chunker: each doc splits into 32-token
+    // windows advancing by a 24-token stride (8-token overlap keeps
+    // boundary context retrievable). Chunk starts come from one
+    // `sequence(0, n-1, stride)` + posexplode — a single Generate whose
+    // fan-out is bounded by n/stride per row, so the stage is a pure
+    // narrow map at any corpus size: zero shuffles before the output
+    // sort, and each chunk is sliced from the already-split token array
+    // (the text is tokenized exactly once per doc).
+    "q_doc_chunk" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      base
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(24))))
+        .toDF("doc_id", "toks", "chunk_id", "st")
+        .select(col("doc_id"), col("chunk_id"),
+          size(slice(col("toks"), col("st") + 1, lit(32))).as("n_tok"),
+          array_join(slice(col("toks"), col("st") + 1, lit(32)), " ")
+            .as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // ---- q_embed_quantize: symmetric int8 vector quantization ---------
     // Per-vector symmetric int8 quantization (the PQ/scalar-quant step of
     // every vector-index build): scale = maxabs/127, q_i = round(x_i /
@@ -994,6 +1017,21 @@ object PipelineOps extends QueryPack {
       SELECT lang, pack_id, count(*) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS sum_tokens
       FROM st GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    // generate_series is INCLUSIVE of its stop in both engines, and list
+    // slices clamp at the array end in both (DuckDB toks[a:b] is 1-based
+    // inclusive ≡ Spark slice(toks, a, b-a+1)).
+    "q_doc_chunk" -> """
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 24)) AS st
+        FROM t)
+      SELECT doc_id, CAST(st / 24 AS INT) AS chunk_id,
+             CAST(len(toks[st + 1 : st + 32]) AS INT) AS n_tok,
+             array_to_string(toks[st + 1 : st + 32], ' ') AS chunk
+      FROM s ORDER BY doc_id, chunk_id""",
 
     "q_embed_quantize" -> """
       WITH q AS (

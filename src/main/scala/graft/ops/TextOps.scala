@@ -283,6 +283,29 @@ object TextOps extends QueryPack {
         .orderBy(col("comp"))
     },
 
+    // Cluster-representative selection — the real-pipeline finisher on top
+    // of the components labels: instead of keeping the lowest id, each
+    // near-dup cluster keeps its BEST member (here: max n_chars, doc_id
+    // tie-break — in production the quality score plugs into the same
+    // ORDER BY). The rep choice is one row_number window partitioned by
+    // comp — clusters are tiny (bounded by near-dup radius), so the window
+    // is skew-free by construction; the docs join moves only (doc_id,
+    // n_chars), never text. Same O(diameter) label propagation underneath.
+    "q_dedup_cluster_rep" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = minhashPairs(docs, 0.5).select(col("d1"), col("d2"))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("n_chars").desc, col("id"))
+      Components.connectedComponents(pairs)
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy(col("comp"))
+        .agg(max(when(col("rk") === 1, col("id"))).as("rep_id"),
+             count(lit(1)).as("n_members"),
+             sum(col("n_chars")).as("cluster_chars"))
+        .orderBy(col("comp"))
+    },
+
     // Dictionary fuzzy match (spell-correction shape): probe terms are the
     // corpus vocabulary with the last character dropped (a deterministic
     // "typo" both engines derive identically); each probe matches every
@@ -418,7 +441,9 @@ object TextOps extends QueryPack {
     * [[minhashPairsSql]] graph: transitive closure (reach), then
     * component = min reachable id per node, then per-component rollup.
     */
-  private def componentsOracleSql: String = s"""
+  /** Shared CTE prefix: minhash pairs → undirected edges → transitive
+    * closure → (id, comp) labels. Both components oracles build on it. */
+  private def componentsCteSql: String = s"""
       WITH RECURSIVE pairs AS (
         $minhashPairsSql
       ), edges AS (
@@ -429,15 +454,32 @@ object TextOps extends QueryPack {
         SELECT a, a FROM edges
         UNION
         SELECT re.id, e.b FROM reach re JOIN edges e ON e.a = re.r
-      )
+      ), comp AS (
+        SELECT id, min(r) AS comp FROM reach GROUP BY id
+      )"""
+
+  private def componentsOracleSql: String = componentsCteSql + """
       SELECT comp, count(*) AS n_members, max(id) AS max_id
-      FROM (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-      GROUP BY comp ORDER BY comp"""
+      FROM comp GROUP BY comp ORDER BY comp"""
+
+  private def clusterRepOracleSql: String = componentsCteSql + """,
+      m AS (
+        SELECT c.comp, c.id, d.n_chars,
+               row_number() OVER (PARTITION BY c.comp
+                 ORDER BY d.n_chars DESC, c.id) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.id
+      )
+      SELECT comp, CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS rep_id,
+             count(*) AS n_members,
+             CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+      FROM m GROUP BY comp ORDER BY comp"""
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> (minhashPairsSql + "\n      ORDER BY d1, d2"),
 
     "q_connected_components" -> componentsOracleSql,
+
+    "q_dedup_cluster_rep" -> clusterRepOracleSql,
 
     "q_fuzzy_match" -> """
       WITH words AS (
