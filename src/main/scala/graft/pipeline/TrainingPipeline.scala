@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,6 +166,30 @@ object TrainingPipeline {
       .select(col("d1"), col("d2"))
     val comps = graft.ops.Components.connectedComponents(pairs, maxIters)
     val losers = comps.filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Best-member near-dup removal (q_dedup_cluster_rep semantics): MinHash
+    * pairs → connected components → each dup cluster keeps the member that
+    * maximizes `quality` (doc_id breaks ties) instead of
+    * [[dedupNearCanonical]]'s lowest-id rule — the production finisher
+    * when a quality score exists (pass e.g. the LM score column; the
+    * default keeps the longest doc). The rank is one `row_number` window
+    * per comp — clusters are near-dup-radius-bounded, so the window is
+    * skew-free; only (id, quality) rows move, never text. */
+  def dedupNearKeepBest(docs: DataFrame, quality: Column = col("n_chars"),
+                        threshold: Double = 0.5,
+                        maxIters: Int = 50): DataFrame = {
+    val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
+      .select(col("d1"), col("d2"))
+    val comps = graft.ops.Components.connectedComponents(pairs, maxIters)
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("q").desc, col("id"))
+    val losers = comps
+      .join(docs.select(col("doc_id").as("id"), quality.as("q")), Seq("id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") =!= 1)
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

@@ -180,6 +180,16 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       WHERE cum - tok < 2000 ORDER BY lang, cum""")
   }
 
+  test("pipeline ops: q_doc_chunk DSL == SQL LATERAL VIEW posexplode") {
+    assertParity("q_doc_chunk", """
+      SELECT doc_id, chunk_id,
+             size(slice(toks, st + 1, 32)) AS n_tok,
+             array_join(slice(toks, st + 1, 32), ' ') AS chunk
+      FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
+      LATERAL VIEW posexplode(sequence(0, size(toks) - 1, 24)) g AS chunk_id, st
+      ORDER BY doc_id, chunk_id""")
+  }
+
   test("ingestion: q_event_enrich DSL == SQL") {
     assertParity("q_event_enrich", """
       SELECT event_id, event_type, 'graft-app' AS origin,

@@ -105,6 +105,27 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(leftover == 0)
   }
 
+  test("keep-best near-dup removal keeps exactly the max-quality member per cluster") {
+    val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
+      .select(col("d1"), col("d2"))
+    val comps = graft.ops.Components.connectedComponents(pairs)
+    val out = TrainingPipeline.dedupNearKeepBest(docs)
+    // one survivor per cluster: same survivor COUNT as the canonical rule
+    assert(out.count() ==
+      TrainingPipeline.dedupNearCanonical(docs, 0.5).count())
+    // and the survivor is the (n_chars desc, doc_id) argmax of its cluster
+    val expectedReps = comps
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+      .groupBy(col("comp"))
+      .agg(min(struct(negate(col("n_chars")), col("id"))).as("best"))
+      .select(col("best.id").as("doc_id"))
+    val clustered = comps.select(col("id").as("doc_id"))
+    val keptClustered = out.join(clustered, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"))
+    assert(keptClustered.collect().map(_.getLong(0)).toSet ==
+      expectedReps.collect().map(_.getLong(0)).toSet)
+  }
+
   test("embedding-space dedup drops the planted noisy copy, keeps the base") {
     // plant near-identical copies at doc_id + 10000 (sign-preserving
     // per-coordinate scale, cos ~0.9998 — see EmbedLshSpec)
