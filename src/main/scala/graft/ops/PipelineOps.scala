@@ -308,25 +308,11 @@ object PipelineOps extends QueryPack {
     },
 
     // ---- q_doc_chunk: fixed-token chunking with overlap (RAG prep) ----
-    // The retrieval/pretraining chunker: each doc splits into 32-token
-    // windows advancing by a 24-token stride (8-token overlap keeps
-    // boundary context retrievable). Chunk starts come from one
-    // `sequence(0, n-1, stride)` + posexplode — a single Generate whose
-    // fan-out is bounded by n/stride per row, so the stage is a pure
-    // narrow map at any corpus size: zero shuffles before the output
-    // sort, and each chunk is sliced from the already-split token array
-    // (the text is tokenized exactly once per doc).
+    // The retrieval/pretraining chunker ([[chunkDocs]]): 32-token windows
+    // at a 24-token stride (8-token overlap keeps boundary context
+    // retrievable); fixture sort for the oracle.
     "q_doc_chunk" -> { (s, d) =>
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      base
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(24))))
-        .toDF("doc_id", "toks", "chunk_id", "st")
-        .select(col("doc_id"), col("chunk_id"),
-          size(slice(col("toks"), col("st") + 1, lit(32))).as("n_tok"),
-          array_join(slice(col("toks"), col("st") + 1, lit(32)), " ")
-            .as("chunk"))
+      chunkDocs(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 
@@ -565,6 +551,29 @@ object PipelineOps extends QueryPack {
       .withColumn("cum", col("off") + col("wcum"))
       .filter(col("cum") - col("tok") < budget)
       .select(col("lang"), col("doc_id"), col("tok"), col("cum"))
+  }
+
+  /** Fixed-token chunking with overlap (q_doc_chunk semantics, the
+    * RAG/pretraining chunker): each doc's whitespace tokens split into
+    * `window`-token chunks advancing by `stride` tokens (window − stride
+    * tokens of overlap). Chunk starts come from one
+    * `sequence(0, n−1, stride)` + posexplode — a single Generate whose
+    * fan-out is ⌈n/stride⌉ per row, so the stage is a pure narrow map at
+    * any corpus size: zero shuffles, text tokenized exactly once per doc
+    * (chunks slice the already-split token array). Returns
+    * (doc_id, chunk_id, n_tok, chunk). */
+  def chunkDocs(docs: DataFrame, window: Int = 32,
+                stride: Int = 24): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride))))
+      .toDF("doc_id", "toks", "chunk_id", "st")
+      .select(col("doc_id"), col("chunk_id"),
+        size(slice(col("toks"), col("st") + 1, lit(window))).as("n_tok"),
+        array_join(slice(col("toks"), col("st") + 1, lit(window)), " ")
+          .as("chunk"))
   }
 
   def seqPack(docs: DataFrame, budget: Long): DataFrame = {

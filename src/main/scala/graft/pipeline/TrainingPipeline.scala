@@ -254,6 +254,15 @@ object TrainingPipeline {
         .select(col("doc_id")),
       Seq("doc_id"))
 
+  /** Chunking stage ([[graft.ops.PipelineOps.chunkDocs]], q_doc_chunk
+    * semantics): fixed-token chunks with overlap for retrieval/pretraining
+    * — run it LAST, on the cleaned corpus, since it multiplies token
+    * volume by ~window/stride. Unlike the filter stages this changes the
+    * unit of the frame: one row per (doc_id, chunk_id), text column
+    * replaced by `chunk`. */
+  def chunk(docs: DataFrame, window: Int = 32, stride: Int = 24): DataFrame =
+    graft.ops.PipelineOps.chunkDocs(docs, window, stride)
+
   /** The full prep flow. `labeled` trains the language profiles (defaults
     * to the corpus itself when it carries a ground-truth `lang` column).
     * `lmDropFraction` > 0 inserts the model-based [[lmQualityFilter]]

@@ -261,4 +261,26 @@ class PlanSpec extends AnyFunSuite {
     val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(s).size
     assert(bnlj == bnljAll, "non-broadcast nested loop join in IVF plan")
   }
+
+  test("q_doc_chunk is one Generate over one scan — no shuffle before the sort") {
+    val s = finalPlan("q_doc_chunk").split("== Initial Plan ==")(0)
+    assert(s.contains("Generate"), "chunking should compile to one Generate")
+    assert(s.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      "doc_chunk reads more than one scan")
+    assert(!s.contains("Exchange hashpartitioning"),
+      "doc_chunk shuffled before the output sort — the stage should be narrow")
+  }
+
+  test("q_dedup_cluster_rep: rank join moves (doc_id, n_chars) only, no cartesian") {
+    val s = finalPlan("q_dedup_cluster_rep")
+    assert(!s.contains("CartesianProduct"),
+      "cluster-rep degenerated to an all-pairs join")
+    // the stats side of the rank join prunes documents to (doc_id, n_chars)
+    // — text must never ride through the window
+    val prunedScan = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s)
+      .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet)
+      .exists(cols => cols == Set("doc_id", "n_chars"))
+    assert(prunedScan,
+      s"no documents scan pruned to exactly (doc_id, n_chars):\n$s")
+  }
 }

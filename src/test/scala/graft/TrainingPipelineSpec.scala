@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.TrainingPipeline
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -103,6 +104,39 @@ class TrainingPipelineSpec extends AnyFunSuite {
     val leftover = pairs.join(survivors.withColumnRenamed("doc_id", "d2"), Seq("d2"))
       .count()
     assert(leftover == 0)
+  }
+
+  test("chunk() covers every token exactly: stride==window concatenation rebuilds the text") {
+    val out = TrainingPipeline.chunk(docs, 16, 16)
+    val rebuilt = out.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
+        x => x.getField("chunk")), " ").as("re"))
+    val mismatches = docs.select(col("doc_id"), col("text"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter(col("re") =!= col("text")).count()
+    assert(mismatches == 0)
+  }
+
+  test("chunk() with overlap: ceil(n/stride) chunks, consecutive chunks share the overlap") {
+    val out = TrainingPipeline.chunk(docs, 32, 24)
+    val counts = out.groupBy(col("doc_id")).count()
+    val bad = docs
+      .select(col("doc_id"),
+        (floor((size(split(col("text"), " ")) - 1) / 24) + 1).as("exp"))
+      .join(counts, Seq("doc_id"))
+      .filter(col("count") =!= col("exp")).count()
+    assert(bad == 0)
+    // a full chunk's tail 8 tokens == the next chunk's head 8 tokens
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))
+    val overlapBad = out
+      .withColumn("next_head",
+        lead(array_join(slice(split(col("chunk"), " "), 1, 8), " "), 1).over(w))
+      .filter(col("n_tok") === 32 && col("next_head").isNotNull)
+      .filter(array_join(slice(split(col("chunk"), " "), 25, 8), " ")
+        =!= col("next_head"))
+      .count()
+    assert(overlapBad == 0)
   }
 
   test("keep-best near-dup removal keeps exactly the max-quality member per cluster") {
