@@ -41,6 +41,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chunkDocs matches a reference sliding chunker on random inputs (12 seeds)") {
+    // Random (window, stride, doc length) shapes cover the boundary cases
+    // the fixture can't: last chunk shorter than stride, exact-fit tails,
+    // window == stride (no overlap), single-token docs.
+    import s.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(200 + seed)
+      val window = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(window)
+      val docs = (0 until (3 + rnd.nextInt(20))).map { i =>
+        val n = 1 + rnd.nextInt(40)
+        (i.toLong, (0 until n).map(_ => s"w${rnd.nextInt(50)}").mkString(" "))
+      }
+      val expected = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        Iterator.from(0).map(_ * stride).takeWhile(_ < toks.length)
+          .zipWithIndex.map { case (st, ci) =>
+            val chunk = toks.slice(st, math.min(st + window, toks.length))
+            (id, ci, chunk.length, chunk.mkString(" "))
+          }.toSeq
+      }.toSet
+      val got = PipelineOps.chunkDocs(docs.toDF("doc_id", "text"),
+          window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+      assert(got == expected, s"seed $seed window=$window stride=$stride")
+    }
+  }
+
   test("q_dedup_simhash pairs are ordered, deduped, and within Hamming 3") {
     val rows = q("q_dedup_simhash")
       .select("d1", "d2", "hamming").as[(Long, Long, Long)](

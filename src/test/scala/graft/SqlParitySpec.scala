@@ -180,6 +180,53 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       WHERE cum - tok < 2000 ORDER BY lang, cum""")
   }
 
+  test("aggregates: q_grouping_sets DSL == SQL GROUPING SETS clause") {
+    assertParity("q_grouping_sets", """
+      SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS sum_total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                              (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST""")
+  }
+
+  test("aggregates: q_pivot DSL == SQL PIVOT clause") {
+    // the DSL's na.fill(0) becomes coalesce: SQL PIVOT yields NULL counts
+    // for absent (status, priority) combinations
+    assertParity("q_pivot", """
+      SELECT o_orderstatus,
+             coalesce(`1-URGENT`, 0) AS urgent, coalesce(`2-HIGH`, 0) AS high,
+             coalesce(`3-MEDIUM`, 0) AS medium,
+             coalesce(`4-NOT SPECIFIED`, 0) AS unspecified,
+             coalesce(`5-LOW`, 0) AS low
+      FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+      PIVOT (count(1) FOR o_orderpriority IN
+             ('1-URGENT' AS `1-URGENT`, '2-HIGH' AS `2-HIGH`,
+              '3-MEDIUM' AS `3-MEDIUM`, '4-NOT SPECIFIED' AS `4-NOT SPECIFIED`,
+              '5-LOW' AS `5-LOW`))
+      ORDER BY o_orderstatus""")
+  }
+
+  test("aggregates: q_median_mode DSL == SQL (median + windowed mode)") {
+    assertParity("q_median_mode", """
+      WITH med AS (
+        SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty,
+               count(1) AS n
+        FROM lineitem GROUP BY l_returnflag),
+      mode AS (
+        SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_n FROM (
+          SELECT l_returnflag, l_quantity, count(1) AS cnt,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY count(1) DESC, l_quantity) AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity)
+        WHERE rn = 1)
+      SELECT med.l_returnflag, med_qty, n, mode_qty, mode_n
+      FROM med JOIN mode ON med.l_returnflag = mode.l_returnflag
+      ORDER BY med.l_returnflag""")
+  }
+
   test("pipeline ops: q_doc_chunk DSL == SQL LATERAL VIEW posexplode") {
     assertParity("q_doc_chunk", """
       SELECT doc_id, chunk_id,
