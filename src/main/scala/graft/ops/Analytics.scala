@@ -247,6 +247,70 @@ object Analytics extends QueryPack {
              expr("bit_xor(rh)").as("xor_h"),
              min(col("rh")).as("min_h"), max(col("rh")).as("max_h"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // ---- q_sessionize: gap-based event sessionization -----------------
+    // The batch sessionization primitive (the analytics twin of
+    // q_session_window's streaming form): a new session starts when the
+    // gap from the user's previous event exceeds 4 h (this fixture's
+    // inter-event median is ~7 h, so the threshold yields a real mix of
+    // multi-event and singleton sessions). The conditional-cumsum pattern:
+    // lag → boolean flag → running sum = session id, all inside ONE
+    // window partition chain (one shuffle by user_id, two partition-local
+    // window passes, then the per-session agg reuses the same
+    // partitioning). Timestamps surface as epoch seconds (engine-
+    // independent); value sums are exact decimal, rounded at output.
+    "q_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+                col("ts").cast("long").as("sec"))
+        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("gap").isNull || col("gap") > 14400, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("sec")).as("start_sec"),
+             max(col("sec")).as("end_sec"),
+             (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+             outd(sum(dec(col("value")))).as("sum_value"))
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+
+    // ---- q_pmi_bigrams: bigram co-occurrence / PMI ---------------------
+    // Collocation mining (the corpus-analysis step behind tokenizer-merge
+    // and phrase-vocabulary decisions): PMI = ln(p(x,y) / (p(x)·p(y)))
+    // over adjacent word pairs. All counts are exact integers from two
+    // hash aggs (unigrams, bigrams — reusing the codegen'd WordShingles
+    // expression); corpus totals ride in as 1-row broadcasts; the only
+    // float math is the final ln, written in the identical textual
+    // multiply/divide order in both engines and rounded at output. Top-20
+    // by (pmi, w1, w2) — a unique, deterministic boundary.
+    "q_pmi_bigrams" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val uni = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
+      val bi = docs
+        .select(explode(graft.expr.WordShingles.of(col("text"), 2)).as("g"))
+        .select(split(col("g"), " ").as("p"))
+        .select(element_at(col("p"), 1).as("w1"),
+                element_at(col("p"), 2).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      val nBi = bi.agg(sum(col("c_xy")).cast("double").as("n_bi"))
+      bi.filter(col("c_xy") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          round(log(col("c_xy").cast("double") * col("n_uni") * col("n_uni")
+            / (col("n_bi") * col("c1") * col("c2"))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
     }
   )
 
@@ -387,6 +451,60 @@ object Analytics extends QueryPack {
         FROM lineitem)
       SELECT l_returnflag, count(*) AS n_rows, bit_xor(rh) AS xor_h,
              min(rh) AS min_h, max(rh) AS max_h
-      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""")
+      FROM r GROUP BY l_returnflag ORDER BY l_returnflag""") ,
+
+    // epoch_us // 1000000 floors to seconds exactly like Spark's
+    // timestamp→long cast (both engines see micros precision on ts).
+    "q_sessionize" -> """
+      WITH e AS (
+        SELECT user_id, event_id, value,
+               epoch_us(ts) // 1000000 AS sec
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, value, sec,
+          CASE WHEN sec - lag(sec) OVER w IS NULL
+                 OR sec - lag(sec) OVER w > 14400 THEN 1 ELSE 0 END
+            AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      g AS (
+        SELECT user_id, value, sec,
+          CAST(sum(new_sess) OVER (PARTITION BY user_id
+            ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS sess_id
+        FROM f)
+      SELECT user_id, sess_id, count(1) AS n_events,
+             min(sec) AS start_sec, max(sec) AS end_sec,
+             max(sec) - min(sec) AS dur_sec,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS sum_value
+      FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+
+    // float math confined to the final ln, identical textual op order in
+    // both engines, rounded at output; everything upstream is integer.
+    "q_pmi_bigrams" -> """
+      WITH words AS (
+        SELECT string_split(text, ' ') AS w FROM documents),
+      uni AS (
+        SELECT u AS word, count(*) AS c
+        FROM (SELECT unnest(w) AS u FROM words) GROUP BY u),
+      tot_uni AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+      bi AS (
+        SELECT p['w1'] AS w1, p['w2'] AS w2, count(*) AS c_xy FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+            i -> {'w1': w[CAST(i AS INT)], 'w2': w[CAST(i AS INT) + 1]}))
+            AS p
+          FROM words WHERE len(w) >= 2)
+        GROUP BY 1, 2),
+      tot_bi AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_bi FROM bi)
+      SELECT b.w1, b.w2, b.c_xy,
+             round(ln(CAST(b.c_xy AS DOUBLE) * n_uni * n_uni
+               / (n_bi * u1.c * u2.c)), 4) AS pmi
+      FROM bi b
+      JOIN uni u1 ON u1.word = b.w1
+      JOIN uni u2 ON u2.word = b.w2, tot_uni, tot_bi
+      WHERE b.c_xy >= 5
+      ORDER BY pmi DESC, b.w1, b.w2
+      LIMIT 20"""
   )
 }

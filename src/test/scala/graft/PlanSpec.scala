@@ -262,6 +262,25 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj == bnljAll, "non-broadcast nested loop join in IVF plan")
   }
 
+  test("q_sessionize is ONE shuffle by user: windows and session agg share the partitioning") {
+    // HashPartitioning(user_id) from the window satisfies the
+    // (user_id, sess_id) groupBy's clustered distribution — the agg must
+    // NOT re-shuffle; the only other exchange is the output sort's range
+    // partition.
+    val s = finalPlan("q_sessionize").split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"sessionize should shuffle exactly once (by user_id):\n$s")
+  }
+
+  test("q_pmi_bigrams broadcasts only the 1-row totals (vocab joins stay equi-joins)") {
+    val s = finalPlan("q_pmi_bigrams").split("== Initial Plan ==")(0)
+    assert(!s.contains("CartesianProduct"), "PMI planned an all-pairs join")
+    // the two corpus totals ride in as broadcast nested loops (1-row each);
+    // any other BNLJ means a vocab join lost its equi-key
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj == 2, s"expected exactly the 2 one-row total broadcasts, got $bnlj")
+  }
+
   test("q_doc_chunk is one Generate over one scan — no shuffle before the sort") {
     val s = finalPlan("q_doc_chunk").split("== Initial Plan ==")(0)
     assert(s.contains("Generate"), "chunking should compile to one Generate")

@@ -237,6 +237,55 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       ORDER BY doc_id, chunk_id""")
   }
 
+  test("analytics: q_sessionize DSL == SQL (named WINDOW conditional cumsum)") {
+    assertParity("q_sessionize", """
+      WITH e AS (
+        SELECT user_id, event_id, value, CAST(ts AS LONG) AS sec
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, value, sec,
+          CASE WHEN sec - lag(sec) OVER w IS NULL
+                 OR sec - lag(sec) OVER w > 14400
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+      g AS (
+        SELECT user_id, value, sec,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM f)
+      SELECT user_id, sess_id, count(1) AS n_events,
+             min(sec) AS start_sec, max(sec) AS end_sec,
+             max(sec) - min(sec) AS dur_sec,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS sum_value
+      FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")
+  }
+
+  test("analytics: q_pmi_bigrams DSL == SQL (word_shingles extension)") {
+    assertParity("q_pmi_bigrams", """
+      WITH uni AS (
+        SELECT w, count(1) AS c FROM (
+          SELECT explode(split(text, ' ')) AS w FROM documents) GROUP BY w),
+      tu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+      bi AS (
+        SELECT element_at(p, 1) AS w1, element_at(p, 2) AS w2,
+               count(1) AS c_xy
+        FROM (SELECT split(g, ' ') AS p FROM (
+                SELECT explode(word_shingles(text, 2)) AS g FROM documents))
+        GROUP BY 1, 2),
+      tb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS n_bi FROM bi)
+      SELECT b.w1, b.w2, b.c_xy,
+             round(log(CAST(b.c_xy AS DOUBLE) * n_uni * n_uni
+               / (n_bi * u1.c * u2.c)), 4) AS pmi
+      FROM bi b
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN tu CROSS JOIN tb
+      WHERE b.c_xy >= 5
+      ORDER BY pmi DESC, b.w1, b.w2
+      LIMIT 20""")
+  }
+
   test("ingestion: q_event_enrich DSL == SQL") {
     assertParity("q_event_enrich", """
       SELECT event_id, event_type, 'graft-app' AS origin,
