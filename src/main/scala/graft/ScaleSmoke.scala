@@ -31,7 +31,7 @@ object ScaleSmoke {
     "q_dedup_simhash", "q_connected_components", "q_map_funcs", "q_unpivot",
     "q_agg_percentiles", "q_dedup_minhash", "q_seq_pack",
     "q_stratified_sample", "q_dedup_incremental", "q_token_budget",
-    "q_doc_chunk", "q_dedup_cluster_rep")
+    "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -40,7 +40,7 @@ object ScaleSmoke {
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
-        "q_token_budget", "q_dedup_cluster_rep")
+        "q_token_budget", "q_dedup_cluster_rep", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val src = "/root/testdata/sf0.1"
