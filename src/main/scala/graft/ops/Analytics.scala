@@ -261,22 +261,11 @@ object Analytics extends QueryPack {
     // partitioning). Timestamps surface as epoch seconds (engine-
     // independent); value sums are exact decimal, rounded at output.
     "q_sessionize" -> { (s, d) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("sec"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("value"),
-                col("ts").cast("long").as("sec"))
-        .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("gap").isNull || col("gap") > 14400, 1L).otherwise(0L))
-        .withColumn("sess_id", sum(col("new_sess")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(count(lit(1)).as("n_events"),
-             min(col("sec")).as("start_sec"),
-             max(col("sec")).as("end_sec"),
-             (max(col("sec")) - min(col("sec"))).as("dur_sec"),
-             outd(sum(dec(col("value")))).as("sum_value"))
+      sessionize(
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  col("ts").cast("long").as("sec")),
+        14400L)
         .orderBy(col("user_id"), col("sess_id"))
     },
 
@@ -313,6 +302,31 @@ object Analytics extends QueryPack {
         .limit(20)
     }
   )
+
+  /** Gap-based sessionization (q_sessionize semantics): expects
+    * (user_id, event_id, value, sec) rows; a new session opens when the
+    * same-user gap STRICTLY exceeds `gapSec`. The conditional-cumsum
+    * chain — lag → flag → running sum = session id — and the per-session
+    * rollup all share one HashPartitioning(user_id) (the
+    * (user_id, sess_id) groupBy's clustered distribution is satisfied by
+    * the subset key; PlanSpec pins the single exchange). Returns one row
+    * per session: counts, epoch-second bounds, exact-decimal value sum. */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    events
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > gapSec, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+           min(col("sec")).as("start_sec"),
+           max(col("sec")).as("end_sec"),
+           (max(col("sec")) - min(col("sec"))).as("dur_sec"),
+           outd(sum(dec(col("value")))).as("sum_value"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_funnel" -> """

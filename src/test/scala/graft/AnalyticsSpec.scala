@@ -74,6 +74,39 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize window chain matches a reference per-user scan on random inputs (12 seeds)") {
+    // Random gap shapes cover what the fixture can't promise: exact-
+    // threshold gaps (boundary is STRICTLY greater-than), ties broken by
+    // event_id, single-event users, and long alternating runs.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(300 + seed)
+      val gapLimit = 1 + rnd.nextInt(50)
+      val users = 1 + rnd.nextInt(5)
+      val evs = (0 until (5 + rnd.nextInt(60))).map { i =>
+        (i.toLong, (1 + rnd.nextInt(users)).toLong,
+         rnd.nextInt(300).toLong, 1.0)
+      }
+      val expected = evs.groupBy(_._2).flatMap { case (u, es) =>
+        var prev = Long.MinValue; var sess = 0L
+        es.sortBy(e => (e._3, e._1)).map { case (id, _, sec, _) =>
+          if (prev == Long.MinValue || sec - prev > gapLimit) sess += 1
+          prev = sec
+          (u, sess, id)
+        }
+      }.groupBy(e => (e._1, e._2)).map { case ((u, sess), members) =>
+        (u, sess, members.size.toLong)
+      }.toSet
+      val got = graft.ops.Analytics.sessionize(
+          evs.toDF("event_id", "user_id", "sec", "value"), gapLimit.toLong)
+        .select(col("user_id"), col("sess_id"), col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected, s"seed $seed gapLimit=$gapLimit")
+    }
+  }
+
   test("q_anomaly_zscore flags only |z| > 2.5 and broadcasts the stats side") {
     val df = SparkEntry.queries("q_anomaly_zscore")(spark, TestSpark.Sf0001)
     val rows = df.collect()
