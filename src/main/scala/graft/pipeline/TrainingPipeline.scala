@@ -278,13 +278,18 @@ object TrainingPipeline {
     * (per-crawl) flows run [[dedupAgainstCanon]] on the raw batch FIRST
     * — against the prior snapshot's [[contentDigests]] ledger — so
     * prepare() never pays quality/LSH work for docs the corpus already
-    * holds, then append the survivors' digests to the ledger. */
+    * holds, then append the survivors' digests to the ledger.
+    * `keepBestNearDup` = true swaps the near-dup stage to
+    * [[dedupNearKeepBest]] (each cluster keeps its longest doc instead of
+    * dropping every pair's right side) — use when dup clusters mix
+    * fragments with full documents. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
               nearDupThreshold: Double = 0.5,
               labeled: DataFrame = null,
               lmDropFraction: Double = 0.0,
               maxDupFrac: Double = 1.0,
-              scrub: Boolean = false): DataFrame = {
+              scrub: Boolean = false,
+              keepBestNearDup: Boolean = false): DataFrame = {
     val clean = if (scrub) scrubPii(docs) else docs
     val gated = qualityFilter(clean, minTokens)
     val unrepeated =
@@ -292,7 +297,10 @@ object TrainingPipeline {
     val scored =
       if (lmDropFraction > 0) lmQualityFilter(unrepeated, lmDropFraction)
       else unrepeated
-    val cleaned = dedupNearMinHash(dedupExact(scored), nearDupThreshold)
+    val exact = dedupExact(scored)
+    val cleaned =
+      if (keepBestNearDup) dedupNearKeepBest(exact, threshold = nearDupThreshold)
+      else dedupNearMinHash(exact, nearDupThreshold)
     annotateLanguage(cleaned, Option(labeled).getOrElse(docs))
   }
 }

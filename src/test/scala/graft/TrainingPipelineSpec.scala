@@ -296,6 +296,18 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out(2L) == "clean text with no pii at all")
   }
 
+  test("prepare() with keepBestNearDup keeps one member per cluster — same count, best members") {
+    val out = TrainingPipeline.prepare(docs, keepBestNearDup = true)
+    val base = TrainingPipeline.prepare(docs)
+    // both rules keep exactly one doc per near-dup cluster of the
+    // exact-deduped survivors, so the corpus SIZE matches even though
+    // the chosen members may differ
+    assert(out.count() == TrainingPipeline.dedupNearCanonical(
+      TrainingPipeline.dedupExact(TrainingPipeline.qualityFilter(docs)), 0.5)
+      .count())
+    assert(out.columns.toSeq == base.columns.toSeq)
+  }
+
   test("prepare() with scrub + maxDupFrac composes the new gates") {
     val out = TrainingPipeline.prepare(docs, minTokens = 10,
       nearDupThreshold = 0.5, maxDupFrac = 0.9, scrub = true)
