@@ -18,7 +18,7 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {
     val s = TestSpark.extensionsSession()
-    for (t <- Seq("customer", "orders", "lineitem", "documents"))
+    for (t <- Seq("customer", "orders", "lineitem", "documents", "part"))
       Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
     // shared nanos→micros reader, so SQL sees the same `ts` the DSL does
     Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
@@ -235,6 +235,75 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       FROM (SELECT doc_id, split(text, ' ') AS toks FROM documents)
       LATERAL VIEW posexplode(sequence(0, size(toks) - 1, 24)) g AS chunk_id, st
       ORDER BY doc_id, chunk_id""")
+  }
+
+  test("windows: q_window_frame_range DSL == SQL RANGE BETWEEN frame") {
+    assertParity("q_window_frame_range", """
+      SELECT p_partkey, p_brand, p_size,
+             round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER w
+               AS DOUBLE), 4) AS rng_sum,
+             count(1) OVER w AS rng_n
+      FROM part
+      WINDOW w AS (PARTITION BY p_brand ORDER BY p_size
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      ORDER BY p_partkey""")
+  }
+
+  test("aggregates: q_rollup DSL == SQL ROLLUP clause with grouping()") {
+    assertParity("q_rollup", """
+      SELECT l_returnflag, l_linestatus, count(1) AS n,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               AS DOUBLE), 4) AS sum_price,
+             grouping(l_returnflag) AS g_rf,
+             grouping(l_linestatus) AS g_ls
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+  }
+
+  test("aggregates: q_agg_percentiles DSL == SQL array-argument percentile") {
+    assertParity("q_agg_percentiles", """
+      SELECT l_returnflag,
+             round(element_at(ps, 1), 4) AS p50,
+             round(element_at(ps, 2), 4) AS p90,
+             round(element_at(ps, 3), 4) AS p99, n
+      FROM (SELECT l_returnflag,
+                   percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D)) AS ps,
+                   count(1) AS n
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""")
+  }
+
+  test("scalar funcs: q_interval_arith DSL == SQL calendar functions") {
+    assertParity("q_interval_arith", """
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             add_months(CAST(o_orderdate AS DATE), 2) AS plus2m,
+             last_day(CAST(o_orderdate AS DATE)) AS eom,
+             quarter(CAST(o_orderdate AS DATE)) AS qtr,
+             weekofyear(CAST(o_orderdate AS DATE)) AS iso_wk,
+             weekday(CAST(o_orderdate AS DATE)) AS wd,
+             date_sub(CAST(o_orderdate AS DATE), 90) AS minus90d
+      FROM orders ORDER BY o_orderkey""")
+  }
+
+  test("scalar funcs: q_date_spine DSL == SQL sequence + LEFT ANTI JOIN") {
+    assertParity("q_date_spine", """
+      WITH days AS (SELECT CAST(o_orderdate AS DATE) AS day FROM orders),
+      b AS (SELECT min(day) AS lo, max(day) AS hi FROM days),
+      spine AS (SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS day
+                FROM b)
+      SELECT s.day FROM spine s
+      LEFT ANTI JOIN (SELECT DISTINCT day FROM days) d ON s.day = d.day
+      ORDER BY s.day""")
+  }
+
+  test("set ops: q_topk_per_group DSL == SQL windowed rank subquery") {
+    assertParity("q_topk_per_group", """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")
   }
 
   test("analytics: q_sessionize DSL == SQL (named WINDOW conditional cumsum)") {
