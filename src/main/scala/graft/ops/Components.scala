@@ -40,14 +40,23 @@ object Components {
     val sym = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
+    // distinct: input self-loops (x,x) already sit in sym, and unioning
+    // the synthesized self-edge would double them — double-counting those
+    // nodes in the initial label sum and forcing one guaranteed extra
+    // propagation round on an already-converged graph
     val adj = sym
       .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      .distinct()
       .localCheckpoint()
     var labels = adj.filter(col("a") === col("b"))
       .select(col("a").as("id"), col("a").as("comp"))
       .localCheckpoint()
+    // sum() over zero rows is NULL — map it to 0 so an empty pair set
+    // (no near-dups above threshold) converges to an empty frame instead
+    // of NPE-ing on the comparison
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

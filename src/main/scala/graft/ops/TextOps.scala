@@ -170,6 +170,17 @@ object TextOps extends QueryPack {
       .select(col("d1"), col("d2"), col("jaccard"))
   }
 
+  /** THE content-prefix digest (CCNet-style leading-content hash): md5 of
+    * the first `nWords` whitespace words, or of the full text when
+    * `nWords` ≤ 0. Single spelling shared by q_dedup_incremental and the
+    * TrainingPipeline ledger (contentDigests / dedupAgainstCanon) — the
+    * anti-join contract REQUIRES both sides to derive digests identically,
+    * so the expression must never fork. */
+  def prefixDigest(nWords: Int): Column =
+    if (nWords > 0)
+      md5(concat_ws(" ", slice(split(col("text"), " "), 1, nWords)))
+    else md5(col("text"))
+
   /** Shared dot-product helper (codegen'd expression; doc at
     * [[PipelineOps.dot]]). */
   private def dot(a: Column, b: Column): Column = PipelineOps.dot(a, b)
@@ -197,8 +208,7 @@ object TextOps extends QueryPack {
     // table, same plan shape.
     "q_dedup_incremental" -> { (s, d) =>
       val digested = Tables.documents(s, d).select(col("doc_id"),
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 5)))
-          .as("prefix_hash"))
+        prefixDigest(5).as("prefix_hash"))
       val canon = digested.filter(col("doc_id") < 250)
         .select(col("prefix_hash")).distinct()
       digested.filter(col("doc_id") >= 250)

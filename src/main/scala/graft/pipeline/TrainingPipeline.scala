@@ -108,13 +108,9 @@ object TrainingPipeline {
     * snapshot cycle (16 bytes/doc — ~160 GB at 10¹⁰ docs), so the next
     * crawl's [[dedupAgainstCanon]] never recomputes digests from the old
     * corpus's text. */
-  def contentDigests(docs: DataFrame, prefixWords: Int = 0): DataFrame = {
-    val keyed =
-      if (prefixWords > 0)
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, prefixWords)))
-      else md5(col("text"))
-    docs.select(keyed.as("digest")).distinct()
-  }
+  def contentDigests(docs: DataFrame, prefixWords: Int = 0): DataFrame =
+    docs.select(graft.ops.TextOps.prefixDigest(prefixWords).as("digest"))
+      .distinct()
 
   /** Incremental (cross-snapshot) dedup: drop every doc whose digest
     * already exists in `canonDigests` (a [[contentDigests]] frame from
@@ -125,11 +121,8 @@ object TrainingPipeline {
     * was built with. */
   def dedupAgainstCanon(docs: DataFrame, canonDigests: DataFrame,
                         prefixWords: Int = 0): DataFrame = {
-    val keyed =
-      if (prefixWords > 0)
-        md5(concat_ws(" ", slice(split(col("text"), " "), 1, prefixWords)))
-      else md5(col("text"))
-    val fresh = docs.withColumn("digest", keyed)
+    val fresh = docs
+      .withColumn("digest", graft.ops.TextOps.prefixDigest(prefixWords))
       .join(canonDigests, Seq("digest"), "left_anti")
     val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
     fresh.withColumn("rn", row_number().over(w))

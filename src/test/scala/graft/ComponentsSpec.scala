@@ -59,6 +59,20 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("an empty pair set yields an empty frame (no NPE on the null sum)") {
+    // the no-near-dups case every clean corpus hits: sum() over zero rows
+    // is NULL and must read as converged-at-zero, not crash
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Components.connectedComponents(empty).count() == 0)
+  }
+
+  test("a pure self-loop graph converges in one round (no double-counted labels)") {
+    // input self-loops already sit in the symmetric list; the synthesized
+    // self-edges must not duplicate them, or the initial label sum
+    // double-counts and burns a propagation round on a converged graph
+    assert(cc(Seq((3L, 3L), (7L, 7L))) == Map(3L -> 3L, 7L -> 7L))
+  }
+
   test("dedupNearCanonical keeps exactly one doc per dup cluster") {
     val docs = Tables.documents(s, TestSpark.Sf0001)
     val pairs = graft.ops.TextOps.minhashPairs(docs, 0.5)
