@@ -257,4 +257,72 @@ object StreamingOps extends QueryPack {
         CAST(sum(n15) AS BIGINT) AS sum_n
       FROM sub GROUP BY 1 ORDER BY win_start"""
   )
+
+  /** STREAMING twin of [[Analytics.sessionize]]: gap-based sessions over
+    * an unbounded event stream via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the custom-state API for operators whose output
+    * cardinality per group varies (0..n closed sessions per trigger),
+    * where `mapGroupsWithState`'s exactly-one-row contract can't serve.
+    * A session closes EITHER inline (a new event arrives past the gap)
+    * or by timeout (the watermark passes last-event + gap with no new
+    * arrivals — the only way an unbounded stream can ever emit its final
+    * session). State per user is one (start, last, n) triple — O(users)
+    * total, RocksDB-spillable; nothing buffers events. Append output mode:
+    * closed sessions are immutable facts, safe for exactly-once sinks.
+    * StreamingSpec pins equivalence against the batch twin. */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent], gapSec: Long)
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val o = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, o.start, o.last, o.n))
+          } else {
+            // a micro-batch delivers a group's rows unsorted; order by
+            // event time so the gap rule sees the same sequence batch does
+            val secs = rows.map(_.ts.getTime / 1000).toArray.sorted
+            val closed = Array.newBuilder[ClosedSession]
+            var open = state.getOption
+            secs.foreach { sec =>
+              open = open match {
+                case Some(o) if sec - o.last > gapSec =>
+                  closed += ClosedSession(user, o.start, o.last, o.n)
+                  Some(OpenSession(sec, sec, 1L))
+                case Some(o) =>
+                  Some(OpenSession(o.start, math.max(o.last, sec), o.n + 1))
+                case None => Some(OpenSession(sec, sec, 1L))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              // fire once the watermark proves no event can extend this
+              // session (+1s: timeouts fire strictly AFTER the timestamp)
+              state.setTimeoutTimestamp((o.last + gapSec + 1) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }
+
+/** One event of the streaming sessionizer (event-time `ts` carries the
+  * watermark). */
+case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+/** Per-user open-session state: O(1) per user, no event buffering. */
+case class OpenSession(start: Long, last: Long, n: Long)
+
+/** An emitted (immutable, append-mode) closed session — same shape as the
+  * batch twin's per-session row. */
+case class ClosedSession(user_id: Long, start_sec: Long, end_sec: Long,
+                         n_events: Long)

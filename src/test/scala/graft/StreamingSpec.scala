@@ -256,6 +256,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionizer: inline + timeout closes match the batch twin") {
+    import spark.implicits._
+    import graft.ops.{ClosedSession, SessionEvent, StreamingOps}
+    val gap = 100L
+    // base offset: a row at event-time 0 sits exactly AT the initial
+    // watermark and is dropped as late — start the clock well past it
+    val base = 10000L
+    val epoch = (sec: Long) => new Timestamp((base + sec) * 1000L)
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingOps.sessionizeStream(input.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // u1: one 3-event session then a far jump (inline close);
+      // u2: a single event, closed only by TIMEOUT (the watermark from
+      // u1's later traffic passes u2's last + gap with no new u2 rows)
+      input.addData(SessionEvent(1, epoch(0)), SessionEvent(1, epoch(10)),
+                    SessionEvent(1, epoch(20)), SessionEvent(2, epoch(5)))
+      q.processAllAvailable()
+      input.addData(SessionEvent(1, epoch(1000)))
+      q.processAllAvailable()
+      // watermark advances on batch COMPLETION: one more micro-batch so
+      // the event-time timer (u2: 5+100+1 < 1000-10) actually fires
+      input.addData(SessionEvent(1, epoch(1010)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[ClosedSession].collect().toSet
+      assert(got == Set(ClosedSession(1, base, base + 20, 3),
+                        ClosedSession(2, base + 5, base + 5, 1)),
+        s"got $got")
+      // the streaming closes equal the batch twin's sessions restricted
+      // to the stream's close rule: a later same-user session exists
+      // (inline close) OR the final watermark (1000 − 10) passed
+      // end + gap (timeout close — u2's path)
+      val rows = Seq((1L, 0L, base, 1.0), (1L, 1L, base + 10, 1.0),
+                     (1L, 2L, base + 20, 1.0), (2L, 3L, base + 5, 1.0),
+                     (1L, 4L, base + 1000, 1.0), (1L, 5L, base + 1010, 1.0))
+        .toDF("user_id", "event_id", "sec", "value")
+      val batch = graft.ops.Analytics.sessionize(rows, gap)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+      val batchClosed = batch
+        .withColumn("mx", max(col("sess_id")).over(w))
+        .filter(col("sess_id") < col("mx") ||
+                col("end_sec") + gap < lit(base + 990L))
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+                col("n_events"))
+        .as[ClosedSession].collect().toSet
+      assert(got == batchClosed, s"stream $got vs batch $batchClosed")
+    } finally q.stop()
+  }
+
   test("foreachBatch feeds the EventQueue facade with exactly-once counts") {
     import spark.implicits._
     val sink = new InMemorySink
