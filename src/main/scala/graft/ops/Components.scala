@@ -40,13 +40,13 @@ object Components {
     val sym = pairs.select(col(d1).as("a"), col(d2).as("b"))
       .union(pairs.select(col(d2).as("a"), col(d1).as("b")))
       .distinct()
-    // distinct: input self-loops (x,x) already sit in sym, and unioning
-    // the synthesized self-edge would double them — double-counting those
-    // nodes in the initial label sum and forcing one guaranteed extra
-    // propagation round on an already-converged graph
-    val adj = sym
+    // drop input self-loops from the edge side before unioning the
+    // synthesized self-edges (built from sym BEFORE the filter, so a node
+    // whose only appearance is a self-loop keeps its row): the union is
+    // then duplicate-free by construction — a=b rows come only from the
+    // second branch — with no extra distinct shuffle over the adjacency
+    val adj = sym.filter(col("a") =!= col("b"))
       .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
-      .distinct()
       .localCheckpoint()
     var labels = adj.filter(col("a") === col("b"))
       .select(col("a").as("id"), col("a").as("comp"))

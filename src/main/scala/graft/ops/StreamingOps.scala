@@ -263,54 +263,60 @@ object StreamingOps extends QueryPack {
     * EVENT-TIME timeout — the custom-state API for operators whose output
     * cardinality per group varies (0..n closed sessions per trigger),
     * where `mapGroupsWithState`'s exactly-one-row contract can't serve.
-    * A session closes EITHER inline (a new event arrives past the gap)
-    * or by timeout (the watermark passes last-event + gap with no new
-    * arrivals — the only way an unbounded stream can ever emit its final
-    * session). State per user is one (start, last, n) triple — O(users)
-    * total, RocksDB-spillable; nothing buffers events. Append output mode:
-    * closed sessions are immutable facts, safe for exactly-once sinks.
-    * StreamingSpec pins equivalence against the batch twin. */
+    *
+    * A session is emitted only when the WATERMARK SEALS it (watermark >
+    * session end + gap): no event still admissible under `latenessSec`
+    * can extend it or bridge it to a neighbor, so — unlike the tempting
+    * emit-inline-on-next-event design — out-of-order events that span
+    * micro-batches (a straggler landing BETWEEN two provisional sessions
+    * and merging them) produce exactly the sessions the batch twin
+    * computes on the same rows. The state per user is the short list of
+    * not-yet-sealed sessions — bounded by ~latenessSec/gapSec + 1, NOT by
+    * event count (events fold into (start, last, n) triples immediately;
+    * nothing buffers raw events). Sealed sessions are immutable facts:
+    * Append output mode, safe for exactly-once sinks. StreamingSpec pins
+    * stream ≡ batch-twin equivalence, including the cross-batch
+    * straggler-bridge case. */
   def sessionizeStream(
-      events: org.apache.spark.sql.Dataset[SessionEvent], gapSec: Long)
+      events: org.apache.spark.sql.Dataset[SessionEvent], gapSec: Long,
+      latenessSec: Long = 10L)
       : org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", "10 seconds")
+      .withWatermark("ts", s"$latenessSec seconds")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[SessionBuffer, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val o = state.get
-            state.remove()
-            Iterator.single(ClosedSession(user, o.start, o.last, o.n))
-          } else {
-            // a micro-batch delivers a group's rows unsorted; order by
-            // event time so the gap rule sees the same sequence batch does
-            val secs = rows.map(_.ts.getTime / 1000).toArray.sorted
-            val closed = Array.newBuilder[ClosedSession]
-            var open = state.getOption
-            secs.foreach { sec =>
-              open = open match {
-                case Some(o) if sec - o.last > gapSec =>
-                  closed += ClosedSession(user, o.start, o.last, o.n)
-                  Some(OpenSession(sec, sec, 1L))
-                case Some(o) =>
-                  Some(OpenSession(o.start, math.max(o.last, sec), o.n + 1))
-                case None => Some(OpenSession(sec, sec, 1L))
-              }
-            }
-            open.foreach { o =>
-              state.update(o)
-              // fire once the watermark proves no event can extend this
-              // session (+1s: timeouts fire strictly AFTER the timestamp)
-              state.setTimeoutTimestamp((o.last + gapSec + 1) * 1000L)
-            }
-            closed.result().iterator
+         state: GroupState[SessionBuffer]) =>
+          // merge pending sessions + new events into the gap-partition of
+          // their union: sort by start, fold adjacent items whose gap is
+          // within bound — identical to the batch rule on the full set
+          val pending = state.getOption.map(_.sessions).getOrElse(Nil)
+          val units = rows.map { e =>
+            val sec = e.ts.getTime / 1000L; OpenSession(sec, sec, 1L)
+          }.toList
+          val merged = (pending ++ units).sortBy(o => (o.start, o.last))
+            .foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, o) if o.start - cur.last <= gapSec =>
+                OpenSession(cur.start, math.max(cur.last, o.last),
+                            cur.n + o.n) :: done
+              case (acc, o) => o :: acc
+            }.reverse
+          val wmSec = state.getCurrentWatermarkMs() / 1000L
+          val (closedNow, live) = merged.partition(_.last + gapSec < wmSec)
+          if (live.isEmpty) state.remove()
+          else {
+            state.update(SessionBuffer(live))
+            // fire when the earliest live session becomes sealable (+1s:
+            // timeouts fire strictly after the timestamp passes)
+            state.setTimeoutTimestamp(
+              (live.map(_.last).min + gapSec + 1) * 1000L)
           }
+          closedNow.iterator
+            .map(o => ClosedSession(user, o.start, o.last, o.n))
       }
   }
 }
@@ -319,8 +325,12 @@ object StreamingOps extends QueryPack {
   * watermark). */
 case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
 
-/** Per-user open-session state: O(1) per user, no event buffering. */
+/** One provisional (not yet watermark-sealed) session. */
 case class OpenSession(start: Long, last: Long, n: Long)
+
+/** Per-user state: the short list of not-yet-sealed sessions, ordered by
+  * start — bounded by ~lateness/gap + 1, never by event count. */
+case class SessionBuffer(sessions: List[OpenSession])
 
 /** An emitted (immutable, append-mode) closed session — same shape as the
   * batch twin's per-session row. */

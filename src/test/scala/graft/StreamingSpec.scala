@@ -286,20 +286,56 @@ class StreamingSpec extends AnyFunSuite {
                         ClosedSession(2, base + 5, base + 5, 1)),
         s"got $got")
       // the streaming closes equal the batch twin's sessions restricted
-      // to the stream's close rule: a later same-user session exists
-      // (inline close) OR the final watermark (1000 − 10) passed
-      // end + gap (timeout close — u2's path)
+      // to the stream's close rule: the watermark in effect during the
+      // last processed batch (1000 − 10) passed end + gap (sealing is
+      // the ONLY emission path — inline closes are deferred so
+      // stragglers can still bridge)
       val rows = Seq((1L, 0L, base, 1.0), (1L, 1L, base + 10, 1.0),
                      (1L, 2L, base + 20, 1.0), (2L, 3L, base + 5, 1.0),
                      (1L, 4L, base + 1000, 1.0), (1L, 5L, base + 1010, 1.0))
         .toDF("user_id", "event_id", "sec", "value")
       val batch = graft.ops.Analytics.sessionize(rows, gap)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id"))
       val batchClosed = batch
-        .withColumn("mx", max(col("sess_id")).over(w))
-        .filter(col("sess_id") < col("mx") ||
-                col("end_sec") + gap < lit(base + 990L))
+        .filter(col("end_sec") + gap < lit(base + 990L))
+        .select(col("user_id"), col("start_sec"), col("end_sec"),
+                col("n_events"))
+        .as[ClosedSession].collect().toSet
+      assert(got == batchClosed, s"stream $got vs batch $batchClosed")
+    } finally q.stop()
+  }
+
+  test("sessionizer: a cross-batch straggler bridges two provisional sessions before sealing") {
+    import spark.implicits._
+    import graft.ops.{ClosedSession, SessionEvent, StreamingOps}
+    // gap 100, lateness 300: events 200 and 320 form TWO provisional
+    // sessions in batch 1; the in-lateness straggler 280 arrives a batch
+    // later and must merge them into ONE — the case an
+    // emit-inline-on-next-event design gets wrong
+    val (gap, late, base) = (100L, 300L, 10000L)
+    val epoch = (sec: Long) => new Timestamp((base + sec) * 1000L)
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingOps.sessionizeStream(input.toDS(), gap, late)
+      .writeStream.format("memory").queryName("sess_bridge_out")
+      .outputMode("append").start()
+    try {
+      input.addData(SessionEvent(3, epoch(200)), SessionEvent(3, epoch(320)))
+      q.processAllAvailable() // watermark after: 320 - 300 = 20
+      input.addData(SessionEvent(3, epoch(280)), SessionEvent(3, epoch(1000)))
+      q.processAllAvailable() // 280 >= 20: admitted, bridges; wm after: 700
+      input.addData(SessionEvent(3, epoch(1100)))
+      q.processAllAvailable() // wm 700 seals (200..320); (1000,1100) live
+      val got = spark.table("sess_bridge_out").as[ClosedSession]
+        .collect().toSet
+      assert(got == Set(ClosedSession(3, base + 200, base + 320, 3)),
+        s"got $got")
+      // batch twin on the same 5 rows, restricted to the sealing rule at
+      // the final in-effect watermark (1100 - 300)
+      val rows = Seq((3L, 0L, base + 200, 1.0), (3L, 1L, base + 320, 1.0),
+                     (3L, 2L, base + 280, 1.0), (3L, 3L, base + 1000, 1.0),
+                     (3L, 4L, base + 1100, 1.0))
+        .toDF("user_id", "event_id", "sec", "value")
+      val batchClosed = graft.ops.Analytics.sessionize(rows, gap)
+        .filter(col("end_sec") + gap < lit(base + 800L))
         .select(col("user_id"), col("start_sec"), col("end_sec"),
                 col("n_events"))
         .as[ClosedSession].collect().toSet
