@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** `pairs` must have two long columns (d1, d2), one row per undirected
-    * edge. Returns (id, component) where component = the minimum node id
+  /** `pairs` must have two NON-NULL long columns (d1, d2), one row per
+    * undirected edge — a row with a null endpoint is not an edge and is
+    * silently ignored (the `a =!= b` edge filter evaluates null on it).
+    * Returns (id, component) where component = the minimum node id
     * reachable from `id`. Nodes with no edges are absent (they are their
     * own component by definition — callers union them in if needed).
     *

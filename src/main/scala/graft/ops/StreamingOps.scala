@@ -310,10 +310,15 @@ object StreamingOps extends QueryPack {
           if (live.isEmpty) state.remove()
           else {
             state.update(SessionBuffer(live))
-            // fire when the earliest live session becomes sealable (+1s:
-            // timeouts fire strictly after the timestamp passes)
+            // fire the instant the earliest live session becomes sealable:
+            // seal needs wmMs >= (last+gap+1)*1000 and Spark fires timers
+            // only when timeoutTs < watermark (STRICT), so aim 1 ms below
+            // the threshold — at the threshold itself the timer would
+            // never fire on a stalled whole-second watermark. Clamp above
+            // the current watermark (Spark rejects timers at/behind it).
+            val sealAt = (live.map(_.last).min + gapSec + 1) * 1000L - 1
             state.setTimeoutTimestamp(
-              (live.map(_.last).min + gapSec + 1) * 1000L)
+              math.max(sealAt, state.getCurrentWatermarkMs() + 1))
           }
           closedNow.iterator
             .map(o => ClosedSession(user, o.start, o.last, o.n))

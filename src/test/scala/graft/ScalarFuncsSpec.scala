@@ -18,8 +18,11 @@ class ScalarFuncsSpec extends AnyFunSuite {
     val out = SparkEntry.queries("q_json_funcs")(s, TestSpark.Sf0001)
     assert(out.filter(!col("k_struct").eqNullSafe(col("k_int"))).count() == 0,
       "typed from_json diverged from the string-cast path")
+    // terminator anchor [,}]: an unanchored pattern would still match the
+    // integer PREFIX of a drifted float/exponent k (12.5 → "12") and
+    // defeat the guard
     val nonBare = Tables.events(s, TestSpark.Sf0001)
-      .filter(!col("props").rlike("\"k\": [0-9]+")).count()
+      .filter(!col("props").rlike("\"k\": [0-9]+[,}]")).count()
     assert(nonBare == 0,
       "events.props carries a non-bare-integer k — the typed-parse " +
       "oracle equivalence no longer holds")
