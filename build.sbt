@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to this JVM's stdout instead of
+// through sbt's logger: Bench/Verify print machine-parsed JSON lines, and
+// the logger's "[info] " prefix is what broke the driver's bench parse
+// (r8 verdict item 4). The LAST stdout line of Bench is the canonical
+// parse target (see Bench.scala).
+outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." stdout line
+// so Bench's short summary is genuinely the last line a tail capture sees.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -43,12 +43,21 @@ object ScaleSmoke {
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
-    val src = "/root/testdata/sf0.1"
+    // Portable like Bench (ADVICE r8): source fixture and parallelism come
+    // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
+    // min-of-N of the timed passes (min, not median: the smoke compares
+    // the SAME key across scales, so the best observed pass is the least
+    // noise-contaminated estimate of intrinsic cost on both sides).
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_SMOKE_PASSES", "1")
+        .trim.toInt).getOrElse(1))
     val out = "target/sf1"
     val copies = 10
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -64,11 +73,14 @@ object ScaleSmoke {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm both scales (JIT/codegen/footers), then one timed pass each
+    // warm both scales (JIT/codegen/footers), then min-of-N timed passes
     Keys.foreach(k => run(k, src)); Keys.foreach(k => run(k, out))
     System.gc(); Thread.sleep(2000)
-    val small = Keys.map(k => k -> run(k, src)).toMap
-    val big = Keys.map(k => k -> run(k, out)).toMap
+    def timed(dir: String): Map[String, Double] =
+      (1 to passes).map(_ => Keys.map(k => k -> run(k, dir)).toMap)
+        .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val small = timed(src)
+    val big = timed(out)
     val counts = CountKeys.toSeq.sorted.map { k =>
       k -> (SparkEntry.queries(k)(spark, src).count(),
             SparkEntry.queries(k)(spark, out).count())

@@ -498,13 +498,15 @@ object PipelineOps extends QueryPack {
     }
     // Per-doc signatures, materialized once for the band self-join's two
     // sides (two longs per doc — executor-storable at any corpus size);
-    // same rationale as minhashPairs' signature checkpoint.
+    // same rationale — and same LAZY eager=false discipline (ADVICE r8:
+    // plan-only consumers pay nothing) — as minhashPairs' signature
+    // checkpoint.
     val sim = wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
       .select(col("doc_id"),
         (0 until SimBits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val bands = sim.select(col("doc_id"), col("sim"),
         explode(array((0 until SimBands).map(j =>
           struct(lit(j).as("bj"),

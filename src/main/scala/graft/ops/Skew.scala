@@ -118,8 +118,13 @@ object Skew {
     * x's own salt — because the `<` guard kills the mirrored x = b row.
     * Result ≡ the unsalted self-join for ANY factor (SkewAndBucketSpec
     * pins salted ≡ unsalted on the minhash and simhash fixtures).
-    * `carry` columns ride along as `<c>1`/`<c>2` (must be functionally
-    * determined by the id, or the distinct inflates).
+    * `carry` columns ride along as `<c>1`/`<c>2` and the output is
+    * deduped on (d1, d2) ALONE — one row per pair is a hard guarantee,
+    * not a convention: a carry column that is not functionally determined
+    * by the id yields an arbitrary-but-single representative instead of
+    * silently inflating pair multiplicity for downstream consumers
+    * (ADVICE r8). Every in-repo carry (shingle-set size `n`, simhash
+    * signature `sim`) IS id-determined, so the representative is exact.
     */
   def selfPairs(buckets: DataFrame, keyCols: Seq[String], idCol: String,
                 carry: Seq[String] = Nil, saltFactor: Int = 1): DataFrame = {
@@ -140,11 +145,20 @@ object Skew {
     val cond = joinKeys
       .map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
       col(s"x.$idCol") < col(s"y.$idCol")
-    x.join(y, cond)
+    val joined = x.join(y, cond)
       .select(col(s"x.$idCol").as("d1") +: col(s"y.$idCol").as("d2") +:
         carry.flatMap(c =>
           Seq(col(s"x.$c").as(s"${c}1"), col(s"y.$c").as(s"${c}2"))): _*)
-      .distinct()
+    // Dedup keyed on the PAIR, never on (pair, carry): with carry in the
+    // distinct key a non-id-determined carry would multiply pairs. Same
+    // single hash-agg shuffle as distinct(); first() is exact whenever the
+    // carry is id-determined (all in-repo callers) and an arbitrary single
+    // representative otherwise.
+    if (carry.isEmpty) joined.distinct()
+    else joined.groupBy(col("d1"), col("d2"))
+      .agg(first(carry.head + "1").as(carry.head + "1"),
+        carry.flatMap(c => Seq(s"${c}1", s"${c}2")).tail
+          .map(c => first(col(c)).as(c)): _*)
   }
 
   /** Top-`n` hottest values of `key` with their row counts — the probe a

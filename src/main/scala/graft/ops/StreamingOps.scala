@@ -317,6 +317,14 @@ object StreamingOps extends QueryPack {
             // never fire on a stalled whole-second watermark. Clamp above
             // the current watermark (Spark rejects timers at/behind it).
             val sealAt = (live.map(_.last).min + gapSec + 1) * 1000L - 1
+            // When sealAt collides with the current watermark the clamp
+            // lands at watermark+1, and the STRICT timer compare then needs
+            // the watermark to advance by >= 2 ms before firing — sealing
+            // can slip one micro-batch in that exact-collision case
+            // (ADVICE r8). Emission is still guaranteed (the watermark
+            // advances monotonically past any fixed timestamp), and the
+            // batch-twin equivalence is unaffected — only WHEN the sealed
+            // row appears moves, never whether/what.
             state.setTimeoutTimestamp(
               math.max(sealAt, state.getCurrentWatermarkMs() + 1))
           }

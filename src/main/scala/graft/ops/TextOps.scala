@@ -126,12 +126,18 @@ object TextOps extends QueryPack {
     // self-join; localCheckpoint materializes it once instead of
     // re-running the text→shingle→digest chain per side (exchange reuse
     // does not bridge the self-join aliases — measured, not assumed).
+    // LAZY (eager = false, ADVICE r8): materialization happens at the
+    // first ACTION, so plan-only consumers (explain, PlanSpec) pay
+    // nothing; both self-join sides still share the one checkpointed RDD.
     // Same pattern as Components' per-round checkpoint; each caller pays
     // its own materialization (nothing survives to warm a later bench
-    // pass). The raw shingle stream `sh` is corpus-sized and deliberately
-    // NOT checkpointed — its two Jaccard-confirm evaluations are the
-    // documented persist-signatures-to-parquet trade at 100 TB.
-    val sigs = signatureFrame(sh).localCheckpoint()
+    // pass). Cluster caveat: localCheckpoint blocks die with their
+    // executor — a long cluster pipeline persists signatures to parquet
+    // instead (TrainingPipeline.prepare does exactly that). The raw
+    // shingle stream `sh` is corpus-sized and deliberately NOT
+    // checkpointed — its two Jaccard-confirm evaluations are the same
+    // persist-to-parquet trade at 100 TB.
+    val sigs = signatureFrame(sh).localCheckpoint(eager = false)
     // Band buckets: 16 × the raw 4-slot tuple; explode to one bucket row
     // per (doc, band) and equi-join on the tuple itself. (The previous
     // form hashed the tuple with murmur3 first — a narrower shuffle key,
