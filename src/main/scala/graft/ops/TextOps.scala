@@ -133,11 +133,27 @@ object TextOps extends QueryPack {
     // its own materialization (nothing survives to warm a later bench
     // pass). Cluster caveat: localCheckpoint blocks die with their
     // executor — a long cluster pipeline persists signatures to parquet
-    // instead (TrainingPipeline.prepare does exactly that). The raw
+    // instead ([[graft.pipeline.TrainingPipeline.writeSignatureStore]] is
+    // that stage; minhashPairsFrom then runs off the parquet). The raw
     // shingle stream `sh` is corpus-sized and deliberately NOT
     // checkpointed — its two Jaccard-confirm evaluations are the same
     // persist-to-parquet trade at 100 TB.
-    val sigs = signatureFrame(sh).localCheckpoint(eager = false)
+    minhashPairsFrom(signatureFrame(sh).localCheckpoint(eager = false), sh,
+      threshold, bandSaltFactor)
+  }
+
+  /** The band/candidate/Jaccard back half of [[minhashPairs]], decoupled
+    * from signature DERIVATION so a pipeline that persisted its signature
+    * store ([[graft.pipeline.TrainingPipeline.writeSignatureStore]]) can
+    * run every near-dup consumer off parquet instead of re-scanning text:
+    * `sigs` is a [[signatureFrame]]-shaped frame (doc_id, m0..m63, n),
+    * `sh` a [[shingleHashes]]-shaped frame (doc_id, h) used only for the
+    * exact-Jaccard confirm of LSH candidates. Identical output to
+    * [[minhashPairs]] when both frames derive from the same corpus
+    * (TrainingPipelineSpec pins stored ≡ recomputed). */
+  private[graft] def minhashPairsFrom(sigs: DataFrame, sh: DataFrame,
+                                      threshold: Double,
+                                      bandSaltFactor: Int = 1): DataFrame = {
     // Band buckets: 16 × the raw 4-slot tuple; explode to one bucket row
     // per (doc, band) and equi-join on the tuple itself. (The previous
     // form hashed the tuple with murmur3 first — a narrower shuffle key,

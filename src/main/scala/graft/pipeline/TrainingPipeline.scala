@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,11 +142,15 @@ object TrainingPipeline {
     * a sequential greedy over pairs (keeps a doc whose only matches were
     * themselves removed). This one-pass rule sits between them and is the
     * shape a 100 TB pipeline runs by default. */
-  def dedupNearMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
+  def dedupNearMinHash(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    dropPairRight(docs, graft.ops.TextOps.minhashPairs(docs, threshold))
+
+  /** The one-pass drop rule shared by [[dedupNearMinHash]] and the
+    * signature-store path: remove every doc that is the HIGHER id (`d2`)
+    * of any pair. */
+  private def dropPairRight(docs: DataFrame, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("d2").as("doc_id")).distinct(),
               Seq("doc_id"), "left_anti")
-  }
 
   /** Canonical near-dup removal: MinHash pairs → connected components →
     * keep exactly the minimum doc of every dup cluster (strictest of the
@@ -173,10 +177,18 @@ object TrainingPipeline {
     * skew-free; only (id, quality) rows move, never text. */
   def dedupNearKeepBest(docs: DataFrame, quality: Column = col("n_chars"),
                         threshold: Double = 0.5,
-                        maxIters: Int = 50): DataFrame = {
-    val pairs = graft.ops.TextOps.minhashPairs(docs, threshold)
-      .select(col("d1"), col("d2"))
-    val comps = graft.ops.Components.connectedComponents(pairs, maxIters)
+                        maxIters: Int = 50): DataFrame =
+    keepBestOfClusters(docs,
+      graft.ops.TextOps.minhashPairs(docs, threshold), quality, maxIters)
+
+  /** The components + best-member rank shared by [[dedupNearKeepBest]] and
+    * the signature-store path: cluster the pairs, keep the max-`quality`
+    * member of each cluster (doc_id breaks ties). */
+  private def keepBestOfClusters(docs: DataFrame, pairs: DataFrame,
+                                 quality: Column,
+                                 maxIters: Int): DataFrame = {
+    val comps = graft.ops.Components.connectedComponents(
+      pairs.select(col("d1"), col("d2")), maxIters)
     val w = Window.partitionBy(col("comp"))
       .orderBy(col("q").desc, col("id"))
     val losers = comps
@@ -186,6 +198,41 @@ object TrainingPipeline {
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Persist the MinHash signature store — the "a production pipeline
+    * would persist signatures to parquet between stages" trade the scale
+    * notes promise, made a real stage (r8 verdict item 1). ONE scan of
+    * `docs` writes two frames under `path`:
+    *  - `shingles.parquet`  (doc_id, h): the distinct 60-bit shingle
+    *    digests — what the exact-Jaccard confirm joins; 16 bytes/shingle,
+    *    the only corpus-sized artifact.
+    *  - `signatures.parquet` (doc_id, m0..m63, n): the 64-perm signature
+    *    + set size, derived FROM the persisted shingles (so text is
+    *    scanned once, shingles twice-from-parquet, never text twice).
+    * Every downstream near-dup consumer — the pair generator, connected
+    * components' iterative rounds, the cluster-rep rank — then re-reads
+    * cheap columnar parquet instead of re-running the text→shingle→digest
+    * chain per action, and the store survives executor loss (unlike the
+    * fixture path's localCheckpoint blocks). */
+  def writeSignatureStore(docs: DataFrame, path: String): Unit = {
+    graft.ops.TextOps.shingleHashes(docs)
+      .write.mode("overwrite").parquet(s"$path/shingles.parquet")
+    val sh = docs.sparkSession.read.parquet(s"$path/shingles.parquet")
+    graft.ops.TextOps.signatureFrame(sh)
+      .write.mode("overwrite").parquet(s"$path/signatures.parquet")
+  }
+
+  /** Near-dup pairs from a persisted [[writeSignatureStore]] store —
+    * identical output to `TextOps.minhashPairs` on the same corpus
+    * (TrainingPipelineSpec pins it), but every evaluation reads parquet
+    * instead of re-deriving signatures from text. */
+  def minhashPairsStored(spark: SparkSession, path: String,
+                         threshold: Double,
+                         bandSaltFactor: Int = 1): DataFrame =
+    graft.ops.TextOps.minhashPairsFrom(
+      spark.read.parquet(s"$path/signatures.parquet"),
+      spark.read.parquet(s"$path/shingles.parquet"),
+      threshold, bandSaltFactor)
 
   /** Near-dup removal in EMBEDDING space (q_dedup_embed semantics, for
     * corpora where semantic duplicates don't share surface text): sign-LSH
@@ -275,14 +322,26 @@ object TrainingPipeline {
     * `keepBestNearDup` = true swaps the near-dup stage to
     * [[dedupNearKeepBest]] (each cluster keeps its longest doc instead of
     * dropping every pair's right side) — use when dup clusters mix
-    * fragments with full documents. */
+    * fragments with full documents.
+    *
+    * `signaturePath` non-null inserts the [[writeSignatureStore]] stage:
+    * the exact-deduped corpus's MinHash signatures are persisted to
+    * parquet ONCE (an eager write — the one action prepare() then takes),
+    * and the near-dup stage (pair generation, connected components when
+    * `keepBestNearDup`, the final anti-join) runs entirely off the store —
+    * text is shingled exactly once per prepare() instead of once per
+    * downstream action. Identical output to the null-path recompute
+    * (TrainingPipelineSpec pins both branches); this IS the documented
+    * 100 TB shape — at cluster scale point it at durable storage, not
+    * `target/`. */
   def prepare(docs: DataFrame, minTokens: Int = 10,
               nearDupThreshold: Double = 0.5,
               labeled: DataFrame = null,
               lmDropFraction: Double = 0.0,
               maxDupFrac: Double = 1.0,
               scrub: Boolean = false,
-              keepBestNearDup: Boolean = false): DataFrame = {
+              keepBestNearDup: Boolean = false,
+              signaturePath: String = null): DataFrame = {
     val clean = if (scrub) scrubPii(docs) else docs
     val gated = qualityFilter(clean, minTokens)
     val unrepeated =
@@ -291,9 +350,19 @@ object TrainingPipeline {
       if (lmDropFraction > 0) lmQualityFilter(unrepeated, lmDropFraction)
       else unrepeated
     val exact = dedupExact(scored)
-    val cleaned =
-      if (keepBestNearDup) dedupNearKeepBest(exact, threshold = nearDupThreshold)
-      else dedupNearMinHash(exact, nearDupThreshold)
+    val cleaned = Option(signaturePath) match {
+      case Some(path) =>
+        writeSignatureStore(exact, path)
+        val pairs = minhashPairsStored(exact.sparkSession, path,
+          nearDupThreshold)
+        if (keepBestNearDup)
+          keepBestOfClusters(exact, pairs, col("n_chars"), maxIters = 50)
+        else dropPairRight(exact, pairs)
+      case None =>
+        if (keepBestNearDup)
+          dedupNearKeepBest(exact, threshold = nearDupThreshold)
+        else dedupNearMinHash(exact, nearDupThreshold)
+    }
     annotateLanguage(cleaned, Option(labeled).getOrElse(docs))
   }
 }

@@ -308,6 +308,41 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == base.columns.toSeq)
   }
 
+  test("signature store: persisted parquet feeds the pair generator identically to recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    TrainingPipeline.writeSignatureStore(docs, dir)
+    // the store has the documented shapes: (doc_id, h) shingles and the
+    // 64-slot signature + set size
+    val sh = s.read.parquet(s"$dir/shingles.parquet")
+    assert(sh.columns.toSeq == Seq("doc_id", "h"))
+    val sigs = s.read.parquet(s"$dir/signatures.parquet")
+    assert(sigs.columns.length == 66 &&
+      sigs.columns.head == "doc_id" && sigs.columns.last == "n",
+      s"unexpected signature schema: ${sigs.columns.mkString(",")}")
+    // pairs off the store == pairs recomputed from text, jaccard included
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairSet(TrainingPipeline.minhashPairsStored(s, dir, 0.5)) ==
+      pairSet(graft.ops.TextOps.minhashPairs(docs, 0.5)))
+  }
+
+  test("prepare() with signaturePath: one persisted signature stage feeds dedup AND cluster-rep, output identical to recompute") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // one-pass drop rule off the store == recompute path
+    val dir1 = java.nio.file.Files.createTempDirectory("sigprep1").toString
+    assert(ids(TrainingPipeline.prepare(docs, signaturePath = dir1)) ==
+      ids(TrainingPipeline.prepare(docs)))
+    // cluster-rep (components + best-member rank) off the store == recompute
+    val dir2 = java.nio.file.Files.createTempDirectory("sigprep2").toString
+    assert(ids(TrainingPipeline.prepare(docs, keepBestNearDup = true,
+        signaturePath = dir2)) ==
+      ids(TrainingPipeline.prepare(docs, keepBestNearDup = true)))
+    // the stage actually persisted (prepare's one eager action)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir2/signatures.parquet")))
+  }
+
   test("prepare() with scrub + maxDupFrac composes the new gates") {
     val out = TrainingPipeline.prepare(docs, minTokens = 10,
       nearDupThreshold = 0.5, maxDupFrac = 0.9, scrub = true)
