@@ -272,29 +272,41 @@ object Analytics extends QueryPack {
     // ---- q_pmi_bigrams: bigram co-occurrence / PMI ---------------------
     // Collocation mining (the corpus-analysis step behind tokenizer-merge
     // and phrase-vocabulary decisions): PMI = ln(p(x,y) / (p(x)·p(y)))
-    // over adjacent word pairs. All counts are exact integers from two
-    // hash aggs (unigrams, bigrams — reusing the codegen'd WordShingles
-    // expression); corpus totals ride in as 1-row broadcasts; the only
-    // float math is the final ln, written in the identical textual
-    // multiply/divide order in both engines and rounded at output. Top-20
-    // by (pmi, w1, w2) — a unique, deterministic boundary.
+    // over adjacent word pairs. SINGLE-SCAN (r8 verdict item 6 — the old
+    // form tokenized the corpus twice, once per n-gram order): unigrams
+    // and 2-shingles ride ONE exploded array into ONE mixed hash agg —
+    // the keyspaces can't collide (a split word never contains a space, a
+    // 2-shingle always does), so one (unit, count) frame holds both
+    // vocabularies, split after the fact by contains(' '). The frame is
+    // vocab-sized (not corpus-sized) and lazily localCheckpoint'd so its
+    // four consumers (bigram slice, two unigram joins, the totals row)
+    // read materialized blocks instead of re-tokenizing — text is scanned
+    // exactly ONCE per evaluation by construction (AnalyticsSpec pins the
+    // zero-FileScan consuming plan; at 100 TB the checkpoint becomes the
+    // persisted-counts parquet the pipeline ops document). Corpus totals
+    // ride in as a 1-row broadcast; the only float math is the final ln,
+    // written in the identical textual multiply/divide order in both
+    // engines and rounded at output. Top-20 by (pmi, w1, w2) — a unique,
+    // deterministic boundary.
     "q_pmi_bigrams" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val uni = docs
-        .select(explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val nUni = uni.agg(sum(col("c")).cast("double").as("n_uni"))
-      val bi = docs
-        .select(explode(graft.expr.WordShingles.of(col("text"), 2)).as("g"))
-        .select(split(col("g"), " ").as("p"))
+      val counts = Tables.documents(s, d)
+        .select(explode(concat(split(col("text"), " "),
+          graft.expr.WordShingles.of(col("text"), 2))).as("u"))
+        .groupBy(col("u")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(eager = false)
+      val isBi = col("u").contains(" ")
+      val uni = counts.filter(!isBi).select(col("u").as("w"), col("c"))
+      val bi = counts.filter(isBi)
+        .select(split(col("u"), " ").as("p"), col("c").as("c_xy"))
         .select(element_at(col("p"), 1).as("w1"),
-                element_at(col("p"), 2).as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-      val nBi = bi.agg(sum(col("c_xy")).cast("double").as("n_bi"))
+                element_at(col("p"), 2).as("w2"), col("c_xy"))
+      val totals = counts.agg(
+        sum(when(!isBi, col("c"))).cast("double").as("n_uni"),
+        sum(when(isBi, col("c"))).cast("double").as("n_bi"))
       bi.filter(col("c_xy") >= 5)
         .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
         .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
-        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .crossJoin(broadcast(totals))
         .select(col("w1"), col("w2"), col("c_xy"),
           round(log(col("c_xy").cast("double") * col("n_uni") * col("n_uni")
             / (col("n_bi") * col("c1") * col("c2"))), 4).as("pmi"))

@@ -74,6 +74,25 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pmi_bigrams tokenizes the corpus exactly once (single mixed-unit lineage)") {
+    // The unigram and bigram vocabularies come out of ONE exploded
+    // concat + ONE hash agg, lazily checkpointed; every consumer (bigram
+    // slice, both unigram joins, the totals broadcast) reads the
+    // materialized counts. The consuming plan therefore holds ZERO file
+    // scans — all text bytes are read inside the checkpoint's one-time
+    // materialization — and the checkpointed RDD is what every branch
+    // scans. A regression to per-vocabulary tokenize branches would put
+    // FileScans back in the final plan and fail here.
+    val df = SparkEntry.queries("q_pmi_bigrams")(spark, TestSpark.Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(plan).isEmpty,
+      s"expected zero file scans in the consuming plan:\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      "expected the checkpointed counts RDD as the only source")
+  }
+
   test("sessionize window chain matches a reference per-user scan on random inputs (12 seeds)") {
     // Random gap shapes cover what the fixture can't promise: exact-
     // threshold gaps (boundary is STRICTLY greater-than), ties broken by
