@@ -5,10 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair list — the canonical
   * finisher of a near-dup pipeline: pairwise matches → clusters → one
-  * survivor per cluster. Min-label propagation: every node repeatedly
-  * adopts the smallest label among itself and its neighbors until no
-  * label changes; converges in O(graph diameter) rounds (near-dup
-  * clusters are tiny and dense, so a handful).
+  * survivor per cluster. Min-label propagation WITH pointer doubling:
+  * every node repeatedly adopts the smallest label among itself, its
+  * neighbors, AND its label's label (`comp(comp(id))` — the
+  * Shiloach–Vishkin shortcutting step) until no label changes. Plain
+  * neighbor-min converges in O(diameter) rounds — fine for near-dup
+  * clusters (tiny, dense) but a 10⁶-node chain would need 10⁶ rounds;
+  * the fused doubling candidate makes the distance-to-minimum roughly
+  * double per round, so convergence is O(log n) on ANY topology
+  * (ComponentsSpec pins a diameter-59 path converging in ≤ 12 rounds,
+  * r8 verdict item 5).
   *
   * Scale notes: each round is one join + one aggregation — all
   * hash-partitioned by node id, no global structure. The per-round
@@ -27,14 +33,23 @@ object Components {
     * reachable from `id`. Nodes with no edges are absent (they are their
     * own component by definition — callers union them in if needed).
     *
-    * Each round is ONE join + one aggregation: self-edges (a, a) ride in
-    * the adjacency list, so `min` over a node's neighborhood already
-    * includes its own label and no merge-back join is needed. Convergence
-    * is a scalar invariant, not a join: labels are monotonically
-    * non-increasing (every round takes a `min` that includes the previous
-    * label), so the label sum strictly decreases until the fixpoint —
-    * `sum(comp)` unchanged ⇔ every label unchanged. Summed as
-    * decimal(38,0): 10¹⁰ nodes × 10¹⁰ max id ≈ 10²⁰ overflows a long. */
+    * Each round is one adjacency join + one label⨝label pointer join,
+    * unioned into one aggregation: self-edges (a, a) ride in the
+    * adjacency list, so `min` over a node's neighborhood already includes
+    * its own label and no merge-back join is needed; the pointer branch
+    * adds the `comp(comp(id))` doubling candidate (labels are ids of
+    * same-component nodes, so every label has a label row — the inner
+    * join drops nothing). The extra join is label-sized (two longs/row),
+    * not adjacency-sized, and buys O(log n) total rounds in place of
+    * O(diameter) — strictly fewer checkpointed materializations on any
+    * graph with chains. Convergence is a scalar invariant, not a join:
+    * labels are monotonically non-increasing (every candidate set
+    * includes the previous label; comp(comp) ≤ comp since comp(i) ≤ i),
+    * so the label sum strictly decreases until the fixpoint — `sum(comp)`
+    * unchanged ⇔ every label unchanged; at the fixpoint neighbor-min
+    * stability alone forces the component-min labeling (the pointer
+    * candidate is then a no-op). Summed as decimal(38,0): 10¹⁰ nodes ×
+    * 10¹⁰ max id ≈ 10²⁰ overflows a long. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val d1 = pairs.columns(0)
     val d2 = pairs.columns(1)
@@ -63,10 +78,16 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = adj
+      val viaNeighbors = adj
         .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), Seq("b"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("bcomp")).as("comp"))
+        .select(col("a").as("id"), col("bcomp").as("cand"))
+      val viaPointer = labels
+        .join(labels.select(col("id").as("comp"), col("comp").as("cand")),
+          Seq("comp"))
+        .select(col("id"), col("cand"))
+      val next = viaNeighbors.union(viaPointer)
+        .groupBy(col("id"))
+        .agg(min(col("cand")).as("comp"))
         .localCheckpoint()
       val s = labelSum(next)
       // bound executor storage at two label snapshots (old + new) — the
