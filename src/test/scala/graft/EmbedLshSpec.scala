@@ -110,6 +110,80 @@ class EmbedLshSpec extends AnyFunSuite {
       "exhaustive-probe IVF diverged from brute force")
   }
 
+  test("measured recall@5 curve: ivfTopK vs brute-force truth across nProbe") {
+    // r8 verdict item 7: the tuning knobs ship with a measured curve, not
+    // just direction properties. Ground truth = exact cosine top-5 per
+    // probe (q_similarity_topk's brute-force semantics, same probe set as
+    // q_ann_ivf: vec_id < 5, nLists = 16). Recall@5 = |ivf∩truth| / |truth|
+    // over all probes. The fixture is seed-deterministic, so the measured
+    // values are exact reruns — pinned as floors in case a float library
+    // nudges a borderline neighbor. Curve recorded in SCALE.md.
+    val isProbe = col("vec_id") < 5
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.DotProduct.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val probes = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.expr.DotProduct.dot(col("pe"), col("embedding")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val got = PipelineOps.ivfTopK(emb, isProbe, nLists = 16, nProbe = np, k = 5)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      np -> got.intersect(truth).size.toDouble / truth.size
+    }.toMap
+    info(s"recall@5 by nProbe (nLists=16): $recalls")
+    // more probes never hurt
+    assert(recalls(1) <= recalls(2) && recalls(2) <= recalls(4) &&
+           recalls(4) <= recalls(8), s"recall not monotone: $recalls")
+    assert(recalls(8) > recalls(1), "curve is flat — nProbe knob does nothing")
+    // the measured curve (0.88 / 0.92 / 0.92 / 0.96) with slack for a
+    // borderline float nudge — a real recall regression fails here
+    assert(recalls(1) >= 0.85 && recalls(8) >= 0.95,
+      s"recall floor broken: $recalls")
+  }
+
+  test("measured pair-recall: embedNearDupMulti vs exact cosine pairs across tables") {
+    // Ground truth = ALL pairs with cos >= 0.35 by brute force; recall =
+    // fraction surfaced by the banded LSH at 6 bits per table. Recorded in
+    // SCALE.md alongside the candidate-volume trade.
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.DotProduct.dot(col("embedding"), col("embedding"))).as("nrm"))
+    val brute = e.alias("x").crossJoin(e.alias("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"),
+        round(graft.expr.DotProduct.dot(col("x.embedding"), col("y.embedding")) /
+          (col("x.nrm") * col("y.nrm")), 4).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    val recalls = Seq(1, 2, 3).map { t =>
+      val got = PipelineOps.embedNearDupMulti(emb, 6, t, minCos = 0.35)
+        .select("v1", "v2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      t -> got.intersect(brute).size.toDouble / brute.size
+    }.toMap
+    info(s"pair recall by tables (6 sign bits each): $recalls, truth=${brute.size} pairs")
+    assert(recalls(1) <= recalls(2) && recalls(2) <= recalls(3),
+      s"recall not monotone in tables: $recalls")
+    // Measured: 0.058 / 0.147 / 0.198 — and the single-table value IS the
+    // sign-LSH theory prediction (1 - θ/π)^6 ≈ 0.054 at cos 0.35 (θ ≈
+    // 69.5°), i.e. the op behaves exactly like the math says at a LOOSE
+    // threshold. The DESIGN regime is near-dup cos ≥ 0.99 (p_bit ≈ 0.97,
+    // single-table ≈ 0.83 at 6 bits), where the planted-duplicate test
+    // above measures recall 1.0 through 16 bits. Floors with slack:
+    assert(recalls(1) >= 0.04 && recalls(3) >= 0.17,
+      s"pair-recall floor broken: $recalls")
+  }
+
   test("more lists with fixed nProbe never returns a BETTER neighbor set than exhaustive") {
     // sanity on the recall direction: nProbe=4 of 32 lists is a subset of
     // the exhaustive candidates, so each returned cos <= the brute-force
