@@ -242,4 +242,69 @@ class EventQueueSpec extends AnyFunSuite {
         s"batch of $itemBytes bytes exceeds threshold $maxBytes + max item $maxItem")
     }
   }
+
+  test("concurrent send + enqueue interleaving conserves bytes and batch invariants") {
+    // r8 verdict item 8: send() bypasses the queue lock BY DESIGN
+    // (main.go:233-242 — no queue, no lock, straight to the sink), so an
+    // interleaved workload must show (a) sends never batch with queued
+    // items — every send arrives as its own single-item record — and (b)
+    // the queue's byte counter and FIFO invariants are untouched by the
+    // lock-free traffic racing past them.
+    val nThreads = 8 // even: threads 0..3 enqueue, 4..7 send
+    val perThread = 250
+    val maxBytes = 400L
+    val (q, sink) = newQueue(maxBytes)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try (0 until perThread).foreach { i =>
+          if (t < nThreads / 2) q.enqueue(Map("event" -> "e", "id" -> s"$t-$i")).get
+          else q.send(Map("event" -> "e", "id" -> s"$t-$i")).get
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent send/enqueue failed: ${errs.peek()}")
+    assert(q.flush().isSuccess)
+    assert(q.bufferedBytes == 0L && q.bufferedCount == 0)
+    val payloads = sink.records().map(_._1)
+    // nothing lost, nothing duplicated, across BOTH paths
+    val idRe = """"id":"(\d+-\d+)"""".r
+    val ids = payloads.flatMap(p => idRe.findAllMatchIn(p).map(_.group(1)))
+    assert(ids.length == nThreads * perThread,
+      s"item count ${ids.length} != ${nThreads * perThread}")
+    assert(ids.distinct.length == ids.length, "duplicated items in payloads")
+    // the send path never rides a drain batch: every payload containing a
+    // send id holds exactly that one item
+    val sendIds = (nThreads / 2 until nThreads)
+      .flatMap(t => (0 until perThread).map(i => s"$t-$i")).toSet
+    payloads.foreach { p =>
+      val mine = idRe.findAllMatchIn(p).map(_.group(1)).toSeq
+      if (mine.exists(sendIds))
+        assert(mine.length == 1 && p.count(_ == '{') == 1,
+          s"a send was batched with ${mine.length - 1} queued items")
+    }
+    // byte conservation over the union of both paths
+    val arrivedItemBytes = payloads.map { p =>
+      val n = p.count(_ == '{')
+      p.getBytes("UTF-8").length - 2 - (n - 1)
+    }.sum
+    val expectedBytes = (0 until nThreads).flatMap(t =>
+      (0 until perThread).map(i =>
+        Json.byteSize(EventQueue.enrichAndValidate(
+          Map("event" -> "e", "id" -> s"$t-$i"), "", T0).get))).sum
+    assert(arrivedItemBytes.toLong == expectedBytes,
+      s"byte conservation broke: arrived $arrivedItemBytes != $expectedBytes")
+    // drain batches still respect the pre-insert-flush bound despite the
+    // racing send traffic
+    val maxItem = (0 until nThreads / 2).flatMap(t => (0 until perThread).map(i =>
+      Json.byteSize(EventQueue.enrichAndValidate(
+        Map("event" -> "e", "id" -> s"$t-$i"), "", T0).get))).max
+    payloads.foreach { p =>
+      val n = p.count(_ == '{')
+      val itemBytes = p.getBytes("UTF-8").length - 2 - (n - 1)
+      if (n > 1) assert(itemBytes < maxBytes + maxItem,
+        s"batch of $itemBytes bytes exceeds threshold $maxBytes + max item $maxItem")
+    }
+  }
 }
