@@ -19,10 +19,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * natively. Read it as raw nanos (legacy conf) and integer-divide to
-    * exact microseconds — fixture values are µs-aligned (FIXTURES.md), so
-    * this matches DuckDB's µs-truncated view of the same file bit-for-bit.
+  /** `events.ts` has shipped in two fixture encodings across driver rounds:
+    * parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read natively — it
+    * surfaces as LongType only under the legacy `nanosAsLong` conf) and
+    * plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    * TimestampNTZType). Branch on the surfaced type: a Long column is raw
+    * nanos and integer-divides to exact microseconds — fixture values are
+    * µs-aligned (FIXTURES.md), so this matches DuckDB's µs-truncated view
+    * of the same file bit-for-bit; an NTZ column casts to session-local
+    * TIMESTAMP, which is value-identity under the UTC session every
+    * harness pins (and what downstream ops — unix_micros, go_ts,
+    * watermarks — require).
     *
     * `nanosAsLong` is session-global: Verify/Bench/test harnesses set it at
     * session build. The set here is a defensive fallback for sessions the
@@ -31,8 +38,15 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

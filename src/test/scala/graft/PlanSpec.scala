@@ -275,10 +275,11 @@ class PlanSpec extends AnyFunSuite {
   test("q_pmi_bigrams broadcasts only the 1-row totals (vocab joins stay equi-joins)") {
     val s = finalPlan("q_pmi_bigrams").split("== Initial Plan ==")(0)
     assert(!s.contains("CartesianProduct"), "PMI planned an all-pairs join")
-    // the two corpus totals ride in as broadcast nested loops (1-row each);
-    // any other BNLJ means a vocab join lost its equi-key
+    // since the single-scan rewrite both corpus totals ride in as ONE
+    // 1-row broadcast nested loop; any additional BNLJ means a vocab join
+    // lost its equi-key
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).size
-    assert(bnlj == 2, s"expected exactly the 2 one-row total broadcasts, got $bnlj")
+    assert(bnlj == 1, s"expected exactly the one 1-row totals broadcast, got $bnlj")
   }
 
   test("q_doc_chunk is one Generate over one scan — no shuffle before the sort") {
