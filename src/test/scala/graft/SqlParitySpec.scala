@@ -30,7 +30,13 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     super.afterAll()
   }
 
+  // every assertParity call self-registers; the closing test pins the
+  // registered set to SqlParityKeys.handTwins so the registry cannot
+  // drift from the spec body (ADVICE r9 item 1)
+  private val asserted = scala.collection.mutable.Set.empty[String]
+
   private def assertParity(key: String, sql: String): Unit = {
+    asserted += key
     val dsl = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
     val viaSql = spark.sql(sql)
     assert(dsl.columns.toSeq == viaSql.columns.toSeq,
@@ -527,5 +533,13 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
                    nullif(l_quantity, 2.0) AS qn2
             FROM lineitem)
       GROUP BY grp ORDER BY grp ASC NULLS FIRST""")
+  }
+
+  test("closing: asserted twins == SqlParityKeys.handTwins (registry can't drift)") {
+    // runs last (funsuite registration order); any assertParity added above
+    // without a SqlParityKeys.handTwins entry — or vice versa — fails here
+    assert(asserted.toSet == SqlParityKeys.handTwins,
+      s"spec-only: ${(asserted.toSet -- SqlParityKeys.handTwins).toSeq.sorted.mkString(", ")}; " +
+      s"registry-only: ${(SqlParityKeys.handTwins -- asserted).toSeq.sorted.mkString(", ")}")
   }
 }
