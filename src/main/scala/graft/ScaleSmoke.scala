@@ -113,8 +113,9 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // ts stays a raw nanos long (nanosAsLong read → plain int64 write);
-    // Tables.events' `ts div 1000` works on both encodings.
+    // ts passes through in the source fixture's surfaced form (raw nanos
+    // long → plain int64 write; micros-NTZ → NTZ write); Tables.events
+    // branches on the surfaced type, so both round-trips read back fine.
     val ev = spark.read.parquet(s"$src/events.parquet")
     (0 until copies).map { c =>
       ev.select(

@@ -9,17 +9,19 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SqlParityContractSpec extends AnyFunSuite {
 
-  test("handTwins / oracleReuse / exempt partition SparkEntry.queries exactly") {
+  test("handTwins / dialectTwins / oracleReuse / exempt partition SparkEntry.queries exactly") {
     val all = SparkEntry.queries.keySet
-    val h = SqlParityKeys.handTwins
-    val r = SqlParityKeys.oracleReuse
-    val e = SqlParityKeys.exempt.keySet
+    val sets = Seq(
+      "handTwins" -> SqlParityKeys.handTwins,
+      "dialectTwins" -> SqlParityKeys.dialectTwins,
+      "oracleReuse" -> SqlParityKeys.oracleReuse,
+      "exempt" -> SqlParityKeys.exempt.keySet)
 
-    assert((h intersect r).isEmpty, s"in both handTwins and oracleReuse: ${(h intersect r).toSeq.sorted}")
-    assert((h intersect e).isEmpty, s"in both handTwins and exempt: ${(h intersect e).toSeq.sorted}")
-    assert((r intersect e).isEmpty, s"in both oracleReuse and exempt: ${(r intersect e).toSeq.sorted}")
+    for (Seq((na, a), (nb, b)) <- sets.combinations(2))
+      assert((a intersect b).isEmpty,
+        s"in both $na and $nb: ${(a intersect b).toSeq.sorted.mkString(", ")}")
 
-    val union = h ++ r ++ e
+    val union = sets.map(_._2).reduce(_ ++ _)
     assert(union == all,
       s"keys with no twin and no exemption: ${(all -- union).toSeq.sorted.mkString(", ")}; " +
       s"registry keys not in SparkEntry.queries: ${(union -- all).toSeq.sorted.mkString(", ")}")

@@ -15,11 +15,12 @@ package graft
   *    `SparkEntry.oracleSql` is ALSO valid Spark SQL producing identical
   *    results — asserted mechanically, one test per key, in
   *    SqlOracleReuseSpec. Zero duplicated SQL text.
-  *  - [[exempt]]: keys whose oracle SQL leans on DuckDB-only dialect
-  *    (string_split / unnest-in-select / strlen / VARCHAR / DOUBLE[] / …)
-  *    and that have no hand twin YET. Each carries the concrete dialect
-  *    gap as its reason; shrinking this map by writing twins is tracked
-  *    work, not silent debt.
+  *  - [[dialectTwins]]: keys whose oracle SQL is DuckDB-only dialect,
+  *    with a construct-for-construct Spark rewrite in [[SqlDialectTwins]]
+  *    asserted per-key by SqlDialectTwinSpec.
+  *  - [[exempt]]: keys with NO expressible Spark SQL twin. Each carries
+  *    the concrete engine gap as its reason — an asserted contract, not
+  *    silent debt.
   */
 object SqlParityKeys {
 
@@ -48,57 +49,25 @@ object SqlParityKeys {
     "q_watermark_late", "q_window_analytic", "q_window_frame_rows",
     "q_window_percent", "q_window_running")
 
-  /** key -> the DuckDB-dialect construct blocking verbatim reuse (probed
-    * 2026-08-13 via SqlTwinProbe; re-probe before trusting after oracle
-    * edits). Writing a Spark-dialect hand twin moves a key to handTwins. */
+  /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
+    * oracle rewritten construct-for-construct; asserted one test per key
+    * by SqlDialectTwinSpec). Derived from the twin map itself so the two
+    * cannot drift. */
+  val dialectTwins: Set[String] = SqlDialectTwins.twins.keySet
+
+  /** key -> the concrete engine gap blocking ANY Spark SQL twin (probed
+    * 2026-08-13 via SqlTwinProbe + SqlDialectTwins drafting). */
   val exempt: Map[String, String] = Map(
-    "q_agg_approx_distinct" -> "no oracle at all (HLL sketch; rsd bound pinned by ApproxDistinctSpec)",
-    "q_agg_collect" -> "array_to_string",
-    "q_ann_ivf" -> "DOUBLE[] cast syntax",
-    "q_array_funcs" -> "DuckDB list-literal/slice syntax",
-    "q_batch_assignment" -> "strlen",
-    "q_batch_payload" -> "strlen",
-    "q_bitwise_funcs" -> "xor() function (Spark: ^ operator)",
-    "q_bm25" -> "list_filter",
-    "q_cast_types" -> "CAST(.. AS VARCHAR) needs length in Spark",
-    "q_connected_components" -> "string_split",
-    "q_corpus_mix" -> "hex string literal cast to BIGINT",
-    "q_date_funcs" -> "strftime",
-    "q_dedup_cluster_rep" -> "string_split",
-    "q_dedup_embed" -> "DOUBLE[] cast syntax",
-    "q_dedup_minhash" -> "string_split",
-    "q_dedup_ngram" -> "string_split",
-    "q_dedup_simhash" -> "unnest in select list",
-    "q_doc_fingerprint" -> "unnest in select list",
-    "q_embed_quantize" -> "DOUBLE[] cast syntax",
-    "q_eval_contamination" -> "string_split",
-    "q_event_size" -> "strlen",
-    "q_explode" -> "list-position semantics differ (probe DIFF)",
-    "q_fuzzy_match" -> "unnest in select list",
-    "q_interpolate" -> "IGNORE NULLS placement parse gap",
-    "q_json_funcs" -> "json_extract_string",
-    "q_lang_id" -> "unnest in select list",
-    "q_map_funcs" -> "array_to_string",
-    "q_multimodal_meta" -> "'text/plain' literal parse gap after CAST",
-    "q_pii_scrub" -> "CAST(.. AS VARCHAR) needs length in Spark",
-    "q_quality_score" -> "string_split + integer-division operator",
-    "q_regex_funcs" -> "regexp_matches",
-    "q_retention" -> "date_diff quoted-unit form",
-    "q_send_path" -> "strlen",
-    "q_seq_pack" -> "string_split",
-    "q_similarity_topk" -> "DOUBLE[] cast syntax",
-    "q_sliding_window" -> "time_bucket",
-    "q_stream_agg_chain" -> "time_bucket",
-    "q_table_checksum" -> "CAST(.. AS VARCHAR) needs length in Spark",
-    "q_text_search" -> "list_filter",
-    "q_text_stats" -> "string_split",
-    "q_text_tokenize" -> "unnest in select list",
-    "q_tfidf" -> "unnest in select list",
-    "q_token_count" -> "string_split",
-    "q_try_funcs" -> "CAST(.. AS VARCHAR) needs length in Spark",
-    "q_udf_scalar" -> "strlen",
-    "q_unigram_lm" -> "unnest in select list",
+    "q_agg_approx_distinct" -> ("no oracle at all (HLL sketch; rsd bound " +
+      "pinned by ApproxDistinctSpec)"),
+    "q_connected_components" -> ("graph closure needs a cycle-safe " +
+      "UNION-distinct fixpoint; Spark 4.1 recursive CTEs allow only " +
+      "UNION ALL ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), which diverges " +
+      "on cyclic edges. DSL uses pointer-doubling; oracle-checked by the " +
+      "driver gate instead"),
+    "q_dedup_cluster_rep" -> ("same UNION-distinct recursion gap as " +
+      "q_connected_components (nests the same closure)"),
   )
 
-  val covered: Set[String] = handTwins ++ oracleReuse
+  val covered: Set[String] = handTwins ++ dialectTwins ++ oracleReuse
 }
