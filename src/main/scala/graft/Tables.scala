@@ -38,6 +38,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read NTZ-annotated micros as session-local TIMESTAMP AT THE SCAN
+    // (every harness pins UTC, so the instant is identical) — a post-scan
+    // NTZ→LTZ cast would block ts predicate pushdown into parquet, which
+    // is the difference between pruning and reading an events table at
+    // 100 TB. The TimestampNTZType branch below stays as a fallback for
+    // externally-built sessions that flipped inference back on.
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

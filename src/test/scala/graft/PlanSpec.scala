@@ -23,6 +23,25 @@ class PlanSpec extends AnyFunSuite {
       .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet)
       .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
 
+  test("events.ts predicates push into the parquet scan (NTZ-as-LTZ read)") {
+    // the micros-NTZ fixture must surface TIMESTAMP at the scan itself
+    // (inferTimestampNTZ=false) — a post-scan cast would strand every ts
+    // range predicate above the reader, unprunable at 100 TB
+    import org.apache.spark.sql.functions._
+    // only holds for timestamp-annotated fixtures; a TIMESTAMP(NANOS)
+    // vintage surfaces as a raw long and necessarily converts post-scan
+    assume(spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .schema("ts").dataType != org.apache.spark.sql.types.LongType,
+      "nanos-era fixture: ts cannot read as a scan-level timestamp")
+    val f = Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("ts") >= lit("2024-01-03").cast("timestamp"))
+    f.collect()
+    val plan = f.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
+    assert(pushed.contains("ts"), s"ts predicate not pushed: $pushed")
+  }
+
   test("q_scan_project prunes to exactly the 4 projected columns") {
     assert(readSchemaCols(finalPlan("q_scan_project")) ==
       Set("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
