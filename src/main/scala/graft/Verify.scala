@@ -17,13 +17,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // loud end-of-run summary: the r9 driver artifact silently recorded a
+    // 29-key wipeout as "keys absent" — make any failure impossible to
+    // miss in both the stderr log and the artifact tail
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] SUMMARY: ${failed.size}/${SparkEntry.queries.size} keys FAILED: ${failed.sorted.mkString(", ")}")
+    else
+      System.err.println(s"[verify] SUMMARY: all ${SparkEntry.queries.size} keys dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
