@@ -13,8 +13,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Rows compare as sorted multisets (not zipped): the driver's own gate
   * sorts rows before hashing, so cross-engine row order is explicitly not
-  * part of the oracle contract; output-order determinism of the DSL form
-  * is pinned separately (DeterminismSpec).
+  * part of the oracle contract (most DSL keys still end in a total ORDER
+  * BY for the three-scale hash-repeatability recorded in SURVEY §7.4).
   */
 class SqlOracleReuseSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
