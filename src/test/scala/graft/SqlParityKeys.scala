@@ -63,8 +63,10 @@ object SqlParityKeys {
     "q_connected_components" -> ("graph closure needs a cycle-safe " +
       "UNION-distinct fixpoint; Spark 4.1 recursive CTEs allow only " +
       "UNION ALL ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), which diverges " +
-      "on cyclic edges. DSL uses pointer-doubling; oracle-checked by the " +
-      "driver gate instead"),
+      "on cyclic edges, AND forbid aggregates over the recursive " +
+      "reference ([INVALID_RECURSIVE_REFERENCE.PLACE], probed r10), which " +
+      "rules out the bounded min-label-propagation alternative. DSL uses " +
+      "pointer-doubling; oracle-checked by the driver gate instead"),
     "q_dedup_cluster_rep" -> ("same UNION-distinct recursion gap as " +
       "q_connected_components (nests the same closure)"),
   )
