@@ -20,7 +20,7 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     val s = TestSpark.extensionsSession()
     for (t <- Seq("customer", "orders", "lineitem", "documents", "part"))
       Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
-    // shared nanos→micros reader, so SQL sees the same `ts` the DSL does
+    // shared encoding-normalizing reader, so SQL sees the same `ts` the DSL does
     Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
     s
   }

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** One shared local session for every suite (sbt forks a single test JVM).
-  * Mirrors Verify/Bench session config: UTC, small shuffle fan-out, nanos
-  * read as long for the TIMESTAMP(NANOS) events fixture.
+  * Mirrors Verify/Bench session config: UTC, small shuffle fan-out, and
+  * the two fixture-encoding confs (nanos-as-long for TIMESTAMP(NANOS)
+  * vintages; NTZ inference off so micros-NTZ vintages surface as UTC
+  * TIMESTAMP at the scan — see Tables.events).
   */
 object TestSpark {
   private def baseBuilder(master: String): SparkSession.Builder =
