@@ -87,6 +87,16 @@ object SqlDialectTwins {
 
   val twins: Map[String, String] = Map(
 
+    // ---- no-DuckDB-oracle family (the DSL<->Spark-SQL twin still exists:
+    // HLL registers are a max over hashed values, order- and
+    // partitioning-independent, so the estimate is deterministic for a
+    // given value set and rsd on both entry paths) ----
+    "q_agg_approx_distinct" -> """
+      SELECT event_type,
+             approx_count_distinct(user_id, 0.02) AS approx_users,
+             count(1) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
     // ---- strlen family ----
     "q_event_size" -> """
       SELECT event_id, length(event_type) + length(props) AS sz

@@ -58,8 +58,6 @@ object SqlParityKeys {
   /** key -> the concrete engine gap blocking ANY Spark SQL twin (probed
     * 2026-08-13 via SqlTwinProbe + SqlDialectTwins drafting). */
   val exempt: Map[String, String] = Map(
-    "q_agg_approx_distinct" -> ("no oracle at all (HLL sketch; rsd bound " +
-      "pinned by ApproxDistinctSpec)"),
     "q_connected_components" -> ("graph closure needs a cycle-safe " +
       "UNION-distinct fixpoint; Spark 4.1 recursive CTEs allow only " +
       "UNION ALL ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]), which diverges " +
