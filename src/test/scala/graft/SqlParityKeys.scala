@@ -1,7 +1,7 @@
 package graft
 
 /** SINGLE SOURCE OF TRUTH for the SQL-parity gate (r8 verdict item 2):
-  * every §2.B contract key must be in exactly one of these three sets, and
+  * every §2.B contract key must be in exactly one of these four sets, and
   * SqlParityContractSpec asserts the partition is total and disjoint — a
   * new `SparkEntry.queries` key that lands without a twin or a documented
   * exemption FAILS the build, the same way SurveyContractSpec pins the
@@ -15,9 +15,10 @@ package graft
   *    `SparkEntry.oracleSql` is ALSO valid Spark SQL producing identical
   *    results — asserted mechanically, one test per key, in
   *    SqlOracleReuseSpec. Zero duplicated SQL text.
-  *  - [[dialectTwins]]: keys whose oracle SQL is DuckDB-only dialect,
-  *    with a construct-for-construct Spark rewrite in [[SqlDialectTwins]]
-  *    asserted per-key by SqlDialectTwinSpec.
+  *  - [[dialectTwins]]: keys whose oracle SQL is DuckDB-only dialect (or,
+  *    for the HLL key, nonexistent), with a construct-for-construct Spark
+  *    rewrite in [[SqlDialectTwins]] asserted per-key by
+  *    SqlDialectTwinSpec.
   *  - [[exempt]]: keys with NO expressible Spark SQL twin. Each carries
   *    the concrete engine gap as its reason — an asserted contract, not
   *    silent debt.
