@@ -114,9 +114,11 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    // ts passes through in the source fixture's surfaced form (raw nanos
-    // long → plain int64 write; micros-NTZ → NTZ write); Tables.events
-    // branches on the surfaced type, so both round-trips read back fine.
+    // ts passes through in the form THIS session surfaces it (raw nanos
+    // long → plain int64 write; micros-NTZ reads as LTZ here because this
+    // session disables NTZ inference → UTC-adjusted micros write);
+    // Tables.events handles long, NTZ, and LTZ, so every round-trip reads
+    // back fine.
     val ev = spark.read.parquet(s"$src/events.parquet")
     (0 until copies).map { c =>
       ev.select(

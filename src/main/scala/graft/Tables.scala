@@ -38,13 +38,16 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // read NTZ-annotated micros as session-local TIMESTAMP AT THE SCAN
-    // (every harness pins UTC, so the instant is identical) — a post-scan
-    // NTZ→LTZ cast would block ts predicate pushdown into parquet, which
-    // is the difference between pruning and reading an events table at
-    // 100 TB. The TimestampNTZType branch below stays as a fallback for
-    // externally-built sessions that flipped inference back on.
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Engine-built sessions (Verify/Bench/TestSpark/ScaleSmoke) also set
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false at build, so an
+    // NTZ-annotated micros fixture surfaces as session-local TIMESTAMP AT
+    // THE SCAN and ts predicates keep pushing into parquet (PlanSpec pins
+    // it) — the difference between pruning and reading an events table in
+    // full at 100 TB. That conf is deliberately NOT set here: flipping it
+    // per-read would silently change NTZ semantics for every OTHER dataset
+    // the session touches afterwards. An externally-built session without
+    // the conf instead hits the TimestampNTZType branch below — correct
+    // values, graceful degradation (no scan-level pushdown on ts).
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

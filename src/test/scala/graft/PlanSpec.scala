@@ -39,7 +39,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = f.queryExecution.executedPlan.toString
     val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(plan)
       .map(_.group(1)).getOrElse(fail(s"no PushedFilters in plan:\n$plan"))
-    assert(pushed.contains("ts"), s"ts predicate not pushed: $pushed")
+    // assert the RANGE predicate specifically: a post-scan cast regression
+    // would still push the constraint-inferred IsNotNull(ts), so a bare
+    // contains("ts") check stays green in exactly the failure mode this
+    // test exists to catch
+    assert(pushed.contains("GreaterThanOrEqual(ts"),
+      s"ts range predicate not pushed (only: $pushed)")
   }
 
   test("q_scan_project prunes to exactly the 4 projected columns") {

@@ -85,6 +85,37 @@ object SqlDialectTwins {
       s"(CASE WHEN b$i > 0 THEN ${1L << i}L ELSE 0L END)"
     }.mkString(" + ")
 
+  /** Shared greedy size-batching recursive CTE (the reference's 1024-byte
+    * pre-insert-flush state machine): q_batch_assignment and
+    * q_batch_payload differ only in their final SELECT over `st`. */
+  private def batchStateCte: String = """
+    WITH RECURSIVE ev AS (
+      SELECT event_id, user_id, length(event_type) + length(props) AS sz,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), st MAX RECURSION LEVEL 1000 AS (
+      SELECT user_id, rn, event_id, sz,
+             CAST(0 AS BIGINT) AS batch_id, CAST(0 AS BIGINT) AS cum_before,
+             CAST(sz AS BIGINT) AS cur_after
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.rn, e.event_id, e.sz,
+        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
+             THEN s.batch_id + 1 ELSE s.batch_id END,
+        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
+             THEN 0 ELSE s.cur_after END,
+        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
+             THEN 0 ELSE s.cur_after END + e.sz
+      FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    )"""
+
+  /** q_event_size and q_udf_scalar share one projection: the DSLs differ
+    * (codegen'd expression vs registered Scala UDF) but the SQL surface is
+    * the same size computation. */
+  private def eventSizeSql: String = """
+      SELECT event_id, length(event_type) + length(props) AS sz
+      FROM events ORDER BY event_id"""
+
   val twins: Map[String, String] = Map(
 
     // ---- no-DuckDB-oracle family (the DSL<->Spark-SQL twin still exists:
@@ -98,65 +129,23 @@ object SqlDialectTwins {
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // ---- strlen family ----
-    "q_event_size" -> """
-      SELECT event_id, length(event_type) + length(props) AS sz
-      FROM events ORDER BY event_id""",
+    "q_event_size" -> eventSizeSql,
 
     "q_send_path" -> """
       SELECT event_id, user_id, length(event_type) + length(props) AS payload_bytes,
              1 AS n_items
       FROM events ORDER BY event_id""",
 
-    "q_udf_scalar" -> """
-      SELECT event_id, length(event_type) + length(props) AS sz
-      FROM events ORDER BY event_id""",
+    "q_udf_scalar" -> eventSizeSql,
 
-    "q_batch_assignment" -> """
-    WITH RECURSIVE ev AS (
-      SELECT event_id, user_id, length(event_type) + length(props) AS sz,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
-    ), st MAX RECURSION LEVEL 1000 AS (
-      SELECT user_id, rn, event_id, sz,
-             CAST(0 AS BIGINT) AS batch_id, CAST(0 AS BIGINT) AS cum_before,
-             CAST(sz AS BIGINT) AS cur_after
-      FROM ev WHERE rn = 1
-      UNION ALL
-      SELECT e.user_id, e.rn, e.event_id, e.sz,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN s.batch_id + 1 ELSE s.batch_id END,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN 0 ELSE s.cur_after END,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN 0 ELSE s.cur_after END + e.sz
-      FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
-    )
+    "q_batch_assignment" -> (batchStateCte + """
       SELECT event_id, user_id, batch_id, cum_before, sz FROM st
-      ORDER BY event_id""",
+      ORDER BY event_id"""),
 
-    "q_batch_payload" -> """
-    WITH RECURSIVE ev AS (
-      SELECT event_id, user_id, length(event_type) + length(props) AS sz,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-      FROM events
-    ), st MAX RECURSION LEVEL 1000 AS (
-      SELECT user_id, rn, event_id, sz,
-             CAST(0 AS BIGINT) AS batch_id, CAST(0 AS BIGINT) AS cum_before,
-             CAST(sz AS BIGINT) AS cur_after
-      FROM ev WHERE rn = 1
-      UNION ALL
-      SELECT e.user_id, e.rn, e.event_id, e.sz,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN s.batch_id + 1 ELSE s.batch_id END,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN 0 ELSE s.cur_after END,
-        CASE WHEN s.cur_after + e.sz >= 1024 AND s.cur_after > 0
-             THEN 0 ELSE s.cur_after END + e.sz
-      FROM st s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
-    )
+    "q_batch_payload" -> (batchStateCte + """
       SELECT user_id, batch_id, count(*) AS n_items,
              CAST(sum(sz) AS BIGINT) AS payload_bytes
-      FROM st GROUP BY user_id, batch_id ORDER BY user_id, batch_id""",
+      FROM st GROUP BY user_id, batch_id ORDER BY user_id, batch_id"""),
 
     // ---- text family ----
     "q_text_stats" -> """

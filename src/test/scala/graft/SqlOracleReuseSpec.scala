@@ -20,12 +20,7 @@ class SqlOracleReuseSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
 
   private lazy val spark: SparkSession = {
     val s = TestSpark.extensionsSession()
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "lineitem", "documents", "embeddings"))
-      Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
-    // shared encoding-normalizing reader, so SQL sees the same `ts` the
-    // DSL does (Tables.events handles nanos-long and micros-NTZ fixtures)
-    Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
+    SqlParityHarness.registerFixtureViews(s)
     s
   }
 
@@ -36,16 +31,9 @@ class SqlOracleReuseSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAl
 
   SqlParityKeys.oracleReuse.toSeq.sorted.foreach { key =>
     test(s"$key: oracle SQL is its own Spark twin") {
-      val dsl = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
-      val viaSql = spark.sql(SparkEntry.oracleSql(key))
-      assert(dsl.columns.toSeq == viaSql.columns.toSeq,
-        s"$key column names: DSL ${dsl.columns.toSeq} vs SQL ${viaSql.columns.toSeq}")
-      val a = dsl.collect().toSeq.sortBy(_.toString)
-      val b = viaSql.collect().toSeq.sortBy(_.toString)
-      assert(a.size == b.size, s"$key row counts: DSL ${a.size} vs SQL ${b.size}")
-      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
-        assert(ra == rb, s"$key sorted row $i: DSL $ra vs SQL $rb")
-      }
+      SqlParityHarness.assertSameResult(key,
+        SparkEntry.queries(key)(spark, TestSpark.Sf0001),
+        spark.sql(SparkEntry.oracleSql(key)), ordered = false)
     }
   }
 }

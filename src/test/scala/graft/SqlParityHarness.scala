@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.Assertions.{assert, fail}
+
+/** The ONE parity-compare discipline shared by all three SQL-twin suites
+  * (SqlParitySpec / SqlOracleReuseSpec / SqlDialectTwinSpec) — previously
+  * three hand-copies that had already diverged on row-order handling.
+  *
+  *  - `ordered = true`: exact row-order zip — for hand twins whose SQL
+  *    carries a deliberately TOTAL order.
+  *  - `ordered = false`: sorted-multiset compare — for oracle-derived
+  *    twins, where cross-engine row order is explicitly not part of the
+  *    contract (the driver gate sorts rows before hashing) and ORDER BY
+  *    keys can tie (e.g. (l_orderkey, l_linenumber) is not unique on the
+  *    lineitem fixture, so zipping tied rows across two physical plans
+  *    would flake on a correct twin).
+  */
+object SqlParityHarness {
+
+  val FixtureTables: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view; events goes through the
+    * shared encoding-normalizing reader so SQL sees the same `ts` the DSL
+    * does (Tables.events handles nanos-long, NTZ, and LTZ fixtures). */
+  def registerFixtureViews(s: SparkSession): Unit = {
+    FixtureTables.foreach(t =>
+      Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t))
+    Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
+  }
+
+  def assertSameResult(key: String, dsl: DataFrame, viaSql: DataFrame,
+                       ordered: Boolean): Unit = {
+    assert(dsl.columns.toSeq == viaSql.columns.toSeq,
+      s"$key column names: DSL ${dsl.columns.toSeq} vs SQL ${viaSql.columns.toSeq}")
+    val a0 = dsl.collect().toSeq
+    val b0 = viaSql.collect().toSeq
+    assert(a0.size == b0.size, s"$key row counts: DSL ${a0.size} vs SQL ${b0.size}")
+    val (a, b) =
+      if (ordered) (a0, b0)
+      else (a0.sortBy(_.toString), b0.sortBy(_.toString))
+    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+      assert(ra == rb,
+        s"$key ${if (ordered) "row" else "sorted row"} $i: DSL $ra vs SQL $rb")
+    }
+  }
+}

@@ -18,10 +18,7 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = {
     val s = TestSpark.extensionsSession()
-    for (t <- Seq("customer", "orders", "lineitem", "documents", "part"))
-      Tables.table(s, TestSpark.Sf0001, t).createOrReplaceTempView(t)
-    // shared encoding-normalizing reader, so SQL sees the same `ts` the DSL does
-    Tables.events(s, TestSpark.Sf0001).createOrReplaceTempView("events")
+    SqlParityHarness.registerFixtureViews(s)
     s
   }
 
@@ -37,16 +34,10 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private def assertParity(key: String, sql: String): Unit = {
     asserted += key
-    val dsl = SparkEntry.queries(key)(spark, TestSpark.Sf0001)
-    val viaSql = spark.sql(sql)
-    assert(dsl.columns.toSeq == viaSql.columns.toSeq,
-      s"$key column names: DSL ${dsl.columns.toSeq} vs SQL ${viaSql.columns.toSeq}")
-    val a = dsl.collect().toSeq
-    val b = viaSql.collect().toSeq
-    assert(a.size == b.size, s"$key row counts: DSL ${a.size} vs SQL ${b.size}")
-    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
-      assert(ra == rb, s"$key row $i: DSL $ra vs SQL $rb")
-    }
+    // ordered: these hand twins carry a deliberately total ORDER BY
+    SqlParityHarness.assertSameResult(key,
+      SparkEntry.queries(key)(spark, TestSpark.Sf0001),
+      spark.sql(sql), ordered = true)
   }
 
   test("scans: q_filter DSL == SQL") {
