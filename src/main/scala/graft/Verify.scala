@@ -50,5 +50,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // non-zero exit on any key failure so exit-status-checking automation
+    // sees a partial wipeout — after the artifact write, so the driver
+    // still gets oracle_sql.json and the dumped keys
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,12 +37,23 @@ object SqlParityHarness {
     val a0 = dsl.collect().toSeq
     val b0 = viaSql.collect().toSeq
     assert(a0.size == b0.size, s"$key row counts: DSL ${a0.size} vs SQL ${b0.size}")
-    val (a, b) =
-      if (ordered) (a0, b0)
-      else (a0.sortBy(_.toString), b0.sortBy(_.toString))
-    a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
-      assert(ra == rb,
-        s"$key ${if (ordered) "row" else "sorted row"} $i: DSL $ra vs SQL $rb")
+    if (ordered) {
+      a0.zip(b0).zipWithIndex.foreach { case ((ra, rb), i) =>
+        assert(ra == rb, s"$key row $i: DSL $ra vs SQL $rb")
+      }
+    } else {
+      // true multiset compare: identity→count maps on both sides, so two
+      // distinct rows whose toString collide can never misalign inside a
+      // sort-tie group (Row.equals handles nested arrays/structs)
+      val ca = a0.groupBy(identity).view.mapValues(_.size).toMap
+      val cb = b0.groupBy(identity).view.mapValues(_.size).toMap
+      val onlyA = ca.collect { case (r, n) if cb.getOrElse(r, 0) != n =>
+        s"$r (DSL×$n vs SQL×${cb.getOrElse(r, 0)})" }
+      val onlyB = cb.collect { case (r, n) if !ca.contains(r) =>
+        s"$r (DSL×0 vs SQL×$n)" }
+      val diffs = (onlyA ++ onlyB).take(5)
+      assert(diffs.isEmpty,
+        s"$key multiset mismatch (${onlyA.size + onlyB.size} differing rows), first: ${diffs.mkString("; ")}")
     }
   }
 }

@@ -528,7 +528,15 @@ class SqlParitySpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   test("closing: asserted twins == SqlParityKeys.handTwins (registry can't drift)") {
     // runs last (funsuite registration order); any assertParity added above
-    // without a SqlParityKeys.handTwins entry — or vice versa — fails here
+    // without a SqlParityKeys.handTwins entry — or vice versa — fails here.
+    // Spec-only drift is checkable on ANY subset of executed tests; the
+    // full-equality direction needs the whole suite, so assume() skips it
+    // on a filtered run (testOnly -z matching just this test → asserted
+    // empty) rather than failing spuriously
+    assert((asserted.toSet -- SqlParityKeys.handTwins).isEmpty,
+      s"spec-only (not in registry): ${(asserted.toSet -- SqlParityKeys.handTwins).toSeq.sorted.mkString(", ")}")
+    assume(asserted.nonEmpty,
+      "filtered run — no parity tests executed, registry-completeness check skipped")
     assert(asserted.toSet == SqlParityKeys.handTwins,
       s"spec-only: ${(asserted.toSet -- SqlParityKeys.handTwins).toSeq.sorted.mkString(", ")}; " +
       s"registry-only: ${(SqlParityKeys.handTwins -- asserted).toSeq.sorted.mkString(", ")}")
