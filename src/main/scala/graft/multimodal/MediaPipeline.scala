@@ -20,6 +20,10 @@ case class DecodedFrame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
 case class MediaFeatures(doc_id: Long, media_type: String, n_frames: Int,
                          width: Int, height: Int, feature: Array[Float])
 
+/** One parsed container header (see [[ImageHeader]]), as a typed row. */
+case class ImageMetaRow(doc_id: Long, format: String, width: Int,
+                        height: Int, bit_depth: Int, n_components: Int)
+
 /** Multimodal decode/feature pipeline over opaque binary columns.
   *
   * The Spark-side plumbing is real: typed `Dataset` stages with case-class
@@ -29,11 +33,15 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_frames: Int,
   * decode parallelism is independent of source file layout, and a
   * `groupByKey.mapGroups` featurize stage.
   *
-  * The byte-level DECODE IS A STUB: this environment has no image/audio
-  * codecs, so `decodeStub` derives deterministic fake dimensions/luma from
-  * the bytes. Every value is a pure function of the payload, so the
-  * pipeline is testable end-to-end; swap `decodeStub` for a real codec
-  * call to productionize.
+  * The HEADER decode is real: [[ImageHeader]] magic-dispatches PNG/JPEG
+  * payloads and reads true width/height/bit-depth from the container
+  * header (both public specs, pure JVM — no codec libraries). Only the
+  * PIXEL-level decode remains a stub: this environment has no image
+  * codecs, so luma is derived deterministically from the payload bytes,
+  * and non-image payloads (the text fixture) fall back to fully fake,
+  * content-derived dimensions. Every value is a pure function of the
+  * payload, so the pipeline is testable end-to-end; swap `stubLuma` for a
+  * real pixel decode to productionize.
   */
 object MediaPipeline {
 
@@ -52,39 +60,62 @@ object MediaPipeline {
       .as[MediaFile]
   }
 
-  /** ==== STUB ==== deterministic fake of a codec's per-frame decode.
-    * Real impl: hand `bytes` to an image/video library, emit true frames.
-    * The fake derives width/height from a byte hash and mean luma from the
-    * frame's actual bytes, so outputs are stable, content-dependent, and
-    * assertable in tests.
-    */
-  private[multimodal] def decodeStub(m: MediaFile, frameIdx: Int): DecodedFrame = {
+  /** ==== STUB ==== deterministic stand-in for a pixel decode: mean of
+    * the stride's raw bytes. Stable, content-dependent, assertable. */
+  private def stubLuma(bytes: Array[Byte], frameIdx: Int): Double = {
     val start = frameIdx * FrameBytes
-    val frame = m.bytes.slice(start, math.min(start + FrameBytes, m.bytes.length))
-    val h = java.util.Arrays.hashCode(m.bytes)
-    val width = 64 + math.floorMod(h, 193)          // fake, content-derived
-    val height = 64 + math.floorMod(h >> 8, 129)    // fake, content-derived
-    val luma = if (frame.isEmpty) 0.0
-               else frame.map(b => (b & 0xff).toDouble).sum / frame.length
-    DecodedFrame(m.doc_id, frameIdx, width, height, luma)
+    val frame = bytes.slice(start, math.min(start + FrameBytes, bytes.length))
+    if (frame.isEmpty) 0.0
+    else frame.map(b => (b & 0xff).toDouble).sum / frame.length
   }
 
-  /** Decode stage: one partition = one batch; `mapPartitions` keeps the
-    * (stubbed) codec call off the per-row path, mirroring `mapInPandas`
-    * batch shape. `parallelism` controls the repartition so decode scales
-    * with executors, not with however few input files there were.
+  /** Per-file decode: PNG/JPEG payloads get their TRUE dimensions from
+    * the [[ImageHeader]] container parse (one frame per still image);
+    * anything else falls back to the deterministic fake — 64-byte frame
+    * strides with hash-derived dimensions. */
+  private[multimodal] def decodeFile(m: MediaFile): Seq[DecodedFrame] =
+    ImageHeader.parse(m.bytes) match {
+      case Some(meta) =>
+        Seq(DecodedFrame(m.doc_id, 0, meta.width, meta.height,
+          stubLuma(m.bytes, 0)))
+      case None =>
+        val h = java.util.Arrays.hashCode(m.bytes)
+        val width = 64 + math.floorMod(h, 193)       // fake, content-derived
+        val height = 64 + math.floorMod(h >> 8, 129) // fake, content-derived
+        val nFrames = math.max(m.bytes.length / FrameBytes, 1)
+        (0 until nFrames).map(i =>
+          DecodedFrame(m.doc_id, i, width, height, stubLuma(m.bytes, i)))
+    }
+
+  /** Decode stage: one partition = one batch; `mapPartitions` keeps codec
+    * setup off the per-row path, mirroring `mapInPandas` batch shape.
+    * `parallelism` controls the repartition so decode scales with
+    * executors, not with however few input files there were.
     */
   def decodeFrames(media: Dataset[MediaFile], parallelism: Int): Dataset[DecodedFrame] = {
     val s = media.sparkSession
     import s.implicits._
     media.repartition(parallelism, col("doc_id"))
       .mapPartitions { batch =>
-        // a real codec would be initialized HERE, once per partition
-        batch.flatMap { m =>
-          val nFrames = math.max(m.bytes.length / FrameBytes, 1)
-          (0 until nFrames).iterator.map(i => decodeStub(m, i))
-        }
+        // a real pixel codec would be initialized HERE, once per partition
+        batch.flatMap(m => decodeFile(m).iterator)
       }
+  }
+
+  /** Header probe stage: typed (doc_id, format, width, height, bit_depth,
+    * n_components) rows for every payload whose container header parses —
+    * the shape/resolution metadata a lake derives WITHOUT pixel decode.
+    * Unparseable payloads drop out (quarantine by anti-join upstream if
+    * the corrupt set itself is wanted). Narrow mapPartitions: no shuffle,
+    * header-only reads. */
+  def probeHeaders(media: Dataset[MediaFile]): Dataset[ImageMetaRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      ImageHeader.parse(m.bytes).map(meta => ImageMetaRow(m.doc_id,
+        meta.format, meta.width, meta.height, meta.bitDepth,
+        meta.nComponents))
+    })
   }
 
   /** Frame-sample: keep every `stride`-th frame (cheap narrow filter —
