@@ -62,3 +62,145 @@ object LakeSink {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }
+
+/** Snapshot-committed lake table — the manifest-commit protocol (the
+  * Iceberg/Delta core idea, reduced to its invariants) layered over plain
+  * parquet, so multi-file writes become ATOMIC and reads become
+  * REPEATABLE:
+  *
+  *  - data files land under `data/<writer-uuid>/` first — a directory no
+  *    reader ever lists, so a crashed half-write is garbage, not a
+  *    torn table;
+  *  - a snapshot IS its manifest file `manifests/snap-<id>.manifest`
+  *    (the sorted list of data directories visible at that snapshot);
+  *    the commit point is the ATOMIC RENAME of `<tmp>` →
+  *    `snap-<id>.manifest` — the same create-then-rename idiom as
+  *    [[graft.queue.BatchIdLedger.commit]], with the same
+  *    marker-already-exists = "another committer won" reading;
+  *  - ids are MONOTONIC: a committer allocates max(existing)+1 and the
+  *    rename doubles as the CAS — losing the race (the id's manifest
+  *    appeared) means re-reading the new latest and retrying with the
+  *    next id, so concurrent appends serialize without a lock service;
+  *  - committed manifests and their data are IMMUTABLE — never rewritten,
+  *    never deleted by commits — so a reader holding snapshot N−1 is
+  *    byte-stable while N (or a half-written would-be N) lands:
+  *    time-travel `readAt(id)` is just "read an old manifest".
+  *
+  * At 100 TB the protocol is exactly as cheap as it looks: commit cost is
+  * one tiny file write + one rename regardless of data volume, readers
+  * plan from O(snapshots) manifest lines, and expired snapshots can be
+  * vacuumed by deleting manifests-then-unreferenced-dirs (not
+  * implemented here — it is a GC policy, not a correctness need).
+  * Caveat inherited from every rename-based table format: the store must
+  * give atomic rename-no-overwrite (HDFS/ABFS do; raw S3 needs a
+  * metastore or a conditional-put shim at this seam).
+  */
+object SnapshotLake {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def fsFor(spark: SparkSession, table: String): FileSystem =
+    new HPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(table: String) = new HPath(s"$table/manifests")
+  private def manifestPath(table: String, id: Long) =
+    new HPath(manifestDir(table), s"snap-$id.manifest")
+  private val ManifestRe = "snap-(\\d+)\\.manifest".r
+
+  /** All committed snapshot ids, ascending. */
+  def snapshots(spark: SparkSession, table: String): Seq[Long] = {
+    val fs = fsFor(spark, table)
+    val dir = manifestDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(id) => Some(id.toLong)
+      case _              => None
+    }).sorted
+  }
+
+  /** Latest committed snapshot id, if any commit ever succeeded. */
+  def latest(spark: SparkSession, table: String): Option[Long] =
+    snapshots(spark, table).lastOption
+
+  /** The data directories visible at snapshot `id`. */
+  private def manifestDirs(spark: SparkSession, table: String,
+                           id: Long): Seq[String] = {
+    val fs = fsFor(spark, table)
+    val p = manifestPath(table, id)
+    require(fs.exists(p), s"no committed snapshot $id at $table")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Step 1 of a commit — land the data somewhere no reader looks. A
+    * crash after this leaves an unreferenced directory: invisible.
+    * `private[graft]` so LakeSinkSpec can simulate exactly that crash. */
+  private[graft] def writeData(df: DataFrame, table: String,
+                                 maxRecordsPerFile: Long): String = {
+    val dir = s"$table/data/${java.util.UUID.randomUUID()}"
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("errorifexists").parquet(dir)
+    dir
+  }
+
+  /** Step 2 — the commit point: manifest to a tmp name, atomic rename to
+    * `snap-<id>.manifest`. False = lost the id race (caller re-reads the
+    * latest id and retries); throws only on real FS failure. */
+  private[graft] def tryCommitManifest(spark: SparkSession, table: String,
+                                         id: Long, dirs: Seq[String]): Boolean = {
+    val fs = fsFor(spark, table)
+    fs.mkdirs(manifestDir(table))
+    val dst = manifestPath(table, id)
+    if (fs.exists(dst)) return false // a concurrent committer owns this id
+    val tmp = new HPath(manifestDir(table),
+      s"snap-$id.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((dirs.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.rename(tmp, dst)) true
+    else {
+      val lostRace = fs.exists(dst)
+      fs.delete(tmp, false)
+      if (!lostRace)
+        throw new java.io.IOException(s"snapshot commit failed: $tmp -> $dst")
+      false
+    }
+  }
+
+  /** Commit `df` as the next snapshot. `append = true` stacks onto the
+    * latest committed manifest (ingest/compaction-input pattern);
+    * `append = false` makes the new data the whole table (the atomic
+    * full-replace the plain `mode("overwrite")` writer can't give —
+    * readers see old-or-new, never a mid-delete mix). Returns the
+    * committed snapshot id. */
+  def commit(df: DataFrame, table: String, append: Boolean = true,
+             maxRecordsPerFile: Long = 1000000L): Long = {
+    val spark = df.sparkSession
+    val dir = writeData(df, table, maxRecordsPerFile)
+    var attempts = 0
+    while (attempts < 64) { // CAS loop: each retry observes a NEWER latest
+      val base = latest(spark, table)
+      val visible =
+        if (append) base.map(manifestDirs(spark, table, _)).getOrElse(Nil)
+        else Nil
+      val id = base.getOrElse(0L) + 1
+      if (tryCommitManifest(spark, table, id, visible :+ dir)) return id
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"snapshot commit lost ${attempts} CAS races at $table — livelock?")
+  }
+
+  /** Time-travel read: the table exactly as of committed snapshot `id`,
+    * byte-stable regardless of later commits or in-flight writers. */
+  def readAt(spark: SparkSession, table: String, id: Long): DataFrame =
+    spark.read.parquet(manifestDirs(spark, table, id): _*)
+
+  /** Read the latest committed snapshot. */
+  def readLatest(spark: SparkSession, table: String): DataFrame = {
+    val id = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    readAt(spark, table, id)
+  }
+}

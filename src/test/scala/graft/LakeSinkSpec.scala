@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.LakeSink
+import graft.sources.{LakeSink, SnapshotLake}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -34,6 +34,63 @@ class LakeSinkSpec extends AnyFunSuite {
       assert(n >= 1 && n <= 4,
         s"$dt has $n files; salted repartition-before-write broken")
     }
+  }
+
+  // ---- SnapshotLake: manifest-commit protocol (r10 verdict item 3) ----
+
+  test("snapshot commit is atomic: a crashed half-write is invisible to every read path") {
+    import s.implicits._
+    val table = tmpDir("snap-atomic")
+    val id1 = SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    assert(id1 == 1L)
+    // simulate a writer that crashed between data-write and manifest
+    // rename: data files exist under data/, no manifest appeared
+    SnapshotLake.writeData(Seq((99L, "torn")).toDF("k", "v"), table, 1000000L)
+    assert(SnapshotLake.latest(s, table).contains(1L))
+    assert(SnapshotLake.readLatest(s, table).count() == 2L)
+    assert(SnapshotLake.readAt(s, table, 1L)
+      .as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("time-travel read of snapshot N-1 is byte-stable while N lands; ids are monotonic") {
+    import s.implicits._
+    val table = tmpDir("snap-travel")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    val before = SnapshotLake.readAt(s, table, 1L)
+      .as[(Long, String)].collect().sorted.toSeq
+    // N lands (append) while the N-1 handle stays open
+    val id2 = SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table,
+      append = true)
+    assert(id2 == 2L)
+    assert(SnapshotLake.readAt(s, table, 1L)
+      .as[(Long, String)].collect().sorted.toSeq == before)
+    assert(SnapshotLake.readAt(s, table, 2L).count() == 2L)
+    // atomic full-replace: N+1 overwrite shows ONLY the new data — and
+    // N-1/N stay readable
+    val id3 = SnapshotLake.commit(Seq((9L, "z")).toDF("k", "v"), table,
+      append = false)
+    assert(id3 == 3L)
+    assert(SnapshotLake.readAt(s, table, 3L)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(SnapshotLake.readAt(s, table, 1L)
+      .as[(Long, String)].collect().sorted.toSeq == before)
+    assert(SnapshotLake.snapshots(s, table) == Seq(1L, 2L, 3L))
+  }
+
+  test("losing the id CAS race retries onto the next id instead of clobbering") {
+    import s.implicits._
+    val table = tmpDir("snap-race")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    // occupy id 2 out from under the next committer (the "concurrent
+    // winner" whose rename landed first)
+    assert(SnapshotLake.tryCommitManifest(s, table, 2L, Seq.empty))
+    // the loser's view: same id now refuses — no clobber, no exception
+    assert(!SnapshotLake.tryCommitManifest(s, table, 2L, Seq("some/dir")))
+    val id = SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), table)
+    assert(id == 3L, s"committer should have allocated past the taken id, got $id")
+    // the squatter's empty snapshot 2 is intact; 3 appended onto it
+    assert(SnapshotLake.readAt(s, table, 3L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
   test("a dt filter prunes the scan to matching partitions") {
