@@ -327,4 +327,42 @@ class PlanSpec extends AnyFunSuite {
     assert(prunedScan,
       s"no documents scan pruned to exactly (doc_id, n_chars):\n$s")
   }
+
+  test("scan + exchange budgets hold on the four most expensive text keys") {
+    // r10 verdict item 4: these four keys dominate the bench; their plans
+    // were audited as "the scale plan" at r10, and these budgets freeze
+    // that audit. A refactor that adds a second text scan (e.g. dropping a
+    // signature localCheckpoint) or an extra shuffle fails HERE, not in a
+    // bench round two days later. Counts are plan NODES: ReusedExchange
+    // references repeat the referenced exchange's text, so raw substring
+    // counts over-count plans that deliberately reuse an exchange.
+    def nodeBudget(key: String, fileScanMax: Int, rddScanMax: Int,
+                   hashExMax: Int): Unit = {
+      val s = finalPlan(key).split("== Initial Plan ==")(0)
+      def nodes(m: String) = s.linesIterator
+        .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+      assert(nodes("FileScan parquet") <= fileScanMax,
+        s"$key reads ${nodes("FileScan parquet")} parquet scans (budget $fileScanMax):\n$s")
+      // checkpointed-signature keys: both self-join sides must share the
+      // ONE materialized RDD — more RDD scans = a re-derived lineage
+      assert(nodes("Scan ExistingRDD") <= rddScanMax,
+        s"$key scans ${nodes("Scan ExistingRDD")} checkpointed RDDs (budget $rddScanMax):\n$s")
+      assert(nodes("Exchange hashpartitioning") <= hashExMax,
+        s"$key shuffles ${nodes("Exchange hashpartitioning")}× (budget $hashExMax):\n$s")
+      assert(!s.contains("CartesianProduct") &&
+             !s.contains("BroadcastNestedLoopJoin"),
+        s"$key degenerated to an all-pairs join:\n$s")
+    }
+    // simhash: text scan fully amortized through the signature checkpoint
+    // (0 visible file scans); one band-bucket shuffle
+    nodeBudget("q_dedup_simhash", fileScanMax = 0, rddScanMax = 2, hashExMax = 1)
+    // fingerprint: one text scan, one per-doc agg shuffle
+    nodeBudget("q_doc_fingerprint", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // ngram: two text scans (gram pipeline + Jaccard confirm — the
+    // documented persist-to-parquet trade at 100 TB), five real shuffles;
+    // everything else must come back as ReusedExchange
+    nodeBudget("q_dedup_ngram", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
+    // cluster-rep: one pruned documents scan + the shared sig checkpoint
+    nodeBudget("q_dedup_cluster_rep", fileScanMax = 1, rddScanMax = 1, hashExMax = 1)
+  }
 }
