@@ -28,6 +28,15 @@ import java.nio.file.{Files, Paths}
   *    steal_ticks[i]/cpu_ticks[i] is the fraction of host CPU stolen during
   *    pass i — instead of needing a manual clean re-run to adjudicate.
   *    -1 entries mean /proc/stat was unreadable (non-Linux host).
+  *  - per-key `gc_ms_max` = the worst single-pass JVM GC time attributed
+  *    to that key (max over the three passes). ADJUDICATION RULE
+  *    (BASELINE.md "How to adjudicate a bench artifact"): a key whose
+  *    pass carried gc_ms_max > 200 ms is discounted the same way a
+  *    steal-marked pass is — its regression claim needs a focused
+  *    re-bench, because a major collection landing mid-key charges
+  *    another key's garbage to this key's wall clock. The 3-pass median
+  *    already absorbs ONE gc-hit pass; the marker exists for the case
+  *    where collections recur across passes (heap pressure, not luck).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
