@@ -175,9 +175,11 @@ private[graft] class BucketProcessor(threshold: Double, ttlSec: Long)
     residents = getHandle.getListState[BucketDoc]("residents",
       Encoders.product[BucketDoc], TTLConfig.NONE)
 
-  /** Replace the one pending eviction timer with `at`. */
+  /** Replace the one pending eviction timer with `at` (materialize the
+    * listing first — deleting while the state-store iterator is live is
+    * undefined). */
   private def rearm(at: Long): Unit = {
-    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+    getHandle.listTimers().toList.foreach(t => getHandle.deleteTimer(t))
     getHandle.registerTimer(at)
   }
 

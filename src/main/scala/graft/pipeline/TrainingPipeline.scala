@@ -129,6 +129,33 @@ object TrainingPipeline {
       .filter(col("rn") === 1).drop("rn", "digest")
   }
 
+  /** One crawl cycle of the incremental-dedup ledger, SNAPSHOT-COMMITTED
+    * (composing [[dedupAgainstCanon]] with
+    * [[graft.sources.SnapshotLake]]): dedup `batch` against the canon
+    * digest table's latest committed snapshot (empty canon on the first
+    * cycle), then commit the survivors' digests as the next snapshot
+    * (append — the ledger only grows). Returns (survivors, snapshotId).
+    *
+    * What the snapshot protocol buys the cycle: a crash ANYWHERE before
+    * the manifest rename leaves the ledger at the old snapshot — the
+    * whole batch replays and re-commits, no torn digest set ever anchors
+    * a future dedup; and a reader pinned at snapshot N−1 (an audit, a
+    * slow downstream join) keeps a byte-stable canon while cycle N
+    * lands. The returned `survivors` frame is lazy lineage over `batch`
+    * — a caller that both writes it and inspects it should persist it
+    * once (the commit itself reads the digests, not the text, twice). */
+  def dedupCycle(batch: DataFrame, canonTable: String,
+                 prefixWords: Int = 0): (DataFrame, Long) = {
+    val spark = batch.sparkSession
+    val canon = graft.sources.SnapshotLake.latest(spark, canonTable)
+      .map(id => graft.sources.SnapshotLake.readAt(spark, canonTable, id))
+      .getOrElse(spark.range(0).select(lit("").as("digest")))
+    val survivors = dedupAgainstCanon(batch, canon, prefixWords)
+    val id = graft.sources.SnapshotLake.commit(
+      contentDigests(survivors, prefixWords), canonTable)
+    (survivors, id)
+  }
+
   /** Near-dup removal via the MinHash LSH pipeline (q_dedup_minhash
     * semantics): every doc that is the HIGHER id of any ≥-threshold pair
     * is dropped. Conservative: in a transitive chain (1~2, 2~3, 1≁3),

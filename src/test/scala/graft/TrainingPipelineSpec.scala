@@ -73,6 +73,35 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(full.count() == batch.count())
   }
 
+  test("dedupCycle: two crawl cycles against a snapshot-committed canon ledger") {
+    import s.implicits._
+    val table = java.nio.file.Files.createTempDirectory("canon-ledger").toString
+    // cycle 1: two internal copies + a unique → 2 survivors, snapshot 1
+    val batch1 = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val (s1, id1) = TrainingPipeline.dedupCycle(batch1, table)
+    assert(id1 == 1L)
+    assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // cycle 2: a canon-known copy (drops), an in-batch pair (one keeps),
+    // a fresh doc (keeps) → snapshot 2 appends their digests
+    val batch2 = Seq(
+      (4L, "alpha beta gamma delta"),           // known from cycle 1
+      (5L, "brand new content five"), (6L, "brand new content five"),
+      (7L, "another novel document")).toDF("doc_id", "text")
+    val (s2, id2) = TrainingPipeline.dedupCycle(batch2, table)
+    assert(id2 == 2L)
+    assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L, 7L))
+    // the ledger grew monotonically: snapshot 1 is byte-stable (2 digests),
+    // snapshot 2 appended the 2 cycle-2 survivors
+    assert(graft.sources.SnapshotLake.readAt(s, table, 1L).count() == 2L)
+    assert(graft.sources.SnapshotLake.readAt(s, table, 2L).count() == 4L)
+    // cycle 3 replay of batch2 against the grown canon: everything drops
+    val (s3, _) = TrainingPipeline.dedupCycle(batch2, table)
+    assert(s3.count() == 0L, "replayed batch should be fully canon-known")
+  }
+
   test("sampleTokens fills each lang's budget and never overshoots before the crossing doc") {
     val budget = 500L
     val out = TrainingPipeline.sampleTokens(docs, budget)
