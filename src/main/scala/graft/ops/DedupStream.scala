@@ -90,11 +90,15 @@ object DedupStream {
     array_min(transform(sh, h =>
       (lit(permA(j)) * (h % lit(1L << 32)) + lit(permB(j))) % lit(PermP)))
 
-  /** Stateless prep: doc → (doc_id, ts, sh[], m0..m63). */
+  /** Stateless prep: doc → (doc_id, ts, sh[], m0..m63). Null text gets an
+    * EMPTY shingle set (not a null one): a null `sh` would fail both the
+    * size>0 and size==0 branch filters and silently drop the doc,
+    * breaking the one-verdict-per-doc contract — routed to the
+    * shingleless branch instead, like any other unshingleable doc. */
   private[graft] def prepared(docs: Dataset[StreamDoc]): DataFrame = {
-    val sh = array_sort(array_distinct(
+    val sh = coalesce(array_sort(array_distinct(
       transform(TextOps.shingles(col("text")),
-        s => graft.expr.Md5Prefix60.h60(s))))
+        s => graft.expr.Md5Prefix60.h60(s)))), lit(Array.empty[Long]))
     val sigCols = (0 until NumPerms).map(j => sigSlot(col("sh"), j).as(s"m$j"))
     docs.toDF()
       .withColumn("sh", sh)

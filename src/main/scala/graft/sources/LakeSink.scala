@@ -158,13 +158,32 @@ object SnapshotLake {
     val out = fs.create(tmp, false)
     try out.write((dirs.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.rename(tmp, dst)) true
-    else {
-      val lostRace = fs.exists(dst)
-      fs.delete(tmp, false)
-      if (!lostRace)
-        throw new java.io.IOException(s"snapshot commit failed: $tmp -> $dst")
-      false
+    // Rename with EXPLICIT no-overwrite semantics (Options.Rename.NONE):
+    // FileSystem.rename on a POSIX-backed store (RawLocalFileSystem, NFS)
+    // delegates to rename(2), which silently REPLACES an existing dst —
+    // two committers could then both "win" the same id and one manifest
+    // (with its data references) would be clobbered. FileContext.rename
+    // throws FileAlreadyExistsException instead, which is exactly the
+    // lost-the-CAS signal. On HDFS/ABFS this is server-side atomic; on a
+    // raw local FS a narrow check-then-rename window remains inside the
+    // library — the same residual every rename-based table format accepts
+    // there (production object stores want the conditional-put shim the
+    // scaladoc names).
+    try {
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        false
+      case e: java.io.IOException if fs.exists(dst) =>
+        // some FS implementations surface the existing-dst refusal as a
+        // bare IOException — dst present means a concurrent winner
+        fs.delete(tmp, false)
+        false
     }
   }
 

@@ -42,13 +42,8 @@ class SkewAndBucketSpec extends AnyFunSuite {
     // pathology itself — HALF the fact rows carry one key — on generated
     // data; SkewScaleProbe measures the wall-time payoff of the same
     // distribution at sf0.1 size (recorded in SCALE.md "skew, measured").
-    import s.implicits._
-    val n = 200000L
-    val big = s.range(n)
-      .select((when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997L))
-        .as("key"), col("id").as("v"))
-    val small = s.range(997L).select(col("id").as("key"),
-      concat(lit("p"), col("id")).as("payload"))
+    val big = HotKeyData.facts(s, 200000L)
+    val small = HotKeyData.dim(s)
     val plainJ = big.join(small, Seq("key"))
     val saltedJ = Skew.saltedJoin(big, small, "key", factor = 8,
       saltFrom = Seq(col("v")))

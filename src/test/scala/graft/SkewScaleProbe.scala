@@ -1,8 +1,25 @@
 package graft
 
 import graft.ops.Skew
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+/** THE 50%-hot-key distribution, shared by [[SkewScaleProbe]] (which
+  * measures its wall-time cost) and SkewAndBucketSpec (which pins the
+  * salted forms' exactness on it) — one definition so the measured and
+  * the correctness-pinned distributions are provably the same shape. */
+object HotKeyData {
+  /** `n` fact rows: key 0 carries 50%, the rest spread over 997 keys. */
+  def facts(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n)
+      .select((when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997L))
+        .as("key"), col("id").as("v"))
+
+  /** The 997-row dimension side. */
+  def dim(spark: SparkSession): DataFrame =
+    spark.range(997L).select(col("id").as("key"),
+      concat(lit("p"), col("id")).as("payload"))
+}
 
 /** Measures the wall-time payoff of the skew knobs on a generated
   * 50%-hot-key dataset — the numbers recorded in SCALE.md "skew,
@@ -43,11 +60,8 @@ object SkewScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val n = 32000000L
-    def big = spark.range(n)
-      .select((when(col("id") % 2 === 0, 0L).otherwise(col("id") % 997L))
-        .as("key"), col("id").as("v"))
-    def small = spark.range(997L).select(col("id").as("key"),
-      concat(lit("p"), col("id")).as("payload"))
+    def big = HotKeyData.facts(spark, n)
+    def small = HotKeyData.dim(spark)
 
     def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
       var rows = 0L

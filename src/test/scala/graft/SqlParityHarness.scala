@@ -42,11 +42,19 @@ object SqlParityHarness {
         assert(ra == rb, s"$key row $i: DSL $ra vs SQL $rb")
       }
     } else {
-      // true multiset compare: identity→count maps on both sides, so two
+      // true multiset compare: key→count maps on both sides, so two
       // distinct rows whose toString collide can never misalign inside a
-      // sort-tie group (Row.equals handles nested arrays/structs)
-      val ca = a0.groupBy(identity).view.mapValues(_.size).toMap
-      val cb = b0.groupBy(identity).view.mapValues(_.size).toMap
+      // sort-tie group. Rows are keyed by a NORMALIZED field sequence,
+      // not Row identity: Row.hashCode on an Array[Byte] field is the
+      // array's identity hash (inconsistent with Row.equals' value
+      // compare), so raw groupBy(identity) would split equal binary rows
+      // into separate groups and report a false mismatch.
+      def norm(r: org.apache.spark.sql.Row): Seq[Any] = r.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x              => x
+      }
+      val ca = a0.groupBy(norm).view.mapValues(_.size).toMap
+      val cb = b0.groupBy(norm).view.mapValues(_.size).toMap
       val onlyA = ca.collect { case (r, n) if cb.getOrElse(r, 0) != n =>
         s"$r (DSL×$n vs SQL×${cb.getOrElse(r, 0)})" }
       val onlyB = cb.collect { case (r, n) if !ca.contains(r) =>

@@ -98,15 +98,17 @@ class StreamingDedupSpec extends AnyFunSuite {
       input.addData(StreamDoc(2, sec(11000), textB))
       q.processAllAvailable()
       // doc 3 = copy of the EXPIRED doc 1 → novel; doc 4 = copy of the
-      // in-TTL doc 2 → dup; doc 5 = 2 words → no shingles → novel
+      // in-TTL doc 2 → dup; doc 5 = 2 words → no shingles → novel;
+      // doc 6 = null text → one-verdict-per-doc still holds
       input.addData(StreamDoc(3, sec(11050), textA),
                     StreamDoc(4, sec(11060), textB),
-                    StreamDoc(5, sec(11070), "two words"))
+                    StreamDoc(5, sec(11070), "two words"),
+                    StreamDoc(6, sec(11080), null))
       q.processAllAvailable()
       val got = spark.table("dedup_ttl_out").as[DedupVerdict]
         .collect().map(v => v.doc_id -> v.dup_of).toMap
       assert(got == Map(1L -> None, 2L -> None, 3L -> None,
-                        4L -> Some(2L), 5L -> None), s"got $got")
+                        4L -> Some(2L), 5L -> None, 6L -> None), s"got $got")
     } finally q.stop()
   }}
 
