@@ -112,6 +112,32 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }}
 
+  test("out-of-order arrival: a late-but-admissible doc is judged against ARRIVAL order") { withRocksDb {
+    // the ordering contract's other half: with an out-of-order feed the
+    // rule is "earlier ARRIVAL anchors", not "smaller id anchors" — a
+    // straggler with a SMALLER id than an already-resident doc is the
+    // dup, and its dup_of can point at the larger id. Pinning this keeps
+    // the monotonic-feed equivalence test honest about what it relies on.
+    import spark.implicits._
+    val text = "consistent shingle text for the arrival order pin"
+    val input = MemoryStream[StreamDoc](spark)
+    val out = DedupStream.dedupNearStream(input.toDS(), 0.5,
+      ttlSec = 1000000L, latenessSec = 3600L)
+    val q = out.writeStream.format("memory").queryName("dedup_ooo_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(10, sec(5000), text))
+      q.processAllAvailable()
+      // doc 9 arrives later with an earlier ts (inside lateness): it is
+      // the duplicate, anchored to the resident doc 10
+      input.addData(StreamDoc(9, sec(4990), text))
+      q.processAllAvailable()
+      val got = spark.table("dedup_ooo_out").as[DedupVerdict]
+        .collect().map(v => v.doc_id -> v.dup_of).toMap
+      assert(got == Map(10L -> None, 9L -> Some(10L)), s"got $got")
+    } finally q.stop()
+  }}
+
   test("kill/restart recovers bucket residency — an incarnation-2 near-copy is still flagged") { withRocksDb {
     import spark.implicits._
     val textA = "the quick brown fox jumps over the lazy dog"
