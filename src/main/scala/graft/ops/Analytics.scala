@@ -312,6 +312,110 @@ object Analytics extends QueryPack {
             / (col("n_bi") * col("c1") * col("c2"))), 4).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
+    },
+
+    // Markov transition matrix over the event stream: for each observed
+    // (event_type -> next event_type) pair of the SAME user in strict
+    // (ts, event_id) order, the count and the row-conditional probability
+    // p(next | cur). ONE shuffle by user_id for the lead(), then the
+    // frame collapses to |types|² rows; the per-cur normalizer is a
+    // window over that tiny frame, not the fact table. The sequence-mining
+    // shape behind "what do users do after signup?" on the reference's
+    // event feed (/root/reference/main.go:197-231 producer domain).
+    "q_event_transitions" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("event_type"))), 4))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+
+    // RFM customer segmentation: recency (last order date), frequency
+    // (order count), monetary (exact-decimal total) per customer, each
+    // quartiled by ntile(4) with a custkey tie-break (total order ⇒ both
+    // engines bucket identically), then a rule-based segment label.
+    // The fact table collapses to |customers| rows BEFORE any window.
+    // 100 TB lens: the three ntile windows are global-order over the
+    // customer grain — the same documented trade-off as q_sort_multi
+    // (range-partitioned sort at scale); the constant-memory swap is
+    // approx_percentile cutpoints broadcast back, trading exact
+    // equal-size buckets for fixed boundaries.
+    "q_rfm" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+             count(lit(1)).as("frequency"),
+             outd(sum(dec(col("o_totalprice")))).as("monetary"))
+      val scored = base
+        .withColumn("r_score", ntile(4).over(
+          Window.orderBy(col("last_order").desc, col("custkey"))))
+        .withColumn("f_score", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("custkey"))))
+        .withColumn("m_score", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("custkey"))))
+      scored
+        .withColumn("segment",
+          when(col("r_score") === 1 && col("f_score") === 1, lit("champion"))
+            .when(col("r_score") <= 2 && col("f_score") <= 2, lit("loyal"))
+            .when(col("r_score") >= 3 && col("f_score") <= 2, lit("at_risk"))
+            .otherwise(lit("other")))
+        .select(col("custkey"), col("last_order"), col("frequency"),
+                col("monetary"), col("r_score"), col("f_score"),
+                col("m_score"), col("segment"))
+        .orderBy(col("custkey"))
+    },
+
+    // Robust outliers via median absolute deviation (the heavy-tail-safe
+    // twin of q_anomaly_zscore): per event_type, med = median(value),
+    // MAD = median(|value − med|), flag |value − med| > 3·1.4826·MAD.
+    // Exact medians for oracle parity (both engines interpolate the even
+    // midpoint identically on these 2-decimal doubles); the documented
+    // 100 TB swap is approx_percentile(…, 0.5) exactly as q_median_mode.
+    // Both stats frames are ≤|event_types| rows and broadcast — the fact
+    // side never shuffles; zero-MAD groups are excluded in both engines
+    // (a majority-constant group's deviations are not outliers under MAD).
+    "q_anomaly_mad" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val mad = ev.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"), col("med"))
+        .agg(median(abs(col("value") - col("med"))).as("mad"))
+      ev.join(broadcast(mad.filter(col("mad") > 0)), Seq("event_type"))
+        .withColumn("score", round((col("value") - col("med")) /
+          (lit(1.4826) * col("mad")), 4))
+        .filter(abs(col("score")) > 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+                col("med"), col("mad"), col("score"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // Gaps-and-islands: each user's maximal runs of CONSECUTIVE active
+    // days (the streak primitive behind engagement metrics). Classic
+    // day-number − row_number() grouping: activity collapses to DISTINCT
+    // (user, day) first (≤ users×days rows at any fact scale — the same
+    // collapse as q_retention), then one window per user partition.
+    "q_gaps_islands" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("dn"))
+      act
+        .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")))
+        .withColumn("grp", col("dn") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("streak_start"),
+             max(col("day")).as("streak_end"),
+             count(lit(1)).cast("int").as("streak_days"))
+        .select(col("user_id"), col("streak_start"), col("streak_end"),
+                col("streak_days"))
+        .orderBy(col("user_id"), col("streak_start"))
     }
   )
 
@@ -531,6 +635,79 @@ object Analytics extends QueryPack {
       JOIN uni u2 ON u2.word = b.w2, tot_uni, tot_bi
       WHERE b.c_xy >= 5
       ORDER BY pmi DESC, b.w1, b.w2
-      LIMIT 20"""
+      LIMIT 20""",
+
+    // Portable SQL (valid in BOTH engines → SqlParityKeys.oracleReuse).
+    "q_event_transitions" -> """
+      WITH pairs AS (
+        SELECT event_type,
+          lead(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS next_type
+        FROM events),
+      c AS (
+        SELECT event_type, next_type, count(*) AS n
+        FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      SELECT event_type, next_type, n,
+             round(CAST(n AS DOUBLE) /
+                   sum(n) OVER (PARTITION BY event_type), 4) AS p
+      FROM c ORDER BY event_type, next_type""",
+
+    "q_rfm" -> """
+      WITH base AS (
+        SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 4) AS monetary
+        FROM orders GROUP BY 1),
+      s AS (
+        SELECT custkey, last_order, frequency, monetary,
+          CAST(ntile(4) OVER (ORDER BY last_order DESC, custkey) AS INT)
+            AS r_score,
+          CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INT)
+            AS f_score,
+          CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT)
+            AS m_score
+        FROM base)
+      SELECT custkey, last_order, frequency, monetary,
+             r_score, f_score, m_score,
+             CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                  WHEN r_score <= 2 AND f_score <= 2 THEN 'loyal'
+                  WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk'
+                  ELSE 'other' END AS segment
+      FROM s ORDER BY custkey""",
+
+    "q_anomaly_mad" -> """
+      WITH med AS (
+        SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+      mad AS (
+        SELECT e.event_type, m.med,
+               median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN med m USING (event_type) GROUP BY 1, 2)
+      SELECT e.event_id, e.event_type, e.value, s.med, s.mad,
+             round((e.value - s.med) / (CAST(1.4826 AS DOUBLE) * s.mad), 4)
+               AS score
+      FROM events e JOIN mad s USING (event_type)
+      WHERE s.mad > 0
+        AND abs(round((e.value - s.med) /
+                      (CAST(1.4826 AS DOUBLE) * s.mad), 4)) > 3.0
+      ORDER BY event_type, event_id""",
+
+    // DuckDB dialect (date_diff 3-arg); Spark twin in SqlDialectTwins.
+    "q_gaps_islands" -> """
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      n AS (
+        SELECT user_id, day,
+               date_diff('day', DATE '2024-01-01', day) AS dn
+        FROM act),
+      g AS (
+        SELECT user_id, day, dn,
+               dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+                 AS grp
+        FROM n)
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+             CAST(count(*) AS INT) AS streak_days
+      FROM g GROUP BY user_id, grp
+      ORDER BY user_id, streak_start"""
   )
 }

@@ -115,6 +115,34 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // ---- q_word_entropy: Shannon entropy of each doc's word distribution
+    // (the lexical-diversity quality signal next to q_quality_score's
+    // ratios; low-entropy docs are boilerplate/template candidates).
+    // H = ln(dl) − Σ tf·ln(tf) / dl over per-doc term frequencies — the
+    // algebraic form that needs only ONE aggregate over the (doc, word,
+    // tf) lineage (no per-row p=tf/dl division before the sum). Float
+    // discipline: each tf·ln(tf) term is rounded to 6 decimals and summed
+    // as an EXACT decimal, so Spark's and DuckDB's addition order cannot
+    // diverge the hash (the QueryPack dec10 idiom applied to a transcen-
+    // dental term); the final H rounds to 4. Scale: tokenize once, two
+    // chained hash-aggs on (doc_id, word) then (doc_id) — map-side
+    // combinable, shuffles digest-sized rows, never text.
+    "q_word_entropy" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("dl"),
+             count(lit(1)).as("n_types"),
+             sum(round(col("tf") * log(col("tf")), 6)
+               .cast("decimal(28,6)")).as("st"))
+        .select(col("doc_id"), col("dl"), col("n_types"),
+          round(log(col("dl")) - col("st").cast("double") / col("dl"), 4)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // ---- q_token_count: whitespace + BPE-ish regex tokenization -------
     "q_token_count" -> { (s, d) =>
       val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
@@ -835,6 +863,21 @@ object PipelineOps extends QueryPack {
             + 3 * least(p.n_tokens, 100) * 100 AS q_int
         FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id)
       ORDER BY doc_id""",
+
+    // DuckDB dialect (unnest/string_split); Spark twin in SqlDialectTwins.
+    "q_word_entropy" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      h AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+               CAST(count(*) AS BIGINT) AS n_types,
+               sum(CAST(round(tf * ln(tf), 6) AS DECIMAL(28,6))) AS st
+        FROM tf GROUP BY 1)
+      SELECT doc_id, dl, n_types,
+             round(ln(dl) - CAST(st AS DOUBLE) / dl, 4) AS entropy
+      FROM h ORDER BY doc_id""",
 
     "q_token_count" -> """
       SELECT lang,

@@ -64,10 +64,17 @@ class AnalyticsSpec extends AnyFunSuite {
     // filters make the two scans partial — ~1 full table in bytes); a
     // regression to a separate hits branch re-scanning train fails here.
     // repetition_score is one bigram pass.
+    // r11 additions: event_transitions / gaps_islands are one lead/
+    // distinct pass; rfm collapses orders once before its windows;
+    // word_entropy tokenizes once; anomaly_mad's exact two-median chain
+    // is inherently med-then-MAD = two stats passes + the flag pass.
     val budget = Map("q_unigram_lm" -> 1, "q_interpolate" -> 1,
                      "q_funnel" -> 1, "q_tfidf" -> 2, "q_bm25" -> 2,
                      "q_anomaly_zscore" -> 2, "q_quality_score" -> 2,
-                     "q_eval_contamination" -> 2, "q_repetition_score" -> 1)
+                     "q_eval_contamination" -> 2, "q_repetition_score" -> 1,
+                     "q_event_transitions" -> 1, "q_rfm" -> 1,
+                     "q_gaps_islands" -> 1, "q_word_entropy" -> 1,
+                     "q_anomaly_mad" -> 3)
     for ((k, n) <- budget) {
       val got = finalScans(k)
       assert(got <= n, s"$k scans its input $got times (budget $n)")
@@ -202,12 +209,83 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("ranking keys plan no cartesian product (corpus-scalar joins stay broadcast)") {
-    for (k <- Seq("q_tfidf", "q_bm25")) {
+    for (k <- Seq("q_tfidf", "q_bm25", "q_anomaly_mad")) {
       val df = SparkEntry.queries(k)(spark, TestSpark.Sf0001)
       df.collect()
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$k: 1-row corpus-stat join degenerated to a cartesian product")
+    }
+  }
+
+  test("q_event_transitions probabilities are a distribution per source type") {
+    val rows = run("q_event_transitions")
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) > 0 && r.getDouble(3) > 0
+      && r.getDouble(3) <= 1.0, s"bad transition row $r"))
+    // per-cur probabilities sum to 1 up to the per-row 1e-4 rounding
+    rows.groupBy(_.getString(0)).foreach { case (cur, rs) =>
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) <= rs.size * 1e-4 + 1e-9,
+        s"p(next|$cur) sums to $s over ${rs.size} rows")
+    }
+  }
+
+  test("q_rfm quartiles are balanced and segment rules hold") {
+    val rows = run("q_rfm")
+    assert(rows.nonEmpty)
+    val n = rows.size
+    for (c <- Seq(4, 5, 6)) { // r_score, f_score, m_score
+      val sizes = rows.groupBy(_.getInt(c)).view.mapValues(_.size).toMap
+      assert(sizes.keySet == Set(1, 2, 3, 4), s"col $c buckets: $sizes")
+      // ntile: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1,
+        s"col $c unbalanced: $sizes (n=$n)")
+    }
+    rows.foreach { r =>
+      val (rs, fs, seg) = (r.getInt(4), r.getInt(5), r.getString(7))
+      val expected =
+        if (rs == 1 && fs == 1) "champion"
+        else if (rs <= 2 && fs <= 2) "loyal"
+        else if (rs >= 3 && fs <= 2) "at_risk"
+        else "other"
+      assert(seg == expected, s"segment rule broken: $r")
+    }
+  }
+
+  test("q_anomaly_mad flags exactly the > 3 robust-sigma rows, with positive MAD") {
+    val rows = run("q_anomaly_mad")
+    rows.foreach { r =>
+      val (v, med, mad, score) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mad > 0, s"zero-MAD group leaked: $r")
+      assert(math.abs(score) > 3.0, s"under-threshold row flagged: $r")
+      // score is the rounded robust z — recompute within rounding tolerance
+      assert(math.abs(score - (v - med) / (1.4826 * mad)) <= 5e-5 + 1e-12,
+        s"score not consistent with med/mad: $r")
+    }
+  }
+
+  test("q_gaps_islands streaks are maximal, disjoint, and length-consistent") {
+    val rows = run("q_gaps_islands")
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toLocalDate.toEpochDay).toSeq
+      sorted.foreach { r =>
+        val span = r.getDate(2).toLocalDate.toEpochDay -
+          r.getDate(1).toLocalDate.toEpochDay
+        assert(span + 1 == r.getInt(3).toLong,
+          s"user $u streak length != day span: $r")
+      }
+      // maximality: consecutive islands are separated by a gap >= 2 days
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          val gap = b.getDate(1).toLocalDate.toEpochDay -
+            a.getDate(2).toLocalDate.toEpochDay
+          assert(gap >= 2, s"user $u islands $a / $b should have merged")
+        case _ =>
+      }
     }
   }
 }

@@ -95,6 +95,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_word_entropy is bounded by the uniform-distribution maximum") {
+    val rows = q("q_word_entropy").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val dl = r.getAs[Long]("dl")
+      val nTypes = r.getAs[Long]("n_types")
+      val h = r.getAs[Double]("entropy")
+      assert(nTypes <= dl)
+      // 0 <= H <= ln(n_types), up to the 1e-4 output rounding plus the
+      // 1e-6 per-term rounding accumulated over n_types terms
+      val eps = 5e-5 + nTypes * 1e-6
+      assert(h >= -eps, s"negative entropy: $r")
+      assert(h <= math.log(nTypes.toDouble) + eps,
+        s"entropy above uniform bound ln($nTypes): $r")
+      // all-distinct docs achieve the bound exactly (tf=1 ⇒ every term 0)
+      if (nTypes == dl)
+        assert(math.abs(h - math.log(dl.toDouble)) <= 5e-5,
+          s"all-distinct doc should hit ln(dl): $r")
+    }
+  }
+
   test("q_ann_ivf returns exactly 5 ranked neighbors per probe") {
     val rows = q("q_ann_ivf").collect()
     val byProbe = rows.groupBy(_.getAs[Long]("probe_id"))

@@ -705,5 +705,38 @@ object SqlDialectTwins {
       SELECT lang, pack_id, count(*) AS n_docs,
              CAST(sum(tok) AS BIGINT) AS sum_tokens
       FROM st GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+
+    // date_diff('day', a, b) -> datediff(b, a)
+    "q_gaps_islands" -> """
+      WITH act AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      n AS (
+        SELECT user_id, day,
+               datediff(day, DATE '2024-01-01') AS dn
+        FROM act),
+      g AS (
+        SELECT user_id, day, dn,
+               dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+                 AS grp
+        FROM n)
+      SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+             CAST(count(*) AS INT) AS streak_days
+      FROM g GROUP BY user_id, grp
+      ORDER BY user_id, streak_start""",
+
+    // unnest(string_split(...)) -> explode(split(...))
+    "q_word_entropy" -> """
+      WITH toks AS (
+        SELECT doc_id, explode(split(text, ' ')) AS word
+        FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+      h AS (
+        SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+               CAST(count(*) AS BIGINT) AS n_types,
+               sum(CAST(round(tf * ln(tf), 6) AS DECIMAL(28,6))) AS st
+        FROM tf GROUP BY 1)
+      SELECT doc_id, dl, n_types,
+             round(ln(dl) - CAST(st AS DOUBLE) / dl, 4) AS entropy
+      FROM h ORDER BY doc_id""",
   )
 }
