@@ -24,6 +24,12 @@ case class MediaFeatures(doc_id: Long, media_type: String, n_frames: Int,
 case class ImageMetaRow(doc_id: Long, format: String, width: Int,
                         height: Int, bit_depth: Int, n_components: Int)
 
+/** One parsed audio container header (see [[AudioHeader]]), as a typed
+  * row; `duration_sec` is NULL when the container doesn't declare one. */
+case class AudioMetaRow(doc_id: Long, format: String, channels: Int,
+                        sample_rate: Int, bits_per_sample: Int,
+                        duration_sec: Option[Double])
+
 /** Multimodal decode/feature pipeline over opaque binary columns.
   *
   * The Spark-side plumbing is real: typed `Dataset` stages with case-class
@@ -115,6 +121,22 @@ object MediaPipeline {
       ImageHeader.parse(m.bytes).map(meta => ImageMetaRow(m.doc_id,
         meta.format, meta.width, meta.height, meta.bitDepth,
         meta.nComponents))
+    })
+  }
+
+  /** Audio header probe: the audio sibling of [[probeHeaders]] —
+    * WAV/FLAC/MP3 payloads yield (channels, sample_rate, bits, duration)
+    * rows from the container header alone; everything else drops out.
+    * Same scale shape: narrow mapPartitions, no shuffle, and a real
+    * deployment reads only the head slice of each object (the parsers
+    * need the first KB). */
+  def probeAudioHeaders(media: Dataset[MediaFile]): Dataset[AudioMetaRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      AudioHeader.parse(m.bytes).map(meta => AudioMetaRow(m.doc_id,
+        meta.format, meta.channels, meta.sampleRate, meta.bitsPerSample,
+        meta.durationSec))
     })
   }
 

@@ -135,6 +135,104 @@ class MediaPipelineSpec extends AnyFunSuite {
       ImageMetaRow(2, "jpeg", 1024, 768, 8, 3)))
   }
 
+  // ---- audio header decode (the ImageHeader sibling) -----------------
+
+  /** Minimal spec-correct PCM WAV: RIFF/WAVE + a junk LIST chunk (the
+    * walker must skip unknown chunks, odd size ⇒ pad byte) + fmt + data. */
+  private def wavBytes(ch: Int, rate: Int, bits: Int,
+                       dataLen: Int): Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    out ++= "RIFF".getBytes("US-ASCII"); u32(36L + dataLen)
+    out ++= "WAVE".getBytes("US-ASCII")
+    out ++= "LIST".getBytes("US-ASCII"); u32(3L); out ++= Array[Byte](1, 2, 3, 0) // odd size + pad
+    val byteRate = rate.toLong * ch * bits / 8
+    out ++= "fmt ".getBytes("US-ASCII"); u32(16L)
+    u16(1); u16(ch); u32(rate.toLong); u32(byteRate)
+    u16(ch * bits / 8); u16(bits)
+    out ++= "data".getBytes("US-ASCII"); u32(dataLen.toLong)
+    out ++= Array.fill[Byte](dataLen)(0x7f.toByte)
+    out.toArray
+  }
+
+  /** Minimal spec-correct FLAC: fLaC + STREAMINFO (bit-packed per spec). */
+  private def flacBytes(ch: Int, rate: Int, bits: Int,
+                        totalSamples: Long): Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    out ++= "fLaC".getBytes("US-ASCII")
+    out ++= Array[Byte](0x00, 0x00, 0x00, 34) // last=0, type=0, len=34
+    out ++= Array[Byte](0x10, 0x00, 0x10, 0x00) // min/max blocksize 4096
+    out ++= Array.fill[Byte](6)(0)              // min/max framesize
+    out += ((rate >> 12) & 0xff).toByte
+    out += ((rate >> 4) & 0xff).toByte
+    out += (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)).toByte
+    out += ((((bits - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf).toInt).toByte
+    (3 to 0 by -1).foreach(s => out += ((totalSamples >> (8 * s)) & 0xff).toByte)
+    out ++= Array.fill[Byte](16)(0)             // md5
+    out.toArray
+  }
+
+  /** MP3: optional ID3v2 tag (syncsafe size) + V1 Layer-III CBR frames. */
+  private def mp3Bytes(id3Len: Int, frames: Int): Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    if (id3Len > 0) {
+      out ++= "ID3".getBytes("US-ASCII"); out ++= Array[Byte](4, 0, 0)
+      out += ((id3Len >> 21) & 0x7f).toByte; out += ((id3Len >> 14) & 0x7f).toByte
+      out += ((id3Len >> 7) & 0x7f).toByte; out += (id3Len & 0x7f).toByte
+      out ++= Array.fill[Byte](id3Len)(0)
+    }
+    // FF FB 90 00: MPEG1 Layer III, 128 kbit/s, 44100 Hz, stereo
+    (0 until frames).foreach { _ =>
+      out ++= Array(0xff, 0xfb, 0x90, 0x00).map(_.toByte)
+      out ++= Array.fill[Byte](414)(0x55) // 418-byte frame at 128k/44.1k
+    }
+    out.toArray
+  }
+
+  test("AudioHeader parses WAV fmt/data chunks: layout, rates, exact PCM duration") {
+    // 2ch 16-bit 44100 Hz, 1 exact second of PCM
+    val b = wavBytes(2, 44100, 16, 44100 * 4)
+    val got = AudioHeader.parse(b)
+    assert(got.map(_.copy(durationSec = None))
+      .contains(AudioMeta("wav", 2, 44100, 16, None)))
+    assert(math.abs(got.get.durationSec.get - 1.0) < 1e-9)
+    // mono 8 kHz 8-bit; truncation → quarantine, not crash
+    assert(AudioHeader.parse(wavBytes(1, 8000, 8, 100)).get.sampleRate == 8000)
+    assert(AudioHeader.parse(b.take(20)).isEmpty)
+  }
+
+  test("AudioHeader unpacks the FLAC STREAMINFO bitfields") {
+    assert(AudioHeader.parse(flacBytes(2, 44100, 16, 441000L))
+      .contains(AudioMeta("flac", 2, 44100, 16, Some(10.0))))
+    assert(AudioHeader.parse(flacBytes(8, 192000, 24, 0L))
+      .contains(AudioMeta("flac", 8, 192000, 24, None)))
+    assert(AudioHeader.parse(flacBytes(2, 44100, 16, 441000L).take(30)).isEmpty)
+  }
+
+  test("AudioHeader skips ID3v2 and reads the first MP3 frame header") {
+    val plain = AudioHeader.parse(mp3Bytes(0, 10)).get
+    assert((plain.format, plain.channels, plain.sampleRate) == ("mp3", 2, 44100))
+    // 10 frames × 418 bytes at 128 kbit/s ≈ 0.261 s
+    assert(math.abs(plain.durationSec.get - 4180 * 8.0 / 128000.0) < 1e-9)
+    val tagged = AudioHeader.parse(mp3Bytes(200, 10)).get
+    assert((tagged.sampleRate, tagged.channels) == (44100, 2))
+    assert(AudioHeader.parse("RIFFnope".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("probeAudioHeaders yields typed rows for audio payloads only") {
+    val mixed = Seq(
+      MediaFile(1, "audio/wav", wavBytes(2, 48000, 16, 48000 * 4)),
+      MediaFile(2, "audio/flac", flacBytes(1, 16000, 16, 16000L)),
+      MediaFile(3, "image/png", pngBytes(640, 480, 8, 2)),
+      MediaFile(4, "text/plain", "not audio".getBytes("UTF-8"))).toDS()
+    val got = MediaPipeline.probeAudioHeaders(mixed).collect()
+      .sortBy(_.doc_id).toSeq
+    assert(got == Seq(
+      AudioMetaRow(1, "wav", 2, 48000, 16, Some(1.0)),
+      AudioMetaRow(2, "flac", 1, 16000, 16, Some(1.0))))
+  }
+
   test("featurize yields a fixed-width unit-mass histogram per file") {
     val frames = MediaPipeline.decodeFrames(media, 4)
     val feats = MediaPipeline.featurize(media, frames, resizeTo = 224).collect()
