@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned parquet "lake" writer — the batch sink a 100 TB pipeline
@@ -221,5 +221,160 @@ object SnapshotLake {
     val id = latest(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $table"))
     readAt(spark, table, id)
+  }
+
+  /** Incremental (CDC-ish) read: the rows ADDED between committed
+    * snapshots `fromId` (exclusive) and `toId` (inclusive) — i.e. the
+    * data directories `toId` references that `fromId` does not. For an
+    * append-only history this is exactly the delta a downstream consumer
+    * needs to catch up without rescanning the table (the dedupCycle /
+    * ingest checkpoint pattern). A full-replace or [[compact]] commit in
+    * the range makes the dir-diff read rewritten-old rows as "new" —
+    * callers that mix replaces into the history should checkpoint against
+    * [[readAt]] instead; this method is the append-only fast path. */
+  def readIncremental(spark: SparkSession, table: String,
+                      fromId: Long, toId: Long): DataFrame = {
+    require(fromId <= toId, s"fromId $fromId > toId $toId")
+    val newDirs = manifestDirs(spark, table, toId)
+      .diff(manifestDirs(spark, table, fromId))
+    if (newDirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(newDirs: _*)
+  }
+
+  /** Idempotent append: commit `df` as the next snapshot UNLESS a
+    * committed snapshot already carries `dedupKey` — the transactional-
+    * writer pattern (Delta's (appId, version), Iceberg's WAP id) that
+    * turns a replayed delivery into a no-op WITHOUT a side ledger.
+    *
+    * The key IS the data directory name (`data/<dedupKey>`), so "was this
+    * delivery committed?" = "does any retained manifest reference the
+    * dir" — checked before writing AND re-checked inside the CAS loop, so
+    * a zombie writer that lost a race to its own twin sees the twin's
+    * commit and stops. A crashed half-write leaves `data/<dedupKey>`
+    * unreferenced; the retry deletes and rewrites it (safe precisely
+    * because unreferenced dirs are invisible to every reader).
+    *
+    * Returns the committed id, or None when the key was already in the
+    * table (the replay case). Residual, shared with every txn-log design:
+    * the dedup memory is the retained manifest set, so a replay delayed
+    * past [[expire]]'s retention of EVERY snapshot that referenced the
+    * key can re-commit it — retention must exceed maximum replay lag. */
+  def commitIdempotent(df: DataFrame, table: String, dedupKey: String,
+                       maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    require(dedupKey.matches("[A-Za-z0-9._=-]+"), s"unsafe dedupKey $dedupKey")
+    val spark = df.sparkSession
+    val fs = fsFor(spark, table)
+    val dir = s"$table/data/$dedupKey"
+    def committedIds: Seq[Long] = snapshots(spark, table)
+      .filter(id => manifestDirs(spark, table, id).contains(dir))
+    if (committedIds.nonEmpty) return None
+    // crashed half-write of the same key: unreferenced ⇒ invisible ⇒
+    // safe to clear and rewrite
+    fs.delete(new HPath(dir), true)
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("errorifexists").parquet(dir)
+    var attempts = 0
+    while (attempts < 64) {
+      val base = latest(spark, table)
+      val visible = base.map(manifestDirs(spark, table, _)).getOrElse(Nil)
+      if (committedIds.nonEmpty) return None // twin zombie won the key
+      val id = base.getOrElse(0L) + 1
+      if (tryCommitManifest(spark, table, id, visible :+ dir)) return Some(id)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"idempotent commit lost $attempts CAS races at $table — livelock?")
+  }
+
+  /** `foreachBatch` sink: exactly-once streaming ingest into the snapshot
+    * table. Wire with
+    * `ds.writeStream.option("checkpointLocation", cp)
+    *    .foreachBatch(SnapshotLake.streamWriter(table)).start()`.
+    *
+    * Structured Streaming re-delivers an uncommitted micro-batch after a
+    * restart with the SAME batchId (offset-log contract), and that id is
+    * the [[commitIdempotent]] dedupKey — so unlike the ledger-based
+    * [[graft.queue.StreamingQueueSink]] (whose sink is a fire-and-forget
+    * queue), there is NO at-least-once residue here at all: a crash
+    * between data write and manifest rename leaves an unreferenced dir
+    * the replay rewrites, a crash after the rename makes the replay a
+    * recorded no-op. Each micro-batch becomes one atomic snapshot, so
+    * downstream consumers can tail the table with [[readIncremental]]
+    * checkpointed on snapshot ids. */
+  def streamWriter[T](table: String, maxRecordsPerFile: Long = 1000000L):
+      (Dataset[T], Long) => Unit =
+    (batch, batchId) => {
+      commitIdempotent(batch.toDF(), table, s"batch-$batchId",
+        maxRecordsPerFile)
+      ()
+    }
+
+  /** OPTIMIZE: rewrite the CURRENT table contents as one fresh data
+    * directory (bin-packing the accumulated per-commit small files into
+    * `maxRecordsPerFile`-bounded ones) and commit it as a full-replace
+    * snapshot — IF AND ONLY IF no other commit landed meanwhile.
+    *
+    * Correctness is the optimistic-concurrency rule every table format
+    * uses for rewrites: the compacted data is a function of snapshot N,
+    * so it may only become snapshot N+1. Losing the CAS (or observing a
+    * different latest at commit time) means a concurrent append landed —
+    * retrying with the stale rewrite would SILENTLY DROP those rows, so
+    * compaction aborts, returns None, and leaves its orphan directory
+    * unreferenced (invisible, reclaimed by [[expire]]'s GC). Callers
+    * re-run compaction when the table quiesces; appenders never wait.
+    *
+    * Readers are unaffected throughout: old manifests stay immutable, so
+    * a time-travel read of any pre-compaction snapshot still sees the
+    * original small files until [[expire]] reclaims them. */
+  def compact(spark: SparkSession, table: String,
+              maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    compactFrom(spark, table, base, maxRecordsPerFile)
+  }
+
+  /** The rewrite-then-CAS half of [[compact]], split out so the
+    * concurrent-append race (a commit landing between observing `base`
+    * and the manifest rename) is testable deterministically. */
+  private[graft] def compactFrom(spark: SparkSession, table: String,
+                                 base: Long,
+                                 maxRecordsPerFile: Long): Option[Long] = {
+    val dir = writeData(readAt(spark, table, base), table, maxRecordsPerFile)
+    // single CAS attempt at exactly base+1 — anything else means the
+    // rewrite's input is no longer the table
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, Seq(dir)))
+      Some(base + 1)
+    else None
+  }
+
+  /** VACUUM: retain only the last `keepLast` snapshots, then delete every
+    * data directory no retained manifest references (compacted-away
+    * originals, crashed half-writes, aborted compactions).
+    *
+    * Deletion order is the crash-safe one — manifests FIRST, then
+    * unreferenced data: a crash mid-way leaves either extra manifests
+    * (nothing lost) or unreferenced dirs (invisible garbage for the next
+    * expire), never a manifest pointing at deleted data. The residual
+    * every table format documents: a reader that planned a time-travel
+    * scan of an expired snapshot before the expire ran can lose files
+    * mid-read — retention must exceed the longest running query. */
+  def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must retain at least the latest snapshot")
+    val fs = fsFor(spark, table)
+    val all = snapshots(spark, table)
+    val dropped = all.dropRight(keepLast)
+    dropped.foreach(id => fs.delete(manifestPath(table, id), false))
+    val live = all.takeRight(keepLast)
+      .flatMap(manifestDirs(spark, table, _)).toSet
+    val dataRoot = new HPath(s"$table/data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { st =>
+        val dir = st.getPath
+        if (!live.contains(dir.toUri.getPath) &&
+            !live.exists(_.endsWith(dir.getName)))
+          fs.delete(dir, true)
+      }
+    }
   }
 }

@@ -93,6 +93,127 @@ class LakeSinkSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
   }
 
+  test("compact bin-packs the table into one new snapshot; history stays readable until expire") {
+    import s.implicits._
+    val table = tmpDir("snap-compact")
+    // three small appends = three data dirs
+    (1 to 3).foreach(i =>
+      SnapshotLake.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), table))
+    val preDirs = new java.io.File(s"$table/data").listFiles().length
+    assert(preDirs == 3)
+    val cid = SnapshotLake.compact(s, table)
+    assert(cid.contains(4L))
+    // same rows, one referenced dir; the originals still exist (time
+    // travel to snapshot 3 still byte-stable) until expire GCs them
+    assert(SnapshotLake.readLatest(s, table)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    assert(SnapshotLake.readAt(s, table, 3L).count() == 3L)
+    assert(new java.io.File(s"$table/data").listFiles().length == 4)
+
+    // expire: keep only the compacted snapshot → old manifests AND the
+    // three compacted-away dirs are reclaimed, latest is untouched
+    SnapshotLake.expire(s, table, keepLast = 1)
+    assert(SnapshotLake.snapshots(s, table) == Seq(4L))
+    assert(new java.io.File(s"$table/data").listFiles().length == 1)
+    assert(SnapshotLake.readLatest(s, table).count() == 3L)
+    intercept[IllegalArgumentException](
+      SnapshotLake.readAt(s, table, 3L).count())
+  }
+
+  test("compact aborts (None) when a concurrent append lands, losing no rows") {
+    import s.implicits._
+    val table = tmpDir("snap-compact-race")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table)
+    // compaction observed base = 2, but a concurrent appender commits
+    // snapshot 3 before the compactor's manifest rename
+    val appended = SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), table)
+    assert(appended == 3L)
+    val cid = SnapshotLake.compactFrom(s, table, base = 2L, 1000000L)
+    assert(cid.isEmpty, "stale compaction must not clobber a newer commit")
+    // nothing lost: snapshot 3 (the appender's) is still latest with all
+    // three rows; the aborted rewrite left only an unreferenced dir that
+    // expire reclaims
+    assert(SnapshotLake.latest(s, table).contains(3L))
+    assert(SnapshotLake.readLatest(s, table).count() == 3L)
+    SnapshotLake.expire(s, table, keepLast = 3)
+    assert(new java.io.File(s"$table/data").listFiles().length == 3)
+  }
+
+  test("commitIdempotent: a replayed key is a no-op; a crashed half-write of the key is healed") {
+    import s.implicits._
+    val table = tmpDir("snap-idem")
+    val id1 = SnapshotLake.commitIdempotent(
+      Seq((1L, "a")).toDF("k", "v"), table, "batch-0")
+    assert(id1.contains(1L))
+    // replay of the SAME delivery: recorded no-op, no duplicate rows
+    assert(SnapshotLake.commitIdempotent(
+      Seq((1L, "a")).toDF("k", "v"), table, "batch-0").isEmpty)
+    assert(SnapshotLake.readLatest(s, table).count() == 1L)
+    // crash mid-write: data/batch-1 exists but no manifest references it
+    // (torn, with DIFFERENT partial content than the retry will carry)
+    Seq((99L, "torn")).toDF("k", "v").write.parquet(s"$table/data/batch-1")
+    val id2 = SnapshotLake.commitIdempotent(
+      Seq((2L, "b"), (3L, "c")).toDF("k", "v"), table, "batch-1")
+    assert(id2.contains(2L))
+    assert(SnapshotLake.readLatest(s, table)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "retry must replace the torn half-write, not merge with it")
+  }
+
+  test("streamWriter: each micro-batch is one atomic snapshot, exactly-once across restart") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val table = tmpDir("snap-stream")
+    val ckpt = tmpDir("snap-stream-ckpt")
+    val input = MemoryStream[(Long, String)](s)
+    def start() = input.toDS().toDF("k", "v").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(SnapshotLake.streamWriter[org.apache.spark.sql.Row](table))
+      .start()
+    val q1 = start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q1.processAllAvailable()
+      input.addData((3L, "c"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(SnapshotLake.snapshots(s, table) == Seq(1L, 2L))
+    // incremental tail: snapshot 2 is exactly micro-batch 1
+    assert(SnapshotLake.readIncremental(s, table, 1L, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    // restart on the same checkpoint: new batches land, replayed ids don't
+    val q2 = start()
+    try {
+      input.addData((4L, "d"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(SnapshotLake.readLatest(s, table)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a zombie replay of an already-committed batch id: recorded no-op
+    assert(SnapshotLake.commitIdempotent(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table, "batch-0").isEmpty)
+    assert(SnapshotLake.readLatest(s, table).count() == 4L)
+  }
+
+  test("readIncremental returns exactly the rows added between two snapshots") {
+    import s.implicits._
+    val table = tmpDir("snap-incr")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((4L, "d"), (5L, "e")).toDF("k", "v"), table)
+    assert(SnapshotLake.readIncremental(s, table, 1L, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    assert(SnapshotLake.readIncremental(s, table, 1L, 3L)
+      .as[(Long, String)].collect().sorted.toSeq ==
+      Seq((3L, "c"), (4L, "d"), (5L, "e")))
+    // from == to → empty catch-up, not an error
+    assert(SnapshotLake.readIncremental(s, table, 2L, 2L).count() == 0L)
+  }
+
   test("a dt filter prunes the scan to matching partitions") {
     val dir = tmpDir("lake-prune")
     LakeSink.writeByDay(Tables.events(s, TestSpark.Sf0001), "ts", dir)
