@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional positional args past the first two restrict the dump to the
+    // named keys — focused re-verification while iterating (Bench has the
+    // same contract); the driver passes exactly two args and dumps all
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +25,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -31,9 +38,9 @@ object Verify {
     // miss in both the stderr log and the artifact tail
     if (failed.nonEmpty)
       System.err.println(
-        s"[verify] SUMMARY: ${failed.size}/${SparkEntry.queries.size} keys FAILED: ${failed.sorted.mkString(", ")}")
+        s"[verify] SUMMARY: ${failed.size}/${selected.size} keys FAILED: ${failed.sorted.mkString(", ")}")
     else
-      System.err.println(s"[verify] SUMMARY: all ${SparkEntry.queries.size} keys dumped")
+      System.err.println(s"[verify] SUMMARY: all ${selected.size} keys dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

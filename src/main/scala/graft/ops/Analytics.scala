@@ -416,8 +416,113 @@ object Analytics extends QueryPack {
         .select(col("user_id"), col("streak_start"), col("streak_end"),
                 col("streak_days"))
         .orderBy(col("user_id"), col("streak_start"))
+    },
+
+    // Weighted PageRank over the customer↔supplier purchase graph (who
+    // is central in the supply network): edges = (customer, supplier)
+    // weighted by lineitem count, symmetrized so every node has
+    // out-edges (no dangling-mass redistribution), 8 power iterations at
+    // d=0.85 via GraphRank.pagerank — per-edge contributions rounded
+    // then decimal-summed, so the float fixpoint is oracle-checkable
+    // cross-engine (the oracle is the same recurrence unrolled as
+    // chained CTEs, portable enough to be its own Spark twin). Node ids
+    // disambiguate the bipartite sides arithmetically: customer c ↦ 2c,
+    // supplier s ↦ 2s+1.
+    "q_pagerank" -> { (s, d) =>
+      val le = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+                 (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      // symmetrize via ONE explode, not a self-union: a union evaluates
+      // the grouped edge frame twice (ReuseExchange can't always dedupe
+      // the pruned branches); the explode is a narrow 2× fan-out
+      val edges = le.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+                col("e.w").as("w"))
+      GraphRank.pagerank(edges, iters = PrIters, damping = PrDamping)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("kind"),
+          ((col("node") - col("node") % 2) / 2).cast("long").as("node_key"),
+          round(col("r"), 8).as("pr"))
+        .orderBy(col("pr").desc, col("kind"), col("node_key"))
+        .limit(20)
+    },
+
+    // Rolling 14-day Pearson correlation between daily order count and
+    // daily revenue (do busier days bring proportionally bigger money?).
+    // All five window moments (Σx, Σy, Σxy, Σx², Σy²) are EXACT integer/
+    // decimal sums over a trailing RANGE frame keyed by day number —
+    // revenue rides as integer cents, squares as decimal(38,0) (a long
+    // would overflow at Σy² scale) — and the correlation is one closed-
+    // form float expression over those exact sums in identical textual
+    // order in both engines, rounded to 4. Zero-variance and short
+    // windows are filtered EXACTLY (decimal compares) before the float
+    // division, so no engine ever divides by zero (inf-vs-null
+    // divergence). 100 TB lens: facts collapse to one row per day before
+    // the window; the window runs over the calendar, not the fact table.
+    "q_rolling_corr" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+             sum(round(col("o_totalprice") * 100).cast("long")).as("yl"))
+        .select(col("day"),
+          datediff(col("day"), lit("1992-01-01").cast("date")).as("dn"),
+          col("x"), col("yl").cast(DecimalType(19, 0)).as("y"))
+      val w = Window.orderBy(col("dn")).rangeBetween(-13, 0)
+      val sums = daily.select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x").cast(DecimalType(7, 0)) * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      // the guards run in DOUBLE with the same textual shape as the
+      // correlation itself: what matters is that both engines filter the
+      // SAME rows, and identical IEEE ops on identical exact sums do —
+      // decimal×bigint width promotion rules differ across engines, so an
+      // exact-decimal guard would not be portable
+      sums
+        .filter(col("n") >= 8 &&
+          col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") > 0 &&
+          col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double") > 0)
+        .select(col("day"), col("n").cast("int").as("n_days"),
+          round((col("n").cast("double") * col("sxy").cast("double") -
+                 col("sx").cast("double") * col("sy").cast("double")) /
+                (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                      col("sx").cast("double") * col("sx").cast("double")) *
+                 sqrt(col("n").cast("double") * col("syy").cast("double") -
+                      col("sy").cast("double") * col("sy").cast("double"))), 4)
+            .as("corr14"))
+        .orderBy(col("day"))
     }
   )
+
+  private val PrIters = 8
+  private val PrDamping = 0.85
+
+  /** Shared edge CTEs for the q_pagerank oracle/twin (GROUP BY ordinals
+    * and UNION ALL are portable across both dialects). */
+  private val PrEdgeCtePre =
+    """le AS (
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+               count(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2)"""
+  private val PrEdgeCte =
+    "SELECT src, dst, w FROM le UNION ALL SELECT dst, src, w FROM le"
+  private val PrSelect =
+    """SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+             CAST((node - node % 2) / 2 AS BIGINT) AS node_key,
+             round(r, 8) AS pr
+      FROM r8 ORDER BY pr DESC, kind, node_key LIMIT 20"""
 
   /** Gap-based sessionization (q_sessionize semantics): expects
     * (user_id, event_id, value, sec) rows; a new session opens when the
@@ -708,6 +813,46 @@ object Analytics extends QueryPack {
       SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
              CAST(count(*) AS INT) AS streak_days
       FROM g GROUP BY user_id, grp
-      ORDER BY user_id, streak_start"""
+      ORDER BY user_id, streak_start""",
+
+    // Portable (DuckDB ∩ Spark): the unrolled power-method recurrence —
+    // its own Spark twin via SqlOracleReuseSpec.
+    "q_pagerank" -> GraphRank.pagerankSql(
+      PrEdgeCtePre, PrEdgeCte, PrIters, PrDamping, PrSelect),
+
+    // DuckDB dialect (date_diff 3-arg); Spark twin in SqlDialectTwins.
+    "q_rolling_corr" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+                 AS dn,
+               count(*) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DECIMAL(19,0)) AS y
+        FROM orders GROUP BY 1, 2),
+      sums AS (
+        SELECT day,
+          count(*) OVER w AS n,
+          sum(x) OVER w AS sx,
+          sum(y) OVER w AS sy,
+          sum(CAST(x AS DECIMAL(7,0)) * y) OVER w AS sxy,
+          sum(x * x) OVER w AS sxx,
+          sum(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY dn RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT day, CAST(n AS INT) AS n_days,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr14
+      FROM sums
+      WHERE n >= 8
+        AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      ORDER BY day"""
   )
 }

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Weighted PageRank over an edge list — the graph-centrality companion to
+  * [[Components]] (which clusters; this ranks). Fixed-iteration power
+  * method: r₀ = 1/N, rₖ₊₁(v) = (1−d)/N + d·Σ_{u→v} rₖ(u)·w(u,v)/outw(u).
+  *
+  * Determinism contract (the reason this is oracle-checkable cross-engine,
+  * unlike most float fixpoints): every per-edge contribution is rounded to
+  * 12 decimals and summed as EXACT decimal(38,14), and each new rank is
+  * re-rounded to 12 decimals — so the only float ops per iteration are
+  * single IEEE multiplies/divides/adds on identical inputs, and addition
+  * order (Spark's partial aggregation vs any other engine's) cannot move
+  * the result. The DuckDB oracle is the same recurrence unrolled as
+  * chained CTEs; its SQL is portable enough to be its own Spark twin.
+  *
+  * Scale notes (100 TB lens): each iteration is one join of the rank frame
+  * (|V| rows, two longs + a double) against the edge frame hash-partitioned
+  * by src, then one agg by dst — both map-side combinable; no global
+  * structure, no driver collect except the one-time node count. The edge
+  * frame (with out-weights merged in ONCE, outside the loop) is
+  * `localCheckpoint`ed so iteration k's plan does not replay iterations
+  * 1..k−1 (the same lineage discipline as [[Components]]); rank snapshots
+  * are checkpointed per round and the previous one unpersisted, bounding
+  * executor storage at two |V|-sized frames. Iteration count is fixed (the
+  * production norm — convergence tests on ranks are float-fragile), so the
+  * wall cost is exactly `iters` shuffle rounds of |E| + |V| rows.
+  */
+object GraphRank {
+
+  /** `edges` must have three columns (src LONG, dst LONG, w LONG), one row
+    * per directed edge, no nulls. Every node that should receive rank must
+    * have at least one out-edge (callers with dangling nodes symmetrize or
+    * add self-loops first — the fixture key feeds a symmetrized bipartite
+    * graph, so N(out) = N(in) = N). Returns (node, r) with r rounded to 12
+    * decimals, one row per node.
+    *
+    * `checkpointEvery` trades broadcast-recompute against materialization
+    * count: each iteration BROADCASTS the rank frame, and a broadcast
+    * subtree re-evaluates its chain back to the last materialization — so
+    * with per-round cuts (the default) every broadcast reads a
+    * checkpointed RDD and an iteration costs exactly one in-memory pass
+    * over the edge frame with ZERO recompute; the rank frame is |V| rows
+    * of two longs, so the per-round materialization is trivial. Raising
+    * the interval trades k−1 of those trivial cuts for re-running up to
+    * k−1 iterations inside nested broadcast jobs — only worth it when |V|
+    * is large enough that materializing ranks is itself expensive. */
+  def pagerank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
+               checkpointEvery: Int = 1): DataFrame = {
+    val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
+    // one evaluation of the caller's edge pipeline, ever: outw, the n
+    // count, and the ew build all read this in-memory snapshot
+    val e = edges.localCheckpoint()
+    val outw = e.groupBy(col(srcC).as("src"))
+      .agg(sum(col(wC)).as("ow"))
+    // Out-weights merged once, outside the loop (and materialized once —
+    // 8 lazy consumers would otherwise re-run the join+agg per round).
+    // The edge frame is partitioned by DST, not src: each iteration joins
+    // it against a BROADCAST of the rank frame (|V| rows of two longs —
+    // tiny next to |E|), so the join never shuffles, and because every
+    // dst's contributions are co-located the partial (map-side) aggregate
+    // collapses them to ≈|V| rows before the agg's exchange — an
+    // iteration shuffles node-sized data, never edge-sized (the plan
+    // keeps an ENSURE_REQUIREMENTS exchange above the partial agg: AQE's
+    // partition coalescing voids the checkpointed hash partitioning, but
+    // what crosses it is the already-combined per-dst rows). When |V|
+    // itself outgrows broadcast (billions of nodes), flip to
+    // src-partitioning + a co-partitioned shuffle join and pay the
+    // edge-sized per-iteration exchange — the classic trade.
+    val ew = e.select(col(srcC).as("src"), col(dstC).as("dst"), col(wC).as("w"))
+      .join(outw, Seq("src"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val n = outw.count()
+    var ranks = outw.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    var sinceCut = 0
+    var prevCut: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // contribution decimal is (18,14): every per-edge term is < 1 and
+      // rounded to 12 decimals, and per-node sums are bounded by the total
+      // rank mass (= 1), so 4 integer digits are plenty — and 18 digits
+      // keeps the value long-backed (compact) in the aggregation buffer
+      ranks = ew.join(broadcast(ranks), col("node") === col("src"))
+        .select(col("dst"),
+          round(col("r") * col("w") / col("ow"), 12)
+            .cast(DecimalType(18, 14)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit((1.0 - damping) / n) +
+          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+      sinceCut += 1
+      if (checkpointEvery > 0 && sinceCut >= checkpointEvery) {
+        val cut = ranks.localCheckpoint()
+        // bound executor storage at one rank snapshot (+ the in-flight one)
+        prevCut.foreach(_.unpersist())
+        prevCut = Some(cut)
+        ranks = cut
+        sinceCut = 0
+      }
+    }
+    ranks
+  }
+
+  /** The oracle recurrence as portable SQL (DuckDB ∩ Spark dialect): the
+    * same rounding discipline, unrolled `iters` times. `edgeCte` must
+    * define a relation (src, dst, w). Kept here so the SQL and the DSL
+    * share one source of truth for the constants. */
+  def pagerankSql(preCtes: String, edgeCte: String, iters: Int = 8,
+                  damping: Double = 0.85, select: String): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (
+        SELECT ew.dst AS node,
+               round(CAST(${1.0 - damping} AS DOUBLE) / t.nn +
+                     CAST($damping AS DOUBLE) *
+                     CAST(sum(CAST(round(r.r * ew.w / ew.ow, 12)
+                                   AS DECIMAL(18,14))) AS DOUBLE), 12) AS r
+        FROM r${k - 1} r JOIN ew ON r.node = ew.src CROSS JOIN nct t
+        GROUP BY ew.dst, t.nn)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH $preCtes,
+      e AS ($edgeCte),
+      outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+      ew AS (SELECT e.src, e.dst, e.w, o.ow FROM e JOIN outw o ON e.src = o.src),
+      nct AS (SELECT count(*) AS nn FROM outw),
+      r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) / t.nn AS r
+             FROM outw CROSS JOIN nct t),
+      $iterCtes
+      $select"""
+  }
+}

@@ -117,6 +117,36 @@ object Joins extends QueryPack {
         .orderBy(col("c_custkey"))
     },
 
+    // Bloom-prefiltered semi join — the sketch-accelerated shape of
+    // q_join_semi for fact⋈selective-subquery at scale: a BloomFilter is
+    // built distributively over the build side's keys (one treeAggregate
+    // on the SMALL side; expected-count from a dim-side pre-count),
+    // broadcast, and applied to the probe BEFORE its shuffle — ~92% of
+    // lineitem rows drop at the scan, so the exact semi join that removes
+    // the bloom's false positives shuffles only the ~8% survivors. This
+    // is the filter AQE's runtime bloom injection automates for batch
+    // plans, made explicit so it also serves the places AQE can't reach
+    // (stream-stream joins, non-AQE embedders); semantics are EXACTLY the
+    // plain semi join, which is what the oracle runs. JoinsSpec pins
+    // equality against the unfiltered plan and that the bloom actually
+    // prunes.
+    "q_bloom_prefilter" -> { (s, d) =>
+      val build = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+                col("o_totalprice") > 300000)
+        .select(col("o_orderkey"))
+      val bf = build.stat.bloomFilter("o_orderkey", build.count(), 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((k: Long) => bfB.value.mightContain(k))
+      Tables.lineitem(s, d)
+        .filter(might(col("l_orderkey")))
+        .join(build, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             outd(sum(dec(col("l_extendedprice")))).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Left anti: customers WITHOUT any P-status order.
     "q_join_anti" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -312,6 +342,18 @@ object Joins extends QueryPack {
       WHERE EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       ORDER BY c_custkey""",
+
+    // Portable (DuckDB ∩ Spark): the bloom is a pure optimization — the
+    // contract result IS the exact semi join.
+    "q_bloom_prefilter" -> """
+      SELECT l_returnflag, count(*) AS n,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4)
+          AS revenue
+      FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT'
+                             AND o_totalprice > 300000)
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q_join_anti" -> """
       SELECT c_custkey, c_name, c_mktsegment FROM customer

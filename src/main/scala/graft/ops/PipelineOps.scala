@@ -483,6 +483,63 @@ object PipelineOps extends QueryPack {
             col("n_grams").cast("double"), 4).as("contamination"))
         .filter(col("contamination") >= 0.5)
         .orderBy(col("doc_id"))
+    },
+
+    // ---- q_weighted_sample: deterministic weighted sampling -----------
+    // Efraimidis–Spirakis A-ES reservoir (top-k by u^(1/w), here in the
+    // order-equivalent log form ln(u)/w): the standard way to draw a
+    // weighted sample in ONE distributed pass with no RNG state — the
+    // uniform u comes from the shared content digest ((h60+1)/2^60 ∈
+    // (0,1]), so the sample is reproducible across runs, engines, and
+    // partitionings, and re-running on a grown corpus keeps every
+    // previously-drawn key comparable (the streaming-reservoir property).
+    // Weight = n_chars: longer docs proportionally likelier. 100 TB lens:
+    // narrow projection + a k-row TakeOrderedAndProject — no shuffle of
+    // the corpus, the k=25 heap merges per-partition.
+    "q_weighted_sample" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(log((h60(col("text")) + 1).cast("double") /
+                    lit(1152921504606846976L).cast("double")) /
+                col("n_chars"), 10).as("pri"))
+        .orderBy(col("pri").desc, col("doc_id"))
+        .limit(25)
+    },
+
+    // ---- q_containment: asymmetric sub-document duplication -----------
+    // Containment C(A→B) = |A∩B|/|A| over distinct 5-gram sets — the
+    // near-dup signal Jaccard structurally misses: a short doc pasted
+    // inside a long one has tiny Jaccard (union is big) but containment
+    // ≈ 1. Candidates come from the same rare-gram blocking as
+    // q_dedup_ngram (df ≤ 20 — recall bounded by the blocking, identical
+    // in the oracle by construction); the exact intersection then runs
+    // only inside candidate pairs, and both directions come out of ONE
+    // overlap count. Grams travel as h60 longs end-to-end.
+    "q_containment" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.expr.WordShingles.of(col("text"), 5)).as("gs"))
+        .select(col("doc_id"), h60(col("gs")).as("g"))
+        .distinct()
+      val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val rare = grams.join(
+        grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 20).select(col("g")), Seq("g"))
+      val cand = rare.alias("x").join(rare.alias("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+      cand
+        .join(grams.select(col("doc_id").as("d1"), col("g")), Seq("d1"))
+        .join(grams.select(col("doc_id").as("d2"), col("g")), Seq("d2", "g"))
+        .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ov"))
+        .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+        .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+        .withColumn("c12", round(col("ov").cast("double") / col("n1"), 4))
+        .withColumn("c21", round(col("ov").cast("double") / col("n2"), 4))
+        .filter(greatest(col("c12"), col("c21")) >= 0.6)
+        .select(col("d1"), col("d2"), col("c12"), col("c21"))
+        .orderBy(col("d1"), col("d2"))
     }
   )
 
@@ -1191,6 +1248,50 @@ object PipelineOps extends QueryPack {
           AS contamination
       FROM tot JOIN hit USING (doc_id)
       WHERE round(CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) >= 0.5
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    "q_weighted_sample" -> s"""
+      WITH k AS (
+        SELECT doc_id, lang, n_chars,
+          round(ln(CAST(${h60Sql("text")} + 1 AS DOUBLE) /
+                   CAST(1152921504606846976 AS DOUBLE)) / n_chars, 10) AS pri
+        FROM documents)
+      SELECT doc_id, lang, n_chars, pri
+      FROM k ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    "q_containment" -> s"""
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), g AS (
+        SELECT DISTINCT doc_id, ${h60Sql("gs")} AS g FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 3),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                || ' ' || w[CAST(i AS INT) + 2] || ' ' || w[CAST(i AS INT) + 3]
+                || ' ' || w[CAST(i AS INT) + 4])) AS gs
+          FROM words WHERE len(w) >= 5)
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      rare AS (
+        SELECT g.doc_id, g.g FROM g
+        JOIN (SELECT g FROM g GROUP BY g HAVING count(*) <= 20) r
+          ON g.g = r.g),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT c.d1, c.d2, count(*) AS ov
+        FROM cand c
+        JOIN g g1 ON g1.doc_id = c.d1
+        JOIN g g2 ON g2.doc_id = c.d2 AND g2.g = g1.g
+        GROUP BY c.d1, c.d2)
+      SELECT i.d1, i.d2,
+        round(CAST(i.ov AS DOUBLE) / s1.n, 4) AS c12,
+        round(CAST(i.ov AS DOUBLE) / s2.n, 4) AS c21
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.d1
+      JOIN sizes s2 ON s2.doc_id = i.d2
+      WHERE greatest(round(CAST(i.ov AS DOUBLE) / s1.n, 4),
+                     round(CAST(i.ov AS DOUBLE) / s2.n, 4)) >= 0.6
+      ORDER BY i.d1, i.d2"""
   )
 }

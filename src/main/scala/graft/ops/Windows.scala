@@ -120,6 +120,32 @@ object Windows extends QueryPack {
                 cume_dist().over(w).as("cume"),
                 nth_value(col("c_custkey"), 3).over(w).as("third_key"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Windowed DISTINCT count — trailing-7-day distinct active users per
+    // event type (the rolling-DAU/WAU primitive). Spark has no
+    // count(DISTINCT) over a window, so the engine form is
+    // size(collect_set(...)) over a RANGE frame on day number — run on
+    // the activity frame already collapsed to DISTINCT (type, day, user)
+    // rows, then reduced to one row per (type, day). 100 TB lens: the
+    // collect_set state is bounded by distinct users per 7-day window ×
+    // one partition per event type — the documented constant-memory
+    // alternative when windows get wide is the first-appearance trick
+    // (lag(day) per (type, user); a user contributes +1 to day d where
+    // prev NULL or gap > 6, −1 at expiry; prefix-sum the deltas), which
+    // trades the set state for two extra shuffles.
+    "q_window_count_distinct" -> { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("dn")).rangeBetween(-6, 0)
+      act
+        .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")))
+        .withColumn("u7", size(collect_set(col("user_id")).over(w)).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("u1"), max(col("u7")).as("u7"))
+        .orderBy(col("event_type"), col("day"))
     }
   )
 
@@ -195,6 +221,26 @@ object Windows extends QueryPack {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      ORDER BY o_orderkey"""
+      ORDER BY o_orderkey""",
+
+    // DuckDB dialect (count(DISTINCT) over a window + date_diff); Spark
+    // twin in SqlDialectTwins (size(collect_set) + datediff).
+    "q_window_count_distinct" -> """
+      WITH act AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      n AS (
+        SELECT event_type, day, user_id,
+               date_diff('day', DATE '2024-01-01', day) AS dn
+        FROM act),
+      wn AS (
+        SELECT event_type, day,
+               count(DISTINCT user_id) OVER (
+                 PARTITION BY event_type ORDER BY dn
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS u7
+        FROM n)
+      SELECT event_type, day, count(*) AS u1, max(u7) AS u7
+      FROM wn GROUP BY event_type, day
+      ORDER BY event_type, day"""
   )
 }

@@ -738,5 +738,99 @@ object SqlDialectTwins {
       SELECT doc_id, dl, n_types,
              round(ln(dl) - CAST(st AS DOUBLE) / dl, 4) AS entropy
       FROM h ORDER BY doc_id""",
+
+    // date_diff 3-arg -> datediff; everything else portable
+    "q_rolling_corr" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') AS dn,
+               count(*) AS x,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DECIMAL(19,0)) AS y
+        FROM orders GROUP BY 1, 2),
+      sums AS (
+        SELECT day,
+          count(*) OVER w AS n,
+          sum(x) OVER w AS sx,
+          sum(y) OVER w AS sy,
+          sum(CAST(x AS DECIMAL(7,0)) * y) OVER w AS sxy,
+          sum(x * x) OVER w AS sxx,
+          sum(y * y) OVER w AS syy
+        FROM daily
+        WINDOW w AS (ORDER BY dn RANGE BETWEEN 13 PRECEDING AND CURRENT ROW))
+      SELECT day, CAST(n AS INT) AS n_days,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr14
+      FROM sums
+      WHERE n >= 8
+        AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      ORDER BY day""",
+
+    // count(DISTINCT) over a window (no Spark SQL form) ->
+    // size(collect_set()) over the same frame; date_diff -> datediff
+    "q_window_count_distinct" -> """
+      WITH act AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      n AS (
+        SELECT event_type, day, user_id,
+               datediff(day, DATE '2024-01-01') AS dn
+        FROM act),
+      wn AS (
+        SELECT event_type, day,
+               CAST(size(collect_set(user_id) OVER (
+                 PARTITION BY event_type ORDER BY dn
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT) AS u7
+        FROM n)
+      SELECT event_type, day, count(*) AS u1, max(u7) AS u7
+      FROM wn GROUP BY event_type, day
+      ORDER BY event_type, day""",
+
+    // md5-hex-prefix digest -> registered md5_prefix60
+    "q_weighted_sample" -> s"""
+      WITH k AS (
+        SELECT doc_id, lang, n_chars,
+          round(ln(CAST(${h60("text")} + 1 AS DOUBLE) /
+                   CAST(1152921504606846976 AS DOUBLE)) / n_chars, 10) AS pri
+        FROM documents)
+      SELECT doc_id, lang, n_chars, pri
+      FROM k ORDER BY pri DESC, doc_id LIMIT 25""",
+
+    // unnest(list_transform(range ...)) 5-gram build -> word_shingles(5)
+    "q_containment" -> s"""
+      WITH g AS (
+        SELECT DISTINCT doc_id, ${h60("gs")} AS g FROM (
+          SELECT doc_id, explode(word_shingles(text, 5)) AS gs
+          FROM documents WHERE size(split(text, ' ')) >= 5)
+      ), sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+      rare AS (
+        SELECT g.doc_id, g.g FROM g
+        JOIN (SELECT g FROM g GROUP BY g HAVING count(*) <= 20) r
+          ON g.g = r.g),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM rare x JOIN rare y ON x.g = y.g AND x.doc_id < y.doc_id),
+      inter AS (
+        SELECT c.d1, c.d2, count(*) AS ov
+        FROM cand c
+        JOIN g g1 ON g1.doc_id = c.d1
+        JOIN g g2 ON g2.doc_id = c.d2 AND g2.g = g1.g
+        GROUP BY c.d1, c.d2)
+      SELECT i.d1, i.d2,
+        round(CAST(i.ov AS DOUBLE) / s1.n, 4) AS c12,
+        round(CAST(i.ov AS DOUBLE) / s2.n, 4) AS c21
+      FROM inter i
+      JOIN sizes s1 ON s1.doc_id = i.d1
+      JOIN sizes s2 ON s2.doc_id = i.d2
+      WHERE greatest(round(CAST(i.ov AS DOUBLE) / s1.n, 4),
+                     round(CAST(i.ov AS DOUBLE) / s2.n, 4)) >= 0.6
+      ORDER BY i.d1, i.d2""",
   )
 }
