@@ -31,7 +31,8 @@ object ScaleSmoke {
     "q_dedup_simhash", "q_connected_components", "q_map_funcs", "q_unpivot",
     "q_agg_percentiles", "q_dedup_minhash", "q_seq_pack",
     "q_stratified_sample", "q_dedup_incremental", "q_token_budget",
-    "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams")
+    "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams",
+    "q_pagerank", "q_containment")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -40,7 +41,8 @@ object ScaleSmoke {
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
-        "q_token_budget", "q_dedup_cluster_rep", "q_sessionize")
+        "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
+        "q_containment")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
@@ -134,8 +136,20 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .coalesce(16).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // orders scale in lockstep with lineitem (shifted order AND customer
+    // keys), so the q_pagerank purchase graph grows the realistic way:
+    // 10× customers and edges over the SAME supplier base (l_suppkey is
+    // deliberately unshifted — suppliers bridge the copies, the graph
+    // stays one component instead of 10 disjoint replicas)
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * 10000000L))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "orders", "embeddings"))
+                  "embeddings"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     Files.createFile(Paths.get(s"$out/_built"))

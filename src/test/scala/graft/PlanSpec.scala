@@ -328,7 +328,7 @@ class PlanSpec extends AnyFunSuite {
       s"no documents scan pruned to exactly (doc_id, n_chars):\n$s")
   }
 
-  test("scan + exchange budgets hold on the four most expensive text keys") {
+  test("scan + exchange budgets hold on the five most expensive text keys") {
     // r10 verdict item 4: these four keys dominate the bench; their plans
     // were audited as "the scale plan" at r10, and these budgets freeze
     // that audit. A refactor that adds a second text scan (e.g. dropping a
@@ -364,5 +364,8 @@ class PlanSpec extends AnyFunSuite {
     nodeBudget("q_dedup_ngram", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
     // cluster-rep: one pruned documents scan + the shared sig checkpoint
     nodeBudget("q_dedup_cluster_rep", fileScanMax = 1, rddScanMax = 1, hashExMax = 1)
+    // containment: the q_dedup_ngram profile — two text scans (gram
+    // pipeline + overlap confirm), five real shuffles, the rest reused
+    nodeBudget("q_containment", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
   }
 }
