@@ -88,6 +88,35 @@ object Lakehouse extends QueryPack {
              min(col("x")).as("min_x"), max(col("x")).as("max_x"),
              min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("z_tile"))
+    },
+
+    // Incremental materialized-view maintenance (the refresh pattern
+    // behind every daily-rollup table): yesterday's materialized per-flag
+    // aggregate (rows shipped BEFORE the cutoff) merges with an aggregate
+    // over only the NEW partition (rows at/after the cutoff) via a full
+    // outer join on the group key — counts and exact-decimal sums are
+    // mergeable, so merged state ≡ a full recompute, which is exactly
+    // what the oracle runs against the whole table. Both branch scans
+    // carry a pushed l_shipdate bound (LakehouseSpec pins it): at 100 TB
+    // the refresh reads ONE day's partition plus a |groups|-row state
+    // frame, never the history. delta_n rides along as the audit column
+    // (how much of each group came from the new partition).
+    "q_agg_incremental" -> { (s, d) =>
+      val cutoff = lit("2001-06-01 00:00:00").cast("timestamp")
+      def agg(df: DataFrame, n: String, r: String): DataFrame =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as(n), sum(dec(col("l_extendedprice"))).as(r))
+      val state = agg(Tables.lineitem(s, d).filter(col("l_shipdate") < cutoff),
+        "n0", "rev0")
+      val delta = agg(Tables.lineitem(s, d).filter(col("l_shipdate") >= cutoff),
+        "n1", "rev1")
+      state.join(delta, Seq("l_returnflag"), "full")
+        .select(col("l_returnflag"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n"),
+          outd(coalesce(col("rev0"), lit(0).cast("decimal(18,2)")) +
+               coalesce(col("rev1"), lit(0).cast("decimal(18,2)"))).as("revenue"),
+          coalesce(col("n1"), lit(0L)).as("delta_n"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -131,6 +160,25 @@ object Lakehouse extends QueryPack {
       SELECT CAST(floor(z / 4096) AS INT) AS z_tile, count(*) AS n,
              min(x) AS min_x, max(x) AS max_x,
              min(y) AS min_y, max(y) AS max_y
-      FROM zed GROUP BY 1 ORDER BY z_tile""")
+      FROM zed GROUP BY 1 ORDER BY z_tile"""),
+
+    // Portable (DuckDB ∩ Spark): the oracle recomputes the view from the
+    // FULL table — equality IS the incremental-maintenance correctness
+    // claim. Its own Spark twin via SqlOracleReuseSpec.
+    "q_agg_incremental" -> """
+      WITH full_agg AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        FROM lineitem GROUP BY l_returnflag),
+      delta AS (
+        SELECT l_returnflag, count(*) AS delta_n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+        GROUP BY l_returnflag)
+      SELECT f.l_returnflag, f.n,
+             round(CAST(f.rev AS DOUBLE), 4) AS revenue,
+             coalesce(d.delta_n, 0) AS delta_n
+      FROM full_agg f LEFT JOIN delta d ON f.l_returnflag = d.l_returnflag
+      ORDER BY f.l_returnflag"""
   )
 }

@@ -180,6 +180,29 @@ object StreamingOps extends QueryPack {
         .select(col("window.start").as("win_start"),
                 col("avg_n15"), col("max_n15"), col("sum_n"))
         .orderBy(col("win_start"))
+    },
+
+    // Windowed top-k (the streaming-dashboard staple — "top event types
+    // per hour"): tumbling-window counts ranked per window, keep rank ≤ 3
+    // with a (count desc, type) total order so both engines cut the same
+    // rows. Spark can't rank inside a streaming aggregation — the
+    // production shape is this ranking applied per micro-batch over the
+    // windowed-count state (foreachBatch / downstream batch over the
+    // sink), which is exactly the batch form here; StreamingSpec asserts
+    // the streamed windowed counts feed this rank to the identical
+    // result. The rank filter runs through WindowGroupLimit's partial
+    // top-k before the window shuffle.
+    "q_stream_topk" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+      counts
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("win_start"))
+            .orderBy(col("n").desc, col("event_type"))).cast("int"))
+        .filter(col("rk") <= 3)
+        .orderBy(col("win_start"), col("rk"))
     }
   )
 
@@ -255,7 +278,24 @@ object StreamingOps extends QueryPack {
         round(avg(n15), 4) AS avg_n15,
         max(n15) AS max_n15,
         CAST(sum(n15) AS BIGINT) AS sum_n
-      FROM sub GROUP BY 1 ORDER BY win_start"""
+      FROM sub GROUP BY 1 ORDER BY win_start""",
+
+    // Portable (DuckDB ∩ Spark): date_trunc + row_number — its own Spark
+    // twin via SqlOracleReuseSpec.
+    "q_stream_topk" -> """
+      WITH w AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*) AS n
+        FROM events GROUP BY win_start, event_type),
+      r AS (
+        SELECT win_start, event_type, n,
+               CAST(row_number() OVER (
+                 PARTITION BY win_start
+                 ORDER BY n DESC, event_type) AS INT) AS rk
+        FROM w)
+      SELECT win_start, event_type, n, rk
+      FROM r WHERE rk <= 3
+      ORDER BY win_start, rk"""
   )
 
   /** STREAMING twin of [[Analytics.sessionize]]: gap-based sessions over

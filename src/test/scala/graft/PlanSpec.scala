@@ -368,4 +368,16 @@ class PlanSpec extends AnyFunSuite {
     // pipeline + overlap confirm), five real shuffles, the rest reused
     nodeBudget("q_containment", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
   }
+
+  test("q_agg_incremental pushes both shipdate bounds into the parquet scans") {
+    // the incremental-refresh claim IS these two pushed predicates: at
+    // 100 TB the state branch prunes to the materialized history read and
+    // the delta branch to one partition — a post-scan filter would read
+    // the full table twice
+    val plan = finalPlan("q_agg_incremental")
+    assert(plan.contains("LessThan(l_shipdate"),
+      s"state-branch shipdate bound not pushed:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"delta-branch shipdate bound not pushed:\n$plan")
+  }
 }

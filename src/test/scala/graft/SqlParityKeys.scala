@@ -40,7 +40,7 @@ object SqlParityKeys {
   val oracleReuse: Set[String] = Set(
     "q_agg_distinct", "q_agg_global", "q_agg_salted", "q_agg_stats",
     "q_anomaly_mad", "q_event_transitions", "q_rfm", "q_pagerank",
-    "q_bloom_prefilter",
+    "q_bloom_prefilter", "q_stream_topk", "q_agg_incremental",
     "q_anomaly_zscore", "q_conditional", "q_cube", "q_event_validate",
     "q_except", "q_histogram", "q_intersect", "q_join_anti",
     "q_join_broadcast", "q_join_full", "q_join_left", "q_join_multiway",

@@ -591,4 +591,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(countEvents(sink) == Map("x" -> 1, "y" -> 1))
     } finally q2.stop()
   }
+
+  test("q_stream_topk: streamed windowed counts + the same rank == batch top-k") {
+    // The production shape the contract key documents: streaming emits
+    // SEALED per-(window, type) counts in append mode; the rank ≤ 3 cut
+    // runs downstream over the sink (streaming can't rank inside an agg).
+    // Equality against the batch form on identical rows is the claim.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.{Window => W}
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val counts = input.toDF().toDF("ts", "event_type")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    val q = counts.writeStream.format("memory").queryName("topk_counts")
+      .outputMode("append").start()
+    val data = Seq(
+      ("2024-01-01 00:05:00", "click"), ("2024-01-01 00:06:00", "click"),
+      ("2024-01-01 00:07:00", "view"), ("2024-01-01 00:10:00", "view"),
+      ("2024-01-01 00:12:00", "view"), ("2024-01-01 00:20:00", "buy"),
+      ("2024-01-01 00:25:00", "err"), ("2024-01-01 01:10:00", "view"),
+      ("2024-01-01 01:12:00", "click")).map { case (t, e) => (ts(t), e) }
+    def top3(df: DataFrame) = df
+      .withColumn("rk", row_number().over(
+        W.partitionBy(col("win_start"))
+          .orderBy(col("n").desc, col("event_type"))).cast("int"))
+      .filter(col("rk") <= 3).orderBy(col("win_start"), col("rk"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // sentinel far past hour 1 seals both real hours; its own window
+      // stays unsealed and must NOT appear in the append output
+      input.addData((ts("2024-01-01 03:00:00"), "sentinel"))
+      q.processAllAvailable()
+      val streamed = top3(spark.table("topk_counts"))
+      val batch = top3(data.toDF("ts", "event_type")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+                col("n")))
+      assert(streamed == batch,
+        s"streamed top-k diverged:\n$streamed\nvs batch:\n$batch")
+      assert(streamed.exists(_._4 == 3) && streamed.forall(_._4 <= 3),
+        s"rank cut wrong: $streamed")
+    } finally q.stop()
+  }
 }
