@@ -49,6 +49,26 @@ class GraphAndSamplingSpec extends AnyFunSuite {
     assert(r(2L) > r(3L), s"weight ignored: $r")
   }
 
+  test("pagerank: ranks are invariant to edge order and input partitioning") {
+    // the decimal-sum determinism claim, exercised: rounded contributions
+    // summed as exact decimal cannot depend on which partition or order
+    // the edges arrive in — the property that makes the float fixpoint
+    // oracle-checkable at all
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 200).map { _ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong, rnd.nextInt(5) + 1L)
+    }.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    def ranks(es: Seq[(Long, Long, Long)], parts: Int): Map[Long, Double] =
+      graft.ops.GraphRank.pagerank(
+        es.toDF("src", "dst", "w").repartition(parts))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val base = ranks(edges, 4)
+    assert(ranks(edges.reverse, 7) == base,
+      "edge order / partitioning moved a rank — decimal-sum discipline broken")
+    assert(ranks(rnd.shuffle(edges), 1) == base)
+  }
+
   test("q_pagerank: top-20 is rank-descending and bipartite-decoded") {
     val rows = run("q_pagerank")
     assert(rows.length == 20)
@@ -88,6 +108,20 @@ class GraphAndSamplingSpec extends AnyFunSuite {
           s"u7 exceeds the sum of its days' u1 on $day")
       }
     }
+  }
+
+  test("rollingDistinctViaDeltas == the collect_set form (the constant-memory scale path)") {
+    val act = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val viaDeltas = graft.ops.Windows.rollingDistinctViaDeltas(act, 7)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2))).toSet
+    val viaSets = run("q_window_count_distinct")
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(3))).toSet
+    assert(viaDeltas == viaSets,
+      s"delta form diverged: only-deltas=${(viaDeltas -- viaSets).take(5)} " +
+      s"only-sets=${(viaSets -- viaDeltas).take(5)}")
   }
 
   // ---- q_weighted_sample -------------------------------------------------
