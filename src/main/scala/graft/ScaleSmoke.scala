@@ -18,9 +18,10 @@ import java.nio.file.{Files, Paths}
   *    never bridges copies (a plain text copy would make every doc a
   *    10-way near-dup of itself and measure a pathological dup-rate
   *    instead of scale-up).
-  *  - events/lineitem: ids shifted per copy — per-user / per-order group
-  *    SIZES stay constant while group COUNT grows 10×, which is how a
-  *    bigger corpus actually looks.
+  *  - events/lineitem/orders: ids shifted per copy — per-user / per-order
+  *    group SIZES stay constant while group COUNT grows 10×, which is how
+  *    a bigger corpus actually looks (orders scales in lockstep with
+  *    lineitem for the q_pagerank purchase graph).
   * Remaining tables pass through unscaled (no smoke key reads them).
   *
   * NOT a gate: results land in SCALE.md §"10× smoke" with interpretation.
@@ -104,7 +105,11 @@ object ScaleSmoke {
     * rebuild). */
   private def buildSf1(spark: SparkSession, src: String, out: String,
                        copies: Int): Unit = {
-    if (Files.exists(Paths.get(s"$out/_built"))) return
+    // versioned marker: the orders-scaling change (r11) invalidates any
+    // sf1 built by an earlier synthesis — an unversioned marker would let
+    // a stale fixture (unscaled orders) feed q_pagerank a 1/10-size graph
+    // and print a plausible-but-wrong ratio
+    if (Files.exists(Paths.get(s"$out/_built_v2"))) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { c =>
       docs.select(
@@ -152,6 +157,6 @@ object ScaleSmoke {
                   "embeddings"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    Files.createFile(Paths.get(s"$out/_built"))
+    Files.createFile(Paths.get(s"$out/_built_v2"))
   }
 }

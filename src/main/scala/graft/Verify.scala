@@ -10,6 +10,13 @@ object Verify {
     // named keys — focused re-verification while iterating (Bench has the
     // same contract); the driver passes exactly two args and dumps all
     val only = args.drop(2).toSet
+    // a misspelled key must fail loudly, not "verify" an empty set
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[verify] unknown keys: ${unknown.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

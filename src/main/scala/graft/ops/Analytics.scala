@@ -479,7 +479,7 @@ object Analytics extends QueryPack {
         count(lit(1)).over(w).as("n"),
         sum(col("x")).over(w).as("sx"),
         sum(col("y")).over(w).as("sy"),
-        sum(col("x").cast(DecimalType(7, 0)) * col("y")).over(w).as("sxy"),
+        sum(col("x").cast(DecimalType(10, 0)) * col("y")).over(w).as("sxy"),
         sum(col("x") * col("x")).over(w).as("sxx"),
         sum(col("y") * col("y")).over(w).as("syy"))
       // the guards run in DOUBLE with the same textual shape as the
@@ -518,11 +518,13 @@ object Analytics extends QueryPack {
         GROUP BY 1, 2)"""
   private val PrEdgeCte =
     "SELECT src, dst, w FROM le UNION ALL SELECT dst, src, w FROM le"
+  // final CTE name derived from PrIters — a hardcoded r8 would silently
+  // desync the oracle from the DSL if the iteration count ever changes
   private val PrSelect =
-    """SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+    s"""SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
              CAST((node - node % 2) / 2 AS BIGINT) AS node_key,
              round(r, 8) AS pr
-      FROM r8 ORDER BY pr DESC, kind, node_key LIMIT 20"""
+      FROM r$PrIters ORDER BY pr DESC, kind, node_key LIMIT 20"""
 
   /** Gap-based sessionization (q_sessionize semantics): expects
     * (user_id, event_id, value, sec) rows; a new session opens when the
@@ -835,7 +837,7 @@ object Analytics extends QueryPack {
           count(*) OVER w AS n,
           sum(x) OVER w AS sx,
           sum(y) OVER w AS sy,
-          sum(CAST(x AS DECIMAL(7,0)) * y) OVER w AS sxy,
+          sum(CAST(x AS DECIMAL(10,0)) * y) OVER w AS sxy,
           sum(x * x) OVER w AS sxx,
           sum(y * y) OVER w AS syy
         FROM daily

@@ -10,7 +10,9 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism contract (the reason this is oracle-checkable cross-engine,
   * unlike most float fixpoints): every per-edge contribution is rounded to
-  * 12 decimals and summed as EXACT decimal(38,14), and each new rank is
+  * 12 decimals and summed as EXACT decimal — cast to (18,14), long-backed
+  * in the agg buffer; the sum widens losslessly, to (28,14) in Spark and
+  * (38,14) in DuckDB — and each new rank is
   * re-rounded to 12 decimals — so the only float ops per iteration are
   * single IEEE multiplies/divides/adds on identical inputs, and addition
   * order (Spark's partial aggregation vs any other engine's) cannot move
@@ -75,6 +77,12 @@ object GraphRank {
       .repartition(col("dst"))
       .localCheckpoint()
     val n = outw.count()
+    // the node universe (every node with an out-edge, per the input
+    // contract) — each iteration's recompute LEFT-joins against it so a
+    // node with out-edges but NO in-edges keeps its teleport rank
+    // (1−d)/N instead of silently vanishing from the groupBy(dst) frame
+    // (and taking its downstream contributions with it)
+    val nodes = outw.select(col("src").as("node")).localCheckpoint()
     var ranks = outw.select(col("src").as("node"), lit(1.0 / n).as("r"))
     var sinceCut = 0
     var prevCut: Option[DataFrame] = None
@@ -83,13 +91,19 @@ object GraphRank {
       // rounded to 12 decimals, and per-node sums are bounded by the total
       // rank mass (= 1), so 4 integer digits are plenty — and 18 digits
       // keeps the value long-backed (compact) in the aggregation buffer
-      ranks = ew.join(broadcast(ranks), col("node") === col("src"))
+      val contrib = ew.join(broadcast(ranks), col("node") === col("src"))
         .select(col("dst"),
           round(col("r") * col("w") / col("ow"), 12)
             .cast(DecimalType(18, 14)).as("c"))
         .groupBy(col("dst").as("node"))
-        .agg(round(lit((1.0 - damping) / n) +
-          lit(damping) * sum(col("c")).cast("double"), 12).as("r"))
+        .agg(sum(col("c")).as("s"))
+      // coalesce keeps the arithmetic bit-identical for in-edge nodes
+      // (non-null s passes through untouched); a no-inbound node computes
+      // round((1−d)/N + d·0, 12)
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), round(lit((1.0 - damping) / n) +
+          lit(damping) * coalesce(col("s"),
+            lit(0).cast(DecimalType(18, 14))).cast("double"), 12).as("r"))
       sinceCut += 1
       if (checkpointEvery > 0 && sinceCut >= checkpointEvery) {
         val cut = ranks.localCheckpoint()
@@ -106,7 +120,12 @@ object GraphRank {
   /** The oracle recurrence as portable SQL (DuckDB ∩ Spark dialect): the
     * same rounding discipline, unrolled `iters` times. `edgeCte` must
     * define a relation (src, dst, w). Kept here so the SQL and the DSL
-    * share one source of truth for the constants. */
+    * share one source of truth for the constants.
+    *
+    * Assumes every node also has IN-degree ≥ 1 (true for any symmetrized
+    * graph, incl. the fixture key): the unrolled GROUP BY dst form has no
+    * left-join-the-node-universe step, so a node with out-edges only
+    * would drop here while [[pagerank]] retains it at teleport rank. */
   def pagerankSql(preCtes: String, edgeCte: String, iters: Int = 8,
                   damping: Double = 0.85, select: String): String = {
     val iterCtes = (1 to iters).map { k =>

@@ -42,6 +42,24 @@ class GraphAndSamplingSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
   }
 
+  test("pagerank: a node with out-edges but no in-edges keeps its teleport rank") {
+    // directed 3 → 1 ⇄ 2: node 3 satisfies the input contract (has an
+    // out-edge) but nothing points at it — it must survive every
+    // iteration at rank (1−d)/N, not vanish from the groupBy(dst) frame
+    // (and its contribution must keep feeding node 1)
+    val r = rankMap(Seq((3L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 1L)))
+    assert(r.keySet == Set(1L, 2L, 3L), s"out-only node dropped: $r")
+    assert(math.abs(r(3L) - 0.15 / 3) < 1e-9, s"teleport rank wrong: $r")
+    // every node has out-degree 1, so rank mass stays conserved even with
+    // a zero-in-degree node in play (the 1⇄2 cycle still oscillates at 8
+    // iterations — per-node order between 1 and 2 is phase-dependent and
+    // deliberately not asserted)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9,
+      s"mass lost with an out-only node present: ${r.values.sum}")
+    assert(r(1L) > r(3L) && r(2L) > r(3L),
+      s"cycle nodes should out-rank the unreferenced node: $r")
+  }
+
   test("pagerank: edge weight steers rank (heavier neighbor of the hub wins)") {
     // node 2 gets a 9× heavier link from hub 1 than node 3 does
     val edges = Seq((1L, 2L, 9L), (2L, 1L, 9L), (1L, 3L, 1L), (3L, 1L, 1L))

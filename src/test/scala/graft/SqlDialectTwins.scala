@@ -753,7 +753,7 @@ object SqlDialectTwins {
           count(*) OVER w AS n,
           sum(x) OVER w AS sx,
           sum(y) OVER w AS sy,
-          sum(CAST(x AS DECIMAL(7,0)) * y) OVER w AS sxy,
+          sum(CAST(x AS DECIMAL(10,0)) * y) OVER w AS sxy,
           sum(x * x) OVER w AS sxx,
           sum(y * y) OVER w AS syy
         FROM daily
