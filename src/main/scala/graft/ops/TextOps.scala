@@ -251,6 +251,34 @@ object TextOps extends QueryPack {
         .orderBy(col("d1"), col("d2"))
     },
 
+    // Triangle counting over the minhash near-dup graph — the
+    // clique-density signal a dedup pipeline reads to tell TEMPLATE
+    // FAMILIES (mutual 3-way near-dups ⇒ triangles) from drift chains
+    // (revisions that pairwise-match only their neighbors ⇒ none).
+    // Pairs arrive oriented d1 < d2, so each triangle a<b<c is counted
+    // exactly once by wedge-close: (a,b)⨝(b,c) builds the wedge, a semi
+    // join on the closing edge (a,c) confirms it — never an all-pairs
+    // pass. The pair frame is checkpointed ONCE and read three times
+    // (three lazy reads would re-run the whole minhash pipeline per
+    // side). 100 TB lens: wedge count is Σ deg², the quantity the
+    // id-orientation bounds — near-dup radii cap degrees, and a hot
+    // template's star fans out through the same salting knob as the
+    // band join (minhashPairs' bandSaltFactor).
+    "q_triangle_count" -> { (s, d) =>
+      val pairs = minhashPairs(Tables.documents(s, d), 0.5)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      pairs.as("e1")
+        .join(pairs.select(col("d1").as("b2"), col("d2").as("c")),
+          col("e1.d2") === col("b2"))
+        .select(col("e1.d1").as("a"), col("e1.d2").as("b"), col("c"))
+        .join(pairs.select(col("d1").as("a"), col("d2").as("c")),
+          Seq("a", "c"), "left_semi")
+        .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("doc_id"))
+    },
+
     // Brute-force cosine top-5 for 5 broadcast probe vectors.
     "q_similarity_topk" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -506,8 +534,26 @@ object TextOps extends QueryPack {
              CAST(sum(n_chars) AS BIGINT) AS cluster_chars
       FROM m GROUP BY comp ORDER BY comp"""
 
+  private def triangleOracleSql: String = s"""
+      WITH pairs AS (
+        $minhashPairsSql
+      ), tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.d1 = e1.d2
+        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+      ), m AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      )
+      SELECT doc_id, count(*) AS n_triangles
+      FROM m GROUP BY doc_id ORDER BY doc_id"""
+
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> (minhashPairsSql + "\n      ORDER BY d1, d2"),
+
+    "q_triangle_count" -> triangleOracleSql,
 
     "q_connected_components" -> componentsOracleSql,
 

@@ -208,6 +208,48 @@ class GraphAndSamplingSpec extends AnyFunSuite {
       "no asymmetric pair found — key degenerates to Jaccard on this fixture")
   }
 
+  test("q_triangle_count == brute-force triangle enumeration over the same pairs") {
+    val pairs = graft.ops.TextOps
+      .minhashPairs(Tables.documents(spark, TestSpark.Sf0001), 0.5)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap { case (a, b) => Seq(a, b) }
+    val adj = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def has(a: Long, b: Long) = adj.getOrElse(a, Set.empty)(b)
+    val expect = (for {
+      (a, b) <- pairs.toSeq
+      c <- adj.getOrElse(b, Set.empty) if has(a, c)
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q_triangle_count")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect,
+      s"triangle membership drifted: got ${got.size} docs, want ${expect.size}")
+    assert(got.nonEmpty, "fixture near-dup graph should contain triangles")
+    assert(nodes.exists(n => !got.contains(n)),
+      "some paired doc should be triangle-free (chains exist)")
+  }
+
+  test("q_bootstrap_ci replicas behave like Poisson(1) resamples of the orders table") {
+    val rows = run("q_bootstrap_ci")
+    assert(rows.length == 32, s"expected 32 replicas, got ${rows.length}")
+    val nOrders = Tables.orders(spark, TestSpark.Sf0001).count()
+    val trueMean = Tables.orders(spark, TestSpark.Sf0001)
+      .agg(avg(round(col("o_totalprice") * 100).cast("long"))).head().getDouble(0)
+    rows.foreach { r =>
+      val nEff = r.getLong(1); val mean = r.getDouble(2)
+      // Poisson(1) total: mean n, sd √n ⇒ ±5σ band
+      assert(math.abs(nEff - nOrders) < 5 * math.sqrt(nOrders.toDouble),
+        s"replica size $nEff implausible for n=$nOrders")
+      assert(math.abs(mean - trueMean) / trueMean < 0.2,
+        s"replica mean $mean far from population $trueMean")
+    }
+    assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to 32),
+      "ranks are not a permutation of 1..32")
+    // determinism: a second run reproduces the resample exactly
+    assert(run("q_bootstrap_ci").toSeq == rows.toSeq)
+  }
+
   // ---- q_bloom_prefilter -------------------------------------------------
 
   test("q_bloom_prefilter == the exact semi join (bloom is pure pruning)") {

@@ -18,6 +18,27 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Plan-node budget pin. Counts are plan NODES: ReusedExchange
+    * references repeat the referenced exchange's text, so raw substring
+    * counts over-count plans that deliberately reuse an exchange. */
+  private def nodeBudget(key: String, fileScanMax: Int, rddScanMax: Int,
+                         hashExMax: Int): Unit = {
+    val s = finalPlan(key).split("== Initial Plan ==")(0)
+    def nodes(m: String) = s.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(nodes("FileScan parquet") <= fileScanMax,
+      s"$key reads ${nodes("FileScan parquet")} parquet scans (budget $fileScanMax):\n$s")
+    // checkpointed-signature keys: every join side must share the ONE
+    // materialized RDD — more RDD scans = a re-derived lineage
+    assert(nodes("Scan ExistingRDD") <= rddScanMax,
+      s"$key scans ${nodes("Scan ExistingRDD")} checkpointed RDDs (budget $rddScanMax):\n$s")
+    assert(nodes("Exchange hashpartitioning") <= hashExMax,
+      s"$key shuffles ${nodes("Exchange hashpartitioning")}× (budget $hashExMax):\n$s")
+    assert(!s.contains("CartesianProduct") &&
+           !s.contains("BroadcastNestedLoopJoin"),
+      s"$key degenerated to an all-pairs join:\n$s")
+  }
+
   private def readSchemaCols(plan: String): Set[String] =
     "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
       .map(_.group(1).split(",").map(_.split(":")(0).trim).toSet)
@@ -333,26 +354,7 @@ class PlanSpec extends AnyFunSuite {
     // were audited as "the scale plan" at r10, and these budgets freeze
     // that audit. A refactor that adds a second text scan (e.g. dropping a
     // signature localCheckpoint) or an extra shuffle fails HERE, not in a
-    // bench round two days later. Counts are plan NODES: ReusedExchange
-    // references repeat the referenced exchange's text, so raw substring
-    // counts over-count plans that deliberately reuse an exchange.
-    def nodeBudget(key: String, fileScanMax: Int, rddScanMax: Int,
-                   hashExMax: Int): Unit = {
-      val s = finalPlan(key).split("== Initial Plan ==")(0)
-      def nodes(m: String) = s.linesIterator
-        .count(l => l.contains(m) && !l.contains("ReusedExchange"))
-      assert(nodes("FileScan parquet") <= fileScanMax,
-        s"$key reads ${nodes("FileScan parquet")} parquet scans (budget $fileScanMax):\n$s")
-      // checkpointed-signature keys: both self-join sides must share the
-      // ONE materialized RDD — more RDD scans = a re-derived lineage
-      assert(nodes("Scan ExistingRDD") <= rddScanMax,
-        s"$key scans ${nodes("Scan ExistingRDD")} checkpointed RDDs (budget $rddScanMax):\n$s")
-      assert(nodes("Exchange hashpartitioning") <= hashExMax,
-        s"$key shuffles ${nodes("Exchange hashpartitioning")}× (budget $hashExMax):\n$s")
-      assert(!s.contains("CartesianProduct") &&
-             !s.contains("BroadcastNestedLoopJoin"),
-        s"$key degenerated to an all-pairs join:\n$s")
-    }
+    // bench round two days later. Counts are plan NODES (see nodeBudget).
     // simhash: text scan fully amortized through the signature checkpoint
     // (0 visible file scans); one band-bucket shuffle
     nodeBudget("q_dedup_simhash", fileScanMax = 0, rddScanMax = 2, hashExMax = 1)
@@ -367,6 +369,19 @@ class PlanSpec extends AnyFunSuite {
     // containment: the q_dedup_ngram profile — two text scans (gram
     // pipeline + overlap confirm), five real shuffles, the rest reused
     nodeBudget("q_containment", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
+  }
+
+  test("scan + exchange budgets hold on the r11 triangle/bootstrap keys") {
+    // triangle: zero file scans — all three pair reads must come from the
+    // ONE checkpointed RDD (a lazy read re-runs the whole minhash
+    // pipeline per join side); wedge join + closing semi + membership agg
+    nodeBudget("q_triangle_count", fileScanMax = 0, rddScanMax = 3,
+               hashExMax = 5)
+    // bootstrap: ONE orders scan feeds all 32 replicas (the one-pass
+    // claim IS this budget — a literal resample reads the table B times);
+    // the only shuffle is the ≤ B-rows-per-task per-replica agg
+    nodeBudget("q_bootstrap_ci", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
   }
 
   test("q_agg_incremental pushes both shipdate bounds into the parquet scans") {

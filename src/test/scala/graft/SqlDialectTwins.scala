@@ -832,5 +832,52 @@ object SqlDialectTwins {
       WHERE greatest(round(CAST(i.ov AS DOUBLE) / s1.n, 4),
                      round(CAST(i.ov AS DOUBLE) / s2.n, 4)) >= 0.6
       ORDER BY i.d1, i.d2""",
+
+    // range table fn -> explode(sequence); md5-prefix -> md5_prefix60;
+    // the Poisson CASE text is generated from the same Analytics.PoisCdf
+    "q_bootstrap_ci" -> s"""
+      WITH h AS (
+        SELECT md5_prefix60(CAST(o_orderkey AS STRING)) % 4294967296 AS h32,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      reps AS (
+        SELECT h32, cents, b FROM h
+        LATERAL VIEW explode(sequence(0, 31)) t AS b),
+      uu AS (
+        SELECT b, cents,
+          CAST((h32 * (b * 2 + 3) + b * 2654435761) % 2147483647 + 1
+               AS DOUBLE) / CAST(2147483647 AS DOUBLE) AS u
+        FROM reps),
+      ww AS (
+        SELECT b, cents, ${graft.ops.Analytics.poisCaseSql} AS w FROM uu),
+      agg AS (
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+               sum(CAST(w * cents AS DECIMAL(19,0))) AS s
+        FROM ww GROUP BY b),
+      stats AS (
+        SELECT CAST(b AS INT) AS b, n_eff,
+               round(CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE), 6)
+                 AS mean_price
+        FROM agg WHERE n_eff > 0)
+      SELECT b, n_eff, mean_price,
+             CAST(row_number() OVER (ORDER BY mean_price, b) AS INT) AS rk
+      FROM stats ORDER BY b""",
+
+    // nested minhash-pairs CTE + the same wedge-close tail as the oracle
+    "q_triangle_count" -> s"""
+      WITH pairs AS (
+        $minhashPairsSparkSql
+      ), tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.d1 = e1.d2
+        JOIN pairs e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+      ), m AS (
+        SELECT a AS doc_id FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      )
+      SELECT doc_id, count(*) AS n_triangles
+      FROM m GROUP BY doc_id ORDER BY doc_id""",
   )
 }
