@@ -282,6 +282,45 @@ object Aggregates extends QueryPack {
              outd(sum(dec(coalesce(col("qn"), lit(0.0))))).as("sum_coalesced"),
              count(when(col("qn") <=> col("qn2"), lit(1))).as("n_nullsafe_eq"))
         .orderBy(col("grp").asc_nulls_first)
+    },
+
+    // Feature standardization (the ML-prep primitive behind every
+    // numeric feature column): per-group z-score + min-max scaling of
+    // l_extendedprice. The group moments (n, Σx, Σx², min, max) are
+    // EXACT single-pass mergeable decimal sums; mean/stddev/range math
+    // then runs in double with the SAME textual expression shape in
+    // both engines (identical IEEE ops on identical exact inputs ⇒
+    // identical bits, the q_rolling_corr discipline), rounded to 4.
+    // Degenerate groups (n<2 or zero variance/range) produce NULL, not
+    // ±inf, via the same exact-decimal guards on both sides.
+    // 100 TB lens: the stats frame is |groups| rows and BROADCAST back —
+    // the fact table is scanned twice but never shuffled; at scale the
+    // second scan collapses the same way (stats persist as a tiny
+    // dimension), which is exactly how a production feature store ships
+    // normalization constants.
+    "q_feature_scale" -> { (s, d) =>
+      val x = dec(col("l_extendedprice"))
+      val stats = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"),
+             sum(x * x).as("sxx"), min(x).as("mn"), max(x).as("mx"))
+      val nD = col("n").cast("double")
+      val mean = col("sx").cast("double") / nD
+      val varr = (col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1)
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 100)
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_extendedprice"),
+          when(col("n") >= 2 && varr > 0,
+            round((col("l_extendedprice") - mean) / sqrt(varr), 4))
+            .as("zscore"),
+          when(col("mx") > col("mn"),
+            round((dec(col("l_extendedprice")) - col("mn")).cast("double") /
+                  (col("mx") - col("mn")).cast("double"), 4))
+            .as("minmax"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
@@ -436,6 +475,35 @@ object Aggregates extends QueryPack {
           AS sum_coalesced,
         count(CASE WHEN qn IS NOT DISTINCT FROM qn2 THEN 1 END)
           AS n_nullsafe_eq
-      FROM base GROUP BY grp ORDER BY grp NULLS FIRST"""
+      FROM base GROUP BY grp ORDER BY grp NULLS FIRST""",
+
+    // Portable SQL (valid in BOTH engines -> SqlParityKeys.oracleReuse).
+    "q_feature_scale" -> """
+      WITH stats AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+               min(CAST(l_extendedprice AS DECIMAL(18,2))) AS mn,
+               max(CAST(l_extendedprice AS DECIMAL(18,2))) AS mx
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_orderkey, l_linenumber, l.l_returnflag, l_extendedprice,
+        CASE WHEN n >= 2 AND
+                  (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                  (CAST(n AS DOUBLE) - 1) > 0
+          THEN round((l_extendedprice -
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+                      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     (CAST(n AS DOUBLE) - 1)), 4)
+        END AS zscore,
+        CASE WHEN mx > mn
+          THEN round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - mn
+                          AS DOUBLE) / CAST(mx - mn AS DOUBLE), 4)
+        END AS minmax
+      FROM lineitem l JOIN stats s ON l.l_returnflag = s.l_returnflag
+      WHERE l_orderkey <= 100
+      ORDER BY l_orderkey, l_linenumber"""
   )
 }

@@ -545,6 +545,138 @@ object Analytics extends QueryPack {
         .withColumn("rk", row_number().over(
           Window.orderBy(col("mean_price"), col("b"))).cast("int"))
         .orderBy(col("b"))
+    },
+
+    // Last-touch attribution: each purchase is credited to the most
+    // recent PRIOR non-purchase event of the same user (classic
+    // marketing attribution over the reference's event feed); purchases
+    // with no prior touch are 'direct'. ONE shuffle by user_id for the
+    // IGNORE-NULLS last() over the preceding frame, then the frame
+    // collapses to ≤|event_types| credit rows — the revenue sum rides as
+    // exact decimal so accumulation order cannot diverge the hash.
+    // 100 TB lens: identical profile to q_event_transitions — the only
+    // wide op is the per-user window; credit aggregation is map-side
+    // combinable on the already-partitioned frame.
+    "q_attribution" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+                col("event_type"), col("value"))
+        .withColumn("touch", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+             outd(sum(dec(col("value")))).as("total_value"))
+        .orderBy(col("touch_type"))
+    },
+
+    // Exponentially-weighted moving average of each user's event value,
+    // evaluated at the user's LAST event over its trailing 20-event
+    // frame with half-life-1 decay (w = 0.5^age). 0.5^k is EXACT in
+    // binary floating point (a pure exponent shift), so every term
+    // value·0.5^k is the same exact double in both engines; terms are
+    // then rounded to 10 decimals and decimal-summed (the dec10
+    // discipline), making the weighted mean order-independent. The
+    // whole computation is one window pass + one hash agg — the
+    // trailing-frame state is O(1) per user at any scale.
+    "q_ewma" -> { (s, d) =>
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wAll = Window.partitionBy(col("user_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("mx", max(col("rn")).over(wAll))
+        .filter(col("rn") > col("mx") - 20)
+        .withColumn("wt",
+          pow(lit(0.5), (col("mx") - col("rn")).cast("double")))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_window"),
+          round(sum(dec10(col("wt") * col("value"))).cast("double") /
+                sum(dec10(col("wt"))).cast("double"), 4).as("ewma"))
+        .orderBy(col("user_id"))
+    },
+
+    // CUSUM changepoint detection: per event_type, the day where the
+    // cumulative deviation of daily revenue from its overall mean peaks
+    // (the classic level-shift detector). All arithmetic stays EXACT
+    // until the final display division: S_i = n·cumsum_i − i·total is
+    // the mean-centered CUSUM scaled by the (positive) day count n, so
+    // argmax|S_i| ≡ argmax|cusum_i| with zero float ops in the argmax —
+    // the selected day is bit-identical across engines by construction.
+    // 100 TB lens: facts collapse to one row per (type, day) before any
+    // window; both windows then run over the calendar-sized frame.
+    "q_changepoint" -> { (s, d) =>
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(dec(col("value"))).as("x"))
+        .withColumn("i", row_number().over(wOrd))
+        .withColumn("cx", sum(col("x")).over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .withColumn("sdev", col("n") * col("cx") - col("i") * col("tot"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy(col("event_type"))
+          .orderBy(abs(col("sdev")).desc, col("day"))))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          col("i").cast("int").as("day_idx"),
+          round(col("sdev").cast("double") / col("n").cast("double"), 4)
+            .as("peak_cusum"))
+        .orderBy(col("event_type"))
+    },
+
+    // Bounded-depth BFS over the customer↔supplier purchase graph
+    // (blast-radius / reachability: "which suppliers sit within 3 hops
+    // of nation 0's customers?"). Seeds = nation-0 customers; hop 1 =
+    // their suppliers, hop 2 = customers sharing those suppliers, hop 3
+    // = the next supplier ring — each frontier deduped and anti-joined
+    // against earlier rings so every node carries its MINIMUM hop
+    // count, exactly the unrolled-K BFS semantics of the oracle's
+    // chained CTEs. 100 TB lens: the edge list is deduped once to the
+    // (customer, supplier) grain and reused by every round; frontiers
+    // are node-sized (never edge-sized) and broadcast while small — at
+    // web-graph frontier sizes the same joins fall back to shuffles,
+    // the documented pointer-doubling alternative being
+    // q_connected_components' machinery.
+    "q_bfs_hops" -> { (s, d) =>
+      // the edge frame is read by all three frontier rounds —
+      // localCheckpoint so the lineitem⋈orders distinct runs ONCE
+      // (without it each round replays the full fact-side lineage:
+      // 3 scans + 3 shuffles, measured ~30% of the key's wall time)
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .localCheckpoint()
+      val seed = Tables.customer(s, d)
+        .filter(col("c_nationkey") === 0)
+        .select(col("c_custkey").as("c"))
+      val h1 = edges.join(broadcast(seed), Seq("c"))
+        .select(col("sup")).distinct()
+      val h2 = edges.join(broadcast(h1), Seq("sup"))
+        .select(col("c")).distinct()
+        .join(broadcast(seed), Seq("c"), "left_anti")
+      val h3 = edges.join(broadcast(h2), Seq("c"))
+        .select(col("sup")).distinct()
+        .join(broadcast(h1), Seq("sup"), "left_anti")
+      seed.select(lit("customer").as("kind"), col("c").as("node_key"),
+                  lit(0).as("hops"))
+        .unionAll(h1.select(lit("supplier").as("kind"),
+          col("sup").as("node_key"), lit(1).as("hops")))
+        .unionAll(h2.select(lit("customer").as("kind"),
+          col("c").as("node_key"), lit(2).as("hops")))
+        .unionAll(h3.select(lit("supplier").as("kind"),
+          col("sup").as("node_key"), lit(3).as("hops")))
+        .orderBy(col("hops"), col("kind"), col("node_key"))
     }
   )
 
@@ -948,6 +1080,82 @@ object Analytics extends QueryPack {
         FROM agg WHERE n_eff > 0)
       SELECT b, n_eff, mean_price,
              CAST(row_number() OVER (ORDER BY mean_price, b) AS INT) AS rk
-      FROM stats ORDER BY b"""
+      FROM stats ORDER BY b""",
+
+    // DuckDB dialect (IGNORE NULLS inside the call parens); Spark twin
+    // in SqlDialectTwins.
+    "q_attribution" -> """
+      WITH t AS (
+        SELECT event_type, value,
+          last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                     IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events)
+      SELECT coalesce(touch, 'direct') AS touch_type,
+             count(*) AS n_purchases,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY touch_type""",
+
+    // Portable SQL (valid in BOTH engines -> SqlParityKeys.oracleReuse).
+    "q_ewma" -> """
+      WITH r AS (
+        SELECT user_id, value,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS rn,
+          count(*) OVER (PARTITION BY user_id) AS mx
+        FROM events)
+      SELECT user_id, CAST(count(*) AS INT) AS n_window,
+        round(CAST(sum(CAST(value * power(0.5, CAST(mx - rn AS DOUBLE))
+                            AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(sum(CAST(power(0.5, CAST(mx - rn AS DOUBLE))
+                            AS DECIMAL(28,10))) AS DOUBLE), 4) AS ewma
+      FROM r WHERE rn > mx - 20
+      GROUP BY user_id ORDER BY user_id""",
+
+    "q_changepoint" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(18,2))) AS x
+        FROM events GROUP BY 1, 2),
+      c AS (
+        SELECT event_type, day,
+          row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+          sum(x) OVER (PARTITION BY event_type ORDER BY day) AS cx,
+          count(*) OVER (PARTITION BY event_type) AS n,
+          sum(x) OVER (PARTITION BY event_type) AS tot
+        FROM daily),
+      s AS (
+        SELECT event_type, day, i, n, n * cx - i * tot AS sdev,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY abs(n * cx - i * tot) DESC, day) AS rk
+        FROM c)
+      SELECT event_type, day AS cp_day, CAST(i AS INT) AS day_idx,
+             round(CAST(sdev AS DOUBLE) / CAST(n AS DOUBLE), 4)
+               AS peak_cusum
+      FROM s WHERE rk = 1 ORDER BY event_type""",
+
+    "q_bfs_hops" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      seed AS (
+        SELECT c_custkey AS c FROM customer WHERE c_nationkey = 0),
+      h1 AS (
+        SELECT DISTINCT sup FROM edges JOIN seed USING (c)),
+      h2 AS (
+        SELECT DISTINCT c FROM edges JOIN h1 USING (sup)
+        EXCEPT SELECT c FROM seed),
+      h3 AS (
+        SELECT DISTINCT sup FROM edges JOIN h2 USING (c)
+        EXCEPT SELECT sup FROM h1)
+      SELECT kind, node_key, hops FROM (
+        SELECT 'customer' AS kind, c AS node_key, 0 AS hops FROM seed
+        UNION ALL SELECT 'supplier', sup, 1 FROM h1
+        UNION ALL SELECT 'customer', c, 2 FROM h2
+        UNION ALL SELECT 'supplier', sup, 3 FROM h3)
+      ORDER BY hops, kind, node_key"""
   )
 }

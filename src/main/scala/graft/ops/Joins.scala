@@ -279,6 +279,27 @@ object Joins extends QueryPack {
         .agg(outd(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy(col("n_name"))
+    },
+
+    // LATERAL correlated subquery (SQL:2016 lateral join — the "top-N
+    // per outer row as a join" surface): for each nation, its top-2
+    // customers by account balance, expressed as a correlated LIMIT
+    // subquery in the FROM clause rather than a window. Catalyst
+    // decorrelates it into exactly the q_topk_per_group plan (shuffle
+    // by nationkey + per-group rank limit), so the SQL surface costs
+    // nothing over the DSL form — that equivalence is the point of the
+    // key. Views carry a _lj suffix so the entry cannot clobber the
+    // parity harness's plain-name fixture views on a shared session.
+    "q_lateral_join" -> { (s, d) =>
+      Tables.nation(s, d).createOrReplaceTempView("nation_lj")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lj")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lj n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer_lj c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
     }
   )
 
@@ -413,6 +434,17 @@ object Joins extends QueryPack {
       JOIN nation ON s_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
-      GROUP BY n_name ORDER BY n_name"""
+      GROUP BY n_name ORDER BY n_name""",
+
+    // Portable SQL apart from the table names (the Spark entry reads
+    // suffixed views); the parity twin in SqlDialectTwins is this text
+    // against the harness's plain-name views.
+    "q_lateral_join" -> """
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
   )
 }

@@ -540,6 +540,47 @@ object PipelineOps extends QueryPack {
         .filter(greatest(col("c12"), col("c21")) >= 0.6)
         .select(col("d1"), col("d2"), col("c12"), col("c21"))
         .orderBy(col("d1"), col("d2"))
+    },
+
+    // Hashing-trick featurization (the fixed-width bag-of-words behind
+    // linear/logistic baselines and feature stores): every token hashes
+    // into one of 64 buckets via the shared h60 digest; output = the
+    // per-(lang, bucket) token count and document frequency — the
+    // corpus-side feature-frequency table a trainer ships with the
+    // model. ONE explode + one hash agg; the token stream shuffles as
+    // (lang, small-int) pairs, never words, and the output is
+    // |langs|×64 rows at ANY corpus scale. countDistinct(doc_id) is
+    // exact (expands to a two-level agg); the documented 100 TB swap is
+    // approx_count_distinct, the q_agg_approx_distinct machinery.
+    "q_feature_hash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("lang"), col("doc_id"), (h60(col("w")) % 64).as("bucket"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+
+    // Deterministic k-fold split (cross-validation assignment that is
+    // reproducible across runs, engines, and partitionings — no RNG
+    // state, the q_split_sample content-hash discipline applied to the
+    // id grain): fold = h60(doc_id) mod 5, with per-fold volume stats
+    // and each fold's share of the corpus. The share denominator is a
+    // window sum over the 5-row aggregate, not a second corpus pass.
+    "q_kfold" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fold",
+          (h60(col("doc_id").cast("string")) % 5).cast("int"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("n_chars"),
+             countDistinct(col("lang")).as("n_langs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 4))
+        .orderBy(col("fold"))
     }
   )
 
@@ -1292,6 +1333,31 @@ object PipelineOps extends QueryPack {
       JOIN sizes s2 ON s2.doc_id = i.d2
       WHERE greatest(round(CAST(i.ov AS DOUBLE) / s1.n, 4),
                      round(CAST(i.ov AS DOUBLE) / s2.n, 4)) >= 0.6
-      ORDER BY i.d1, i.d2"""
+      ORDER BY i.d1, i.d2""",
+
+    "q_feature_hash" -> s"""
+      WITH toks AS (
+        SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+      SELECT lang, ${h60Sql("w")} % 64 AS bucket,
+             count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+      FROM toks WHERE strlen(w) > 0
+      GROUP BY 1, 2 ORDER BY lang, bucket""",
+
+    "q_kfold" -> s"""
+      WITH f AS (
+        SELECT CAST(${h60Sql("CAST(doc_id AS VARCHAR)")} % 5 AS INT)
+                 AS fold,
+               n_chars, lang
+        FROM documents),
+      agg AS (
+        SELECT fold, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM f GROUP BY fold)
+      SELECT fold, n_docs, n_chars, n_langs,
+             round(CAST(n_docs AS DOUBLE) /
+                   CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS share
+      FROM agg ORDER BY fold"""
   )
 }

@@ -110,6 +110,34 @@ object SortSetOps extends QueryPack {
       o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
         .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
         .orderBy(col("o_custkey"))
+    },
+
+    // 2-D skyline (pareto frontier): the parts no other part beats on
+    // BOTH axes — cheaper-or-equal price AND bigger-or-equal size with
+    // at least one strict. The naive formulation is a quadratic NOT
+    // EXISTS self-join; this is the O(n log n) sweep instead: collapse
+    // to per-price max size, one running strictly-cheaper max over the
+    // price-sorted frame (ROWS ... 1 PRECEDING excludes the tie group —
+    // the reason the sweep runs on the collapsed grain, where ties
+    // cannot straddle rows), then survivors = rows that top their own
+    // price group AND exceed every cheaper group's best. 100 TB lens:
+    // the fact side never self-joins; the sweep frame is |distinct
+    // prices| rows (broadcast back), and at frontier-of-billions scale
+    // the same sweep becomes a range-partitioned sort + two-pass prefix
+    // max — the q_sort_multi discipline, still zero quadratic work.
+    "q_skyline" -> { (s, d) =>
+      val p = Tables.part(s, d)
+      val run = p.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("pmax"))
+        .withColumn("better", max(col("pmax")).over(
+          Window.orderBy(col("price"))
+            .rowsBetween(Window.unboundedPreceding, -1)))
+      p.join(broadcast(run), col("p_retailprice") === col("price"))
+        .filter(col("p_size") === col("pmax") &&
+                (col("better").isNull || col("p_size") > col("better")))
+        .select(col("p_partkey"), col("p_brand"),
+                col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_retailprice"), col("p_partkey"))
     }
   )
 
@@ -157,6 +185,19 @@ object SortSetOps extends QueryPack {
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
       EXCEPT
       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-      ORDER BY o_custkey"""
+      ORDER BY o_custkey""",
+
+    // Portable SQL (valid in BOTH engines -> SqlParityKeys.oracleReuse).
+    "q_skyline" -> """
+      WITH run AS (
+        SELECT price, pmax,
+          max(pmax) OVER (ORDER BY price
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better
+        FROM (SELECT p_retailprice AS price, max(p_size) AS pmax
+              FROM part GROUP BY p_retailprice))
+      SELECT p_partkey, p_brand, p_retailprice, p_size
+      FROM part JOIN run ON p_retailprice = price
+      WHERE p_size = pmax AND (better IS NULL OR p_size > better)
+      ORDER BY p_retailprice, p_partkey"""
   )
 }

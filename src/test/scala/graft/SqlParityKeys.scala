@@ -50,7 +50,9 @@ object SqlParityKeys {
     "q_stateful_running", "q_stream_dedup", "q_stream_join",
     "q_topk_global", "q_udaf_geomean", "q_union_all", "q_upsert",
     "q_watermark_late", "q_window_analytic", "q_window_frame_rows",
-    "q_window_percent", "q_window_running")
+    "q_window_percent", "q_window_running",
+    "q_ewma", "q_changepoint", "q_bfs_hops", "q_feature_scale",
+    "q_skyline")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
