@@ -33,17 +33,23 @@ object ScaleSmoke {
     "q_agg_percentiles", "q_dedup_minhash", "q_seq_pack",
     "q_stratified_sample", "q_dedup_incremental", "q_token_budget",
     "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams",
-    "q_pagerank", "q_containment")
+    "q_pagerank", "q_containment",
+    "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
   // inverse pin: k·groups must stay FLAT at 10× (the WindowGroupLimit
   // partial-limit story).
+  // q_bfs_hops rows-out = blast-radius growth through the shared supplier
+  // hubs (seeds stay copy-0, reachability crosses copies — expected ~10×
+  // at hop 2); q_feature_hash rows-out is a FLAT pin like
+  // q_stratified_sample (|langs|×64 buckets is scale-invariant even as
+  // the per-copy word prefixes grow the vocabulary 10×).
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
-        "q_containment")
+        "q_containment", "q_bfs_hops", "q_feature_hash")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
@@ -58,6 +64,14 @@ object ScaleSmoke {
         .trim.toInt).getOrElse(1))
     val out = "target/sf1"
     val copies = 10
+    // optional positional args restrict the smoke to the named keys —
+    // same contract as Bench/Verify (unknown names fail fast)
+    val only = args.toSet
+    val unknownKeys = only -- Keys
+    require(unknownKeys.isEmpty,
+      s"unknown smoke keys: ${unknownKeys.mkString(", ")}")
+    val keys = Keys.filter(k => only.isEmpty || only(k))
+    val countKeys = CountKeys.filter(k => only.isEmpty || only(k))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,20 +92,20 @@ object ScaleSmoke {
     }
 
     // warm both scales (JIT/codegen/footers), then min-of-N timed passes
-    Keys.foreach(k => run(k, src)); Keys.foreach(k => run(k, out))
+    keys.foreach(k => run(k, src)); keys.foreach(k => run(k, out))
     System.gc(); Thread.sleep(2000)
     def timed(dir: String): Map[String, Double] =
-      (1 to passes).map(_ => Keys.map(k => k -> run(k, dir)).toMap)
+      (1 to passes).map(_ => keys.map(k => k -> run(k, dir)).toMap)
         .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val small = timed(src)
     val big = timed(out)
-    val counts = CountKeys.toSeq.sorted.map { k =>
+    val counts = countKeys.toSeq.sorted.map { k =>
       k -> (SparkEntry.queries(k)(spark, src).count(),
             SparkEntry.queries(k)(spark, out).count())
     }
 
     println(f"%nkey | sf0.1 s | sf1 s | ratio")
-    Keys.foreach { k =>
+    keys.foreach { k =>
       println(f"$k | ${small(k)}%.2f | ${big(k)}%.2f | ${big(k) / small(k)}%.1fx")
     }
     println("\nkey | rows sf0.1 | rows sf1 | ratio")

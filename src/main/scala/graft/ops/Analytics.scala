@@ -677,6 +677,83 @@ object Analytics extends QueryPack {
         .unionAll(h3.select(lit("supplier").as("kind"),
           col("sup").as("node_key"), lit(3).as("hops")))
         .orderBy(col("hops"), col("kind"), col("node_key"))
+    },
+
+    // Frequent 3-step event paths (sequence mining over the event feed:
+    // "what do users actually do, in order?"): every consecutive
+    // same-user (t1 > t2 > t3) triple via two leads over ONE user_id
+    // window pass, then occurrence + distinct-user counts per path,
+    // top-20 with a path tie-break. The window and both aggregates ride
+    // the same user_id shuffle; the path frame is ≤|types|³ rows.
+    "q_path_mining" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy(concat(col("event_type"), lit(">"), col("t2"),
+                        lit(">"), col("t3")).as("path"))
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+
+    // Degree distribution of the purchase graph (the first thing to look
+    // at before running any graph algorithm — skew here decides the
+    // partitioning story for q_pagerank/q_bfs_hops): per-side node
+    // degrees over the deduped (customer, supplier) edge grain, then the
+    // histogram of degrees. The edge frame is localCheckpointed and read
+    // by both side aggregations; every shuffle after it is node-sized,
+    // and the output is ≤|distinct degrees| rows per side at any scale.
+    "q_degree_dist" -> { (s, d) =>
+      val edges = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct()
+        .localCheckpoint()
+      def side(key: String, name: String) =
+        edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(name).as("side"), col("degree"), col("n_nodes"))
+      side("c", "customer").unionAll(side("sup", "supplier"))
+        .orderBy(col("side"), col("degree"))
+    },
+
+    // Time-bound conversion funnel (q_funnel with a 48 h step deadline —
+    // the form product analytics actually runs): first signup, first
+    // view within 48 h OF THAT signup, first purchase within 48 h of
+    // that view. Step k's anchor is step k−1's timestamp, so the
+    // cascade is three user-grain aggregates chained by equi-joins —
+    // each join moves one (user_id, timestamp) pair per user, never the
+    // fact table; counts come off frames that shrink monotonically.
+    "q_funnel_window" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "view")
+        .join(s1, Seq("user_id"))
+        .filter(col("ts") >= col("t1") &&
+                col("ts") <= col("t1") + expr("INTERVAL '48' HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, Seq("user_id"))
+        .filter(col("ts") >= col("t2") &&
+                col("ts") <= col("t2") + expr("INTERVAL '48' HOUR"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.agg(count(lit(1)).as("n_users"))
+        .select(lit("1_signup").as("step"), col("n_users"))
+        .unionAll(s2.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_view_48h").as("step"), col("n_users")))
+        .unionAll(s3.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase_48h").as("step"), col("n_users")))
+        .orderBy(col("step"))
     }
   )
 
@@ -1156,6 +1233,55 @@ object Analytics extends QueryPack {
         UNION ALL SELECT 'supplier', sup, 1 FROM h1
         UNION ALL SELECT 'customer', c, 2 FROM h2
         UNION ALL SELECT 'supplier', sup, 3 FROM h3)
-      ORDER BY hops, kind, node_key"""
+      ORDER BY hops, kind, node_key""",
+
+    "q_path_mining" -> """
+      WITH tri AS (
+        SELECT user_id, event_type AS t1,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t2,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS t3
+        FROM events)
+      SELECT concat(t1, '>', t2, '>', t3) AS path,
+             count(*) AS n, count(DISTINCT user_id) AS n_users
+      FROM tri WHERE t3 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+
+    "q_degree_dist" -> """
+      WITH edges AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      cd AS (SELECT c, count(*) AS degree FROM edges GROUP BY c),
+      sd AS (SELECT sup, count(*) AS degree FROM edges GROUP BY sup)
+      SELECT side, degree, n_nodes FROM (
+        SELECT 'customer' AS side, degree, count(*) AS n_nodes
+        FROM cd GROUP BY degree
+        UNION ALL
+        SELECT 'supplier' AS side, degree, count(*) AS n_nodes
+        FROM sd GROUP BY degree)
+      ORDER BY side, degree""",
+
+    "q_funnel_window" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view'
+          AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL '48' HOUR
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts >= s2.t2 AND e.ts <= s2.t2 + INTERVAL '48' HOUR
+        GROUP BY e.user_id)
+      SELECT step, n_users FROM (
+        SELECT '1_signup' AS step, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_view_48h', count(*) FROM s2
+        UNION ALL SELECT '3_purchase_48h', count(*) FROM s3)
+      ORDER BY step"""
   )
 }

@@ -581,6 +581,29 @@ object PipelineOps extends QueryPack {
         .withColumn("share", round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy()).cast("double"), 4))
         .orderBy(col("fold"))
+    },
+
+    // Per-class embedding centroids (the vector-analytics grain behind
+    // classifier calibration and cluster drift monitoring): mean / min /
+    // max of the first 8 dimensions per label. Floats widen to double
+    // EXACTLY, each term dec10-rounds identically in both engines, and
+    // the decimal sums make the mean order-independent (the q_ewma
+    // discipline on the vector grain). ONE narrow bounded-fan-out
+    // explode + one hash agg — (label, pos) cells are map-side
+    // combinable partial sums, so a 100 TB embedding table reduces to
+    // |labels|×dims cells without any row ever leaving its scan task
+    // un-aggregated.
+    "q_embed_centroid" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("pos") < 8)
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec10(col("v").cast("double"))).cast("double") /
+                count(lit(1)).cast("double"), 4).as("centroid"),
+          round(min(col("v").cast("double")), 4).as("vmin"),
+          round(max(col("v").cast("double")), 4).as("vmax"))
+        .orderBy(col("label"), col("pos"))
     }
   )
 
@@ -1358,6 +1381,20 @@ object PipelineOps extends QueryPack {
       SELECT fold, n_docs, n_chars, n_langs,
              round(CAST(n_docs AS DOUBLE) /
                    CAST(sum(n_docs) OVER () AS DOUBLE), 4) AS share
-      FROM agg ORDER BY fold"""
+      FROM agg ORDER BY fold""",
+
+    // DuckDB dialect (range-table explode, 1-based list index); Spark
+    // twin (posexplode) in SqlDialectTwins.
+    "q_embed_centroid" -> """
+      WITH ex AS (
+        SELECT label, CAST(t.r AS INT) AS pos,
+               CAST(embedding[CAST(t.r AS INT) + 1] AS DOUBLE) AS v
+        FROM embeddings, range(8) t(r))
+      SELECT label, pos, count(*) AS n,
+        round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE), 4) AS centroid,
+        round(min(v), 4) AS vmin,
+        round(max(v), 4) AS vmax
+      FROM ex GROUP BY label, pos ORDER BY label, pos"""
   )
 }

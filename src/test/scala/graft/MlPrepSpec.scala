@@ -300,4 +300,100 @@ class MlPrepSpec extends AnyFunSuite {
            !s.contains("BroadcastNestedLoopJoin"),
       s"lateral must decorrelate to a join + group limit:\n$s")
   }
+
+  // ---- q_path_mining -----------------------------------------------------
+
+  test("q_path_mining == sequential triple scan, top-20 by (n desc, path)") {
+    val counts = scala.collection.mutable
+      .Map.empty[String, (Long, Set[Long])]
+    eventsByUser.foreach { case (u, evs) =>
+      evs.map(_._1).sliding(3).filter(_.length == 3).foreach { t =>
+        val p = t.mkString(">")
+        val (n, us) = counts.getOrElse(p, (0L, Set.empty[Long]))
+        counts(p) = (n + 1, us + u)
+      }
+    }
+    val expected = counts.toSeq
+      .map { case (p, (n, us)) => (p, n, us.size.toLong) }
+      .sortBy { case (p, n, _) => (-n, p) }.take(20)
+    val got = run("q_path_mining").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
+  // ---- q_degree_dist -----------------------------------------------------
+
+  test("q_degree_dist conserves edges and nodes on both sides") {
+    val edges = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, TestSpark.Sf0001)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run("q_degree_dist").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Seq("customer" -> edges.map(_._1).distinct.length,
+        "supplier" -> edges.map(_._2).distinct.length)
+      .foreach { case (side, nNodes) =>
+        val s = rows.filter(_._1 == side)
+        assert(s.map(_._3).sum == nNodes,
+          s"$side node count not conserved")
+        assert(s.map(t => t._2 * t._3).sum == edges.length,
+          s"$side degree mass != edge count")
+      }
+  }
+
+  // ---- q_funnel_window ---------------------------------------------------
+
+  test("q_funnel_window == sequential 48h-deadline scan; steps shrink") {
+    val perUser = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+      .groupBy(_._1)
+    val H48 = 48L * 3600 * 1000
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    perUser.values.foreach { evs =>
+      val t1 = evs.filter(_._3 == "signup").map(_._2).minOption
+      t1.foreach { a =>
+        n1 += 1
+        val t2 = evs.filter(e => e._3 == "view" && e._2 >= a &&
+          e._2 <= a + H48).map(_._2).minOption
+        t2.foreach { b =>
+          n2 += 1
+          if (evs.exists(e => e._3 == "purchase" && e._2 >= b &&
+            e._2 <= b + H48)) n3 += 1
+        }
+      }
+    }
+    val got = run("q_funnel_window").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("1_signup" -> n1, "2_view_48h" -> n2,
+                      "3_purchase_48h" -> n3))
+    assert(n1 >= n2 && n2 >= n3, "funnel must shrink monotonically")
+  }
+
+  // ---- q_embed_centroid --------------------------------------------------
+
+  test("q_embed_centroid == local per-(label, pos) recompute; bounds hold") {
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val rows = run("q_embed_centroid").collect()
+    assert(rows.length == vecs.map(_._1).distinct.length * 8)
+    rows.foreach { r =>
+      val (label, pos) = (r.getInt(0), r.getInt(1))
+      val vs = vecs.filter(_._1 == label).map(_._2(pos).toDouble)
+      assert(r.getLong(2) == vs.length, s"($label,$pos) n")
+      assert(math.abs(r.getDouble(3) - vs.sum / vs.length) < 5e-4,
+        s"($label,$pos) centroid")
+      assert(math.abs(r.getDouble(4) - vs.min) < 5e-4)
+      assert(math.abs(r.getDouble(5) - vs.max) < 5e-4)
+      assert(r.getDouble(3) >= r.getDouble(4) - 1e-9 &&
+             r.getDouble(3) <= r.getDouble(5) + 1e-9,
+        "centroid must sit inside [vmin, vmax]")
+    }
+  }
 }

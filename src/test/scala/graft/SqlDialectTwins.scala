@@ -932,5 +932,19 @@ object SqlDialectTwins {
                WHERE c.c_nationkey = n.n_nationkey
                ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
+
+    // range-table 1-based list index -> posexplode (0-based)
+    "q_embed_centroid" -> """
+      WITH ex AS (
+        SELECT label, pos, CAST(v AS DOUBLE) AS v
+        FROM embeddings
+        LATERAL VIEW posexplode(embedding) t AS pos, v
+        WHERE pos < 8)
+      SELECT label, pos, count(*) AS n,
+        round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE), 4) AS centroid,
+        round(min(v), 4) AS vmin,
+        round(max(v), 4) AS vmax
+      FROM ex GROUP BY label, pos ORDER BY label, pos""",
   )
 }
