@@ -754,6 +754,50 @@ object Analytics extends QueryPack {
         .unionAll(s3.agg(count(lit(1)).as("n_users"))
           .select(lit("3_purchase_48h").as("step"), col("n_users")))
         .orderBy(col("step"))
+    },
+
+    // Market-basket association rules (the co-occurrence/lift mining
+    // behind "frequently bought together"): baskets = orders, items =
+    // distinct parts per order; support-filtered items (apriori prune,
+    // s ≥ 5) pair up INSIDE their basket via a self equi-join on the
+    // basket key — fan-out is per-basket k², never corpus-quadratic, and
+    // the prune bounds k before any pair exists. lift = c_ab·N/(s_a·s_b)
+    // and confidence from exact integer counts, one float division each
+    // at display. Top-20 by lift with full tie-breaks. 100 TB lens: the
+    // pair shuffle is keyed (a, b) and map-side combinable; a hot item
+    // pair salts through the q_join_salted knob; supports ride back as a
+    // broadcast dimension.
+    "q_basket_lift" -> { (s, d) =>
+      // the basket item grain feeds FOUR consumers (supports, both pair
+      // sides, the basket count) — localCheckpoint so the fact-side
+      // distinct runs once (the q_bfs_hops discipline)
+      val items = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+        .distinct()
+        .localCheckpoint()
+      val supp = items.groupBy(col("part")).agg(count(lit(1)).as("s"))
+        .filter(col("s") >= 5)
+      val freq = items.join(supp.select(col("part")), Seq("part"))
+      val nb = items.agg(countDistinct(col("okey")).as("n_baskets"))
+      val pairs = freq.select(col("okey"), col("part").as("a"))
+        .join(freq.select(col("okey"), col("part").as("b")), Seq("okey"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 3)
+      pairs
+        .join(broadcast(supp.select(col("part").as("a"), col("s").as("s_a"))),
+          Seq("a"))
+        .join(broadcast(supp.select(col("part").as("b"), col("s").as("s_b"))),
+          Seq("b"))
+        .crossJoin(broadcast(nb))
+        .select(col("a"), col("b"), col("c_ab"), col("s_a"), col("s_b"),
+          round(col("c_ab").cast("double") * col("n_baskets").cast("double") /
+                (col("s_a").cast("double") * col("s_b").cast("double")), 4)
+            .as("lift"),
+          round(col("c_ab").cast("double") / col("s_a").cast("double"), 4)
+            .as("confidence"))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
     }
   )
 
@@ -1282,6 +1326,30 @@ object Analytics extends QueryPack {
         SELECT '1_signup' AS step, count(*) AS n_users FROM s1
         UNION ALL SELECT '2_view_48h', count(*) FROM s2
         UNION ALL SELECT '3_purchase_48h', count(*) FROM s3)
-      ORDER BY step"""
+      ORDER BY step""",
+
+    "q_basket_lift" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+        FROM lineitem),
+      supp AS (
+        SELECT part, count(*) AS s FROM items GROUP BY part
+        HAVING count(*) >= 5),
+      freq AS (
+        SELECT i.okey, i.part FROM items i JOIN supp USING (part)),
+      nb AS (
+        SELECT count(DISTINCT okey) AS n_baskets FROM items),
+      pairs AS (
+        SELECT x.part AS a, y.part AS b, count(*) AS c_ab
+        FROM freq x JOIN freq y ON x.okey = y.okey AND x.part < y.part
+        GROUP BY 1, 2 HAVING count(*) >= 3)
+      SELECT a, b, c_ab, sa.s AS s_a, sb.s AS s_b,
+        round(CAST(c_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+              (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 4) AS lift,
+        round(CAST(c_ab AS DOUBLE) / CAST(sa.s AS DOUBLE), 4) AS confidence
+      FROM pairs
+      JOIN supp sa ON sa.part = a
+      JOIN supp sb ON sb.part = b, nb
+      ORDER BY lift DESC, a, b LIMIT 20"""
   )
 }

@@ -212,9 +212,19 @@ object SnapshotLake {
   }
 
   /** Time-travel read: the table exactly as of committed snapshot `id`,
-    * byte-stable regardless of later commits or in-flight writers. */
+    * byte-stable regardless of later commits or in-flight writers.
+    *
+    * Additive schema evolution is first-class: snapshots written with
+    * extra columns union into one schema (`mergeSchema`) and rows from
+    * pre-evolution snapshots read the new columns as NULL — the Delta/
+    * Iceberg add-column semantics, without a rewrite of history.
+    * Incompatible type changes fail loudly at read (parquet footer
+    * merge), never silently coerce. The cost is one footer read per
+    * file at planning; manifests bound the file set so this is
+    * snapshot-sized, not directory-listing-sized. */
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame =
-    spark.read.parquet(manifestDirs(spark, table, id): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(manifestDirs(spark, table, id): _*)
 
   /** Read the latest committed snapshot. */
   def readLatest(spark: SparkSession, table: String): DataFrame = {
@@ -238,7 +248,7 @@ object SnapshotLake {
     val newDirs = manifestDirs(spark, table, toId)
       .diff(manifestDirs(spark, table, fromId))
     if (newDirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(newDirs: _*)
+    else spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
   }
 
   /** Idempotent append: commit `df` as the next snapshot UNLESS a

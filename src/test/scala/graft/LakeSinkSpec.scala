@@ -214,6 +214,32 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(SnapshotLake.readIncremental(s, table, 2L, 2L).count() == 0L)
   }
 
+  test("additive schema evolution: old snapshots read new columns as " +
+       "NULL; time travel keeps the old shape") {
+    import s.implicits._
+    val table = tmpDir("snap-evolve")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    // snapshot 2 adds a column — no rewrite of snapshot 1's files
+    SnapshotLake.commit(
+      Seq((3L, "c", 30)).toDF("k", "v", "score"), table)
+    val latest = SnapshotLake.readLatest(s, table)
+    assert(latest.columns.sorted.toSeq == Seq("k", "score", "v"),
+      "merged schema must union the evolved column in")
+    val rows = latest.select(col("k"), col("v"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", None),
+                             (3L, "c", Some(30))),
+      "pre-evolution rows must surface the new column as NULL")
+    // time travel to snapshot 1 sees the PRE-evolution schema — history
+    // is byte-stable, not retro-widened
+    assert(SnapshotLake.readAt(s, table, 1L).columns.sorted.toSeq ==
+      Seq("k", "v"))
+    // the incremental delta carries the evolved shape
+    assert(SnapshotLake.readIncremental(s, table, 1L, 2L)
+      .columns.sorted.toSeq == Seq("k", "score", "v"))
+  }
+
   test("a dt filter prunes the scan to matching partitions") {
     val dir = tmpDir("lake-prune")
     LakeSink.writeByDay(Tables.events(s, TestSpark.Sf0001), "ts", dir)

@@ -374,6 +374,46 @@ class MlPrepSpec extends AnyFunSuite {
     assert(n1 >= n2 && n2 >= n3, "funnel must shrink monotonically")
   }
 
+  // ---- q_basket_lift -----------------------------------------------------
+
+  test("q_basket_lift == brute-force apriori recompute over order baskets") {
+    val items = Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nBaskets = items.map(_._1).distinct.length
+    val supp = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val frequent = supp.filter(_._2 >= 5).keySet
+    val pairCounts = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).filter(frequent).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3)
+    val expected = pairCounts.map { case ((a, b), c) =>
+      val lift = BigDecimal(c.toDouble * nBaskets /
+        (supp(a).toDouble * supp(b).toDouble))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (a, b, c.toLong, lift)
+    }.toSeq.sortBy { case (a, b, _, l) => (-l, a, b) }.take(20)
+    // join-key reordering can permute output column positions — read by
+    // name, not position
+    val byName = run("q_basket_lift").collect().map { r =>
+      (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c_ab"),
+       r.getAs[Double]("lift"))
+    }.toSeq
+    assert(byName == expected)
+    byName.foreach { case (a, b, c, _) =>
+      assert(a < b && c >= 3 && frequent(a) && frequent(b))
+    }
+  }
+
+  test("q_basket_lift plan: no cartesian; supports broadcast back") {
+    val p = run("q_basket_lift").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "pair generation must stay inside the basket equi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"support dimension should broadcast:\n$p")
+  }
+
   // ---- q_embed_centroid --------------------------------------------------
 
   test("q_embed_centroid == local per-(label, pos) recompute; bounds hold") {

@@ -52,7 +52,8 @@ object SqlParityKeys {
     "q_watermark_late", "q_window_analytic", "q_window_frame_rows",
     "q_window_percent", "q_window_running",
     "q_ewma", "q_changepoint", "q_bfs_hops", "q_feature_scale",
-    "q_skyline", "q_path_mining", "q_degree_dist", "q_funnel_window")
+    "q_skyline", "q_path_mining", "q_degree_dist", "q_funnel_window",
+    "q_basket_lift")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
