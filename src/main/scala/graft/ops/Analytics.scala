@@ -798,6 +798,45 @@ object Analytics extends QueryPack {
             .as("confidence"))
         .orderBy(col("lift").desc, col("a"), col("b"))
         .limit(20)
+    },
+
+    // Welch's two-sample t-test per event type (the A/B-experiment
+    // readout): variant = deterministic user_id parity split, moments
+    // (n, Σx, Σx²) per arm as EXACT decimal CASE-sums in ONE hash agg —
+    // no per-arm scans, map-side combinable at any fact scale — then
+    // t-statistic and Welch–Satterthwaite df as one closed-form double
+    // expression over the exact moments in identical textual order in
+    // both engines (the q_rolling_corr discipline), rounded to 4.
+    "q_ab_ttest" -> { (s, d) =>
+      val isA = col("user_id") % 2 === 0
+      val m = Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(!isA, 1L).otherwise(0L)).as("n_b"),
+          sum(when(isA, dec(col("value"))).otherwise(lit(0).cast(
+            DecimalType(18, 2)))).as("sx_a"),
+          sum(when(!isA, dec(col("value"))).otherwise(lit(0).cast(
+            DecimalType(18, 2)))).as("sx_b"),
+          sum(when(isA, dec(col("value")) * dec(col("value")))
+            .otherwise(lit(0).cast(DecimalType(37, 4)))).as("sxx_a"),
+          sum(when(!isA, dec(col("value")) * dec(col("value")))
+            .otherwise(lit(0).cast(DecimalType(37, 4)))).as("sxx_b"))
+      def dbl(c: String) = col(c).cast("double")
+      val (na, nb2) = (dbl("n_a"), dbl("n_b"))
+      val ma = dbl("sx_a") / na
+      val mb = dbl("sx_b") / nb2
+      val va = (dbl("sxx_a") - dbl("sx_a") * dbl("sx_a") / na) / (na - 1)
+      val vb = (dbl("sxx_b") - dbl("sx_b") * dbl("sx_b") / nb2) / (nb2 - 1)
+      val sea = va / na
+      val seb = vb / nb2
+      m.filter(col("n_a") >= 2 && col("n_b") >= 2)
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+          round((ma - mb) / sqrt(sea + seb), 4).as("t_stat"),
+          round((sea + seb) * (sea + seb) /
+                (sea * sea / (na - 1) + seb * seb / (nb2 - 1)), 4).as("df"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1350,6 +1389,45 @@ object Analytics extends QueryPack {
       FROM pairs
       JOIN supp sa ON sa.part = a
       JOIN supp sb ON sb.part = b, nb
-      ORDER BY lift DESC, a, b LIMIT 20"""
+      ORDER BY lift DESC, a, b LIMIT 20""",
+
+    "q_ab_ttest" -> """
+      WITH m AS (
+        SELECT event_type,
+          CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+          CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+          sum(CASE WHEN user_id % 2 = 0
+              THEN CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_a,
+          sum(CASE WHEN user_id % 2 <> 0
+              THEN CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS sx_b,
+          sum(CASE WHEN user_id % 2 = 0
+              THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(37,4)) END) AS sxx_a,
+          sum(CASE WHEN user_id % 2 <> 0
+              THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(37,4)) END) AS sxx_b
+        FROM events GROUP BY event_type),
+      t AS (
+        SELECT event_type, n_a, n_b,
+          CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+          CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+          (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
+             / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1)
+             / CAST(n_a AS DOUBLE) AS sea,
+          (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
+             / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1)
+             / CAST(n_b AS DOUBLE) AS seb
+        FROM m WHERE n_a >= 2 AND n_b >= 2)
+      SELECT event_type, n_a, n_b,
+        round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        round((sea + seb) * (sea + seb) /
+              (sea * sea / (CAST(n_a AS DOUBLE) - 1) +
+               seb * seb / (CAST(n_b AS DOUBLE) - 1)), 4) AS df
+      FROM t ORDER BY event_type"""
   )
 }

@@ -300,6 +300,38 @@ object Joins extends QueryPack {
                  WHERE c.c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+
+    // NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    // trap, pinned as a contract row so the engine's subquery semantics
+    // can never drift: a NULL in a NOT IN subquery makes EVERY
+    // comparison UNKNOWN (zero rows survive), while NOT EXISTS
+    // anti-joins normally and a null-filtered NOT IN matches it. One
+    // summary row per formulation. The NOT IN forms plan as
+    // null-aware anti joins — single-column NAAJ is a broadcast plan in
+    // Spark by design (the documented reason NOT EXISTS is the
+    // 100 TB-safe spelling, which is exactly what this key teaches).
+    "q_not_in_nulls" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer_ni")
+      Tables.orders(s, d).createOrReplaceTempView("orders_ni")
+      s.sql("""
+        SELECT form, n_rows FROM (
+          SELECT 'not_in_with_null' AS form, count(*) AS n_rows
+          FROM customer_ni
+          WHERE c_custkey NOT IN
+            (SELECT nullif(o_custkey, 1) FROM orders_ni)
+          UNION ALL
+          SELECT 'not_in_null_filtered', count(*)
+          FROM customer_ni
+          WHERE c_custkey NOT IN
+            (SELECT nullif(o_custkey, 1) FROM orders_ni
+             WHERE nullif(o_custkey, 1) IS NOT NULL)
+          UNION ALL
+          SELECT 'not_exists', count(*)
+          FROM customer_ni c
+          WHERE NOT EXISTS (SELECT 1 FROM orders_ni o
+                            WHERE nullif(o.o_custkey, 1) = c.c_custkey))
+        ORDER BY form""")
     }
   )
 
@@ -445,6 +477,27 @@ object Joins extends QueryPack {
       LATERAL (SELECT c_name, c_acctbal FROM customer c
                WHERE c.c_nationkey = n.n_nationkey
                ORDER BY c_acctbal DESC, c_name LIMIT 2) t
-      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
+
+    // Portable SQL apart from the table names (the Spark entry reads
+    // _ni-suffixed views); parity twin in SqlDialectTwins.
+    "q_not_in_nulls" -> """
+      SELECT form, n_rows FROM (
+        SELECT 'not_in_with_null' AS form, count(*) AS n_rows
+        FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT nullif(o_custkey, 1) FROM orders)
+        UNION ALL
+        SELECT 'not_in_null_filtered', count(*)
+        FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT nullif(o_custkey, 1) FROM orders
+           WHERE nullif(o_custkey, 1) IS NOT NULL)
+        UNION ALL
+        SELECT 'not_exists', count(*)
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE nullif(o.o_custkey, 1) = c.c_custkey))
+      ORDER BY form"""
   )
 }

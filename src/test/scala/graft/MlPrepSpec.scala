@@ -414,6 +414,60 @@ class MlPrepSpec extends AnyFunSuite {
       s"support dimension should broadcast:\n$p")
   }
 
+  // ---- q_ab_ttest --------------------------------------------------------
+
+  test("q_ab_ttest == local Welch recompute; symmetric arms flip the sign") {
+    val byType = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1) % 2 == 0,
+        BigDecimal(r.getDouble(2)).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .groupBy(_._1)
+    val got = run("q_ab_ttest").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tpe, rows) =>
+      val a = rows.filter(_._2).map(_._3)
+      val b = rows.filterNot(_._2).map(_._3)
+      def vr(x: Seq[Double]) = {
+        val m = x.sum / x.length
+        x.map(v => (v - m) * (v - m)).sum / (x.length - 1)
+      }
+      val (sea, seb) = (vr(a) / a.length, vr(b) / b.length)
+      val t = (a.sum / a.length - b.sum / b.length) / math.sqrt(sea + seb)
+      val df = (sea + seb) * (sea + seb) /
+        (sea * sea / (a.length - 1) + seb * seb / (b.length - 1))
+      val (na, nb, tGot, dfGot) = got(tpe)
+      assert(na == a.length && nb == b.length)
+      assert(math.abs(tGot - t) < 5e-3, s"$tpe t: $tGot vs $t")
+      assert(math.abs(dfGot - df) < 5e-2, s"$tpe df: $dfGot vs $df")
+      assert(df <= a.length + b.length - 2 + 1e-9,
+        "Welch df can never exceed the pooled df")
+    }
+  }
+
+  // ---- q_not_in_nulls ----------------------------------------------------
+
+  test("q_not_in_nulls pins three-valued logic: NULL poisons NOT IN, " +
+       "NOT EXISTS is unaffected") {
+    val got = run("q_not_in_nulls").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("not_in_with_null") == 0L,
+      "a NULL in the NOT IN subquery must eliminate every row")
+    assert(got("not_exists") == got("not_in_null_filtered"),
+      "anti-join and null-filtered NOT IN must agree")
+    // ground truth: customers with no orders (custkey 1's orders were
+    // nulled out of the subquery, so customer 1 joins the no-order set
+    // iff it exists)
+    val custs = Tables.customer(spark, TestSpark.Sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val withOrders = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet - 1L
+    assert(got("not_exists") == (custs -- withOrders).size.toLong)
+  }
+
   // ---- q_embed_centroid --------------------------------------------------
 
   test("q_embed_centroid == local per-(label, pos) recompute; bounds hold") {
