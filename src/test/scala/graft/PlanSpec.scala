@@ -384,6 +384,65 @@ class PlanSpec extends AnyFunSuite {
                hashExMax = 1)
   }
 
+  test("scan + exchange budgets hold on the r11 ML-prep/analytics packs") {
+    // single-scan event-window keys: the fact table is read ONCE and the
+    // only real shuffles are the user/type partitioning + final agg
+    nodeBudget("q_ewma", fileScanMax = 1, rddScanMax = 0, hashExMax = 2)
+    nodeBudget("q_attribution", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    nodeBudget("q_changepoint", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    nodeBudget("q_path_mining", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 3)
+    nodeBudget("q_ab_ttest", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // one explode + one (two-level, for the exact distinct) agg
+    nodeBudget("q_feature_hash", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    nodeBudget("q_kfold", fileScanMax = 1, rddScanMax = 0, hashExMax = 2)
+    nodeBudget("q_embed_centroid", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // stats/sweep frame + fact join-back: two scans, stats exchange only
+    nodeBudget("q_feature_scale", fileScanMax = 2, rddScanMax = 0,
+               hashExMax = 1)
+    nodeBudget("q_skyline", fileScanMax = 2, rddScanMax = 0, hashExMax = 1)
+  }
+
+  test("checkpointed graph keys read the edge grain once (no fact re-scan)") {
+    // degree_dist: BOTH side aggregations must come off the one
+    // checkpointed edge RDD — a FileScan here means a consumer re-derived
+    // the lineitem⋈orders lineage
+    nodeBudget("q_degree_dist", fileScanMax = 0, rddScanMax = 2,
+               hashExMax = 4)
+    // bfs: only the (tiny) customer seed may touch parquet; the fact-side
+    // tables live exclusively inside the checkpoint
+    val s = finalPlan("q_bfs_hops").split("== Initial Plan ==")(0)
+    assert(!s.contains("lineitem.parquet") && !s.contains("orders.parquet"),
+      s"bfs frontier rounds re-derived the fact lineage:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"bfs frontier join degenerated:\n$s")
+  }
+
+  test("q_basket_lift: pair join stays basket-keyed off one checkpointed " +
+       "item grain") {
+    val s = finalPlan("q_basket_lift").split("== Initial Plan ==")(0)
+    def nodes(m: String) = s.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(nodes("FileScan parquet") == 0,
+      s"basket consumers re-scanned lineitem:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"pair generation went all-pairs:\n$s")
+    // the ONLY nested-loop allowed is the 1-row basket-count broadcast
+    assert(nodes("BroadcastNestedLoopJoin") <= 1,
+      s"unexpected nested loop beyond the 1-row N broadcast:\n$s")
+  }
+
+  test("q_funnel_window pushes each step's event_type into its scan") {
+    val s = finalPlan("q_funnel_window").split("== Initial Plan ==")(0)
+    for (step <- Seq("signup", "view", "purchase"))
+      assert(s.contains(s"EqualTo(event_type,$step)"),
+        s"$step filter not pushed to parquet:\n$s")
+  }
+
   test("q_agg_incremental pushes both shipdate bounds into the parquet scans") {
     // the incremental-refresh claim IS these two pushed predicates: at
     // 100 TB the state branch prunes to the materialized history read and
