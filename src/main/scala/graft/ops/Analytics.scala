@@ -837,6 +837,74 @@ object Analytics extends QueryPack {
           round((sea + seb) * (sea + seb) /
                 (sea * sea / (na - 1) + seb * seb / (nb2 - 1)), 4).as("df"))
         .orderBy(col("event_type"))
+    },
+
+    // Pairwise Pearson correlation matrix over the three lineitem
+    // measures, per returnflag (the numeric-profile step of any feature
+    // audit): ALL nine moments (n, Σx, Σx², Σxy per pair) come out of
+    // ONE exact-decimal hash agg over one scan — map-side combinable,
+    // so a 100 TB correlation matrix costs one pass regardless of how
+    // many measure pairs ride along; each correlation is then one
+    // closed-form double expression over exact sums (q_rolling_corr
+    // discipline), unpivoted to (group, var_x, var_y) rows.
+    "q_corr_matrix" -> { (s, d) =>
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val dd = dec(col("l_discount"))
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(p).as("sp"), sum(dd).as("sd"),
+          sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(dd * dd).as("sdd"),
+          sum(q * p).as("sqp"), sum(q * dd).as("sqd"), sum(p * dd).as("spd"))
+      def dbl(c: String) = col(c).cast("double")
+      def corr(sx: String, sy: String, sxx: String, syy: String,
+               sxy: String) =
+        round((dbl("n") * dbl(sxy) - dbl(sx) * dbl(sy)) /
+              (sqrt(dbl("n") * dbl(sxx) - dbl(sx) * dbl(sx)) *
+               sqrt(dbl("n") * dbl(syy) - dbl(sy) * dbl(sy))), 4)
+      // unpivot via ONE explode, not a 3-way union: AQE does not reuse
+      // the aggregate exchange across union branches, so the union form
+      // re-scans the fact table per pair (measured 3 scans; PlanSpec
+      // pins this at 1)
+      m.select(col("l_returnflag"), col("n"),
+          explode(array(
+            struct(lit("quantity").as("var_x"), lit("price").as("var_y"),
+              corr("sq", "sp", "sqq", "spp", "sqp").as("corr")),
+            struct(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+              corr("sq", "sd", "sqq", "sdd", "sqd").as("corr")),
+            struct(lit("price").as("var_x"), lit("discount").as("var_y"),
+              corr("sp", "sd", "spp", "sdd", "spd").as("corr")))).as("e"))
+        .select(col("l_returnflag"), col("e.var_x").as("var_x"),
+          col("e.var_y").as("var_y"), col("n"), col("e.corr").as("corr"))
+        .orderBy(col("l_returnflag"), col("var_x"), col("var_y"))
+    },
+
+    // Simple OLS regression price ~ quantity per returnflag (the
+    // closed-form regression every BI layer ships as regr_slope/
+    // regr_intercept/regr_r2): slope, intercept, and R² from the SAME
+    // one-pass exact-decimal moment aggregate as q_corr_matrix — the
+    // point of both keys is that classic statistics at 100 TB is one
+    // mergeable scan + driver-free closed forms, never an iterative fit.
+    "q_linreg" -> { (s, d) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      def dbl(c: String) = col(c).cast("double")
+      val slope = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+                  (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+      val r = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+              (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+               sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))
+      m.select(col("l_returnflag"), col("n"),
+          round(slope, 4).as("slope"),
+          round((dbl("sy") - slope * dbl("sx")) / dbl("n"), 4)
+            .as("intercept"),
+          round(r * r, 4).as("r2"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -1428,6 +1496,93 @@ object Analytics extends QueryPack {
         round((sea + seb) * (sea + seb) /
               (sea * sea / (CAST(n_a AS DOUBLE) - 1) +
                seb * seb / (CAST(n_b AS DOUBLE) - 1)), 4) AS df
-      FROM t ORDER BY event_type"""
+      FROM t ORDER BY event_type""",
+
+    "q_corr_matrix" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+          sum(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+          sum(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+          sum(CAST(l_discount AS DECIMAL(18,2)) *
+              CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+          sum(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+          sum(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_discount AS DECIMAL(18,2))) AS sqd,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(l_discount AS DECIMAL(18,2))) AS spd
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, var_x, var_y, n, corr FROM (
+        SELECT l_returnflag, 'quantity' AS var_x, 'price' AS var_y, n,
+          round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4)
+            AS corr
+        FROM m
+        UNION ALL
+        SELECT l_returnflag, 'quantity', 'discount', n,
+          round((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE)
+                 - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                      - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 4)
+        FROM m
+        UNION ALL
+        SELECT l_returnflag, 'price', 'discount', n,
+          round((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE)
+                 - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                      - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 4)
+        FROM m)
+      ORDER BY l_returnflag, var_x, var_y""",
+
+    "q_linreg" -> """
+      WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+          sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+          sum(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+          sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+          sum(CAST(l_quantity AS DECIMAL(18,2)) *
+              CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS slope,
+        round((CAST(sy AS DOUBLE) -
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 4) AS intercept,
+        round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) *
+              ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 4)
+          AS r2
+      FROM m ORDER BY l_returnflag"""
   )
 }

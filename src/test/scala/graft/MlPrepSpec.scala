@@ -448,6 +448,64 @@ class MlPrepSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_corr_matrix / q_linreg ------------------------------------------
+
+  private lazy val liByFlag: Map[String, Seq[(Double, Double, Double)]] =
+    Tables.lineitem(spark, TestSpark.Sf0001)
+      .select(col("l_returnflag"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2),
+                 r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  private def pearson(xs: Seq[Double], ys: Seq[Double]): Double = {
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val syy = ys.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+  }
+
+  test("q_corr_matrix == local Pearson recompute; values bounded in [-1,1]") {
+    val got = run("q_corr_matrix").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    assert(got.size == liByFlag.size * 3)
+    liByFlag.foreach { case (f, rows) =>
+      val (qs, ps, ds) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+      val cases = Seq(
+        ("quantity", "price", pearson(qs, ps)),
+        ("quantity", "discount", pearson(qs, ds)),
+        ("price", "discount", pearson(ps, ds)))
+      cases.foreach { case (x, y, c) =>
+        val g = got((f, x, y))
+        assert(math.abs(g - c) < 5e-4, s"($f,$x,$y): $g vs $c")
+        assert(g >= -1.0 - 1e-9 && g <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("q_linreg == local OLS recompute; r2 == corr^2") {
+    val got = run("q_linreg").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    liByFlag.foreach { case (f, rows) =>
+      val (xs, ys) = (rows.map(_._1), rows.map(_._2))
+      val n = xs.length.toDouble
+      val slope = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+        xs.sum * ys.sum) / (n * xs.map(v => v * v).sum - xs.sum * xs.sum)
+      val intercept = (ys.sum - slope * xs.sum) / n
+      val r = pearson(xs, ys)
+      val (sg, ig, r2g) = got(f)
+      assert(math.abs(sg - slope) < 5e-3, s"$f slope $sg vs $slope")
+      assert(math.abs(ig - intercept) < 5e-2, s"$f intercept")
+      assert(math.abs(r2g - r * r) < 5e-4, s"$f r2")
+    }
+  }
+
   // ---- q_not_in_nulls ----------------------------------------------------
 
   test("q_not_in_nulls pins three-valued logic: NULL poisons NOT IN, " +

@@ -395,6 +395,11 @@ class PlanSpec extends AnyFunSuite {
     nodeBudget("q_path_mining", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 3)
     nodeBudget("q_ab_ttest", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // the one-pass-moments claim: one scan, one agg exchange, however
+    // many statistics ride on the moment frame
+    nodeBudget("q_corr_matrix", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    nodeBudget("q_linreg", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
     // one explode + one (two-level, for the exact distinct) agg
     nodeBudget("q_feature_hash", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 2)
