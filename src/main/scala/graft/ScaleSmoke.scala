@@ -34,7 +34,8 @@ object ScaleSmoke {
     "q_stratified_sample", "q_dedup_incremental", "q_token_budget",
     "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams",
     "q_pagerank", "q_containment",
-    "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma")
+    "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma",
+    "q_basket_lift", "q_corr_matrix")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -49,7 +50,8 @@ object ScaleSmoke {
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
-        "q_containment", "q_bfs_hops", "q_feature_hash")
+        "q_containment", "q_bfs_hops", "q_feature_hash",
+        "q_basket_lift")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
