@@ -1,0 +1,284 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType,
+  StringType, StructType, TimestampType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the engine's JSON-lines event format (the
+  * wire format of `/root/reference/main.go:267-276` payload items,
+  * FIXTURES.md `events` schema) — the `org.apache.spark.sql.connector`
+  * surface of the engine, complementing the text+`from_json` reader in
+  * [[graft.sources.EventJsonSource]].
+  *
+  * What a V2 connector buys over the from_json form, and what this one
+  * actually implements:
+  *
+  *  - **Column pruning at the SOURCE** (`SupportsPushDownRequiredColumns`):
+  *    a `select(event_type)` parses ONLY the `event_type` token per line —
+  *    the Jackson stream skips every other field's value without
+  *    materializing it. With from_json, pruning stops at the parsed
+  *    struct; the full line is still tokenized into every field.
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): comparisons on the
+  *    typed event columns evaluate inside the partition reader, before
+  *    any row reaches Spark. Pushed filters are fully handled (Spark's
+  *    re-evaluation Filter disappears from the plan); unsupported
+  *    shapes stay residual. Null semantics match SQL: a null field fails
+  *    every pushed comparison except IsNull.
+  *  - **File-granular partitions**: one [[InputPartition]] per data file,
+  *    so a directory of N files reads with N-way parallelism — the same
+  *    split discipline as the built-in file sources (at 100 TB the unit
+  *    of work is the file/split, never the directory).
+  *
+  * Corrupt lines are SKIPPED here (count them with the quarantine view of
+  * EventJsonSource.readCorrupt — permissive-mode parsing is that reader's
+  * contract); this connector is the valid-path fast reader.
+  *
+  * Usage: `spark.read.format("graft.sources.v2.EventsV2Provider")
+  * .load(dir)` — EventsV2Spec pins row-equality with EventJsonSource
+  * .readValid, the pruned parse, and both pushdown plan shapes.
+  */
+object EventsV2 {
+  /** Data schema = EventJsonSource.schema minus the quarantine column. */
+  val Schema: StructType = StructType(
+    graft.sources.EventJsonSource.schema.fields.filter(_.name != "_corrupt"))
+
+  private[v2] val TsParser =
+    java.time.format.DateTimeFormatter.ofPattern(
+      graft.sources.EventJsonSource.TsFormat)
+
+  /** Parse an ISO micros timestamp to Spark's internal micros-since-epoch. */
+  private[v2] def tsMicros(s: String): Long = {
+    val odt = java.time.OffsetDateTime.parse(s, TsParser)
+    val inst = odt.toInstant
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+      inst.getNano / 1000L)
+  }
+
+  /** Filter-literal → comparable double (numeric fields) or micros (ts). */
+  private[v2] def litMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => Math.addExact(
+      Math.multiplyExact(t.getTime / 1000L, 1000000L),
+      (t.getNanos / 1000L) % 1000000L)
+    case i: java.time.Instant =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    case other => throw new IllegalArgumentException(
+      s"unsupported timestamp literal: $other")
+  }
+
+  private[v2] def fieldType(name: String): Option[DataType] =
+    Schema.fields.find(_.name == name).map(_.dataType)
+
+  /** Can the reader evaluate this filter exactly? */
+  private[v2] def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => fieldType(a).isDefined
+    case GreaterThan(a, _) => comparable(a)
+    case GreaterThanOrEqual(a, _) => comparable(a)
+    case LessThan(a, _) => comparable(a)
+    case LessThanOrEqual(a, _) => comparable(a)
+    case IsNotNull(a) => fieldType(a).isDefined
+    case IsNull(a) => fieldType(a).isDefined
+    case _ => false
+  }
+  private def comparable(a: String): Boolean = fieldType(a).exists {
+    case LongType | DoubleType | TimestampType | StringType => true
+    case _ => false
+  }
+
+  /** SQL-semantics evaluation of one pushed filter against a parsed event
+    * (null field ⇒ false for every comparison, true only for IsNull). */
+  private[v2] def eval(f: Filter, row: Map[String, Any]): Boolean = f match {
+    case IsNotNull(a) => row.get(a).exists(_ != null)
+    case IsNull(a) => !row.get(a).exists(_ != null)
+    case EqualTo(a, v) => cmp(a, row, v).contains(0)
+    case GreaterThan(a, v) => cmp(a, row, v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, row, v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(a, row, v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, row, v).exists(_ <= 0)
+    case _ => true
+  }
+
+  private def cmp(a: String, row: Map[String, Any], lit: Any): Option[Int] =
+    row.get(a).filter(_ != null).flatMap { v =>
+      (fieldType(a), v) match {
+        case (Some(StringType), s: String) =>
+          Some(s.compareTo(String.valueOf(lit)))
+        case (Some(LongType), l: Long) =>
+          Some(java.lang.Long.compare(l, lit.asInstanceOf[Number].longValue))
+        case (Some(DoubleType), d: Double) =>
+          Some(java.lang.Double.compare(d,
+            lit.asInstanceOf[Number].doubleValue))
+        case (Some(TimestampType), m: Long) =>
+          Some(java.lang.Long.compare(m, litMicros(lit)))
+        case _ => None
+      }
+    }
+}
+
+/** Entry point for `spark.read.format("graft.sources.v2.EventsV2Provider")`. */
+class EventsV2Provider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventsV2.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new EventsV2Table(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class EventsV2Table(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-events-v2 requires .load(path)")
+  override def name(): String = s"graft_events_v2($path)"
+  override def schema(): StructType = EventsV2.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EventsV2ScanBuilder(path)
+}
+
+class EventsV2ScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = EventsV2.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition(EventsV2.pushable)
+    pushed = ours
+    residual // only the shapes we cannot evaluate go back to Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the connector's field order; Spark may request any order
+    required = StructType(EventsV2.Schema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new EventsV2Scan(path, required, pushed)
+}
+
+class EventsV2Scan(path: String, required: StructType,
+                   pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-events-v2 path=$path, " +
+      s"ReadFields: [${required.fieldNames.mkString(", ")}], " +
+      s"PushedEventFilters: [${pushed.mkString(", ")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName
+          .startsWith("_") && !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+      else Array(path)
+    // one partition per file: directory-of-N reads N-wide, like the
+    // built-in file sources' split planning
+    files.sorted.map(f =>
+      EventsV2Partition(f): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsV2ReaderFactory(required.fieldNames, pushed)
+}
+
+case class EventsV2Partition(file: String) extends InputPartition
+
+class EventsV2ReaderFactory(fields: Array[String], pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new EventsV2Reader(p.asInstanceOf[EventsV2Partition].file, fields, pushed)
+}
+
+/** Per-file reader: Jackson streaming parse of JSON lines. Only the
+  * REQUIRED fields materialize (pruned fields are token-skipped); pushed
+  * filters evaluate on the parsed map before a row is emitted; malformed
+  * lines are skipped (the quarantine contract lives in EventJsonSource). */
+class EventsV2Reader(file: String, fields: Array[String],
+                     pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
+
+  // fields the FILTERS need but the projection does not must still parse
+  private val needed: Set[String] =
+    fields.toSet ++ pushed.flatMap(_.references)
+
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new Path(file)
+  private val in = hPath.getFileSystem(conf).open(hPath)
+  private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+  private val jf = new JsonFactory()
+  private var current: InternalRow = _
+
+  private def parseLine(line: String): Option[Map[String, Any]] = {
+    if (line.trim.isEmpty) return None
+    val p = jf.createParser(line)
+    try {
+      if (p.nextToken() != JsonToken.START_OBJECT) return None
+      val out = scala.collection.mutable.HashMap.empty[String, Any]
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        val name = p.currentName()
+        p.nextToken()
+        if (!needed.contains(name)) p.skipChildren()
+        else {
+          val v: Any = (EventsV2.fieldType(name), p.currentToken()) match {
+            case (_, JsonToken.VALUE_NULL) => null
+            case (Some(LongType), _) => p.getLongValue
+            case (Some(DoubleType), _) => p.getDoubleValue
+            case (Some(StringType), _) => p.getText
+            case (Some(TimestampType), _) => EventsV2.tsMicros(p.getText)
+            case _ => { p.skipChildren(); null }
+          }
+          out(name) = v
+        }
+      }
+      Some(out.toMap)
+    } catch {
+      case _: Exception => None // malformed → skip (see class doc)
+    } finally p.close()
+  }
+
+  private def toRow(m: Map[String, Any]): InternalRow = {
+    val vals = fields.map { f =>
+      (EventsV2.fieldType(f), m.getOrElse(f, null)) match {
+        case (_, null) => null
+        case (Some(StringType), s: String) => UTF8String.fromString(s)
+        case (_, other) => other
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      parseLine(lines.next()) match {
+        case Some(m) if pushed.forall(EventsV2.eval(_, m)) =>
+          current = toRow(m); return true
+        case _ => // filtered or malformed: keep scanning
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

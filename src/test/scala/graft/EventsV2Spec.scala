@@ -1,0 +1,106 @@
+package graft
+
+import graft.sources.EventJsonSource
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 connector (sources/v2/EventsV2.scala): row-parity with
+  * the from_json reader, source-level column pruning, reader-evaluated
+  * filter pushdown (the Spark-side re-filter disappears), per-file
+  * partitioning, and null/corrupt semantics.
+  */
+class EventsV2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val Fmt = "graft.sources.v2.EventsV2Provider"
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-v2").toFile
+    d.deleteOnExit()
+    EventJsonSource.write(
+      Tables.events(spark, TestSpark.Sf0001), d.getAbsolutePath)
+    d.getAbsolutePath
+  }
+
+  private def v2: DataFrame = spark.read.format(Fmt).load(dir)
+
+  test("v2 read == EventJsonSource.readValid row-for-row") {
+    val a = v2.orderBy(col("event_id")).collect().toSeq
+    val b = EventJsonSource.readValid(spark, dir)
+      .select(v2.columns.map(col): _*)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("column pruning reaches the source (scan reads only the asked field)") {
+    val df = v2.select(col("event_type"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadFields: [event_type]"),
+      s"source did not prune to event_type:\n$plan")
+  }
+
+  test("pushed filter evaluates in the reader and Spark drops its re-filter") {
+    val df = v2.filter(col("event_type") === "purchase")
+    val n = df.count()
+    val expected = EventJsonSource.readValid(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(n == expected && n > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,purchase)"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("Filter ("),
+      s"fully-pushed filter still re-evaluated by Spark:\n$plan")
+  }
+
+  test("range pushdown on value + a filter-only column still prunes the " +
+       "projection") {
+    val df = v2.filter(col("value") > 50.0).select(col("event_id"))
+    val got = df.collect().map(_.getLong(0)).toSet
+    val expected = EventJsonSource.readValid(spark, dir)
+      .filter(col("value") > 50.0).select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(value,50.0)"),
+      s"range filter not pushed:\n$plan")
+  }
+
+  test("timestamp range pushdown matches the from_json reader") {
+    val cut = "2024-01-03 00:00:00"
+    val got = v2.filter(col("ts") >= lit(cut).cast("timestamp")).count()
+    val expected = EventJsonSource.readValid(spark, dir)
+      .filter(col("ts") >= lit(cut).cast("timestamp")).count()
+    assert(got == expected && got > 0)
+  }
+
+  test("one input partition per data file") {
+    val df = v2
+    df.collect()
+    val parts = df.rdd.getNumPartitions
+    val files = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(parts == files, s"$parts partitions for $files files")
+  }
+
+  test("malformed lines are skipped, not surfaced (quarantine lives in " +
+       "EventJsonSource)") {
+    val d = java.nio.file.Files.createTempDirectory("events-v2-bad").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, "part-0.json"),
+      ("{\"event_id\":1,\"event_type\":\"ok\"}\n" +
+       "not json at all\n" +
+       "{\"event_id\":2,\"event_type\":\"ok2\",\"value\":null}\n").getBytes)
+    val rows = spark.read.format(Fmt).load(d.getAbsolutePath)
+      .orderBy(col("event_id")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(1).getLong(0) == 2L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("value")),
+      "explicit JSON null must surface as SQL NULL")
+    // null never satisfies a pushed comparison
+    assert(spark.read.format(Fmt).load(d.getAbsolutePath)
+      .filter(col("value") > 0.0).count() == 0)
+  }
+}
