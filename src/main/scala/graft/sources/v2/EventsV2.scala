@@ -142,14 +142,20 @@ class EventsV2Provider extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class EventsV2Table(path: String) extends Table with SupportsRead {
-  require(path != null, "graft-events-v2 requires .load(path)")
+class EventsV2Table(path: String) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  require(path != null, "graft-events-v2 requires .load(path)/.save(path)")
   override def name(): String = s"graft_events_v2($path)"
   override def schema(): StructType = EventsV2.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventsV2ScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new EventsV2WriteBuilder(path, info.schema())
 }
 
 class EventsV2ScanBuilder(path: String)

@@ -1,0 +1,133 @@
+package graft.sources.v2
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.util.UUID
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate,
+  Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructType, TimestampType}
+
+/** Batch WRITE path of the V2 connector — the connector-level commit
+  * protocol (the file-source twin of SnapshotLake's manifest commit):
+  *
+  *  - every task writes to a STAGED file under `_temp/<jobId>/`, a
+  *    directory no reader lists (the [[EventsV2Scan]] planner skips
+  *    `_`-prefixed entries) — a crashed or speculative task leaves only
+  *    invisible garbage;
+  *  - task `commit()` reports the staged path; task `abort()` deletes it;
+  *  - job `commit(messages)` renames exactly the REPORTED files into the
+  *    table directory (a speculative duplicate that lost the race is
+  *    never in `messages`, so it never lands) and drops the staging dir;
+  *  - job `abort()` removes the whole staging dir — the table is
+  *    byte-identical to before the job;
+  *  - `overwrite` maps to [[SupportsTruncate]]: existing data files are
+  *    removed inside job commit, AFTER the staged files are known good —
+  *    a failed job never half-truncates.
+  *
+  * Rows encode with [[graft.queue.Json]] (sorted keys, Go-marshal
+  * rendering — the wire format of `/root/reference/main.go:267-276`) and
+  * timestamps with the reader's micros format, so write → read is
+  * loss-free (EventsV2Spec pins the round trip).
+  */
+class EventsV2WriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new EventsV2BatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class StagedFile(path: String) extends WriterCommitMessage
+
+class EventsV2BatchWrite(path: String, schema: StructType,
+                         truncate: Boolean) extends BatchWrite {
+  private val jobId = UUID.randomUUID().toString
+  private def stagingDir = new Path(path, s"_temp/$jobId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new EventsV2WriterFactory(path, jobId, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    if (truncate) {
+      // staged output is known good at this point; only now drop the old
+      // data files (never the staging area)
+      val root = new Path(path)
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { s =>
+          if (s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+            fs.delete(s.getPath, false)
+        }
+    }
+    messages.foreach { case StagedFile(p) =>
+      val src = new Path(p)
+      fs.rename(src, new Path(path, src.getName))
+    }
+    fs.delete(stagingDir, true)
+    val tmp = new Path(path, "_temp")
+    if (fs.exists(tmp) && fs.listStatus(tmp).isEmpty) fs.delete(tmp, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(stagingDir, true) // table untouched
+  }
+}
+
+class EventsV2WriterFactory(path: String, jobId: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new EventsV2DataWriter(path, jobId, schema, partitionId, taskId)
+}
+
+class EventsV2DataWriter(path: String, jobId: String, schema: StructType,
+                         partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val staged =
+    new Path(path, s"_temp/$jobId/part-$partitionId-$taskId.json")
+  private val fs = staged.getFileSystem(new Configuration())
+  private val out = new BufferedWriter(
+    new OutputStreamWriter(fs.create(staged, true), "UTF-8"))
+
+  override def write(row: InternalRow): Unit = {
+    val m = schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      if (row.isNullAt(i)) None
+      else Some(f.name -> (f.dataType match {
+        case LongType => row.getLong(i)
+        case DoubleType => row.getDouble(i)
+        case StringType => row.getUTF8String(i).toString
+        case TimestampType =>
+          val micros = row.getLong(i)
+          java.time.Instant
+            .ofEpochSecond(Math.floorDiv(micros, 1000000L),
+              Math.floorMod(micros, 1000000L) * 1000L)
+            .atOffset(java.time.ZoneOffset.UTC)
+            .format(EventsV2.TsParser)
+        case other => throw new IllegalArgumentException(
+          s"unsupported write type: $other")
+      }))
+    }.toMap[String, Any]
+    out.write(graft.queue.Json.encode(m))
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFile(staged.toString)
+  }
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(staged, false)
+  }
+  override def close(): Unit = ()
+}

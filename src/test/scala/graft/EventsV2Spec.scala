@@ -13,6 +13,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class EventsV2Spec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val Fmt = "graft.sources.v2.EventsV2Provider"
+  // the connector's data schema, in its canonical field order
+  private val EventsV2SpecCols =
+    graft.sources.v2.EventsV2.Schema.fieldNames.toSeq
 
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("events-v2").toFile
@@ -82,6 +85,40 @@ class EventsV2Spec extends AnyFunSuite {
       .count(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
     assert(parts == files, s"$parts partitions for $files files")
+  }
+
+  test("v2 write round-trips through both readers; staging dir is gone") {
+    val d = java.nio.file.Files.createTempDirectory("events-v2-w").toFile
+    d.deleteOnExit()
+    val src = Tables.events(spark, TestSpark.Sf0001)
+      .select(EventsV2SpecCols.map(col): _*)
+    src.write.format(Fmt).mode("append").save(d.getAbsolutePath)
+    val back = spark.read.format(Fmt).load(d.getAbsolutePath)
+    assert(back.count() == src.count())
+    val a = back.select(EventsV2SpecCols.map(col): _*)
+      .orderBy(col("event_id")).collect().toSeq
+    val b = src.orderBy(col("event_id")).collect().toSeq
+    assert(a == b, "v2 write -> v2 read must be loss-free")
+    // the from_json reader parses the same files
+    val c = EventJsonSource.readValid(spark, d.getAbsolutePath)
+      .select(EventsV2SpecCols.map(col): _*)
+      .orderBy(col("event_id")).collect().toSeq
+    assert(c == b, "v2-written files must satisfy the from_json contract")
+    assert(!new java.io.File(d, "_temp").exists(),
+      "job commit must clear the staging area")
+  }
+
+  test("overwrite truncates only at job commit; append accumulates") {
+    val d = java.nio.file.Files.createTempDirectory("events-v2-t").toFile
+    d.deleteOnExit()
+    val one = Tables.events(spark, TestSpark.Sf0001)
+      .select(EventsV2SpecCols.map(col): _*).limit(10)
+    one.write.format(Fmt).mode("append").save(d.getAbsolutePath)
+    one.write.format(Fmt).mode("append").save(d.getAbsolutePath)
+    assert(spark.read.format(Fmt).load(d.getAbsolutePath).count() == 20)
+    one.write.format(Fmt).mode("overwrite").save(d.getAbsolutePath)
+    assert(spark.read.format(Fmt).load(d.getAbsolutePath).count() == 10,
+      "overwrite must replace, not merge")
   }
 
   test("malformed lines are skipped, not surfaced (quarantine lives in " +
