@@ -35,6 +35,21 @@ object Analytics extends QueryPack {
   private val Bm25K1 = 1.2
   private val Bm25B  = 0.75
 
+  /** The deduped (customer, supplier) purchase-graph edge grain shared by
+    * q_bfs_hops and q_degree_dist (ONE definition — two copies would let
+    * a grain change silently desynchronize the keys' graphs). Lazily
+    * localCheckpointed (the file's standing discipline): consumers all
+    * read the one materialized frame, computed at first action rather
+    * than at DataFrame construction, so plan-only callers pay nothing. */
+  private def purchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+      .distinct()
+      .localCheckpoint(eager = false)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Conversion funnel signup → view → purchase ordered by each user's
     // FIRST occurrence of each step (strict ts order). One groupBy(user)
@@ -646,17 +661,7 @@ object Analytics extends QueryPack {
     // the documented pointer-doubling alternative being
     // q_connected_components' machinery.
     "q_bfs_hops" -> { (s, d) =>
-      // the edge frame is read by all three frontier rounds —
-      // localCheckpoint so the lineitem⋈orders distinct runs ONCE
-      // (without it each round replays the full fact-side lineage:
-      // 3 scans + 3 shuffles, measured ~30% of the key's wall time)
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .distinct()
-        .localCheckpoint()
+      val edges = purchaseEdges(s, d)
       val seed = Tables.customer(s, d)
         .filter(col("c_nationkey") === 0)
         .select(col("c_custkey").as("c"))
@@ -709,13 +714,7 @@ object Analytics extends QueryPack {
     // by both side aggregations; every shuffle after it is node-sized,
     // and the output is ≤|distinct degrees| rows per side at any scale.
     "q_degree_dist" -> { (s, d) =>
-      val edges = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
-        .distinct()
-        .localCheckpoint()
+      val edges = purchaseEdges(s, d)
       def side(key: String, name: String) =
         edges.groupBy(col(key)).agg(count(lit(1)).as("degree"))
           .groupBy(col("degree"))
@@ -774,7 +773,7 @@ object Analytics extends QueryPack {
       val items = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val supp = items.groupBy(col("part")).agg(count(lit(1)).as("s"))
         .filter(col("s") >= 5)
       val freq = items.join(supp.select(col("part")), Seq("part"))

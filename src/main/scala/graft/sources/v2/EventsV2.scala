@@ -4,6 +4,7 @@ import java.util.{Map => JMap}
 
 import scala.collection.mutable.ArrayBuffer
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -73,9 +74,11 @@ object EventsV2 {
 
   /** Filter-literal → comparable double (numeric fields) or micros (ts). */
   private[v2] def litMicros(v: Any): Long = v match {
+    // floorDiv, not /: integer division truncates toward zero, which
+    // shifts PRE-EPOCH literals (negative getTime) forward a second
     case t: java.sql.Timestamp => Math.addExact(
-      Math.multiplyExact(t.getTime / 1000L, 1000000L),
-      (t.getNanos / 1000L) % 1000000L)
+      Math.multiplyExact(Math.floorDiv(t.getTime, 1000L), 1000000L),
+      t.getNanos / 1000L)
     case i: java.time.Instant =>
       Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
         i.getNano / 1000L)
@@ -118,8 +121,13 @@ object EventsV2 {
   private def cmp(a: String, row: Map[String, Any], lit: Any): Option[Int] =
     row.get(a).filter(_ != null).flatMap { v =>
       (fieldType(a), v) match {
+        // UTF8String binary order, NOT java String.compareTo: Spark
+        // compares strings as UTF-8 bytes, and the two orders diverge on
+        // supplementary-plane characters (surrogates sort below U+FFFF
+        // in UTF-16 but above in UTF-8)
         case (Some(StringType), s: String) =>
-          Some(s.compareTo(String.valueOf(lit)))
+          Some(UTF8String.fromString(s)
+            .compareTo(UTF8String.fromString(String.valueOf(lit))))
         case (Some(LongType), l: Long) =>
           Some(java.lang.Long.compare(l, lit.asInstanceOf[Number].longValue))
         case (Some(DoubleType), d: Double) =>
@@ -139,7 +147,10 @@ class EventsV2Provider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
     new EventsV2Table(properties.get("path"))
-  override def supportsExternalMetadata(): Boolean = true
+  // the table serves its fixed canonical schema; advertising external-
+  // metadata support would let a user .schema(...) silently rebind
+  // columns positionally — reject it instead
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 class EventsV2Table(path: String) extends Table with SupportsRead
@@ -205,15 +216,38 @@ class EventsV2Scan(path: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsV2ReaderFactory(required.fieldNames, pushed)
+    new EventsV2ReaderFactory(required.fieldNames, pushed,
+      HadoopConfCarrier.capture(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 case class EventsV2Partition(file: String) extends InputPartition
 
-class EventsV2ReaderFactory(fields: Array[String], pushed: Array[Filter])
+/** The session's Hadoop settings, shipped executor-side as plain pairs —
+  * a bare `new Configuration()` on the executor would drop every
+  * credential/filesystem setting the session carries (s3a keys, hdfs
+  * nameservices), leaving the connector working only on unconfigured
+  * local filesystems while PLANNING (driver-side) succeeded. */
+object HadoopConfCarrier {
+  def capture(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val buf = ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+    buf.toArray
+  }
+  def restore(pairs: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    pairs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
+class EventsV2ReaderFactory(fields: Array[String], pushed: Array[Filter],
+                            hadoopConf: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new EventsV2Reader(p.asInstanceOf[EventsV2Partition].file, fields, pushed)
+    new EventsV2Reader(p.asInstanceOf[EventsV2Partition].file, fields,
+      pushed, HadoopConfCarrier.restore(hadoopConf))
 }
 
 /** Per-file reader: Jackson streaming parse of JSON lines. Only the
@@ -221,7 +255,7 @@ class EventsV2ReaderFactory(fields: Array[String], pushed: Array[Filter])
   * filters evaluate on the parsed map before a row is emitted; malformed
   * lines are skipped (the quarantine contract lives in EventJsonSource). */
 class EventsV2Reader(file: String, fields: Array[String],
-                     pushed: Array[Filter])
+                     pushed: Array[Filter], conf: Configuration)
     extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 
@@ -229,7 +263,6 @@ class EventsV2Reader(file: String, fields: Array[String],
   private val needed: Set[String] =
     fields.toSet ++ pushed.flatMap(_.references)
 
-  private val conf = new org.apache.hadoop.conf.Configuration()
   private val hPath = new Path(file)
   private val in = hPath.getFileSystem(conf).open(hPath)
   private val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -244,16 +277,34 @@ class EventsV2Reader(file: String, fields: Array[String],
       val out = scala.collection.mutable.HashMap.empty[String, Any]
       while (p.nextToken() == JsonToken.FIELD_NAME) {
         val name = p.currentName()
-        p.nextToken()
+        val tok = p.nextToken()
         if (!needed.contains(name)) p.skipChildren()
         else {
-          val v: Any = (EventsV2.fieldType(name), p.currentToken()) match {
+          val v: Any = (EventsV2.fieldType(name), tok) match {
             case (_, JsonToken.VALUE_NULL) => null
-            case (Some(LongType), _) => p.getLongValue
-            case (Some(DoubleType), _) => p.getDoubleValue
+            // exact-integer only: Jackson's getLongValue TRUNCATES float
+            // tokens, which would admit rows the from_json reader
+            // quarantines — a float where a long belongs is malformed
+            case (Some(LongType), JsonToken.VALUE_NUMBER_INT) =>
+              p.getLongValue
+            case (Some(DoubleType), JsonToken.VALUE_NUMBER_INT |
+                                    JsonToken.VALUE_NUMBER_FLOAT) =>
+              p.getDoubleValue
+            // a STRING column whose JSON value is an object/array (the
+            // schemaless props payload) carries the RAW JSON text — the
+            // from_json reader's StringType behavior; char offsets slice
+            // it out of the line without materializing the tree
+            case (Some(StringType), JsonToken.START_OBJECT |
+                                    JsonToken.START_ARRAY) =>
+              val start = p.currentTokenLocation().getCharOffset.toInt
+              p.skipChildren()
+              val end = p.currentLocation().getCharOffset.toInt
+              line.substring(start, end)
             case (Some(StringType), _) => p.getText
-            case (Some(TimestampType), _) => EventsV2.tsMicros(p.getText)
-            case _ => { p.skipChildren(); null }
+            case (Some(TimestampType), JsonToken.VALUE_STRING) =>
+              EventsV2.tsMicros(p.getText)
+            case _ => throw new IllegalArgumentException(
+              s"type mismatch for $name: $tok")
           }
           out(name) = v
         }

@@ -50,13 +50,17 @@ class EventsV2BatchWrite(path: String, schema: StructType,
                          truncate: Boolean) extends BatchWrite {
   private val jobId = UUID.randomUUID().toString
   private def stagingDir = new Path(path, s"_temp/$jobId")
+  private def driverConf: Configuration =
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new EventsV2WriterFactory(path, jobId, schema)
+    new EventsV2WriterFactory(path, jobId, schema,
+      HadoopConfCarrier.capture(driverConf))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(driverConf)
     if (truncate) {
       // staged output is known good at this point; only now drop the old
       // data files (never the staging area)
@@ -70,32 +74,44 @@ class EventsV2BatchWrite(path: String, schema: StructType,
     }
     messages.foreach { case StagedFile(p) =>
       val src = new Path(p)
-      fs.rename(src, new Path(path, src.getName))
+      // staged names carry the job UUID, so a collision with an existing
+      // data file is impossible across applications/retries — but the
+      // rename result is still CHECKED: an unchecked false return (dest
+      // exists, src vanished, FS quirk) would silently drop committed
+      // rows and then delete them with the staging dir
+      if (!fs.rename(src, new Path(path, src.getName)))
+        throw new java.io.IOException(
+          s"commit rename failed: $src -> $path/${src.getName}")
     }
+    // ONLY this job's staging dir — deleting or even inspecting the
+    // shared _temp parent races a concurrent job's staging writes
     fs.delete(stagingDir, true)
-    val tmp = new Path(path, "_temp")
-    if (fs.exists(tmp) && fs.listStatus(tmp).isEmpty) fs.delete(tmp, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(driverConf)
     fs.delete(stagingDir, true) // table untouched
   }
 }
 
-class EventsV2WriterFactory(path: String, jobId: String, schema: StructType)
+class EventsV2WriterFactory(path: String, jobId: String, schema: StructType,
+                            hadoopConf: Array[(String, String)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new EventsV2DataWriter(path, jobId, schema, partitionId, taskId)
+    new EventsV2DataWriter(path, jobId, schema, partitionId, taskId,
+      HadoopConfCarrier.restore(hadoopConf))
 }
 
 class EventsV2DataWriter(path: String, jobId: String, schema: StructType,
-                         partitionId: Int, taskId: Long)
+                         partitionId: Int, taskId: Long, conf: Configuration)
     extends DataWriter[InternalRow] {
+  // the job UUID IS part of the landed file name: task ids restart at 0
+  // in every Spark application, so `part-<pid>-<tid>` alone collides
+  // across append jobs (lost or overwritten data at commit rename)
   private val staged =
-    new Path(path, s"_temp/$jobId/part-$partitionId-$taskId.json")
-  private val fs = staged.getFileSystem(new Configuration())
+    new Path(path, s"_temp/$jobId/part-$partitionId-$taskId-$jobId.json")
+  private val fs = staged.getFileSystem(conf)
   private val out = new BufferedWriter(
     new OutputStreamWriter(fs.create(staged, true), "UTF-8"))
 

@@ -104,8 +104,11 @@ class EventsV2Spec extends AnyFunSuite {
       .select(EventsV2SpecCols.map(col): _*)
       .orderBy(col("event_id")).collect().toSeq
     assert(c == b, "v2-written files must satisfy the from_json contract")
-    assert(!new java.io.File(d, "_temp").exists(),
-      "job commit must clear the staging area")
+    // the job's staging dir is gone; the shared _temp parent may remain
+    // (empty) — deleting it would race a concurrent job's staging writes
+    val tmp = new java.io.File(d, "_temp")
+    assert(!tmp.exists() || tmp.listFiles().isEmpty,
+      "job commit must clear its staging dir")
   }
 
   test("overwrite truncates only at job commit; append accumulates") {
@@ -129,15 +132,36 @@ class EventsV2Spec extends AnyFunSuite {
       java.nio.file.Paths.get(d.getAbsolutePath, "part-0.json"),
       ("{\"event_id\":1,\"event_type\":\"ok\"}\n" +
        "not json at all\n" +
+       "{\"event_id\":3.5,\"event_type\":\"float-id\"}\n" +
        "{\"event_id\":2,\"event_type\":\"ok2\",\"value\":null}\n").getBytes)
     val rows = spark.read.format(Fmt).load(d.getAbsolutePath)
       .orderBy(col("event_id")).collect()
-    assert(rows.length == 2)
+    assert(rows.length == 2,
+      "a float token in a LONG column is malformed, like from_json")
     assert(rows(0).getLong(0) == 1L && rows(1).getLong(0) == 2L)
     assert(rows(1).isNullAt(rows(1).fieldIndex("value")),
       "explicit JSON null must surface as SQL NULL")
     // null never satisfies a pushed comparison
     assert(spark.read.format(Fmt).load(d.getAbsolutePath)
       .filter(col("value") > 0.0).count() == 0)
+  }
+
+  test("an OBJECT-valued props field surfaces as its raw JSON text, " +
+       "fields after it intact") {
+    val d = java.nio.file.Files.createTempDirectory("events-v2-obj").toFile
+    d.deleteOnExit()
+    // props is an object and deliberately NOT the last key: a naive
+    // getText parse would consume the nested keys as top-level fields
+    // and null out everything sorting after "props"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, "part-0.json"),
+      ("{\"event_id\":7,\"props\":{\"k\":87,\"tags\":[1,2]}," +
+       "\"user_id\":5,\"value\":2.5}\n").getBytes)
+    val r = spark.read.format(Fmt).load(d.getAbsolutePath).collect().head
+    assert(r.getAs[Long]("event_id") == 7L)
+    assert(r.getAs[String]("props") == "{\"k\":87,\"tags\":[1,2]}")
+    assert(r.getAs[Long]("user_id") == 5L,
+      "fields after the object must still parse")
+    assert(r.getAs[Double]("value") == 2.5)
   }
 }
