@@ -160,6 +160,7 @@ class EventsV2Table(path: String) extends Table with SupportsRead
   override def schema(): StructType = EventsV2.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventsV2ScanBuilder(path)
@@ -198,6 +199,9 @@ class EventsV2Scan(path: String, required: StructType,
       s"ReadFields: [${required.fieldNames.mkString(", ")}], " +
       s"PushedEventFilters: [${pushed.mkString(", ")}]"
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventsV2MicroBatchStream(path, required, pushed, checkpointLocation)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active

@@ -146,6 +146,51 @@ class EventsV2Spec extends AnyFunSuite {
       .filter(col("value") > 0.0).count() == 0)
   }
 
+  test("micro-batch stream: new files become increments; restart resumes " +
+       "from the offset with no replay") {
+    val d = java.nio.file.Files.createTempDirectory("events-v2-s").toFile
+    d.deleteOnExit()
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("events-v2-s-ckpt").toString
+    def drop(name: String, ids: Seq[Long], mtime: Long): Unit = {
+      val f = new java.io.File(d, name)
+      java.nio.file.Files.write(f.toPath,
+        ids.map(i => s"""{"event_id":$i,"event_type":"e"}""")
+          .mkString("", "\n", "\n").getBytes)
+      assert(f.setLastModified(mtime)) // deterministic watermark order
+    }
+    val t0 = System.currentTimeMillis()
+    drop("a.json", Seq(1L, 2L), t0)
+    val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val count = new java.util.concurrent.atomic.AtomicLong()
+    def start() = spark.readStream.format(Fmt).load(d.getAbsolutePath)
+      .select(col("event_id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        ids.foreach(got.add); count.addAndGet(ids.length)
+        ()
+      }.start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(got.size == 2 && count.get == 2)
+      drop("b.json", Seq(3L, 4L, 5L), t0 + 2000)
+      q1.processAllAvailable()
+      assert(got.size == 5 && count.get == 5,
+        "the new file must arrive as an increment")
+    } finally q1.stop()
+    // restart from the checkpoint: only the post-kill file may surface
+    drop("c.json", Seq(6L), t0 + 4000)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(got.size == 6, s"missing increment after restart: $got")
+      assert(count.get == 6,
+        "committed files replayed after restart — offset not honored")
+    } finally q2.stop()
+  }
+
   test("an OBJECT-valued props field surfaces as its raw JSON text, " +
        "fields after it intact") {
     val d = java.nio.file.Files.createTempDirectory("events-v2-obj").toFile
