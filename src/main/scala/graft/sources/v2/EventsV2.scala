@@ -89,6 +89,20 @@ object EventsV2 {
   private[v2] def fieldType(name: String): Option[DataType] =
     Schema.fields.find(_.name == name).map(_.dataType)
 
+  /** The ONE data-file listing rule, shared by the batch scan and the
+    * micro-batch stream (two copies of the hidden-file filter could
+    * silently diverge the two faces' views of the same directory). */
+  private[v2] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                p: Path): Array[org.apache.hadoop.fs
+                                  .FileStatus] = {
+    if (!fs.exists(p)) return Array.empty
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    else Array(fs.getFileStatus(p))
+  }
+
   /** Can the reader evaluate this filter exactly? */
   private[v2] def pushable(f: Filter): Boolean = f match {
     case EqualTo(a, _) => fieldType(a).isDefined
@@ -207,16 +221,10 @@ class EventsV2Scan(path: String, required: StructType,
     val spark = SparkSession.active
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName
-          .startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      else Array(path)
     // one partition per file: directory-of-N reads N-wide, like the
     // built-in file sources' split planning
-    files.sorted.map(f =>
-      EventsV2Partition(f): InputPartition)
+    EventsV2.listDataFiles(fs, p).map(_.getPath.toString).sorted
+      .map(f => EventsV2Partition(f): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

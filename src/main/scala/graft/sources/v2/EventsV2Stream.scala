@@ -1,5 +1,7 @@
 package graft.sources.v2
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition,
@@ -12,25 +14,35 @@ import org.apache.spark.sql.types.StructType
 /** Micro-batch STREAMING read for the V2 events connector — the
   * `readStream` face of the same directory the batch scan reads,
   * completing the connector triad (batch read / batch write / stream
-  * read). The streaming unit is the FILE, exactly like Spark's built-in
-  * FileStreamSource: each micro-batch is the set of data files that
-  * appeared since the last committed offset.
+  * read). The streaming unit is the FILE, like Spark's built-in
+  * FileStreamSource, and like it the source keeps a SEEN-FILES LOG in
+  * the checkpoint location rather than a modification-time watermark:
   *
-  * Offset model: a file is identified by (modificationTime, name); the
-  * offset is the high-watermark pair of the newest file included so far.
-  * `latestOffset` lists the directory and advances the watermark;
-  * `planInputPartitions(start, end)` re-lists and takes exactly the
-  * files in (start, end] — deterministic for a given listing because the
-  * (mtime, name) order is total. Restart replays from the checkpointed
-  * offset pair with no duplicate files.
+  *  - `latestOffset` lists the directory (one listing per trigger,
+  *    shared with `planInputPartitions` via the log), appends any file
+  *    not yet in the log — in (mtime, name) order for determinism — and
+  *    persists the log (temp-file + atomic rename) BEFORE returning the
+  *    new offset, so an offset never references files a restart cannot
+  *    re-resolve.
+  *  - The offset is the log LENGTH. `planInputPartitions(start, end)`
+  *    serves exactly log entries (start, end] — a slice of an
+  *    append-only persisted log, so a replayed batch contains exactly
+  *    the original files regardless of later directory churn, an mtime
+  *    tie, clock skew, or a transient empty listing (the log never
+  *    shrinks, so a listing blip yields an empty batch, never a replay).
+  *  - A file is therefore ingested exactly once: membership is by path,
+  *    not by timestamp — files landing with stale mtimes (rename-based
+  *    committers, including [[EventsV2BatchWrite]], preserve staging
+  *    mtimes) are picked up on first sight like any other.
   *
-  * Residual (shared with every watermark-on-mtime design, documented
-  * rather than hidden): a file that lands with a modification time AT OR
-  * BELOW an already-committed watermark (clock skew, copied-in old
-  * files) is skipped. Producers must write files with fresh mtimes — the
-  * natural behavior of every writer including [[EventsV2BatchWrite]].
-  * Pushed filters and column pruning apply per micro-batch exactly as in
-  * the batch scan (same reader factory).
+  * Residuals, shared with FileStreamSource and documented rather than
+  * hidden: files must LAND ATOMICALLY (write elsewhere, rename in — a
+  * file caught half-written is read once in that state); the log grows
+  * with one line per file ever seen (compaction = start a new checkpoint
+  * over a compacted directory); a file deleted after being logged simply
+  * yields an empty partition if its batch replays after the data is
+  * gone. Pushed filters and column pruning apply per micro-batch exactly
+  * as in the batch scan (same reader factory).
   */
 class EventsV2MicroBatchStream(path: String, required: StructType,
                                pushed: Array[Filter],
@@ -40,69 +52,83 @@ class EventsV2MicroBatchStream(path: String, required: StructType,
   private def hadoopConf =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  /** Sorted (mtime, name, fullPath) listing of current data files. */
-  private def listing(): Array[(Long, String, String)] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf)
-    if (!fs.exists(p)) return Array.empty
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-      else Array(fs.getFileStatus(p))
-    files.map(s => (s.getModificationTime, s.getPath.getName,
-      s.getPath.toString)).sortBy(t => (t._1, t._2))
+  private val logPath = new Path(checkpointLocation, "graft-files.log")
+
+  // in-memory mirror of the persisted log; loaded once per stream
+  // incarnation, appended by latestOffset under this lock
+  private val seenLog = ArrayBuffer.empty[String]
+  private val seenSet = scala.collection.mutable.HashSet.empty[String]
+  private val lock = new Object
+
+  locally {
+    val fs = logPath.getFileSystem(hadoopConf)
+    if (fs.exists(logPath)) {
+      val in = fs.open(logPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).foreach { f => seenLog += f; seenSet += f }
+      finally in.close()
+    }
   }
 
-  override def initialOffset(): Offset = EventsV2Offset(Long.MinValue, "")
+  private def persistLog(): Unit = {
+    val fs = logPath.getFileSystem(hadoopConf)
+    val tmp = new Path(checkpointLocation, s"graft-files.log.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(seenLog.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(logPath)) fs.delete(logPath, false)
+    if (!fs.rename(tmp, logPath))
+      throw new java.io.IOException(s"could not persist file log $logPath")
+  }
 
-  override def latestOffset(): Offset = {
-    val l = listing()
-    if (l.isEmpty) initialOffset()
-    else EventsV2Offset(l.last._1, l.last._2)
+  override def initialOffset(): Offset = EventsV2Offset(0L)
+
+  override def latestOffset(): Offset = lock.synchronized {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val fresh = EventsV2.listDataFiles(fs, p)
+      .filter(s => !seenSet.contains(s.getPath.toString))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+      .map(_.getPath.toString)
+    if (fresh.nonEmpty) {
+      fresh.foreach { f => seenLog += f; seenSet += f }
+      persistLog() // offset must never outrun the durable log
+    }
+    EventsV2Offset(seenLog.length.toLong)
   }
 
   override def deserializeOffset(json: String): Offset =
     EventsV2Offset.fromJson(json)
 
   override def planInputPartitions(start: Offset,
-                                   end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[EventsV2Offset]
-    val e = end.asInstanceOf[EventsV2Offset]
-    val ord = Ordering.Tuple2[Long, String]
-    listing()
-      .filter { case (mt, name, _) =>
-        ord.gt((mt, name), (s.mtime, s.name)) &&
-          ord.lteq((mt, name), (e.mtime, e.name))
-      }
-      .map(t => EventsV2Partition(t._3): InputPartition)
-  }
+                                   end: Offset): Array[InputPartition] =
+    lock.synchronized {
+      val s = start.asInstanceOf[EventsV2Offset].index.toInt
+      val e = end.asInstanceOf[EventsV2Offset].index.toInt
+      require(e <= seenLog.length,
+        s"offset $e beyond the recovered file log (${seenLog.length})")
+      seenLog.slice(s, e)
+        .map(f => EventsV2Partition(f): InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsV2ReaderFactory(required.fieldNames, pushed,
       HadoopConfCarrier.capture(hadoopConf))
 
-  override def commit(end: Offset): Unit = () // files are immutable; no-op
+  override def commit(end: Offset): Unit = () // the log IS the durable state
 
   override def stop(): Unit = ()
 }
 
-/** (mtime, name) high-watermark offset, JSON-serialized for the
-  * checkpoint log. */
-case class EventsV2Offset(mtime: Long, name: String) extends Offset {
-  override def json(): String =
-    s"""{"mtime":$mtime,"name":${graft.queue.Json.encode(name)}}"""
+/** Log-index offset (the count of files served so far). */
+case class EventsV2Offset(index: Long) extends Offset {
+  override def json(): String = s"""{"index":$index}"""
 }
 
 object EventsV2Offset {
-  private val Re = """\{"mtime":(-?\d+),"name":"(.*)"\}""".r
+  private val Re = """\{"index":(\d+)\}""".r
   def fromJson(j: String): EventsV2Offset = j match {
-    case Re(mt, n) =>
-      // the name passed through Json.encode: unescape the two escapes a
-      // file name can realistically carry (quotes/backslashes)
-      EventsV2Offset(mt.toLong,
-        n.replace("\\\"", "\"").replace("\\\\", "\\"))
+    case Re(i) => EventsV2Offset(i.toLong)
     case _ => throw new IllegalArgumentException(s"bad offset json: $j")
   }
 }

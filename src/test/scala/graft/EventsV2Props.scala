@@ -57,9 +57,16 @@ object EventsV2Props extends Properties("events-v2") {
     uid.map(Long.box).orNull, tpe.orNull,
     v.map(Double.box).orNull, pr.orNull)
 
-  private def mkDir(): String = {
-    val d = java.nio.file.Files.createTempDirectory("ev2-props").toFile
-    d.deleteOnExit(); d.getAbsolutePath
+  private def mkDir(): String =
+    java.nio.file.Files.createTempDirectory("ev2-props")
+      .toFile.getAbsolutePath
+
+  /** deleteOnExit never removes non-empty dirs — reclaim each case's
+    * data eagerly or 100 populated temp dirs leak per property run. */
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   private def canon(rows: Seq[Row]): Seq[Seq[Any]] =
@@ -82,6 +89,7 @@ object EventsV2Props extends Properties("events-v2") {
         .select(schema.fieldNames.map(col): _*).collect().toSeq
       val fj = graft.sources.EventJsonSource.readValid(spark, dir)
         .select(schema.fieldNames.map(col): _*).collect().toSeq
+      rmTree(dir)
       val in = canon(distinctRows)
       Prop(canon(v2) == in) :| "v2 read diverged" &&
         Prop(canon(fj) == in) :| "from_json read diverged"
@@ -108,6 +116,7 @@ object EventsV2Props extends Properties("events-v2") {
           .compareTo(org.apache.spark.unsafe.types.UTF8String
             .fromString(cut)) > 0)
         .map(_.getLong(0)).toSet
+      rmTree(dir)
       Prop(pushedIds == sparkIds) :|
         s"pushdown selected $pushedIds but Spark semantics say $sparkIds"
     }

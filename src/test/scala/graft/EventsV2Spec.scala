@@ -153,11 +153,16 @@ class EventsV2Spec extends AnyFunSuite {
     val ckpt = java.nio.file.Files
       .createTempDirectory("events-v2-s-ckpt").toString
     def drop(name: String, ids: Seq[Long], mtime: Long): Unit = {
-      val f = new java.io.File(d, name)
-      java.nio.file.Files.write(f.toPath,
+      // atomic landing (write elsewhere, move in): the source's
+      // documented contract — an in-place write could be listed
+      // half-written and, file-level-once, never re-read
+      val tmp = java.nio.file.Files.createTempFile("ev2-drop", ".json")
+      java.nio.file.Files.write(tmp,
         ids.map(i => s"""{"event_id":$i,"event_type":"e"}""")
           .mkString("", "\n", "\n").getBytes)
-      assert(f.setLastModified(mtime)) // deterministic watermark order
+      assert(tmp.toFile.setLastModified(mtime))
+      java.nio.file.Files.move(tmp, new java.io.File(d, name).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     val t0 = System.currentTimeMillis()
     drop("a.json", Seq(1L, 2L), t0)
@@ -188,6 +193,13 @@ class EventsV2Spec extends AnyFunSuite {
       assert(got.size == 6, s"missing increment after restart: $got")
       assert(count.get == 6,
         "committed files replayed after restart — offset not honored")
+      // a file landing with a STALE mtime (rename-based committers
+      // preserve staging times) must still be ingested: membership is
+      // by path in the seen-files log, not by timestamp watermark
+      drop("d_stale.json", Seq(7L), t0 - 10000)
+      q2.processAllAvailable()
+      assert(got.contains(7L) && count.get == 7,
+        "stale-mtime file lost — the seen-log contract is broken")
     } finally q2.stop()
   }
 
