@@ -904,6 +904,88 @@ object Analytics extends QueryPack {
             .as("intercept"),
           round(r * r, 4).as("r2"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Chi-square test of independence between order priority and order
+    // status (the categorical companion of q_ab_ttest): observed counts
+    // from ONE hash agg over one scan; row/column margins and N are
+    // windows over the ≤|priorities|×|statuses| crosstab, never the fact
+    // table; χ² = Σ (o−e)²/e with expected counts e = rm·cm/N computed
+    // in double over exact integer margins, in identical textual order
+    // both engines. Output: the statistic, its degrees of freedom, and N
+    // — one row at any scale.
+    "q_chi_square" -> { (s, d) =>
+      val ct = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("rm", sum(col("o")).over(Window.partitionBy(col("p"))))
+        .withColumn("cm", sum(col("o")).over(Window.partitionBy(col("st"))))
+        .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      val e = col("rm").cast("double") * col("cm").cast("double") /
+        col("n").cast("double")
+      ct.agg(
+          round(sum((col("o").cast("double") - e) *
+                    (col("o").cast("double") - e) / e), 4).as("chi2"),
+          ((countDistinct(col("p")) - 1) *
+           (countDistinct(col("st")) - 1)).as("dof"),
+          max(col("n")).as("n"))
+        .select(col("chi2"), col("dof"), col("n"))
+    },
+
+    // Gini concentration coefficient of customer spend per market
+    // segment (the inequality metric a data audit runs on token/spend
+    // distributions): per-customer exact cents totals, ranked WITHIN
+    // their segment (partitioned window — never a global sort), then the
+    // closed form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over exact integer
+    // sums (rank·cents rides as decimal(38,0); one double division at
+    // display). Facts collapse to the customer grain before any window.
+    "q_gini" -> { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+      val ranked = spend.withColumn("rk",
+        row_number().over(Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("cents"), col("o_custkey"))))
+      ranked.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("rk").cast(DecimalType(19, 0)) * col("cents"))
+            .cast(DecimalType(38, 0))).as("six"))
+        .select(col("c_mktsegment"), col("n"),
+          round((lit(2.0) * col("six").cast("double") -
+                 (col("n") + 1).cast("double") * col("sx").cast("double")) /
+                (col("n").cast("double") * col("sx").cast("double")), 4)
+            .as("gini"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Time-weighted average of each user's event value (the TWAP / gauge
+    // aggregation of time-series systems — a plain mean over-weights
+    // bursts): each reading holds until the next same-user event, weight
+    // = that duration in exact integer MICROSECONDS (second-granularity
+    // epoch functions disagree cross-engine on sub-second fractions —
+    // floor-of-diff vs diff-of-floors — so the duration math stays at
+    // the timestamp's native precision); one user_id window pass for the
+    // lead, exact decimal Σ(value·dt) / exact Σdt, one display division.
+    "q_time_weighted_avg" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("dt",
+          (unix_micros(lead(col("ts"), 1).over(w)) -
+           unix_micros(col("ts"))))
+        .filter(col("dt").isNotNull && col("dt") > 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt")).as("span_us"),
+          round(sum((dec(col("value")) * col("dt")).cast(DecimalType(38, 2)))
+              .cast("double") /
+            sum(col("dt")).cast("double"), 4).as("twap"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -1582,6 +1664,69 @@ object Analytics extends QueryPack {
                 sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))), 4)
           AS r2
-      FROM m ORDER BY l_returnflag"""
+      FROM m ORDER BY l_returnflag""",
+
+    "q_chi_square" -> """
+      WITH ct AS (
+        SELECT o_orderpriority AS p, o_orderstatus AS st,
+               count(*) AS o
+        FROM orders GROUP BY 1, 2),
+      m AS (
+        SELECT p, st, o,
+          sum(o) OVER (PARTITION BY p) AS rm,
+          sum(o) OVER (PARTITION BY st) AS cm,
+          sum(o) OVER () AS n
+        FROM ct)
+      SELECT
+        round(sum((CAST(o AS DOUBLE) -
+                   CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                     / CAST(n AS DOUBLE)) *
+                  (CAST(o AS DOUBLE) -
+                   CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                     / CAST(n AS DOUBLE)) /
+                  (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                     / CAST(n AS DOUBLE))), 4) AS chi2,
+        (count(DISTINCT p) - 1) * (count(DISTINCT st) - 1) AS dof,
+        CAST(max(n) AS BIGINT) AS n
+      FROM m""",
+
+    "q_gini" -> """
+      WITH spend AS (
+        SELECT o_custkey, c_mktsegment,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2),
+      r AS (
+        SELECT c_mktsegment, cents,
+          row_number() OVER (PARTITION BY c_mktsegment
+                             ORDER BY cents, o_custkey) AS rk
+        FROM spend)
+      SELECT c_mktsegment, count(*) AS n,
+        round((2.0 * CAST(sum(CAST(CAST(rk AS DECIMAL(19,0)) * cents
+                                   AS DECIMAL(38,0))) AS DOUBLE) -
+               CAST(count(*) + 1 AS DOUBLE) *
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)) /
+              (CAST(count(*) AS DOUBLE) *
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)), 4)
+          AS gini
+      FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // DuckDB dialect (epoch_us()); Spark twin (unix_micros) in
+    // SqlDialectTwins.
+    "q_time_weighted_avg" -> """
+      WITH dt AS (
+        SELECT user_id, value,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+            - epoch_us(ts) AS dt
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(dt) AS BIGINT) AS span_us,
+        round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * dt
+                            AS DECIMAL(38,2))) AS DOUBLE) /
+              CAST(sum(dt) AS DOUBLE), 4) AS twap
+      FROM dt WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id ORDER BY user_id"""
   )
 }

@@ -506,6 +506,79 @@ class MlPrepSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_chi_square / q_gini / q_time_weighted_avg -----------------------
+
+  test("q_chi_square == local contingency-table recompute") {
+    val obs = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = obs.groupBy(identity).view.mapValues(_.length).toMap
+    val rm = obs.groupBy(_._1).view.mapValues(_.length).toMap
+    val cm = obs.groupBy(_._2).view.mapValues(_.length).toMap
+    val n = obs.length.toDouble
+    val chi2 = cells.map { case ((p, st), o) =>
+      val e = rm(p) * cm(st) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val r = run("q_chi_square").collect().head
+    assert(math.abs(r.getDouble(0) - chi2) < 5e-3)
+    assert(r.getLong(1) == (rm.size - 1).toLong * (cm.size - 1))
+    assert(r.getLong(2) == obs.length.toLong)
+  }
+
+  test("q_gini == local closed-form recompute; bounded in [0,1)") {
+    val spend = Tables.orders(spark, TestSpark.Sf0001)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .join(Tables.customer(spark, TestSpark.Sf0001)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = spend.groupBy(_._1).map { case (seg, rows) =>
+      val xs = rows.sortBy(t => (t._3, t._2)).map(_._3.toDouble)
+      val nn = xs.length
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      seg -> (2.0 * six - (nn + 1) * xs.sum) / (nn * xs.sum)
+    }
+    val got = run("q_gini").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (seg, g) =>
+      assert(math.abs(got(seg) - g) < 5e-4, s"$seg: ${got(seg)} vs $g")
+      assert(got(seg) >= 0.0 - 1e-9 && got(seg) < 1.0)
+    }
+  }
+
+  test("q_time_weighted_avg == sequential hold-until-next recompute; " +
+       "twap inside the value range") {
+    val perUser = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0),
+                 r.getTimestamp(1).getTime * 1000 +
+                   r.getTimestamp(1).getNanos / 1000 % 1000,
+                 r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    val got = run("q_time_weighted_avg").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    perUser.foreach { case (u, evs0) =>
+      val evs = evs0.sortBy(t => (t._2, t._3))
+      val ivs = evs.zip(evs.tail)
+        .map { case (a, b) => (a._4, b._2 - a._2) }
+        .filter(_._2 > 0)
+      val twap = ivs.map { case (v, dt) =>
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * dt
+      }.sum / ivs.map(_._2).sum
+      val (nGot, spanGot, twapGot) = got(u)
+      assert(nGot == ivs.length && spanGot == ivs.map(_._2).sum)
+      assert(math.abs(twapGot - twap.toDouble) < 5e-4, s"user $u twap")
+      val vs = ivs.map(_._1)
+      assert(twapGot >= vs.min - 1e-9 && twapGot <= vs.max + 1e-9)
+    }
+  }
+
   // ---- q_not_in_nulls ----------------------------------------------------
 
   test("q_not_in_nulls pins three-valued logic: NULL poisons NOT IN, " +

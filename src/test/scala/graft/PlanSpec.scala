@@ -400,6 +400,13 @@ class PlanSpec extends AnyFunSuite {
     nodeBudget("q_corr_matrix", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 1)
     nodeBudget("q_linreg", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // crosstab agg + tiny windows + final 1-row agg
+    nodeBudget("q_chi_square", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 4)
+    // customer-grain agg + broadcast dim + per-segment rank + final agg
+    nodeBudget("q_gini", fileScanMax = 2, rddScanMax = 0, hashExMax = 3)
+    nodeBudget("q_time_weighted_avg", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
     // one explode + one (two-level, for the exact distinct) agg
     nodeBudget("q_feature_hash", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 2)

@@ -933,6 +933,22 @@ object SqlDialectTwins {
                ORDER BY c_acctbal DESC, c_name LIMIT 2) t
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""",
 
+    // epoch_us() -> unix_micros()
+    "q_time_weighted_avg" -> """
+      WITH dt AS (
+        SELECT user_id, value,
+          unix_micros(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+            - unix_micros(ts) AS dt
+        FROM events)
+      SELECT user_id, count(*) AS n_intervals,
+        CAST(sum(dt) AS BIGINT) AS span_us,
+        round(CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * dt
+                            AS DECIMAL(38,2))) AS DOUBLE) /
+              CAST(sum(dt) AS DOUBLE), 4) AS twap
+      FROM dt WHERE dt IS NOT NULL AND dt > 0
+      GROUP BY user_id ORDER BY user_id""",
+
     // range-table 1-based list index -> posexplode (0-based)
     "q_embed_centroid" -> """
       WITH ex AS (
