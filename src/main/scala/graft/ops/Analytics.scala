@@ -915,9 +915,19 @@ object Analytics extends QueryPack {
     // both engines. Output: the statistic, its degrees of freedom, and N
     // — one row at any scale.
     "q_chi_square" -> { (s, d) =>
-      val ct = Tables.orders(s, d)
+      // the statistic sums over the FULL r×c grid — a structural-zero
+      // cell still contributes (0−e)²/e = e; summing only observed
+      // cells understates χ² whenever a combination never occurs. The
+      // observed crosstab is checkpointed once and re-read by the grid
+      // sides, so the fact table is scanned exactly once.
+      val obs = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("p"), col("o_orderstatus").as("st"))
         .agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = false)
+      val grid = obs.select(col("p")).distinct()
+        .crossJoin(broadcast(obs.select(col("st")).distinct()))
+      val ct = grid.join(obs, Seq("p", "st"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
         .withColumn("rm", sum(col("o")).over(Window.partitionBy(col("p"))))
         .withColumn("cm", sum(col("o")).over(Window.partitionBy(col("st"))))
         .withColumn("n", sum(col("o")).over(Window.partitionBy()))
@@ -1667,10 +1677,17 @@ object Analytics extends QueryPack {
       FROM m ORDER BY l_returnflag""",
 
     "q_chi_square" -> """
-      WITH ct AS (
+      WITH obs AS (
         SELECT o_orderpriority AS p, o_orderstatus AS st,
                count(*) AS o
         FROM orders GROUP BY 1, 2),
+      grid AS (
+        SELECT p, st
+        FROM (SELECT DISTINCT p FROM obs)
+        CROSS JOIN (SELECT DISTINCT st FROM obs)),
+      ct AS (
+        SELECT g.p, g.st, coalesce(o.o, 0) AS o
+        FROM grid g LEFT JOIN obs o ON g.p = o.p AND g.st = o.st),
       m AS (
         SELECT p, st, o,
           sum(o) OVER (PARTITION BY p) AS rm,

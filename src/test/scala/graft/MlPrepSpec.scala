@@ -516,10 +516,12 @@ class MlPrepSpec extends AnyFunSuite {
     val rm = obs.groupBy(_._1).view.mapValues(_.length).toMap
     val cm = obs.groupBy(_._2).view.mapValues(_.length).toMap
     val n = obs.length.toDouble
-    val chi2 = cells.map { case ((p, st), o) =>
+    // full r×c grid: a structural zero still contributes (0−e)²/e
+    val chi2 = (for (p <- rm.keys; st <- cm.keys) yield {
+      val o = cells.getOrElse((p, st), 0)
       val e = rm(p) * cm(st) / n
       (o - e) * (o - e) / e
-    }.sum
+    }).sum
     val r = run("q_chi_square").collect().head
     assert(math.abs(r.getDouble(0) - chi2) < 5e-3)
     assert(r.getLong(1) == (rm.size - 1).toLong * (cm.size - 1))

@@ -400,9 +400,8 @@ class PlanSpec extends AnyFunSuite {
     nodeBudget("q_corr_matrix", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 1)
     nodeBudget("q_linreg", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
-    // crosstab agg + tiny windows + final 1-row agg
-    nodeBudget("q_chi_square", fileScanMax = 1, rddScanMax = 0,
-               hashExMax = 4)
+    // chi-square gets a custom budget below (its r×c grid cross join is
+    // a deliberate tiny BNLJ, which nodeBudget's blanket ban rejects)
     // customer-grain agg + broadcast dim + per-segment rank + final agg
     nodeBudget("q_gini", fileScanMax = 2, rddScanMax = 0, hashExMax = 3)
     nodeBudget("q_time_weighted_avg", fileScanMax = 1, rddScanMax = 0,
@@ -432,6 +431,21 @@ class PlanSpec extends AnyFunSuite {
       s"bfs frontier rounds re-derived the fact lineage:\n$s")
     assert(!s.contains("CartesianProduct"),
       s"bfs frontier join degenerated:\n$s")
+  }
+
+  test("q_chi_square: one fact scan inside the checkpoint; the only " +
+       "nested loop is the r×c grid build") {
+    val s = finalPlan("q_chi_square").split("== Initial Plan ==")(0)
+    def nodes(m: String) = s.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(nodes("FileScan parquet") == 0,
+      s"grid sides re-scanned the fact table:\n$s")
+    assert(nodes("Scan ExistingRDD") <= 3,
+      s"a consumer re-derived the crosstab lineage:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"grid build degenerated:\n$s")
+    assert(nodes("BroadcastNestedLoopJoin") <= 1,
+      s"unexpected nested loop beyond the tiny grid cross join:\n$s")
   }
 
   test("q_basket_lift: pair join stays basket-keyed off one checkpointed " +
