@@ -131,10 +131,17 @@ object Joins extends QueryPack {
     // equality against the unfiltered plan and that the bloom actually
     // prunes.
     "q_bloom_prefilter" -> { (s, d) =>
+      // localCheckpoint the build frame: it drives THREE consumers (the
+      // expected-count job, the bloomFilter treeAggregate, and the exact
+      // semi join's build side) — without the cut each one re-runs the
+      // pushed orders scan, i.e. 3× the build-side I/O at 100 TB. One
+      // materialization of the (small, post-filter) key column feeds all
+      // three; PlanSpec pins the single-scan budget.
       val build = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT" &&
                 col("o_totalprice") > 300000)
         .select(col("o_orderkey"))
+        .localCheckpoint()
       val bf = build.stat.bloomFilter("o_orderkey", build.count(), 0.01)
       val bfB = s.sparkContext.broadcast(bf)
       val might = udf((k: Long) => bfB.value.mightContain(k))

@@ -32,10 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * actually implements:
   *
   *  - **Column pruning at the SOURCE** (`SupportsPushDownRequiredColumns`):
-  *    a `select(event_type)` parses ONLY the `event_type` token per line —
-  *    the Jackson stream skips every other field's value without
-  *    materializing it. With from_json, pruning stops at the parsed
-  *    struct; the full line is still tokenized into every field.
+  *    a `select(event_type)` MATERIALIZES only the `event_type` value per
+  *    line — unrequested schema fields are type-VALIDATED (so a line's
+  *    validity is projection-invariant: count() and collect() agree on
+  *    any projection) but their values are discarded, and string payloads
+  *    (the big schemaless props object) skip without materializing.
+  *    Non-schema fields skip entirely. With from_json, pruning stops at
+  *    the parsed struct; the full line is still tokenized into every
+  *    field AND every value materializes.
   *  - **Filter pushdown** (`SupportsPushDownFilters`): comparisons on the
   *    typed event columns evaluate inside the partition reader, before
   *    any row reaches Spark. Pushed filters are fully handled (Spark's
@@ -290,41 +294,65 @@ class EventsV2Reader(file: String, fields: Array[String],
       while (p.nextToken() == JsonToken.FIELD_NAME) {
         val name = p.currentName()
         val tok = p.nextToken()
-        if (!needed.contains(name)) p.skipChildren()
-        else {
-          val v: Any = (EventsV2.fieldType(name), tok) match {
-            case (_, JsonToken.VALUE_NULL) => null
-            // exact-integer only: Jackson's getLongValue TRUNCATES float
-            // tokens, which would admit rows the from_json reader
-            // quarantines — a float where a long belongs is malformed
-            case (Some(LongType), JsonToken.VALUE_NUMBER_INT) =>
-              p.getLongValue
-            case (Some(DoubleType), JsonToken.VALUE_NUMBER_INT |
-                                    JsonToken.VALUE_NUMBER_FLOAT) =>
-              p.getDoubleValue
-            // a STRING column whose JSON value is an object/array (the
-            // schemaless props payload) carries the RAW JSON text — the
-            // from_json reader's StringType behavior; char offsets slice
-            // it out of the line without materializing the tree
-            case (Some(StringType), JsonToken.START_OBJECT |
-                                    JsonToken.START_ARRAY) =>
-              val start = p.currentTokenLocation().getCharOffset.toInt
-              p.skipChildren()
-              val end = p.currentLocation().getCharOffset.toInt
-              line.substring(start, end)
-            case (Some(StringType), _) => p.getText
-            case (Some(TimestampType), JsonToken.VALUE_STRING) =>
-              EventsV2.tsMicros(p.getText)
-            case _ => throw new IllegalArgumentException(
-              s"type mismatch for $name: $tok")
-          }
-          out(name) = v
+        EventsV2.fieldType(name) match {
+          // not a schema field: never part of line validity, skip freely
+          case None => p.skipChildren()
+          // EVERY schema field type-validates, requested or not: line
+          // validity must be projection-invariant (ADVICE r11 — a float
+          // token in a long column must kill the line on a pruned read
+          // exactly as on a full read, or count() and collect() disagree
+          // on the same directory). The value is only RETAINED when the
+          // projection/filters need it; validation cost for discarded
+          // fields is the already-tokenized scalar coercion (strings
+          // can't fail, so their payloads still skip untouched).
+          case Some(dt) =>
+            val want = needed.contains(name)
+            val v = parseTyped(name, dt, tok, p, line, want)
+            if (want) out(name) = v
         }
       }
       Some(out.toMap)
     } catch {
       case _: Exception => None // malformed → skip (see class doc)
     } finally p.close()
+  }
+
+  /** Parse-or-validate one schema field's value. Throws on any token/type
+    * mismatch the from_json reader would quarantine (the throw is the
+    * validation — parseLine's catch turns it into a skipped line). When
+    * `want` is false the return value is discarded by the caller; string
+    * object/array payloads then skip without the substring slice. */
+  private def parseTyped(name: String, dt: DataType, tok: JsonToken,
+                         p: com.fasterxml.jackson.core.JsonParser,
+                         line: String, want: Boolean): Any = (dt, tok) match {
+    case (_, JsonToken.VALUE_NULL) => null
+    // exact-integer only: Jackson's getLongValue TRUNCATES float
+    // tokens, which would admit rows the from_json reader
+    // quarantines — a float where a long belongs is malformed.
+    // getLongValue also throws on out-of-range ints, keeping the
+    // overflow edge projection-invariant too.
+    case (LongType, JsonToken.VALUE_NUMBER_INT) =>
+      p.getLongValue
+    case (DoubleType, JsonToken.VALUE_NUMBER_INT |
+                      JsonToken.VALUE_NUMBER_FLOAT) =>
+      p.getDoubleValue
+    // a STRING column whose JSON value is an object/array (the
+    // schemaless props payload) carries the RAW JSON text — the
+    // from_json reader's StringType behavior; char offsets slice
+    // it out of the line without materializing the tree
+    case (StringType, JsonToken.START_OBJECT |
+                      JsonToken.START_ARRAY) =>
+      if (want) {
+        val start = p.currentTokenLocation().getCharOffset.toInt
+        p.skipChildren()
+        val end = p.currentLocation().getCharOffset.toInt
+        line.substring(start, end)
+      } else { p.skipChildren(); null }
+    case (StringType, _) => p.getText
+    case (TimestampType, JsonToken.VALUE_STRING) =>
+      EventsV2.tsMicros(p.getText)
+    case _ => throw new IllegalArgumentException(
+      s"type mismatch for $name: $tok")
   }
 
   private def toRow(m: Map[String, Any]): InternalRow = {

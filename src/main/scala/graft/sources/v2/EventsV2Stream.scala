@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.StructType
   *  - `latestOffset` lists the directory (one listing per trigger,
   *    shared with `planInputPartitions` via the log), appends any file
   *    not yet in the log — in (mtime, name) order for determinism — and
-  *    persists the log (temp-file + atomic rename) BEFORE returning the
-  *    new offset, so an offset never references files a restart cannot
-  *    re-resolve.
+  *    persists the log as a NEW versioned file (`graft-files.log.<len>`,
+  *    temp-file + rename to a fresh name; the previous version is pruned
+  *    only after the new one is durable) BEFORE returning the new
+  *    offset, so an offset never references files a restart cannot
+  *    re-resolve and no crash point leaves zero durable log copies.
   *  - The offset is the log LENGTH. `planInputPartitions(start, end)`
   *    serves exactly log entries (start, end] — a slice of an
   *    append-only persisted log, so a replayed batch contains exactly
@@ -52,7 +54,29 @@ class EventsV2MicroBatchStream(path: String, required: StructType,
   private def hadoopConf =
     SparkSession.active.sparkContext.hadoopConfiguration
 
-  private val logPath = new Path(checkpointLocation, "graft-files.log")
+  // Versioned immutable log files: each persist writes a NEW file
+  // `graft-files.log.<length>` (tmp + rename-to-fresh-name, so no durable
+  // copy is ever deleted before its replacement exists — the r11
+  // delete-then-rename could crash with NO log, wedging restart when
+  // Spark's own offset log referenced entries beyond the recovered log).
+  // Load resolves the highest version; older versions are pruned only
+  // AFTER the new one is durable, and a crash mid-prune just leaves
+  // extra files for the next load to ignore.
+  private val LogPrefix = "graft-files.log"
+  private val LogVersion = s"""\\Qgraft-files.log.\\E(\\d+)""".r
+  private val legacyLogPath = new Path(checkpointLocation, LogPrefix)
+
+  private def versionedLogs(
+      fs: org.apache.hadoop.fs.FileSystem): Seq[(Long, Path)] = {
+    val dir = new Path(checkpointLocation)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case LogVersion(v) => Some((v.toLong, s.getPath))
+        case _ => None
+      }
+    }
+  }
 
   // in-memory mirror of the persisted log; loaded once per stream
   // incarnation, appended by latestOffset under this lock
@@ -61,9 +85,16 @@ class EventsV2MicroBatchStream(path: String, required: StructType,
   private val lock = new Object
 
   locally {
-    val fs = logPath.getFileSystem(hadoopConf)
-    if (fs.exists(logPath)) {
-      val in = fs.open(logPath)
+    val fs = legacyLogPath.getFileSystem(hadoopConf)
+    val versioned = versionedLogs(fs)
+    // highest version wins; a pre-versioning checkpoint falls back to
+    // the legacy unversioned file so old checkpoints keep resuming
+    val toLoad: Option[Path] =
+      if (versioned.nonEmpty) Some(versioned.maxBy(_._1)._2)
+      else if (fs.exists(legacyLogPath)) Some(legacyLogPath)
+      else None
+    toLoad.foreach { p =>
+      val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).foreach { f => seenLog += f; seenSet += f }
       finally in.close()
@@ -71,14 +102,28 @@ class EventsV2MicroBatchStream(path: String, required: StructType,
   }
 
   private def persistLog(): Unit = {
-    val fs = logPath.getFileSystem(hadoopConf)
-    val tmp = new Path(checkpointLocation, s"graft-files.log.tmp")
+    val fs = legacyLogPath.getFileSystem(hadoopConf)
+    val ver = seenLog.length.toLong
+    val tmp = new Path(checkpointLocation, s"$LogPrefix.$ver.tmp")
     val out = fs.create(tmp, true)
     try out.write(seenLog.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(logPath)) fs.delete(logPath, false)
-    if (!fs.rename(tmp, logPath))
-      throw new java.io.IOException(s"could not persist file log $logPath")
+    val dst = new Path(checkpointLocation, s"$LogPrefix.$ver")
+    // version = log length, strictly monotone within and across
+    // incarnations (an existing equal version would have been loaded, and
+    // persist only runs on growth) — dst can only pre-exist as debris
+    // from a crash between rename and Spark's offset commit, in which
+    // case its content is a prefix-identical snapshot; replace it
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not persist file log $dst")
+    // the new version is durable — prune superseded copies (best-effort;
+    // leftovers are ignored by the max-version load)
+    versionedLogs(fs).filter(_._1 < ver)
+      .foreach { case (_, p) => try fs.delete(p, false) catch {
+        case _: java.io.IOException => () } }
+    try { if (fs.exists(legacyLogPath)) fs.delete(legacyLogPath, false) }
+    catch { case _: java.io.IOException => () }
   }
 
   override def initialOffset(): Offset = EventsV2Offset(0L)

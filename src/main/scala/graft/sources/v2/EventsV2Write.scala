@@ -25,9 +25,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
   *    never in `messages`, so it never lands) and drops the staging dir;
   *  - job `abort()` removes the whole staging dir — the table is
   *    byte-identical to before the job;
-  *  - `overwrite` maps to [[SupportsTruncate]]: existing data files are
-  *    removed inside job commit, AFTER the staged files are known good —
-  *    a failed job never half-truncates.
+  *  - `overwrite` maps to [[SupportsTruncate]]: job commit snapshots the
+  *    existing data files, renames EVERY staged file in, and only then
+  *    deletes the snapshot — a commit that fails mid-rename leaves the
+  *    old generation fully intact (plus some UUID-named new files as
+  *    collectable garbage); data loss requires the delete loop itself to
+  *    fail, which starts only after all renames succeeded. (Atomic
+  *    swap proper needs a manifest — that's [[graft.ops.SnapshotLake]]'s
+  *    contract, not a directory listing's.)
   *
   * Rows encode with [[graft.queue.Json]] (sorted keys, Go-marshal
   * rendering — the wire format of `/root/reference/main.go:267-276`) and
@@ -61,17 +66,20 @@ class EventsV2BatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(driverConf)
-    if (truncate) {
-      // staged output is known good at this point; only now drop the old
-      // data files (never the staging area)
-      val root = new Path(path)
-      if (fs.exists(root))
-        fs.listStatus(root).foreach { s =>
-          if (s.isFile && !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-            fs.delete(s.getPath, false)
+    // truncate order (ADVICE r11): snapshot the OLD generation first,
+    // rename ALL staged files in, and only then delete the snapshot —
+    // a rename failure mid-loop leaves the old data fully intact (plus
+    // some UUID-named new files as collectable garbage), never a
+    // half-truncated table. The snapshot is taken before any rename so
+    // the delete loop can never touch a just-landed new file.
+    val root = new Path(path)
+    val oldGeneration: Array[Path] =
+      if (truncate && fs.exists(root))
+        fs.listStatus(root).collect {
+          case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+                    !s.getPath.getName.startsWith(".") => s.getPath
         }
-    }
+      else Array.empty
     messages.foreach { case StagedFile(p) =>
       val src = new Path(p)
       // staged names carry the job UUID, so a collision with an existing
@@ -83,6 +91,8 @@ class EventsV2BatchWrite(path: String, schema: StructType,
         throw new java.io.IOException(
           s"commit rename failed: $src -> $path/${src.getName}")
     }
+    // every staged file is in place — the truncate may begin
+    oldGeneration.foreach(fs.delete(_, false))
     // ONLY this job's staging dir — deleting or even inspecting the
     // shared _temp parent races a concurrent job's staging writes
     fs.delete(stagingDir, true)

@@ -221,4 +221,83 @@ class EventsV2Spec extends AnyFunSuite {
       "fields after the object must still parse")
     assert(r.getAs[Double]("value") == 2.5)
   }
+
+  test("corrupt-line detection is projection-invariant (type mismatch in " +
+       "an UNPROJECTED column still kills the line)") {
+    // ADVICE r11: parseLine used to type-check only projected+filter
+    // fields, so df.count() (empty projection) and a pruned select saw
+    // MORE rows than a full read of the same directory. Every schema
+    // field now validates regardless of projection.
+    val d = java.nio.file.Files.createTempDirectory("events-v2-inv").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d.getAbsolutePath, "part-0.json"),
+      ("{\"event_id\":1,\"event_type\":\"ok\",\"value\":1.5}\n" +
+       "{\"event_id\":2.5,\"event_type\":\"bad-id\"}\n" +           // float in a long col
+       "{\"event_id\":3,\"event_type\":\"bad-ts\",\"ts\":\"nope\"}\n" + // unparseable ts
+       "{\"event_id\":4,\"event_type\":\"ok2\"}\n").getBytes)
+    val full = spark.read.format(Fmt).load(d.getAbsolutePath)
+    assert(full.collect().length == 2, "full read keeps only valid lines")
+    // count() plans an EMPTY projection; a pruned select plans one field —
+    // both must agree with the full read on which lines are valid
+    assert(full.count() == 2,
+      "count() admitted lines the full read rejects (projection-variant)")
+    val pruned = full.select(col("event_type"))
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("ok", "ok2"),
+      "pruned projection admitted lines the full read rejects")
+    // and pruning still prunes: the plan reads just the asked field
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("ReadFields: [event_type]"))
+  }
+
+  test("seen-files log: versioned persist, legacy-checkpoint fallback, " +
+       "crash-debris tolerance") {
+    import graft.sources.v2.{EventsV2, EventsV2MicroBatchStream,
+      EventsV2Offset, EventsV2Partition}
+    val data = java.nio.file.Files.createTempDirectory("ev2-log-d").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("ev2-log-c").toFile
+    data.deleteOnExit(); ckpt.deleteOnExit()
+    def mk() = new EventsV2MicroBatchStream(data.getAbsolutePath,
+      EventsV2.Schema, Array.empty, ckpt.getAbsolutePath)
+    def served(s: EventsV2MicroBatchStream, a: Long, b: Long): Seq[String] =
+      s.planInputPartitions(EventsV2Offset(a), EventsV2Offset(b))
+        .map(_.asInstanceOf[EventsV2Partition].file).toSeq
+    // a pre-versioning checkpoint has only the unversioned legacy file
+    java.nio.file.Files.write(
+      new java.io.File(ckpt, "graft-files.log").toPath, "fA\nfB\n".getBytes)
+    val s1 = mk()
+    assert(served(s1, 0, 2) == Seq("fA", "fB"),
+      "legacy unversioned log must still recover")
+    // a new file lands → persist writes graft-files.log.3 and retires
+    // the legacy copy only AFTER the versioned one is durable
+    java.nio.file.Files.write(
+      new java.io.File(data, "f1.json").toPath,
+      "{\"event_id\":1}\n".getBytes)
+    assert(s1.latestOffset().asInstanceOf[EventsV2Offset].index == 3L)
+    val names = ckpt.listFiles().map(_.getName).toSet
+    assert(names.contains("graft-files.log.3"), s"no versioned log: $names")
+    assert(!names.contains("graft-files.log"),
+      "legacy copy must retire once a versioned log exists")
+    assert(!names.exists(_.endsWith(".tmp")), s"tmp debris left: $names")
+    // crash-mid-prune debris: a STALE lower version must lose to the max
+    java.nio.file.Files.write(
+      new java.io.File(ckpt, "graft-files.log.1").toPath, "zZ\n".getBytes)
+    val s2 = mk()
+    assert(served(s2, 0, 3).length == 3 && served(s2, 2, 3).head
+      .endsWith("f1.json"),
+      "load must resolve the HIGHEST version, not debris")
+    // growth from the recovered state writes the next version — at no
+    // point between persists is the previous version deleted first
+    java.nio.file.Files.write(
+      new java.io.File(data, "f2.json").toPath,
+      "{\"event_id\":2}\n".getBytes)
+    assert(s2.latestOffset().asInstanceOf[EventsV2Offset].index == 4L)
+    val after = ckpt.listFiles().map(_.getName).toSet
+    assert(after.contains("graft-files.log.4") &&
+           !after.contains("graft-files.log.3") &&
+           !after.contains("graft-files.log.1"),
+      s"superseded versions must prune after the new persist: $after")
+  }
 }
