@@ -101,6 +101,53 @@ object Lakehouse extends QueryPack {
     // the refresh reads ONE day's partition plus a |groups|-row state
     // frame, never the history. delta_n rides along as the audit column
     // (how much of each group came from the new partition).
+    // Snapshot data-quality drift audit (the check a lake runs between
+    // two snapshot ids before promoting one): per-column row count, null
+    // count, and exact distinct count for snapshot A vs snapshot B, plus
+    // the deltas a drift monitor alerts on (distinct growth, null-rate
+    // movement). The fixture snapshots are cumulative-append views of
+    // `events` (A = rows before the cutoff, B = everything — what
+    // consecutive appends look like), which lets the WHOLE audit run as
+    // ONE scan with conditional aggregation: count(CASE WHEN old THEN c
+    // END) / count(DISTINCT CASE WHEN old THEN c END) compute both
+    // snapshots' stats per column in a single pass (Spark plans the
+    // multi-distinct via one Expand — still one file scan). The same
+    // audit over a real [[graft.sources.SnapshotLake]] pair — where the
+    // snapshots are disjoint file sets, nulls included — is
+    // SnapshotLake.audit (LakeSinkSpec pins it against this shape). At
+    // 100 TB: one pass over the newer snapshot, map-side-combinable;
+    // distinct counts swap to approx_count_distinct when exactness isn't
+    // contractual (documented, not done here — the oracle needs exact).
+    "q_snapshot_drift" -> { (s, d) =>
+      val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+      val old = col("ts") < cutoff
+      val cols = Seq("user_id", "event_type", "value")
+      val aggs = Seq(
+        count(when(old, lit(1))).as("rows_a"),
+        count(lit(1)).as("rows_b")) ++
+        cols.flatMap { c =>
+          Seq(count(when(old, col(c))).as(s"nn_a_$c"),
+            count(col(c)).as(s"nn_b_$c"),
+            countDistinct(when(old, col(c))).as(s"d_a_$c"),
+            countDistinct(col(c)).as(s"d_b_$c"))
+        }
+      val stats = Tables.events(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"),
+          col("rows_a"), col("rows_b"),
+          (col("rows_a") - col(s"nn_a_$c")).as("nulls_a"),
+          (col("rows_b") - col(s"nn_b_$c")).as("nulls_b"),
+          col(s"d_a_$c").as("distinct_a"), col(s"d_b_$c").as("distinct_b"),
+          (col(s"d_b_$c") - col(s"d_a_$c")).as("distinct_delta"),
+          round((col("rows_b") - col(s"nn_b_$c")).cast("double") /
+                  col("rows_b") -
+                (col("rows_a") - col(s"nn_a_$c")).cast("double") /
+                  col("rows_a"), 4).as("null_rate_delta"))
+      }
+      stats.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*")).orderBy(col("col_name"))
+    },
+
     "q_agg_incremental" -> { (s, d) =>
       val cutoff = lit("2001-06-01 00:00:00").cast("timestamp")
       def agg(df: DataFrame, n: String, r: String): DataFrame =
@@ -161,6 +208,40 @@ object Lakehouse extends QueryPack {
              min(x) AS min_x, max(x) AS max_x,
              min(y) AS min_y, max(y) AS max_y
       FROM zed GROUP BY 1 ORDER BY z_tile"""),
+
+    // Portable (DuckDB ∩ Spark): conditional aggregation + UNION ALL
+    // pivot, same text both engines. Its own Spark twin via
+    // SqlOracleReuseSpec.
+    "q_snapshot_drift" -> {
+      val cut = "TIMESTAMP '2024-01-16 00:00:00'"
+      val cols = Seq("user_id", "event_type", "value")
+      val measures = cols.map { c =>
+        s"""count(CASE WHEN ts < $cut THEN $c END) AS nn_a_$c,
+           |    count($c) AS nn_b_$c,
+           |    count(DISTINCT CASE WHEN ts < $cut THEN $c END) AS d_a_$c,
+           |    count(DISTINCT $c) AS d_b_$c""".stripMargin
+      }.mkString(",\n    ")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS col_name, rows_a, rows_b,
+           |    rows_a - nn_a_$c AS nulls_a, rows_b - nn_b_$c AS nulls_b,
+           |    d_a_$c AS distinct_a, d_b_$c AS distinct_b,
+           |    d_b_$c - d_a_$c AS distinct_delta,
+           |    round(CAST(rows_b - nn_b_$c AS DOUBLE) / rows_b -
+           |          CAST(rows_a - nn_a_$c AS DOUBLE) / rows_a, 4)
+           |      AS null_rate_delta
+           |  FROM s""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""
+      WITH s AS (
+        SELECT
+          count(CASE WHEN ts < $cut THEN 1 END) AS rows_a,
+          count(*) AS rows_b,
+          $measures
+        FROM events)
+      SELECT * FROM (
+        $branches)
+      ORDER BY col_name"""
+    },
 
     // Portable (DuckDB ∩ Spark): the oracle recomputes the view from the
     // FULL table — equality IS the incremental-maintenance correctness

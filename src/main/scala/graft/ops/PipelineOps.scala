@@ -54,6 +54,52 @@ object PipelineOps extends QueryPack {
   private val SimBands = 4   // 4 bands × 15 bits ⇒ Hamming ≤ 3 guaranteed hit
   private val BandMask = (1L << 15) - 1
 
+  /** Number of BPE merge rules q_bpe_merges learns (fixed iteration
+    * count, like GraphRank's PrIters — the oracle unrolls the same N). */
+  private[graft] val BpeMerges = 5
+
+  /** q_bpe_merges DuckDB oracle, unrolled from [[BpeMerges]] — one CTE
+    * block per learned rule (pair count → top-1 → bracket-string greedy
+    * rewrite), mirroring the DSL's iteration exactly. */
+  private[ops] def bpeOracleSql: String = {
+    def block(i: Int) = s"""
+      p$i AS (
+        SELECT lhs, rhs, cnt FROM (
+          SELECT toks[j] AS lhs, toks[j+1] AS rhs, count(*) AS cnt
+          FROM (SELECT string_split(substr(s, 2, length(s) - 2), '][')
+                  AS toks FROM docs${i - 1}),
+               unnest(range(1, len(toks))) AS u(j)
+          GROUP BY 1, 2)
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      docs$i AS (
+        SELECT doc_id,
+          replace(s, concat('[', p$i.lhs, '][', p$i.rhs, ']'),
+                     concat('[', p$i.lhs, '+', p$i.rhs, ']')) AS s
+        FROM docs${i - 1}, p$i)"""
+    val selects = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_idx, lhs, rhs, cnt FROM p$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH docs0 AS (
+        SELECT doc_id, concat('[', replace(text, ' ', ']['), ']') AS s
+        FROM documents),${(1 to BpeMerges).map(block).mkString(",")}
+      SELECT * FROM (
+        $selects)
+      ORDER BY merge_idx"""
+  }
+
+  /** Registrable domain of a hostname: the public suffix plus one label
+    * (example.co.uk, not www.example.co.uk). Two-level public suffixes
+    * come from a small built-in set — the heuristic every crawl pipeline
+    * inlines when it can't ship the full PSL; single-label hosts
+    * (localhost, intranet names) fall through unchanged. Pure codegen'd
+    * regex/string ops — no UDF, no external list. */
+  private[ops] def registrableDomain(host: Column): Column = coalesce(
+    nullif(regexp_extract(host,
+      "([^.]+\\.(?:co\\.uk|com\\.au|co\\.jp|gov\\.uk|ac\\.uk))$", 1), lit("")),
+    nullif(regexp_extract(host, "([^.]+\\.[^.]+)$", 1), lit("")),
+    host)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q_lang_id: n-gram-profile language identification ------------
@@ -157,6 +203,104 @@ object PipelineOps extends QueryPack {
              round(sum(col("chars")).cast("double") / sum(col("re")), 4)
                .as("chars_per_token"))
         .orderBy(col("lang"))
+    },
+
+    // ---- q_domain_stats: registrable-domain corpus mix ----------------
+    // The web-crawl staple: every corpus report groups documents by
+    // REGISTRABLE domain (example.co.uk, not www.example.co.uk or
+    // cdn.example.co.uk) before deciding the mix. The fixture carries no
+    // URL column, so the key first synthesizes a deterministic URL per
+    // document (scheme/subdomain/site/suffix/port/path varied by doc_id
+    // residues — pure input generation, identical in both engines); the
+    // OPERATOR under test is the extraction: authority parse via one
+    // anchored regex (scheme, optional userinfo, host up to port/path),
+    // then registrable-domain reduction with the standard two-level
+    // public-suffix heuristic (a built-in {co.uk, com.au, co.jp, gov.uk,
+    // ac.uk} set — "no external lists" means no PSL download; real
+    // pipelines inline the same table). Token counts ride the portable
+    // length-difference form so the whole key is one scan + one ~|domains|
+    // hash agg; the share window runs over the |domains|-row agg output,
+    // never the facts. At 100 TB: narrow regex projection (codegen'd),
+    // map-side-combinable agg on a low-cardinality key — domain skew
+    // (one giant domain) hits the agg's partial phase, not a join, so it
+    // absorbs without salting.
+    "q_domain_stats" -> { (s, d) =>
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www."))
+          .when(col("doc_id") % 3 === 1, lit("cdn.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 7).cast("string"), lit("."),
+        when(col("doc_id") % 5 === 0, lit("com"))
+          .when(col("doc_id") % 5 === 1, lit("org"))
+          .when(col("doc_id") % 5 === 2, lit("co.uk"))
+          .when(col("doc_id") % 5 === 3, lit("io"))
+          .otherwise(lit("com.au")),
+        when(col("doc_id") % 11 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val host = lower(regexp_extract(url,
+        "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+      val agg = Tables.documents(s, d)
+        .select(registrableDomain(host).as("domain"), host.as("host"),
+          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+            .cast("long").as("toks"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("toks")).as("n_tokens"))
+      agg.select(col("domain"), col("n_docs"), col("n_hosts"),
+          col("n_tokens"),
+          round(col("n_tokens").cast("double") /
+            sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 4)
+            .as("token_share"))
+        .orderBy(col("domain"))
+    },
+
+    // ---- q_bpe_merges: tokenizer-training pair-merge iteration --------
+    // The first 5 BPE merge rules learned from the corpus token stream:
+    // each round counts ADJACENT symbol pairs corpus-wide (exact integer
+    // counts), elects the most frequent pair (ties broken
+    // lexicographically — a total order, so both engines learn the same
+    // rule), and rewrites every document's stream by merging its
+    // occurrences greedily left-to-right non-overlapping — the standard
+    // BPE scan order. The stream rides as ONE bracket-delimited string
+    // per doc ("[w1][w2]…"): pattern "[a][b]" shares no characters with
+    // an adjacent match, so plain leftmost string replace IS the greedy
+    // merge (a space-delimited form would consume the shared separator
+    // and skip alternating occurrences). Each round = one map-side-
+    // combinable pair count, a 1-row top-1 (TakeOrdered), and a narrow
+    // broadcast-1-row rewrite; per-round lazy localCheckpoint cuts the
+    // doubled lineage (top_i and docs_i both read docs_{i-1}) exactly
+    // like GraphRank's iteration discipline. At 100 TB each round is one
+    // corpus pass — what un-indexed BPE training costs anywhere; the
+    // pair-count shuffle carries (symbol, symbol, partial count), never
+    // documents.
+    "q_bpe_merges" -> { (s, d) =>
+      var docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("["), regexp_replace(col("text"), " ", "]["), lit("]"))
+            .as("stream"))
+        .localCheckpoint(eager = false)
+      val merges = (1 to BpeMerges).map { i =>
+        val pairs = docs
+          .select(split(expr("substring(stream, 2, length(stream) - 2)"),
+            "\\]\\[").as("toks"))
+          .select(explode(expr(
+            """zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                        slice(toks, 2, greatest(size(toks) - 1, 0)),
+                        (a, b) -> named_struct('lhs', a, 'rhs', b))"""))
+            .as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(count(lit(1)).as("cnt"))
+        val top = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+          .limit(1).localCheckpoint(eager = false)
+        docs = docs.crossJoin(broadcast(top))
+          .select(col("doc_id"),
+            expr("""replace(stream, concat('[', lhs, '][', rhs, ']'),
+                            concat('[', lhs, '+', rhs, ']'))""").as("stream"))
+          .localCheckpoint(eager = false)
+        top.select(lit(i).as("merge_idx"), col("lhs"), col("rhs"), col("cnt"))
+      }
+      merges.reduce(_ unionByName _).orderBy(col("merge_idx"))
     },
 
     // ---- q_doc_fingerprint: winnowing (k=5 char-grams, window w=8) ----
@@ -984,6 +1128,49 @@ object PipelineOps extends QueryPack {
             + 3 * least(p.n_tokens, 100) * 100 AS q_int
         FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id)
       ORDER BY doc_id""",
+
+    // Portable (DuckDB ∩ Spark): same regex/string ops both engines; its
+    // own Spark twin via SqlOracleReuseSpec.
+    "q_domain_stats" -> """
+      WITH urls AS (
+        SELECT doc_id, text,
+          concat(
+            CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+            CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                 WHEN doc_id % 3 = 1 THEN 'cdn.' ELSE '' END,
+            'site', CAST(doc_id % 7 AS BIGINT), '.',
+            CASE WHEN doc_id % 5 = 0 THEN 'com'
+                 WHEN doc_id % 5 = 1 THEN 'org'
+                 WHEN doc_id % 5 = 2 THEN 'co.uk'
+                 WHEN doc_id % 5 = 3 THEN 'io' ELSE 'com.au' END,
+            CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END,
+            '/p/', CAST(doc_id AS BIGINT)) AS url
+        FROM documents),
+      hosts AS (
+        SELECT doc_id, text,
+          lower(regexp_extract(url,
+            '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+        FROM urls),
+      doms AS (
+        SELECT doc_id, host,
+          coalesce(
+            nullif(regexp_extract(host,
+              '([^.]+\.(?:co\.uk|com\.au|co\.jp|gov\.uk|ac\.uk))$', 1), ''),
+            nullif(regexp_extract(host, '([^.]+\.[^.]+)$', 1), ''),
+            host) AS domain,
+          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        FROM hosts)
+      SELECT domain, count(*) AS n_docs,
+        count(DISTINCT host) AS n_hosts,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        round(CAST(sum(n_tokens) AS DOUBLE) /
+              CAST(sum(sum(n_tokens)) OVER () AS DOUBLE), 4) AS token_share
+      FROM doms GROUP BY domain ORDER BY domain""",
+
+    // DuckDB dialect (list indexing, unnest(range)); Spark twin in
+    // SqlDialectTwins. Generated from the same BpeMerges constant as the
+    // DSL so the unroll depth cannot fork.
+    "q_bpe_merges" -> bpeOracleSql,
 
     // DuckDB dialect (unnest/string_split); Spark twin in SqlDialectTwins.
     "q_word_entropy" -> """

@@ -217,6 +217,47 @@ object TextOps extends QueryPack {
         .orderBy(col("keep_id"))
     },
 
+    // Passage-level exact dedup (the Lee-et-al "Deduplicating Training
+    // Data Makes Language Models Better" corpus-prep staple, at the
+    // scalable passage-hash grain rather than suffix-array substrings):
+    // every document is cut into NON-overlapping 10-word passages (full
+    // windows only — sub-10-word tails can't form a meaningful passage
+    // and would dedup trivial fragments), each passage reduced to its
+    // md5 digest IN THE SCAN STAGE, and any passage whose digest occurs
+    // more than once corpus-wide is scheduled for removal everywhere
+    // EXCEPT its canonical first occurrence (min doc_id, then min pos —
+    // a total order, so both engines elect the same survivor). Output is
+    // the removal plan a rewrite pass would apply: (doc_id, pos) of each
+    // doomed occurrence + the digest and its corpus-wide copy count.
+    // At 100 TB: chunking + digesting are narrow (explode of ≤|words|/10
+    // structs per doc); the ONE shuffle carries (digest, doc_id, pos) —
+    // 16-byte hashes, never passage text; the window partitions by
+    // digest, so per-group state is the duplicate family size. The
+    // suffix-array alternative finds arbitrary-offset substrings but
+    // needs corpus-order global sorts; fixed-window passage hashing is
+    // the standard distributed approximation (stride = window keeps each
+    // word in exactly one passage).
+    "q_dedup_passage" -> { (s, d) =>
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 10)
+        .select(col("doc_id"), col("ws"),
+          explode(sequence(lit(0),
+            floor(size(col("ws")) / 10).cast("int") - 1)).as("i"))
+        .select(col("doc_id"), (col("i") * 10L).cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("ws"), col("i") * 10 + 1, lit(10))))
+            .as("passage_hash"))
+      val byHash = Window.partitionBy(col("passage_hash"))
+      chunks
+        .withColumn("n_copies", count(lit(1)).over(byHash))
+        .withColumn("rk", row_number().over(
+          byHash.orderBy(col("doc_id"), col("pos"))))
+        .filter(col("rk") > 1)
+        .select(col("doc_id"), col("pos"), col("passage_hash"),
+          col("n_copies"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
     // Incremental (cross-snapshot) dedup: the per-crawl staple — dedup a
     // NEW batch (doc_id ≥ 250) against the already-canonical corpus
     // (doc_id < 250) AND within itself, keyed by a content-prefix digest
@@ -579,6 +620,26 @@ object TextOps extends QueryPack {
       SELECT min(doc_id) AS keep_id, md5(text) AS text_hash,
              count(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_dedup_passage" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, ws,
+          unnest(range(0, CAST(floor(len(ws)/10) AS BIGINT))) AS i
+        FROM words WHERE len(ws) >= 10),
+      chunks AS (
+        SELECT doc_id, CAST(i * 10 AS BIGINT) AS pos,
+          md5(array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' '))
+            AS passage_hash
+        FROM idx)
+      SELECT doc_id, pos, passage_hash, n_copies FROM (
+        SELECT doc_id, pos, passage_hash,
+          count(*) OVER (PARTITION BY passage_hash) AS n_copies,
+          row_number() OVER (PARTITION BY passage_hash
+                             ORDER BY doc_id, pos) AS rk
+        FROM chunks)
+      WHERE rk > 1 ORDER BY doc_id, pos""",
 
     "q_dedup_incremental" -> """
       WITH d AS (

@@ -116,6 +116,41 @@ object SqlDialectTwins {
       SELECT event_id, length(event_type) + length(props) AS sz
       FROM events ORDER BY event_id"""
 
+  /** Spark-dialect q_bpe_merges twin, unrolled from the same
+    * [[graft.ops.PipelineOps.BpeMerges]] constant as the DSL and the
+    * DuckDB oracle. */
+  private def bpeTwinSparkSql: String = {
+    val n = graft.ops.PipelineOps.BpeMerges
+    def block(i: Int) = s"""
+      p$i AS (
+        SELECT lhs, rhs, cnt FROM (
+          SELECT p.lhs AS lhs, p.rhs AS rhs, count(*) AS cnt
+          FROM (
+            SELECT explode(zip_with(
+              slice(toks, 1, greatest(size(toks) - 1, 0)),
+              slice(toks, 2, greatest(size(toks) - 1, 0)),
+              (a, b) -> named_struct('lhs', a, 'rhs', b))) AS p
+            FROM (SELECT split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')
+                    AS toks FROM docs${i - 1}))
+          GROUP BY 1, 2)
+        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      docs$i AS (
+        SELECT doc_id,
+          replace(s, concat('[', p$i.lhs, '][', p$i.rhs, ']'),
+                     concat('[', p$i.lhs, '+', p$i.rhs, ']')) AS s
+        FROM docs${i - 1}, p$i)"""
+    val selects = (1 to n).map(i =>
+      s"SELECT $i AS merge_idx, lhs, rhs, cnt FROM p$i")
+      .mkString("\n        UNION ALL ")
+    s"""
+      WITH docs0 AS (
+        SELECT doc_id, concat('[', replace(text, ' ', ']['), ']') AS s
+        FROM documents),${(1 to n).map(block).mkString(",")}
+      SELECT * FROM (
+        $selects)
+      ORDER BY merge_idx"""
+  }
+
   val twins: Map[String, String] = Map(
 
     // ---- no-DuckDB-oracle family (the DSL<->Spark-SQL twin still exists:
@@ -723,6 +758,35 @@ object SqlDialectTwins {
              CAST(count(*) AS INT) AS streak_days
       FROM g GROUP BY user_id, grp
       ORDER BY user_id, streak_start""",
+
+    // unnest(range(...)) -> explode(sequence(...)); string_split ->
+    // split (regex-escaped); list_slice -> slice; array_to_string ->
+    // array_join; DuckDB's float `/` + rounding CAST -> explicit floor
+    "q_dedup_passage" -> """
+      WITH words AS (
+        SELECT doc_id, split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, ws,
+          explode(sequence(0, CAST(floor(size(ws)/10) AS INT) - 1)) AS i
+        FROM words WHERE size(ws) >= 10),
+      chunks AS (
+        SELECT doc_id, CAST(i * 10 AS BIGINT) AS pos,
+          md5(array_join(slice(ws, i*10 + 1, 10), ' ')) AS passage_hash
+        FROM idx)
+      SELECT doc_id, pos, passage_hash, n_copies FROM (
+        SELECT doc_id, pos, passage_hash,
+          count(*) OVER (PARTITION BY passage_hash) AS n_copies,
+          row_number() OVER (PARTITION BY passage_hash
+                             ORDER BY doc_id, pos) AS rk
+        FROM chunks)
+      WHERE rk > 1 ORDER BY doc_id, pos""",
+
+    // 1-based toks[j] lateral-unnest pair walk -> explode(zip_with(
+    // slice, slice)) adjacent-pair structs (Spark [] is 0-based, and
+    // sequence(1, 0) would descend — the slice/zip form is total);
+    // string_split -> split with the ][ separator regex-escaped;
+    // generated from the same BpeMerges constant as the DSL + oracle.
+    "q_bpe_merges" -> bpeTwinSparkSql,
 
     // unnest(string_split(...)) -> explode(split(...))
     "q_word_entropy" -> """
