@@ -35,7 +35,8 @@ object ScaleSmoke {
     "q_doc_chunk", "q_dedup_cluster_rep", "q_sessionize", "q_pmi_bigrams",
     "q_pagerank", "q_containment",
     "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma",
-    "q_basket_lift", "q_corr_matrix", "q_chi_square", "q_gini")
+    "q_basket_lift", "q_corr_matrix", "q_chi_square", "q_gini",
+    "q_dedup_passage", "q_bpe_merges")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -51,7 +52,7 @@ object ScaleSmoke {
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
         "q_containment", "q_bfs_hops", "q_feature_hash",
-        "q_basket_lift")
+        "q_basket_lift", "q_dedup_passage")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come

@@ -23,6 +23,25 @@ import org.apache.spark.sql.functions._
   */
 object Lakehouse extends QueryPack {
 
+  /** One drift-audit output row for column `c`, built from the
+    * standardized stat names (`rows_a/rows_b`, `nn_{a,b}_c` = non-null
+    * counts, `d_{a,b}_c` = exact distinct counts). SINGLE SOURCE for the
+    * output shape — q_snapshot_drift (single-scan conditional form) and
+    * [[graft.sources.SnapshotLake.audit]] (two-snapshot form) must stay
+    * column-for-column identical or the spec-pinned equivalence between
+    * them breaks. */
+  private[graft] def driftRow(c: String) =
+    struct(lit(c).as("col_name"),
+      col("rows_a"), col("rows_b"),
+      (col("rows_a") - col(s"nn_a_$c")).as("nulls_a"),
+      (col("rows_b") - col(s"nn_b_$c")).as("nulls_b"),
+      col(s"d_a_$c").as("distinct_a"), col(s"d_b_$c").as("distinct_b"),
+      (col(s"d_b_$c") - col(s"d_a_$c")).as("distinct_delta"),
+      round((col("rows_b") - col(s"nn_b_$c")).cast("double") /
+              col("rows_b") -
+            (col("rows_a") - col(s"nn_a_$c")).cast("double") /
+              col("rows_a"), 4).as("null_rate_delta"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SCD-1 upsert (MERGE shape): base = negative-balance customers,
     // change set = per-customer P-order totals. Key in both → UPDATE
@@ -132,19 +151,7 @@ object Lakehouse extends QueryPack {
             countDistinct(col(c)).as(s"d_b_$c"))
         }
       val stats = Tables.events(s, d).agg(aggs.head, aggs.tail: _*)
-      val rows = cols.map { c =>
-        struct(lit(c).as("col_name"),
-          col("rows_a"), col("rows_b"),
-          (col("rows_a") - col(s"nn_a_$c")).as("nulls_a"),
-          (col("rows_b") - col(s"nn_b_$c")).as("nulls_b"),
-          col(s"d_a_$c").as("distinct_a"), col(s"d_b_$c").as("distinct_b"),
-          (col(s"d_b_$c") - col(s"d_a_$c")).as("distinct_delta"),
-          round((col("rows_b") - col(s"nn_b_$c")).cast("double") /
-                  col("rows_b") -
-                (col("rows_a") - col(s"nn_a_$c")).cast("double") /
-                  col("rows_a"), 4).as("null_rate_delta"))
-      }
-      stats.select(explode(array(rows: _*)).as("r"))
+      stats.select(explode(array(cols.map(driftRow): _*)).as("r"))
         .select(col("r.*")).orderBy(col("col_name"))
     },
 

@@ -251,6 +251,38 @@ object SnapshotLake {
     else spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
   }
 
+  /** Data-quality drift audit between two committed snapshots: per
+    * column in `cols`, row count, null count, and exact distinct count
+    * at snapshot `fromId` vs `toId`, plus the deltas a drift monitor
+    * alerts on (distinct growth, null-rate movement) — the check a lake
+    * runs BEFORE promoting a snapshot to consumers. Output shape is
+    * byte-identical to the q_snapshot_drift contract key (shared
+    * [[graft.ops.Lakehouse.driftRow]] builder; LakeSinkSpec pins the
+    * equivalence on a cumulative pair). Each side is ONE scan of its
+    * snapshot's manifest-bounded file set, map-side-combinable
+    * (multi-distinct plans as one Expand); the two 1-row stat frames
+    * cross-join trivially. At 100 TB the cost is a pass over each
+    * audited snapshot — swap `countDistinct` for
+    * `approx_count_distinct` when exactness isn't contractual.
+    * `cols` must exist in both snapshots (schema-evolution additions
+    * audit from their first snapshot onward). */
+  def audit(spark: SparkSession, table: String, fromId: Long, toId: Long,
+            cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "audit needs at least one column")
+    def stats(df: DataFrame, tag: String): DataFrame = {
+      val aggs = Seq(count(lit(1)).as(s"rows_$tag")) ++ cols.flatMap { c =>
+        Seq(count(col(c)).as(s"nn_${tag}_$c"),
+            countDistinct(col(c)).as(s"d_${tag}_$c"))
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+    stats(readAt(spark, table, fromId), "a")
+      .crossJoin(stats(readAt(spark, table, toId), "b"))
+      .select(explode(array(cols.map(graft.ops.Lakehouse.driftRow): _*))
+        .as("r"))
+      .select(col("r.*")).orderBy(col("col_name"))
+  }
+
   /** Idempotent append: commit `df` as the next snapshot UNLESS a
     * committed snapshot already carries `dedupKey` — the transactional-
     * writer pattern (Delta's (appId, version), Iceberg's WAP id) that

@@ -252,4 +252,38 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [") &&
            plan.contains("dt"), s"no partition filter in:\n$plan")
   }
+
+  test("audit reports per-column drift between two snapshots, nulls included") {
+    import s.implicits._
+    val table = tmpDir("snap-audit")
+    // snapshot 1: 4 rows, one null v, k fully distinct
+    SnapshotLake.commit(Seq(
+      (1L, Option("a")), (2L, Option("b")), (3L, None), (4L, Option("a"))
+    ).toDF("k", "v"), table)
+    // snapshot 2 appends 2 rows: one more null, one duplicate k
+    SnapshotLake.commit(Seq(
+      (4L, Option.empty[String]), (5L, Option("c"))
+    ).toDF("k", "v"), table, append = true)
+
+    val rows = SnapshotLake.audit(s, table, 1L, 2L, Seq("k", "v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getDouble(8))).toMap
+    //                 rows_a rows_b nulls_a nulls_b d_a d_b d_delta null_rate_delta
+    assert(rows("k") == ((4L, 6L, 0L, 0L, 4L, 5L, 1L, 0.0)))
+    assert(rows("v") == ((4L, 6L, 1L, 2L, 2L, 3L, 1L,
+      math.round((2.0 / 6 - 1.0 / 4) * 10000) / 10000.0)))
+  }
+
+  test("audit output shape is identical to the q_snapshot_drift contract key") {
+    import s.implicits._
+    val table = tmpDir("snap-audit-shape")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table, append = true)
+    val auditSchema = SnapshotLake.audit(s, table, 1L, 2L, Seq("k")).schema
+    val keySchema = graft.ops.Lakehouse
+      .queries("q_snapshot_drift")(s, TestSpark.Sf0001).schema
+    assert(auditSchema.fieldNames.toSeq == keySchema.fieldNames.toSeq)
+  }
 }

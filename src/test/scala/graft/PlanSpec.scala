@@ -423,6 +423,22 @@ class PlanSpec extends AnyFunSuite {
     // triple-scan weak finding)
     nodeBudget("q_bloom_prefilter", fileScanMax = 1, rddScanMax = 1,
                hashExMax = 2)
+    // one scan, digests-only shuffle into the per-hash window
+    nodeBudget("q_dedup_passage", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // one scan; two-level agg for the exact distinct-host count; the
+    // share window is a SinglePartition exchange over |domains| rows
+    nodeBudget("q_domain_stats", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // final plan = union of the 5 checkpointed 1-row top-pair frames;
+    // the per-round pair counts and rewrites live behind those RDDs —
+    // more RDD scans or any parquet scan here means a re-derived lineage
+    nodeBudget("q_bpe_merges", fileScanMax = 0, rddScanMax = 5,
+               hashExMax = 0)
+    // the whole audit is ONE conditional-agg pass (multi-distinct =
+    // one Expand, one mid hash exchange; finals are SinglePartition)
+    nodeBudget("q_snapshot_drift", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
   }
 
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {
