@@ -390,6 +390,112 @@ object SnapshotLake {
     else None
   }
 
+  /** Row-level DELETE — copy-on-write at data-directory granularity (the
+    * Delta/Iceberg CoW shape): directories with NO matching row survive
+    * into the new manifest UNTOUCHED (their files keep identity for
+    * expire/readIncremental and cost zero rewrite I/O); only affected
+    * directories rewrite, minus the doomed rows. SQL DELETE semantics:
+    * rows where `predicate` is TRUE go; FALSE **and NULL** stay (the
+    * keep-filter is null-safe `!(p <=> true)`, not `!p` — plain negation
+    * would silently delete every NULL-predicate row).
+    *
+    * Concurrency: same optimistic single-CAS as [[compact]] — the
+    * rewrite targets exactly base+1 and returns None if any commit
+    * landed meanwhile (retrying with the stale rewrite would resurrect
+    * concurrently-appended rows' absence); the orphaned rewrite dir is
+    * invisible and GC'd by [[expire]]. Returns Some(base) untouched when
+    * nothing matches (a no-op needs no new snapshot).
+    *
+    * At 100 TB: the per-directory existence probes are limit-1 scans
+    * with the predicate pushed to parquet stats (row groups that can't
+    * match never read), so an equality delete on a clustered/z-ordered
+    * column prunes most of the table before any rewrite. */
+  def delete(spark: SparkSession, table: String,
+             predicate: org.apache.spark.sql.Column,
+             maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    deleteFrom(spark, table, base, predicate, maxRecordsPerFile)
+  }
+
+  /** The prune/rewrite/CAS half of [[delete]], base-parameterized so the
+    * concurrent-commit race is testable deterministically. */
+  private[graft] def deleteFrom(spark: SparkSession, table: String,
+                                base: Long,
+                                predicate: org.apache.spark.sql.Column,
+                                maxRecordsPerFile: Long): Option[Long] = {
+    val dirs = manifestDirs(spark, table, base)
+    val affected = dirs.filter { d =>
+      !spark.read.parquet(d).filter(predicate).isEmpty
+    }
+    if (affected.isEmpty) return Some(base)
+    val kept = dirs.diff(affected)
+    val remaining = spark.read.option("mergeSchema", "true")
+      .parquet(affected: _*)
+      .filter(!(predicate <=> lit(true)))
+    // an empty rewrite writes no part files and would break schema
+    // inference at read — materialize one schema-bearing empty file only
+    // when it is the ONLY directory left in the table
+    val newDirs =
+      if (!remaining.isEmpty) kept :+ writeData(remaining, table, maxRecordsPerFile)
+      else if (kept.nonEmpty) kept
+      else Seq(writeData(remaining.repartition(1), table, maxRecordsPerFile))
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, newDirs))
+      Some(base + 1)
+    else None
+  }
+
+  /** Row-level MERGE (SCD-1 upsert as a LAKE MUTATION — q_upsert is the
+    * query shape, this is the table write): every target row whose
+    * `keys` match a source row is REPLACED by that source row; unmatched
+    * source rows INSERT; unmatched target rows keep. Copy-on-write at
+    * directory granularity like [[delete]]: a directory with no key hit
+    * (probed via a broadcast semi join against the source keys — the
+    * change set is the small side by construction) survives untouched;
+    * affected directories rewrite via an anti join on `keys`; the source
+    * lands as one new directory. `source` must be key-unique and
+    * schema-compatible with the table (additive columns merge at read).
+    *
+    * Same single-CAS discipline as [[delete]]/[[compact]]: targets
+    * exactly base+1, None on a lost race, orphans GC'd by [[expire]]. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keys: Seq[String],
+            maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    mergeFrom(spark, table, base, source, keys, maxRecordsPerFile)
+  }
+
+  private[graft] def mergeFrom(spark: SparkSession, table: String,
+                               base: Long, source: DataFrame,
+                               keys: Seq[String],
+                               maxRecordsPerFile: Long): Option[Long] = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val src = source.localCheckpoint(false) // one evaluation feeds probes, anti join, and the insert write
+    if (src.isEmpty) return Some(base) // empty change set: no-op, no snapshot
+    val srcKeys = broadcast(src.select(keys.map(col): _*).distinct())
+    val dirs = manifestDirs(spark, table, base)
+    val affected = dirs.filter { d =>
+      !spark.read.parquet(d).join(srcKeys, keys, "left_semi").isEmpty
+    }
+    val kept = dirs.diff(affected)
+    val rewrittenOpt =
+      if (affected.isEmpty) None
+      else {
+        val surviving = spark.read.option("mergeSchema", "true")
+          .parquet(affected: _*)
+          .join(srcKeys, keys, "left_anti")
+        if (surviving.isEmpty) None
+        else Some(writeData(surviving, table, maxRecordsPerFile))
+      }
+    val newDirs = kept ++ rewrittenOpt :+ writeData(src, table, maxRecordsPerFile)
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, newDirs))
+      Some(base + 1)
+    else None
+  }
+
   /** VACUUM: retain only the last `keepLast` snapshots, then delete every
     * data directory no retained manifest references (compacted-away
     * originals, crashed half-writes, aborted compactions).

@@ -253,6 +253,95 @@ class LakeSinkSpec extends AnyFunSuite {
            plan.contains("dt"), s"no partition filter in:\n$plan")
   }
 
+  test("delete is copy-on-write: untouched dirs survive by identity, " +
+       "old snapshots keep the rows, NULL predicates keep their rows") {
+    import s.implicits._
+    val table = tmpDir("snap-delete")
+    // two separate appends -> two data dirs; only the second matches
+    SnapshotLake.commit(Seq((1L, Option(10L)), (2L, Option(20L)))
+      .toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((3L, Option(99L)), (4L, None), (5L, Option(5L)))
+      .toDF("k", "v"), table, append = true)
+    val dirsBefore = SnapshotLake.readAt(s, table, 2L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
+
+    val id = SnapshotLake.delete(s, table, col("v") > 50L)
+    assert(id.contains(3L))
+    // v=99 gone; v=NULL row KEPT (SQL DELETE semantics: only TRUE goes)
+    assert(SnapshotLake.readLatest(s, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 4L, 5L))
+    // time travel still sees the deleted row
+    assert(SnapshotLake.readAt(s, table, 2L).count() == 5L)
+    // the unaffected first dir is REUSED, not rewritten
+    val dirsAfter = SnapshotLake.readAt(s, table, 3L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirsAfter.exists(dirsBefore.contains),
+      s"no dir survived by identity:\nbefore=${dirsBefore.toSeq}\nafter=${dirsAfter.toSeq}")
+  }
+
+  test("delete with no match is a no-op returning the current snapshot") {
+    import s.implicits._
+    val table = tmpDir("snap-delete-noop")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    assert(SnapshotLake.delete(s, table, col("k") > 100L).contains(1L))
+    assert(SnapshotLake.snapshots(s, table) == Seq(1L))
+  }
+
+  test("delete of every row leaves a readable empty table") {
+    import s.implicits._
+    val table = tmpDir("snap-delete-all")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    assert(SnapshotLake.delete(s, table, lit(true)).contains(2L))
+    assert(SnapshotLake.readLatest(s, table).count() == 0L)
+    assert(SnapshotLake.readLatest(s, table).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("delete loses the CAS race to a concurrent commit and leaves the table intact") {
+    import s.implicits._
+    val table = tmpDir("snap-delete-race")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    // a commit lands AFTER the delete observed base=1
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table, append = true)
+    assert(SnapshotLake.deleteFrom(s, table, 1L, lit(true), 1000000L).isEmpty)
+    assert(SnapshotLake.readLatest(s, table).count() == 2L)
+  }
+
+  test("merge replaces matched rows, inserts new ones, reuses unmatched dirs") {
+    import s.implicits._
+    val table = tmpDir("snap-merge")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((3L, "c"), (4L, "d")).toDF("k", "v"), table,
+      append = true)
+    val dirsBefore = SnapshotLake.readAt(s, table, 2L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+
+    // update k=3, insert k=9; dir 1 (k=1,2) has no key hit -> reused
+    val id = SnapshotLake.merge(s, table,
+      Seq((3L, "C!"), (9L, "i")).toDF("k", "v"), Seq("k"))
+    assert(id.contains(3L))
+    val now = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "b", 3L -> "C!", 4L -> "d", 9L -> "i"))
+    // old snapshot untouched
+    assert(SnapshotLake.readAt(s, table, 2L).filter(col("v") === "c").count() == 1L)
+    val dirsAfter = SnapshotLake.readAt(s, table, 3L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirsAfter.exists(dirsBefore.contains))
+  }
+
+  test("merge with an empty source is a no-op; merge loses CAS races intact") {
+    import s.implicits._
+    val table = tmpDir("snap-merge-race")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    assert(SnapshotLake.merge(s, table,
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq("k")).contains(1L))
+    assert(SnapshotLake.snapshots(s, table) == Seq(1L))
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table, append = true)
+    assert(SnapshotLake.mergeFrom(s, table, 1L,
+      Seq((1L, "A!")).toDF("k", "v"), Seq("k"), 1000000L).isEmpty)
+    assert(SnapshotLake.readLatest(s, table).count() == 2L)
+  }
+
   test("audit reports per-column drift between two snapshots, nulls included") {
     import s.implicits._
     val table = tmpDir("snap-audit")
