@@ -980,6 +980,105 @@ object Analytics extends QueryPack {
     // floor-of-diff vs diff-of-floors — so the duration math stays at
     // the timestamp's native precision); one user_id window pass for the
     // lead, exact decimal Σ(value·dt) / exact Σdt, one display division.
+    // ROC AUC of `value` as a purchase classifier score — the model-eval
+    // staple, computed exactly via the rank-sum identity on the
+    // SCORE-grain: rows collapse to (score, pos, neg) counts first
+    // (two-phase hash agg — at 100 TB this is the only fact-sized pass),
+    // then ONE prefix sum over the |distinct scores| frame gives each
+    // score's count of strictly-lower negatives; AUC = Σ pos·(2·cumNeg +
+    // neg) / (2·nPos·nNeg) — ties contribute the standard ½ credit via
+    // the integer 2×-scaled numerator, so every sum is EXACT integer
+    // arithmetic until the single display division. The global-ordered
+    // sweep is the q_skyline discipline: it runs on the collapsed grain;
+    // for continuous scores at corpus scale (|distinct| ≈ |rows|) the
+    // documented swap is score quantization (bucket to 1e-4) or the
+    // q_sort_multi range-partitioned two-pass prefix sum.
+    "q_auc" -> { (s, d) =>
+      val perScore = Tables.events(s, d)
+        .select(col("value").as("s"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy(col("s"))
+        .agg(sum(col("y")).as("pos"),
+          (count(lit(1)) - sum(col("y"))).as("neg"))
+      val below = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perScore
+        .withColumn("cum_neg", coalesce(sum(col("neg")).over(below), lit(0L)))
+        .agg(
+          round(sum(col("pos") * (lit(2) * col("cum_neg") + col("neg")))
+              .cast("double") /
+            (lit(2) * sum(col("pos")) * sum(col("neg"))).cast("double"), 4)
+            .as("auc"),
+          sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov distance between the purchase and
+    // view value distributions — the distribution-drift test an eval
+    // pipeline runs where q_ab_ttest only compares means. Same collapse-
+    // then-sweep shape as q_auc: one hash agg to the pooled distinct-
+    // value grain, cumulative per-group counts over ONE ordered sweep,
+    // and the sup-distance kept exact by cross-multiplying (max of
+    // |cum1·n2 − cum2·n1| — integers) with a single display division;
+    // ks_stat is the √(n1·n2/(n1+n2))·D test statistic.
+    "q_ks_test" -> { (s, d) =>
+      val perV = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "view"))
+        .groupBy(col("value").as("v"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("c2"))
+      val sweep = Window.orderBy(col("v"))
+      val all = Window.partitionBy()
+      val swept = perV.select(
+        sum(col("c1")).over(sweep).as("cum1"),
+        sum(col("c2")).over(sweep).as("cum2"),
+        sum(col("c1")).over(all).as("n1"),
+        sum(col("c2")).over(all).as("n2"))
+      val cross = abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+      swept.agg(
+        round(max(cross).cast("double") /
+          (max(col("n1")) * max(col("n2"))).cast("double"), 4).as("d_stat"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        round(sqrt(max(col("n1")).cast("double") * max(col("n2")) /
+            (max(col("n1")) + max(col("n2")))) *
+          max(cross).cast("double") /
+          (max(col("n1")).cast("double") * max(col("n2"))), 4).as("ks_stat"))
+    },
+
+    // Calendar-lag autocorrelation of daily revenue (lags 1-7 days) —
+    // the seasonality probe behind anomaly baselines (a strong lag-7
+    // spike = weekly cycle). Facts collapse to the DAY grain first (one
+    // two-phase decimal agg; the daily frame is calendar-sized, scale-
+    // invariant), localCheckpointed ONCE so the lag fan-out and the
+    // joined side share a single materialization; each day then pairs
+    // with its lag-k predecessor via an EQUI join on date_sub (hash
+    // join, broadcast right side — never a window over a global sort),
+    // and per-lag Pearson terms accumulate as EXACT decimal moments
+    // (n, Σx, Σy, Σxy, Σx², Σy²) with one double formula at display.
+    "q_autocorr" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("r"))
+        .localCheckpoint(eager = false)
+      val pairs = daily
+        .select(col("day"), col("r").as("x"),
+          explode(sequence(lit(1), lit(7))).as("lag_days"))
+        .join(broadcast(daily.select(col("day").as("day2"), col("r").as("y"))),
+          col("day2") === date_sub(col("day"), col("lag_days")))
+      val n = count(lit(1))
+      pairs.groupBy(col("lag_days"))
+        .agg(count(lit(1)).as("n"),
+          round((n.cast("double") * sum(col("x") * col("y")).cast("double") -
+                 sum(col("x")).cast("double") * sum(col("y")).cast("double")) /
+            (sqrt(n.cast("double") * sum(col("x") * col("x")).cast("double") -
+                  sum(col("x")).cast("double") * sum(col("x")).cast("double")) *
+             sqrt(n.cast("double") * sum(col("y") * col("y")).cast("double") -
+                  sum(col("y")).cast("double") * sum(col("y")).cast("double"))),
+            4).as("autocorr"))
+        .orderBy(col("lag_days"))
+    },
+
     "q_time_weighted_avg" -> { (s, d) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
@@ -1731,6 +1830,80 @@ object Analytics extends QueryPack {
 
     // DuckDB dialect (epoch_us()); Spark twin (unix_micros) in
     // SqlDialectTwins.
+    // Portable (DuckDB ∩ Spark) — its own Spark twin via
+    // SqlOracleReuseSpec; exact integer rank-sum until the one division.
+    "q_auc" -> """
+      WITH scored AS (
+        SELECT value AS s,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      per_score AS (
+        SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS neg
+        FROM scored GROUP BY s),
+      swept AS (
+        SELECT pos, neg,
+          coalesce(sum(neg) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+        FROM per_score)
+      SELECT
+        round(CAST(sum(pos * (2 * cum_neg + neg)) AS DOUBLE) /
+              CAST(2 * sum(pos) * sum(neg) AS DOUBLE), 4) AS auc,
+        CAST(sum(pos) AS BIGINT) AS n_pos,
+        CAST(sum(neg) AS BIGINT) AS n_neg
+      FROM swept""",
+
+    // Portable (DuckDB ∩ Spark) — its own Spark twin; sup-distance kept
+    // exact by cross-multiplying before the display division.
+    "q_ks_test" -> """
+      WITH g AS (
+        SELECT value AS v,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS in1,
+          CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS in2
+        FROM events WHERE event_type IN ('purchase', 'view')),
+      per_v AS (
+        SELECT v, CAST(sum(in1) AS BIGINT) AS c1,
+               CAST(sum(in2) AS BIGINT) AS c2
+        FROM g GROUP BY v),
+      swept AS (
+        SELECT
+          sum(c1) OVER (ORDER BY v) AS cum1,
+          sum(c2) OVER (ORDER BY v) AS cum2,
+          sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+        FROM per_v)
+      SELECT
+        round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) /
+              CAST(max(n1) * max(n2) AS DOUBLE), 4) AS d_stat,
+        CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        round(sqrt(CAST(max(n1) AS DOUBLE) * max(n2) / (max(n1) + max(n2))) *
+              CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE) /
+              (CAST(max(n1) AS DOUBLE) * max(n2)), 4) AS ks_stat
+      FROM swept""",
+
+    // DuckDB dialect (unnest(range), date-int arithmetic); Spark twin in
+    // SqlDialectTwins.
+    "q_autocorr" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY 1),
+      lags AS (SELECT unnest(range(1, 8)) AS lag_days),
+      pairs AS (
+        SELECT l.lag_days, a.r AS x, b.r AS y
+        FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.day = a.day - CAST(l.lag_days AS INT)),
+      m AS (
+        SELECT lag_days, CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(y) AS sy,
+          sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM pairs GROUP BY lag_days)
+      SELECT lag_days, n,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+          AS autocorr
+      FROM m ORDER BY lag_days""",
+
     "q_time_weighted_avg" -> """
       WITH dt AS (
         SELECT user_id, value,

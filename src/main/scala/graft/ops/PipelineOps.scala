@@ -88,6 +88,46 @@ object PipelineOps extends QueryPack {
       ORDER BY merge_idx"""
   }
 
+  /** SQL spelling of [[canonicalUrl]] for the oracle (`duck = true`:
+    * DuckDB \1 group refs + 'g' flag on the multi-occurrence utm strip)
+    * and the Spark dialect twin (`duck = false`: $1 refs, implicit
+    * all-occurrences). ONE generator for both sides so the nine-step
+    * chain cannot fork between engines. */
+  private[graft] def urlCanonSql(e: String, duck: Boolean): String = {
+    val ref = if (duck) "\\1" else "$1"
+    val g = if (duck) ", 'g'" else ""
+    val steps = Seq(
+      s"regexp_replace(%s, '#.*$$', '')",
+      s"regexp_replace(%s, '^https?://', '')",
+      s"regexp_replace(%s, '^www\\.', '')",
+      s"regexp_replace(%s, ':(?:443|80)(/)', '$ref')",
+      s"replace(%s, '?', '&')",
+      s"regexp_replace(%s, '&utm_[a-z]+=[^&]*', ''$g)",
+      s"regexp_replace(%s, '^([^&]*)&', '$ref?')",
+      s"regexp_replace(%s, '/$$', '')")
+    steps.foldLeft(s"lower($e)")((acc, t) => t.format(acc))
+  }
+
+  /** Canonical form of a URL — the normalization every crawl frontier
+    * applies before dedup: lowercase; fragment, scheme, leading `www.`,
+    * default ports, and `utm_*` tracking params dropped (other query
+    * params are real routing and survive, `?` restored if params
+    * remain); trailing slash trimmed. Pure codegen'd regexp_replace
+    * chain; Spark's regexp_replace is all-occurrences, which the utm
+    * strip relies on (the DuckDB oracle spells it with the 'g' flag —
+    * hence the dialect twin). */
+  private[ops] def canonicalUrl(u: Column): Column = {
+    val lowered = lower(u)
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noPort = regexp_replace(noWww, ":(?:443|80)(/)", "$1")
+    val amp = regexp_replace(noPort, "\\?", "&")
+    val noUtm = regexp_replace(amp, "&utm_[a-z]+=[^&]*", "")
+    val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
+    regexp_replace(restored, "/$", "")
+  }
+
   /** Registrable domain of a hostname: the public suffix plus one label
     * (example.co.uk, not www.example.co.uk). Two-level public suffixes
     * come from a small built-in set — the heuristic every crawl pipeline
@@ -253,6 +293,45 @@ object PipelineOps extends QueryPack {
             sum(col("n_tokens")).over(Window.partitionBy()).cast("double"), 4)
             .as("token_share"))
         .orderBy(col("domain"))
+    },
+
+    // ---- q_dedup_url: URL canonicalization dedup ----------------------
+    // The crawl-frontier staple: the same page arrives as http/https,
+    // with/without www, with a default port, a trailing slash, tracking
+    // params, and fragments — canonicalize, THEN dedup. The fixture has
+    // no URL column, so variants are synthesized deterministically per
+    // doc (doc_id residues pick scheme/www/port/slash/query/fragment
+    // decorations of ~50 logical pages); the OPERATOR under test is
+    // [[canonicalUrl]]: lowercase → drop fragment → drop scheme → drop
+    // leading www. → drop default :443/:80 → strip utm_* params ONLY
+    // (ref=/id= params are real routing and survive) → restore the
+    // leading ? → drop a trailing slash. Output: one row per canonical
+    // URL with the kept doc, copy count, and how many RAW variants
+    // collapsed into it. One narrow codegen'd regex projection + one
+    // hash agg on the canonical string — at 100 TB dedup state shuffles
+    // canonical URLs (or their h60 digests), never documents.
+    "q_dedup_url" -> { (s, d) =>
+      val p = col("doc_id") % 50
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        lit("example"), (p % 5).cast("string"), lit(".com"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/page/"), p.cast("string"),
+        when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&utm_campaign=y"))
+          .when(col("doc_id") % 4 === 1, lit("?ref=tw"))
+          .when(col("doc_id") % 4 === 2, lit("?utm_medium=a&id=7"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), url.as("raw"), canonicalUrl(url).as("url"))
+        .groupBy(col("url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+          countDistinct(col("raw")).as("n_variants"))
+        .select(col("url"), col("keep_id"), col("n_copies"),
+          col("n_variants"))
+        .orderBy(col("keep_id"))
     },
 
     // ---- q_bpe_merges: tokenizer-training pair-merge iteration --------
@@ -1166,6 +1245,31 @@ object PipelineOps extends QueryPack {
         round(CAST(sum(n_tokens) AS DOUBLE) /
               CAST(sum(sum(n_tokens)) OVER () AS DOUBLE), 4) AS token_share
       FROM doms GROUP BY domain ORDER BY domain""",
+
+    // DuckDB dialect (regexp_replace needs the 'g' flag for the utm
+    // strip and \1 group refs — Spark is all-occurrences with $1);
+    // Spark twin in SqlDialectTwins.
+    "q_dedup_url" -> ("""
+      WITH urls AS (
+        SELECT doc_id,
+          concat(
+            CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+            CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+            'example', CAST((doc_id % 50) % 5 AS BIGINT), '.com',
+            CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+            '/page/', CAST(doc_id % 50 AS BIGINT),
+            CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
+                 WHEN doc_id % 4 = 1 THEN '?ref=tw'
+                 WHEN doc_id % 4 = 2 THEN '?utm_medium=a&id=7' ELSE '' END,
+            CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, url, """ + urlCanonSql("url", duck = true) + """ AS cu
+        FROM urls)
+      SELECT cu AS url, min(doc_id) AS keep_id, count(*) AS n_copies,
+             count(DISTINCT url) AS n_variants
+      FROM canon GROUP BY cu ORDER BY keep_id"""),
 
     // DuckDB dialect (list indexing, unnest(range)); Spark twin in
     // SqlDialectTwins. Generated from the same BpeMerges constant as the
