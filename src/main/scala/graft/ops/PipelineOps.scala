@@ -95,6 +95,7 @@ object PipelineOps extends QueryPack {
     * chain cannot fork between engines. */
   private[graft] def urlCanonSql(e: String, duck: Boolean): String = {
     val ref = if (duck) "\\1" else "$1"
+    val ref2 = if (duck) "\\2" else "$2"
     val g = if (duck) ", 'g'" else ""
     val steps = Seq(
       s"regexp_replace(%s, '#.*$$', '')",
@@ -103,19 +104,50 @@ object PipelineOps extends QueryPack {
       s"regexp_replace(%s, ':(?:443|80)(/)', '$ref')",
       s"replace(%s, '?', '&')",
       s"regexp_replace(%s, '&utm_[a-z]+=[^&]*', ''$g)",
-      s"regexp_replace(%s, '^([^&]*)&', '$ref?')",
-      s"regexp_replace(%s, '/$$', '')")
+      s"regexp_replace(%s, '^([^&]*)/(&|$$)', '$ref$ref2')",
+      s"regexp_replace(%s, '^([^&]*)&', '$ref?')")
     steps.foldLeft(s"lower($e)")((acc, t) => t.format(acc))
   }
+
+  /** ONE generator for BOTH the q_dedup_url DuckDB oracle (`duck =
+    * true`) and its Spark dialect twin (`duck = false`) — the variant
+    * synthesis and the nine-step canonicalization cannot fork between
+    * engines (r12 ADVICE item 1: the twin must EXERCISE the duck=false
+    * branch of [[urlCanonSql]], not leave it dead). */
+  private[graft] def dedupUrlSql(duck: Boolean): String = """
+      WITH urls AS (
+        SELECT doc_id,
+          concat(
+            CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+            CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+            'example', CAST((doc_id % 50) % 5 AS BIGINT), '.com',
+            CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
+            '/page/', CAST(doc_id % 50 AS BIGINT),
+            CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+            CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
+                 WHEN doc_id % 4 = 1 THEN '?ref=tw'
+                 WHEN doc_id % 4 = 2 THEN '?utm_medium=a&id=7' ELSE '' END,
+            CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+        FROM documents),
+      canon AS (
+        SELECT doc_id, url, """ + urlCanonSql("url", duck) + """ AS cu
+        FROM urls)
+      SELECT cu AS url, min(doc_id) AS keep_id, count(*) AS n_copies,
+             count(DISTINCT url) AS n_variants
+      FROM canon GROUP BY cu ORDER BY keep_id"""
 
   /** Canonical form of a URL — the normalization every crawl frontier
     * applies before dedup: lowercase; fragment, scheme, leading `www.`,
     * default ports, and `utm_*` tracking params dropped (other query
     * params are real routing and survive, `?` restored if params
-    * remain); trailing slash trimmed. Pure codegen'd regexp_replace
-    * chain; Spark's regexp_replace is all-occurrences, which the utm
-    * strip relies on (the DuckDB oracle spells it with the 'g' flag —
-    * hence the dialect twin). */
+    * remain); the path's trailing slash trimmed WHETHER OR NOT query
+    * params follow it (`/page/5/?ref=tw` ≡ `/page/5?ref=tw` — the
+    * strip runs while the URL is still in all-`&` form, anchored to the
+    * pre-query prefix, so slashes inside query VALUES survive; r12
+    * ADVICE item 3). Pure codegen'd regexp_replace chain; Spark's
+    * regexp_replace is all-occurrences, which the utm strip relies on
+    * (the DuckDB oracle spells it with the 'g' flag — hence the dialect
+    * twin). */
   private[ops] def canonicalUrl(u: Column): Column = {
     val lowered = lower(u)
     val noFrag = regexp_replace(lowered, "#.*$", "")
@@ -124,8 +156,8 @@ object PipelineOps extends QueryPack {
     val noPort = regexp_replace(noWww, ":(?:443|80)(/)", "$1")
     val amp = regexp_replace(noPort, "\\?", "&")
     val noUtm = regexp_replace(amp, "&utm_[a-z]+=[^&]*", "")
-    val restored = regexp_replace(noUtm, "^([^&]*)&", "$1?")
-    regexp_replace(restored, "/$", "")
+    val noSlash = regexp_replace(noUtm, "^([^&]*)/(&|$)", "$1$2")
+    regexp_replace(noSlash, "^([^&]*)&", "$1?")
   }
 
   /** Registrable domain of a hostname: the public suffix plus one label
@@ -1248,28 +1280,8 @@ object PipelineOps extends QueryPack {
 
     // DuckDB dialect (regexp_replace needs the 'g' flag for the utm
     // strip and \1 group refs — Spark is all-occurrences with $1);
-    // Spark twin in SqlDialectTwins.
-    "q_dedup_url" -> ("""
-      WITH urls AS (
-        SELECT doc_id,
-          concat(
-            CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
-            CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
-            'example', CAST((doc_id % 50) % 5 AS BIGINT), '.com',
-            CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END,
-            '/page/', CAST(doc_id % 50 AS BIGINT),
-            CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
-            CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_campaign=y'
-                 WHEN doc_id % 4 = 1 THEN '?ref=tw'
-                 WHEN doc_id % 4 = 2 THEN '?utm_medium=a&id=7' ELSE '' END,
-            CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
-        FROM documents),
-      canon AS (
-        SELECT doc_id, url, """ + urlCanonSql("url", duck = true) + """ AS cu
-        FROM urls)
-      SELECT cu AS url, min(doc_id) AS keep_id, count(*) AS n_copies,
-             count(DISTINCT url) AS n_variants
-      FROM canon GROUP BY cu ORDER BY keep_id"""),
+    // Spark twin in SqlDialectTwins via the SAME dedupUrlSql generator.
+    "q_dedup_url" -> dedupUrlSql(duck = true),
 
     // DuckDB dialect (list indexing, unnest(range)); Spark twin in
     // SqlDialectTwins. Generated from the same BpeMerges constant as the

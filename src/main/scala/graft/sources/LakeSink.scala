@@ -418,6 +418,25 @@ object SnapshotLake {
     deleteFrom(spark, table, base, predicate, maxRecordsPerFile)
   }
 
+  /** Read `dirs` aligned to the snapshot's full merged schema: columns a
+    * pre-evolution directory lacks come back as typed NULLs in merged-
+    * schema order, so a DELETE predicate / MERGE key referencing a
+    * column added by additive evolution evaluates (to its NULL
+    * semantics) instead of throwing AnalysisException on old
+    * directories (r12 ADVICE item 2 — mergeSchema alone cannot conjure
+    * a column NO read file carries). Filters on present columns still
+    * push to parquet (plain alias passthrough); filters on the
+    * null-filled ones constant-fold per directory. */
+  private def readAligned(spark: SparkSession, dirs: Seq[String],
+                          full: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    val have = df.columns.toSet
+    df.select(full.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
   /** The prune/rewrite/CAS half of [[delete]], base-parameterized so the
     * concurrent-commit race is testable deterministically. */
   private[graft] def deleteFrom(spark: SparkSession, table: String,
@@ -425,13 +444,14 @@ object SnapshotLake {
                                 predicate: org.apache.spark.sql.Column,
                                 maxRecordsPerFile: Long): Option[Long] = {
     val dirs = manifestDirs(spark, table, base)
+    val full = spark.read.option("mergeSchema", "true")
+      .parquet(dirs: _*).schema
     val affected = dirs.filter { d =>
-      !spark.read.parquet(d).filter(predicate).isEmpty
+      !readAligned(spark, Seq(d), full).filter(predicate).isEmpty
     }
     if (affected.isEmpty) return Some(base)
     val kept = dirs.diff(affected)
-    val remaining = spark.read.option("mergeSchema", "true")
-      .parquet(affected: _*)
+    val remaining = readAligned(spark, affected, full)
       .filter(!(predicate <=> lit(true)))
     // an empty rewrite writes no part files and would break schema
     // inference at read — materialize one schema-bearing empty file only
@@ -476,15 +496,16 @@ object SnapshotLake {
     if (src.isEmpty) return Some(base) // empty change set: no-op, no snapshot
     val srcKeys = broadcast(src.select(keys.map(col): _*).distinct())
     val dirs = manifestDirs(spark, table, base)
+    val full = spark.read.option("mergeSchema", "true")
+      .parquet(dirs: _*).schema
     val affected = dirs.filter { d =>
-      !spark.read.parquet(d).join(srcKeys, keys, "left_semi").isEmpty
+      !readAligned(spark, Seq(d), full).join(srcKeys, keys, "left_semi").isEmpty
     }
     val kept = dirs.diff(affected)
     val rewrittenOpt =
       if (affected.isEmpty) None
       else {
-        val surviving = spark.read.option("mergeSchema", "true")
-          .parquet(affected: _*)
+        val surviving = readAligned(spark, affected, full)
           .join(srcKeys, keys, "left_anti")
         if (surviving.isEmpty) None
         else Some(writeData(surviving, table, maxRecordsPerFile))

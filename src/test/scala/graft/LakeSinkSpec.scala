@@ -342,6 +342,37 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(SnapshotLake.readLatest(s, table).count() == 2L)
   }
 
+  test("delete and merge on a post-evolution column span pre-evolution " +
+       "dirs (probe aligns missing columns to NULL — r12 ADVICE 2)") {
+    import s.implicits._
+    val table = tmpDir("snap-evolve-delete")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    SnapshotLake.commit(
+      Seq((3L, "c", 30), (4L, "d", 99)).toDF("k", "v", "score"),
+      table, append = true)
+    // predicate on the evolved column: the pre-evolution dir's probe
+    // must evaluate it (to NULL, never TRUE), not throw AnalysisException
+    assert(SnapshotLake.delete(s, table, col("score") > 50).contains(3L))
+    assert(SnapshotLake.readLatest(s, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // IS NULL matches exactly the pre-evolution rows -> the REWRITE read
+    // must align the missing column too
+    assert(SnapshotLake.delete(s, table, col("score").isNull).contains(4L))
+    assert(SnapshotLake.readLatest(s, table).select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+    // merge keyed on the evolved column probes pre-evolution dirs the
+    // same way: no key hit -> dir survives by identity
+    val t2 = tmpDir("snap-evolve-merge")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), t2)
+    SnapshotLake.commit(Seq((2L, "b", 7)).toDF("k", "v", "score"), t2,
+      append = true)
+    assert(SnapshotLake.merge(s, t2,
+      Seq((9L, "B!", 7)).toDF("k", "v", "score"), Seq("score")).contains(3L))
+    assert(SnapshotLake.readLatest(s, t2).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
+  }
+
   test("audit reports per-column drift between two snapshots, nulls included") {
     import s.implicits._
     val table = tmpDir("snap-audit")

@@ -1013,6 +1013,36 @@ object SqlDialectTwins {
       FROM dt WHERE dt IS NOT NULL AND dt > 0
       GROUP BY user_id ORDER BY user_id""",
 
+    // unnest(range(1,8)) -> explode(sequence(1,7)); DuckDB date-int
+    // subtraction (day - CAST(lag AS INT)) -> date_sub(day, lag)
+    "q_autocorr" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+        FROM orders GROUP BY 1),
+      lags AS (SELECT explode(sequence(1, 7)) AS lag_days),
+      pairs AS (
+        SELECT l.lag_days, a.r AS x, b.r AS y
+        FROM daily a JOIN lags l ON true
+        JOIN daily b ON b.day = date_sub(a.day, l.lag_days)),
+      m AS (
+        SELECT lag_days, CAST(count(*) AS BIGINT) AS n,
+          sum(x) AS sx, sum(y) AS sy,
+          sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+        FROM pairs GROUP BY lag_days)
+      SELECT lag_days, n,
+        round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+              (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+          AS autocorr
+      FROM m ORDER BY lag_days""",
+
+    // the oracle generator re-run with duck=false: $1/$2 group refs and
+    // implicit all-occurrences regexp_replace instead of \1/\2 + 'g' —
+    // this is the ONLY consumer of urlCanonSql's Spark branch, so the
+    // twin doubles as its liveness pin (r12 ADVICE item 1)
+    "q_dedup_url" -> graft.ops.PipelineOps.dedupUrlSql(duck = false),
+
     // range-table 1-based list index -> posexplode (0-based)
     "q_embed_centroid" -> """
       WITH ex AS (

@@ -55,7 +55,8 @@ object SqlParityKeys {
     "q_skyline", "q_path_mining", "q_degree_dist", "q_funnel_window",
     "q_basket_lift", "q_ab_ttest", "q_not_in_nulls", "q_corr_matrix",
     "q_linreg", "q_chi_square", "q_gini",
-    "q_domain_stats", "q_snapshot_drift")
+    "q_domain_stats", "q_snapshot_drift",
+    "q_auc", "q_ks_test")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
