@@ -1013,6 +1013,75 @@ object SqlDialectTwins {
       FROM dt WHERE dt IS NOT NULL AND dt > 0
       GROUP BY user_id ORDER BY user_id""",
 
+    // epoch_us -> unix_micros (the q_time_weighted_avg rewrite)
+    "q_survival_km" -> """
+      WITH u AS (
+        SELECT user_id,
+          min(ts) AS first_ts,
+          min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p,
+          max(ts) AS last_ts
+        FROM events GROUP BY user_id),
+      lab AS (
+        SELECT CAST(floor((unix_micros(coalesce(first_p, last_ts)) - unix_micros(first_ts)) / 3600000000.0) AS INT) AS t,
+               CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u),
+      g AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c
+        FROM lab GROUP BY t),
+      sw AS (
+        SELECT t, d, c,
+          CAST(sum(d + c) OVER () AS BIGINT)
+            - CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM g),
+      s AS (
+        SELECT t, d, c, n_risk,
+          sum(CAST(round(ln(CASE WHEN d < n_risk THEN 1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) ELSE 1.0 END), 6) AS DECIMAL(18,6)))
+            OVER (ORDER BY t) AS lnsum,
+          max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (ORDER BY t) AS dead
+        FROM sw)
+      SELECT t AS t_hours, n_risk, d AS n_events, c AS n_censored,
+        CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(CAST(lnsum AS DOUBLE)), 4) END AS survival
+      FROM s ORDER BY t_hours""",
+
+    // unnest(range(0,21)) -> explode(sequence(0,20))
+    "q_hierarchy_rollup" -> """
+      WITH j AS (SELECT explode(sequence(0, 20)) AS j),
+      cl AS (
+        SELECT CAST(floor(c.c_custkey / power(2, j.j)) AS BIGINT) AS node,
+               j.j AS lvl, c.c_acctbal
+        FROM customer c, j
+        WHERE floor(c.c_custkey / power(2, j.j)) >= 1)
+      SELECT node, CAST(count(*) AS BIGINT) AS n_desc,
+             CAST(max(lvl) AS BIGINT) AS deepest,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 4) AS subtree_bal
+      FROM cl GROUP BY node ORDER BY node""",
+
+    // DuckDB date-int subtraction (wk - cohort) -> datediff(wk, cohort)
+    "q_cohort_ltv" -> """
+      WITH ev AS (
+        SELECT user_id, ts, event_type, value,
+          CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE) AS cohort
+        FROM events),
+      sizes AS (
+        SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM ev GROUP BY cohort),
+      pur AS (
+        SELECT cohort,
+          CAST(floor(datediff(CAST(date_trunc('week', ts) AS DATE), cohort) / 7.0) AS INT) AS w_offset,
+          user_id, CAST(value AS DECIMAL(18,2)) AS v
+        FROM ev WHERE event_type = 'purchase'),
+      agg AS (
+        SELECT cohort, w_offset,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+          sum(v) AS rev
+        FROM pur GROUP BY cohort, w_offset)
+      SELECT a.cohort, a.w_offset, s.n_users, a.n_buyers,
+        round(CAST(a.rev AS DOUBLE), 4) AS rev,
+        round(CAST(a.rev AS DOUBLE) / CAST(s.n_users AS DOUBLE), 4) AS ltv
+      FROM agg a JOIN sizes s ON a.cohort = s.cohort
+      ORDER BY a.cohort, a.w_offset""",
+
     // unnest(range(1,8)) -> explode(sequence(1,7)); DuckDB date-int
     // subtraction (day - CAST(lag AS INT)) -> date_sub(day, lag)
     "q_autocorr" -> """

@@ -56,7 +56,9 @@ object SqlParityKeys {
     "q_basket_lift", "q_ab_ttest", "q_not_in_nulls", "q_corr_matrix",
     "q_linreg", "q_chi_square", "q_gini",
     "q_domain_stats", "q_snapshot_drift",
-    "q_auc", "q_ks_test")
+    "q_auc", "q_ks_test",
+    "q_calibration", "q_psi", "q_spearman", "q_benford", "q_lift_curve",
+    "q_yoy_growth", "q_ntile_bins")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
