@@ -36,7 +36,8 @@ object ScaleSmoke {
     "q_pagerank", "q_containment",
     "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma",
     "q_basket_lift", "q_corr_matrix", "q_chi_square", "q_gini",
-    "q_dedup_passage", "q_bpe_merges")
+    "q_dedup_passage", "q_bpe_merges",
+    "q_survival_km", "q_lift_curve", "q_hierarchy_rollup")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -47,12 +48,18 @@ object ScaleSmoke {
   // at hop 2); q_feature_hash rows-out is a FLAT pin like
   // q_stratified_sample (|langs|×64 buckets is scale-invariant even as
   // the per-copy word prefixes grow the vocabulary 10×).
+  // q_survival_km rows-out is a FLAT pin: the life-table grain is
+  // duration-VALUED (hours), scale-invariant as users grow 10× with the
+  // same time structure — the sweep-stays-small claim made empirical.
+  // q_hierarchy_rollup rows-out = node count, a LINEAR pin (closed-form
+  // fan-out can't explode candidates; it can only mirror the keyspace).
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
         "q_containment", "q_bfs_hops", "q_feature_hash",
-        "q_basket_lift", "q_dedup_passage")
+        "q_basket_lift", "q_dedup_passage",
+        "q_survival_km", "q_hierarchy_rollup")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
@@ -86,6 +93,13 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
 
     buildSf1(spark, src, out, copies)
+    buildSf1Hier(spark, src, copies)
+
+    // q_hierarchy_rollup reads ONLY customer, which the main synthesis
+    // deliberately leaves unscaled (q_gini's reading depends on the
+    // constant-size ranked frame) — its 10× side lives in target/sf1h
+    def bigDir(k: String): String =
+      if (k == "q_hierarchy_rollup") "target/sf1h" else out
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -95,16 +109,16 @@ object ScaleSmoke {
     }
 
     // warm both scales (JIT/codegen/footers), then min-of-N timed passes
-    keys.foreach(k => run(k, src)); keys.foreach(k => run(k, out))
+    keys.foreach(k => run(k, src)); keys.foreach(k => run(k, bigDir(k)))
     System.gc(); Thread.sleep(2000)
-    def timed(dir: String): Map[String, Double] =
-      (1 to passes).map(_ => keys.map(k => k -> run(k, dir)).toMap)
+    def timed(dirFor: String => String): Map[String, Double] =
+      (1 to passes).map(_ => keys.map(k => k -> run(k, dirFor(k))).toMap)
         .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
-    val small = timed(src)
-    val big = timed(out)
+    val small = timed(_ => src)
+    val big = timed(bigDir)
     val counts = countKeys.toSeq.sorted.map { k =>
       k -> (SparkEntry.queries(k)(spark, src).count(),
-            SparkEntry.queries(k)(spark, out).count())
+            SparkEntry.queries(k)(spark, bigDir(k)).count())
     }
 
     println(f"%nkey | sf0.1 s | sf1 s | ratio")
@@ -175,5 +189,24 @@ object ScaleSmoke {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     Files.createFile(Paths.get(s"$out/_built_v2"))
+  }
+
+  /** 10× customer dim for q_hierarchy_rollup only (target/sf1h): copy c
+    * shifts c_custkey by c·200000 — every key stays under 2^21, so the
+    * 21-level ancestor fan-out still reaches root 1 from every node and
+    * the deepest level saturates at 20 (the keyspace-log2 growth a 10×
+    * dim actually exhibits). Kept OUT of target/sf1 because q_gini's
+    * smoke reading depends on the unscaled customer frame. */
+  private def buildSf1Hier(spark: SparkSession, src: String,
+                           copies: Int): Unit = {
+    val out = "target/sf1h"
+    if (Files.exists(Paths.get(s"$out/_built_v1"))) return
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    (0 until copies).map { c =>
+      cust.withColumn("c_custkey",
+        (col("c_custkey") + lit(c * 200000)).cast("int"))
+    }.reduce(_ unionByName _)
+      .coalesce(4).write.mode("overwrite").parquet(s"$out/customer.parquet")
+    Files.createFile(Paths.get(s"$out/_built_v1"))
   }
 }

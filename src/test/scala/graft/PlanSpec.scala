@@ -441,6 +441,52 @@ class PlanSpec extends AnyFunSuite {
                hashExMax = 1)
   }
 
+  test("scan + exchange budgets hold on the r13 model-eval pack") {
+    // bin-at-the-scan keys: one fact pass + one grid agg; the
+    // reliability/PSI windows run over ≤10 rows (SinglePartition, not a
+    // hash exchange); psi's 1-row min/max frame is a second scan by
+    // design (broadcast back, never a fact shuffle)
+    nodeBudget("q_calibration", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // psi's 1-row min/max frame joins in as a deliberate broadcast BNLJ
+    // (the q_scalar_subquery pattern — nodeBudget's blanket ban would
+    // reject it): two scans by design, one grid agg shuffle, and the
+    // fact side must never shuffle for the range
+    val psi = finalPlan("q_psi").split("== Initial Plan ==")(0)
+    def psiNodes(m: String) = psi.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(psi.contains("BroadcastNestedLoopJoin"),
+      s"q_psi must broadcast the 1-row range frame:\n$psi")
+    assert(psiNodes("FileScan parquet") <= 2 &&
+           psiNodes("Exchange hashpartitioning") <= 1 &&
+           !psi.contains("CartesianProduct"),
+      s"q_psi budget blown:\n$psi")
+    nodeBudget("q_benford", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // collapse-then-sweep: one fact scan, one score-grain agg; the
+    // ordered sweep + decile agg run on the collapsed grain
+    nodeBudget("q_lift_curve", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // one user-grain agg + one duration-grain agg — the life-table
+    // sweep itself is calendar-sized
+    nodeBudget("q_survival_km", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // calendar-grain keys: one scan + the day/month agg; rank windows
+    // repartition the tiny grain (2 tie-group partitions for spearman)
+    nodeBudget("q_spearman", fileScanMax = 1, rddScanMax = 0, hashExMax = 3)
+    nodeBudget("q_yoy_growth", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    nodeBudget("q_ntile_bins", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // closed form: one dim scan, one ancestor-key agg — no join, no
+    // iteration
+    nodeBudget("q_hierarchy_rollup", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // cohort assignment + purchase re-agg + distinct-buyer expand over
+    // the ONE user_id window shuffle; sizes ride back broadcast
+    nodeBudget("q_cohort_ltv", fileScanMax = 2, rddScanMax = 0,
+               hashExMax = 6)
+  }
+
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {
     // degree_dist: BOTH side aggregations must come off the one
     // checkpointed edge RDD — a FileScan here means a consumer re-derived
