@@ -37,7 +37,8 @@ object ScaleSmoke {
     "q_bfs_hops", "q_feature_hash", "q_attribution", "q_ewma",
     "q_basket_lift", "q_corr_matrix", "q_chi_square", "q_gini",
     "q_dedup_passage", "q_bpe_merges",
-    "q_survival_km", "q_lift_curve", "q_hierarchy_rollup")
+    "q_survival_km", "q_lift_curve", "q_hierarchy_rollup",
+    "q_tree_paths", "q_ngram_lm")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -99,7 +100,7 @@ object ScaleSmoke {
     // deliberately leaves unscaled (q_gini's reading depends on the
     // constant-size ranked frame) — its 10× side lives in target/sf1h
     def bigDir(k: String): String =
-      if (k == "q_hierarchy_rollup") "target/sf1h" else out
+      if (k == "q_hierarchy_rollup" || k == "q_tree_paths") "target/sf1h" else out
 
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -191,7 +192,7 @@ object ScaleSmoke {
     Files.createFile(Paths.get(s"$out/_built_v2"))
   }
 
-  /** 10× customer dim for q_hierarchy_rollup only (target/sf1h): copy c
+  /** 10× customer dim for q_hierarchy_rollup / q_tree_paths (target/sf1h): copy c
     * shifts c_custkey by c·200000 — every key stays under 2^21, so the
     * 21-level ancestor fan-out still reaches root 1 from every node and
     * the deepest level saturates at 20 (the keyspace-log2 growth a 10×

@@ -1095,6 +1095,51 @@ object Analytics extends QueryPack {
               .cast("double") /
             sum(col("dt")).cast("double"), 4).as("twap"))
         .orderBy(col("user_id"))
+    },
+
+    // Root-to-node path enumeration over the binary-encoded hierarchy
+    // (parent(k) = floor(k/2)) — the RECURSIVE-CTE surface demo on the
+    // shape where recursion is safe: a tree is acyclic, so UNION ALL
+    // recursion terminates, and BOTH engines run the SAME recursive SQL
+    // (the oracle is its own Spark twin — unlike cyclic
+    // q_connected_components, where Spark 4.1's UNION-ALL-only recursion
+    // diverges and the engine uses pointer-doubling instead). The DSL is
+    // the level-synchronous loop: each round equi-joins the key frame to
+    // the previous frontier on the parent key (a hash join on node ids,
+    // never fact-sized), localCheckpointed per round (GraphRank
+    // discipline — the next round and the final union both read it).
+    // Depth is log2(keyspace) rounds; path strings grow O(depth·digits).
+    // When only AGGREGATES along the hierarchy are needed, the
+    // closed-form q_hierarchy_rollup fan-out does it with no iteration.
+    "q_tree_paths" -> { (s, d) =>
+      val keys = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("k"))
+        .filter(col("k") >= 1)
+        .localCheckpoint(eager = false)
+      // round count = the deepest POSSIBLE node, ⌊log2(max key)⌋, from a
+      // 1-row agg — replacing a per-round isEmpty probe (a driver job per
+      // level, half the key's wall time at sf0.1; the level count is the
+      // arithmetic one, so probing added nothing)
+      val maxK = keys.agg(max(col("k"))).head.getLong(0)
+      val rounds = 63 - java.lang.Long.numberOfLeadingZeros(math.max(maxK, 1L))
+      var frontier = keys.filter(col("k") === 1)
+        .select(col("k").as("node"), col("k").cast("string").as("path"),
+          lit(0).as("depth"))
+        .localCheckpoint(eager = false)
+      var acc = frontier
+      for (_ <- 1 to rounds) {
+        val next = keys
+          .join(frontier, floor(col("k") / 2).cast("long") === col("node") &&
+            col("k") > 1)
+          .select(col("k").as("node"),
+            concat(col("path"), lit("/"), col("k").cast("string")).as("path"),
+            (col("depth") + 1).as("depth"))
+          .localCheckpoint(eager = false)
+        acc = acc.unionByName(next)
+        frontier = next
+      }
+      acc.select(col("node"), col("depth"), col("path"))
+        .orderBy(col("node"))
     }
   )
 
@@ -1917,6 +1962,23 @@ object Analytics extends QueryPack {
                             AS DECIMAL(38,2))) AS DOUBLE) /
               CAST(sum(dt) AS DOUBLE), 4) AS twap
       FROM dt WHERE dt IS NOT NULL AND dt > 0
-      GROUP BY user_id ORDER BY user_id"""
+      GROUP BY user_id ORDER BY user_id""",
+
+    // Portable — WITH RECURSIVE + UNION ALL runs IDENTICALLY in DuckDB
+    // and Spark 4.1 on this acyclic shape (its own Spark twin via
+    // SqlOracleReuseSpec, which is the point of the key: the engine's
+    // recursive-CTE surface, exercised where it is semantically safe).
+    "q_tree_paths" -> """
+      WITH RECURSIVE t AS (
+        SELECT CAST(c_custkey AS BIGINT) AS node,
+               CAST(c_custkey AS STRING) AS path, CAST(0 AS INT) AS depth
+        FROM customer WHERE c_custkey = 1
+        UNION ALL
+        SELECT CAST(c.c_custkey AS BIGINT),
+               concat(t.path, '/', CAST(c.c_custkey AS STRING)),
+               CAST(t.depth + 1 AS INT)
+        FROM customer c JOIN t ON CAST(floor(c.c_custkey / 2) AS BIGINT) = t.node
+        WHERE c.c_custkey > 1)
+      SELECT node, depth, path FROM t ORDER BY node"""
   )
 }

@@ -46,6 +46,23 @@ object EvalOps extends QueryPack {
   /** Shared single-partition window for ≤10-row grid sweeps. */
   private def all = Window.partitionBy()
 
+  /** Ideal-DCG@10 cumulative table: Σ_{r=1..k} round(1/log2(r+1), 6),
+    * summed as exact decimals. SINGLE SOURCE for the DSL when-chain AND
+    * the generated oracle CASE — the rounded-6 gains match the engine-
+    * computed per-rank dcg terms, so a perfectly-ranked user scores
+    * ndcg = 1.0 exactly in both engines. */
+  private[graft] val IdcgCum: Seq[(Int, Double)] = {
+    val gains = (1 to 10).map(r => BigDecimal(1.0 / (math.log(r + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    gains.scanLeft(BigDecimal(0))(_ + _).tail.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toDouble) }
+  }
+
+  private def idcgCaseSql: String =
+    "CASE least(n_rel, 10) " +
+      IdcgCum.map { case (k, v) => s"WHEN $k THEN $v" }.mkString(" ") +
+      " ELSE NULL END"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q_calibration: reliability bins for a classifier score -------
@@ -321,6 +338,94 @@ object EvalOps extends QueryPack {
           round(col("rev").cast("double") / col("n_users").cast("double"), 4)
             .as("ltv"))
         .orderBy(col("cohort"), col("w_offset"))
+    },
+
+    // ---- q_target_encode: smoothed mean target encoding ---------------
+    // The feature-prep staple: each category's target rate shrunk toward
+    // the global prior by pseudo-count alpha=10 (the additive-smoothing
+    // form every encoder library implements). ONE map-combinable hash
+    // agg to the |categories| grid; prior/encoding math runs over the
+    // grid, never facts. Exact integer counts until the display math.
+    "q_target_encode" -> { (s, d) =>
+      val prior = sum(col("n_pos")).over(all).cast("double") /
+        sum(col("n")).over(all).cast("double")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("n_pos"))
+        .select(col("o_orderpriority"), col("n"), col("n_pos"),
+          round(prior, 6).as("prior"),
+          round((col("n_pos").cast("double") + lit(10.0) * prior) /
+            (col("n").cast("double") + lit(10.0)), 6).as("enc"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // ---- q_woe_iv: weight of evidence + information value -------------
+    // The credit-scoring binned-divergence readout (the directional
+    // sibling of q_psi): 10 fixed-width price bins over the broadcast
+    // global range, WoE = ln(good-share/bad-share) with +0.5 smoothing,
+    // IV = Σ(pg−pb)·WoE summed as round-6 exact decimals.
+    "q_woe_iv" -> { (s, d) =>
+      val ext = Tables.orders(s, d)
+        .select(col("o_totalprice").as("v"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val rng = ext.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      val pg = (col("n_good").cast("double") + lit(0.5)) /
+        (sum(col("n_good")).over(all).cast("double") + lit(5.0))
+      val pb = (col("n_bad").cast("double") + lit(0.5)) /
+        (sum(col("n_bad")).over(all).cast("double") + lit(5.0))
+      ext.crossJoin(broadcast(rng))
+        .select(greatest(least(floor((col("v") - col("lo")) /
+            (col("hi") - col("lo")) * 10), lit(9)), lit(0))
+          .cast("int").as("bin"), col("y"))
+        .groupBy(col("bin"))
+        .agg(sum(col("y")).as("n_good"),
+          (count(lit(1)) - sum(col("y"))).as("n_bad"))
+        .select(col("bin"), col("n_good"), col("n_bad"),
+          round(log(pg / pb), 6).as("woe"),
+          round(sum(round((pg - pb) * log(pg / pb), 6)
+              .cast(DecimalType(18, 6))).over(all).cast("double"), 6)
+            .as("iv_total"))
+        .orderBy(col("bin"))
+    },
+
+    // ---- q_ranking_metrics: MRR + NDCG@10 -----------------------------
+    // The retrieval-eval pair over the per-user value-ranked event list
+    // (relevant = purchase): ONE user-partitioned row_number window (the
+    // only fact shuffle), then a user-grain agg; per-rank dcg gains and
+    // the IdcgCum lookup share the same round-6 constants, every
+    // per-user score rides as an exact decimal so the global averages
+    // cannot drift with addition order. Non-converters score 0 (counted
+    // in the denominator — the standard "full-panel" convention).
+    "q_ranking_metrics" -> { (s, d) =>
+      val dec6 = DecimalType(18, 6)
+      val ranked = Tables.events(s, d)
+        .select(col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("rel"),
+          row_number().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("value").desc, col("event_id"))).as("rn"))
+      val pu = ranked.groupBy(col("user_id"))
+        .agg(sum(col("rel")).as("n_rel"),
+          min(when(col("rel") === 1, col("rn"))).as("first_rel"),
+          sum(when(col("rel") === 1 && col("rn") <= 10,
+              round(lit(1.0) / log2(col("rn") + 1), 6).cast(dec6))
+            .otherwise(lit(0).cast(dec6))).as("dcg"))
+      val idcg = IdcgCum.foldLeft(lit(null).cast("double")) {
+        case (acc, (k, v)) =>
+          when(least(col("n_rel"), lit(10)) === k, lit(v)).otherwise(acc)
+      }
+      pu.select(
+          when(col("first_rel").isNotNull,
+            round(lit(1.0) / col("first_rel"), 6).cast(dec6))
+            .otherwise(lit(0).cast(dec6)).as("rr"),
+          when(col("n_rel") > 0,
+            round(col("dcg").cast("double") / idcg, 6).cast(dec6))
+            .otherwise(lit(0).cast(dec6)).as("ndcg"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("rr")).cast("double") / count(lit(1)), 4).as("mrr"),
+          round(sum(col("ndcg")).cast("double") / count(lit(1)), 4)
+            .as("ndcg_at_10"))
     }
   )
 
@@ -529,6 +634,75 @@ object EvalOps extends QueryPack {
         round(CAST(a.rev AS DOUBLE), 4) AS rev,
         round(CAST(a.rev AS DOUBLE) / CAST(s.n_users AS DOUBLE), 4) AS ltv
       FROM agg a JOIN sizes s ON a.cohort = s.cohort
-      ORDER BY a.cohort, a.w_offset"""
+      ORDER BY a.cohort, a.w_offset""",
+
+    // Portable.
+    "q_target_encode" -> """
+      WITH c AS (
+        SELECT o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM orders GROUP BY o_orderpriority)
+      SELECT o_orderpriority, n, n_pos,
+        round(CAST(sum(n_pos) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6) AS prior,
+        round((CAST(n_pos AS DOUBLE) + 10.0 *
+               (CAST(sum(n_pos) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE))) /
+              (CAST(n AS DOUBLE) + 10.0), 6) AS enc
+      FROM c ORDER BY o_orderpriority""",
+
+    // Portable.
+    "q_woe_iv" -> """
+      WITH ext AS (
+        SELECT o_totalprice AS v,
+          CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders),
+      rng AS (SELECT min(v) AS lo, max(v) AS hi FROM ext),
+      b AS (
+        SELECT CAST(greatest(least(floor((v - lo) / (hi - lo) * 10), 9), 0) AS INT) AS bin, y
+        FROM ext, rng),
+      c AS (
+        SELECT bin,
+          CAST(sum(y) AS BIGINT) AS n_good,
+          CAST(count(*) - sum(y) AS BIGINT) AS n_bad
+        FROM b GROUP BY bin),
+      t AS (
+        SELECT bin, n_good, n_bad,
+          (CAST(n_good AS DOUBLE) + 0.5) / (CAST(sum(n_good) OVER () AS DOUBLE) + 5.0) AS pg,
+          (CAST(n_bad AS DOUBLE) + 0.5) / (CAST(sum(n_bad) OVER () AS DOUBLE) + 5.0) AS pb
+        FROM c)
+      SELECT bin, n_good, n_bad,
+        round(ln(pg / pb), 6) AS woe,
+        round(CAST(sum(CAST(round((pg - pb) * ln(pg / pb), 6) AS DECIMAL(18,6))) OVER () AS DOUBLE), 6) AS iv_total
+      FROM t ORDER BY bin""",
+
+    // Portable (the IDCG CASE is generated from the same IdcgCum
+    // constants the DSL when-chain uses).
+    "q_ranking_metrics" -> s"""
+      WITH ranked AS (
+        SELECT user_id,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        FROM events),
+      pu AS (
+        SELECT user_id,
+          CAST(sum(rel) AS BIGINT) AS n_rel,
+          min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+          sum(CASE WHEN rel = 1 AND rn <= 10
+              THEN CAST(round(1.0 / log2(rn + 1), 6) AS DECIMAL(18,6))
+              ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg
+        FROM ranked GROUP BY user_id),
+      scored AS (
+        SELECT user_id,
+          CASE WHEN first_rel IS NOT NULL
+               THEN CAST(round(1.0 / first_rel, 6) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END AS rr,
+          CASE WHEN n_rel > 0
+               THEN CAST(round(CAST(dcg AS DOUBLE) / ($idcgCaseSql), 6) AS DECIMAL(18,6))
+               ELSE CAST(0 AS DECIMAL(18,6)) END AS ndcg
+        FROM pu)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+        round(CAST(sum(rr) AS DOUBLE) / count(*), 4) AS mrr,
+        round(CAST(sum(ndcg) AS DOUBLE) / count(*), 4) AS ndcg_at_10
+      FROM scored"""
   )
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2.B "LLM-data-pipeline operators": exact/near dedup,
   * similarity search, tokenization, text stats, keyword search over the
@@ -453,6 +454,49 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("n_tokens"),
                 round(col("avg_logp"), 4).as("avg_logp"))
         .orderBy(col("doc_id"))
+    },
+
+    // Bigram language model with add-1 smoothing + per-doc perplexity —
+    // the conditional-probability upgrade of q_unigram_lm (the quality
+    // filter that also catches wrong WORD ORDER, not just wrong words).
+    // P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V); per-doc log-prob sums round-6
+    // exact decimals so both engines agree to the hash. ONE text scan:
+    // the word-array frame localCheckpoints once and feeds the bigram
+    // stream (zip of two slices — the q_bpe_merges idiom), the context
+    // counts, the bigram counts, AND the vocabulary; at 100 TB the
+    // shuffles carry (w1,w2)/(w1) token keys and the per-doc re-agg —
+    // exactly the q_tfidf profile plus one more count frame.
+    "q_ngram_lm" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .localCheckpoint(eager = false)
+      val st = words.filter(size(col("w")) >= 2)
+        .withColumn("a", slice(col("w"), lit(1), size(col("w")) - 1))
+        .withColumn("b", slice(col("w"), lit(2), size(col("w")) - 1))
+        .select(col("doc_id"),
+          explode(arrays_zip(col("a"), col("b"))).as("p"))
+        .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+        .localCheckpoint(eager = false)
+      val cb = st.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_bi"))
+      val cc = st.groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+      val v = words.select(explode(col("w")).as("u"))
+        .agg(countDistinct(col("u")).as("vocab"))
+      st.join(cb, Seq("w1", "w2")).join(cc, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"),
+          round(log((col("c_bi").cast("double") + lit(1.0)) /
+              (col("c_ctx").cast("double") + col("vocab").cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          // display scale == the decimal's native scale 6: re-rounding an
+          // EXACT 6-decimal sum to 4 digits lands on .00005 boundaries
+          // where the two engines' double casts disagree (hit at sf0.1)
+          round(sum(col("lp")).cast("double"), 6).as("log_prob"),
+          round(exp((-sum(col("lp")).cast("double")) / count(lit(1))), 4)
+            .as("ppl"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -689,6 +733,33 @@ object TextOps extends QueryPack {
           / sum(t.tf), 4) AS avg_logp
       FROM tf t JOIN vocab v USING (word), tot
       GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // DuckDB dialect (unnest(range), 1-based list index); Spark twin
+    // (explode over zipped slices) in SqlDialectTwins.
+    "q_ngram_lm" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+      st AS (
+        SELECT doc_id, w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+              FROM words WHERE len(w) >= 2)),
+      cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi
+             FROM st GROUP BY 1, 2),
+      cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_ctx
+             FROM st GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS vocab
+            FROM (SELECT unnest(w) AS u FROM words)),
+      sc AS (
+        SELECT s.doc_id,
+          CAST(round(ln((CAST(c_bi AS DOUBLE) + 1.0) /
+                        (CAST(c_ctx AS DOUBLE) + CAST(vocab AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS lp
+        FROM st s JOIN cb ON s.w1 = cb.w1 AND s.w2 = cb.w2
+                  JOIN cc ON s.w1 = cc.w1, v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(lp) AS DOUBLE), 6) AS log_prob,
+        round(exp(-CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS ppl
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     "q_text_stats" -> """
       SELECT lang, source, count(*) AS n_docs,

@@ -299,6 +299,145 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- q_target_encode ---------------------------------------------------
+
+  test("q_target_encode == local smoothed category means; encodings shrink " +
+       "toward the prior") {
+    val rows = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val local = rows.groupBy(_._1).view.mapValues { g =>
+      (g.size.toLong, g.count(_._2 == "F").toLong)
+    }.toMap
+    val prior = local.values.map(_._2).sum.toDouble /
+      local.values.map(_._1).sum
+    val got = run("q_target_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(g => g._1 -> (g._2, g._3)).toMap == local)
+    got.foreach { case (cat, n, pos, p, enc) =>
+      assert(math.abs(p - prior) < 1e-6)
+      val expected = (pos + 10.0 * prior) / (n + 10.0)
+      assert(math.abs(enc - expected) < 1e-6, s"$cat: $enc != $expected")
+      val raw = pos.toDouble / n
+      // shrinkage: enc lies strictly between the raw rate and the prior
+      assert((enc - raw) * (prior - raw) >= 0 &&
+        math.abs(enc - prior) <= math.abs(raw - prior) + 1e-9)
+    }
+  }
+
+  // ---- q_woe_iv ----------------------------------------------------------
+
+  test("q_woe_iv == local binned WoE; IV is the sum of per-bin terms") {
+    val rows = Tables.orders(spark, TestSpark.Sf0001)
+      .select(col("o_totalprice"), col("o_orderstatus"))
+      .collect().map(r => (r.getDouble(0), r.getString(1) == "F"))
+    val lo = rows.map(_._1).min; val hi = rows.map(_._1).max
+    val local = rows.groupBy { case (v, _) =>
+      math.max(math.min(math.floor((v - lo) / (hi - lo) * 10).toInt, 9), 0)
+    }.view.mapValues(g => (g.count(_._2).toLong, g.count(!_._2).toLong))
+      .toMap
+    val totG = local.values.map(_._1).sum.toDouble
+    val totB = local.values.map(_._2).sum.toDouble
+    val got = run("q_woe_iv").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.map(g => g._1 -> (g._2, g._3)).toMap == local)
+    val ivLocal = BigDecimal(local.toSeq.sortBy(_._1).map { case (_, (g, b)) =>
+      val pg = (g + 0.5) / (totG + 5.0); val pb = (b + 0.5) / (totB + 5.0)
+      BigDecimal((pg - pb) * math.log(pg / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (bin, g, b, woe, iv) =>
+      val pg = (g + 0.5) / (totG + 5.0); val pb = (b + 0.5) / (totB + 5.0)
+      assert(math.abs(woe - BigDecimal(math.log(pg / pb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"bin $bin woe")
+      assert(math.abs(iv - ivLocal) < 1e-9, s"iv $iv != $ivLocal")
+    }
+  }
+
+  // ---- q_ranking_metrics -------------------------------------------------
+
+  test("q_ranking_metrics == local per-user MRR/NDCG@10 panel averages") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idcg = graft.ops.EvalOps.IdcgCum.toMap
+    val perUser = events.groupBy(_._3).toSeq.map { case (_, g) =>
+      val ranked = g.sortBy(e => (-e._5, e._1)).zipWithIndex
+        .map { case (e, i) => (e._4 == "purchase", i + 1) }
+      val nRel = ranked.count(_._1)
+      val rr = ranked.find(_._1).map(t => r6(1.0 / t._2)).getOrElse(0.0)
+      val dcg = ranked.filter(t => t._1 && t._2 <= 10)
+        .map(t => BigDecimal(r6(1.0 / (math.log(t._2 + 1.0) / math.log(2.0)))))
+        .sum
+      val ndcg = if (nRel > 0)
+        r6(dcg.toDouble / idcg(math.min(nRel, 10))) else 0.0
+      (rr, ndcg)
+    }
+    val n = perUser.size
+    val mrr = r4(perUser.map(t => BigDecimal(t._1)).sum.toDouble / n)
+    val ndcg = r4(perUser.map(t => BigDecimal(t._2)).sum.toDouble / n)
+    val row = run("q_ranking_metrics").collect().head
+    assert(row.getLong(0) == n.toLong)
+    assert(math.abs(row.getDouble(1) - mrr) < 1e-9,
+      s"mrr ${row.getDouble(1)} != $mrr")
+    assert(math.abs(row.getDouble(2) - ndcg) < 1e-9,
+      s"ndcg ${row.getDouble(2)} != $ndcg")
+    assert(row.getDouble(1) >= 0 && row.getDouble(1) <= 1 &&
+      row.getDouble(2) >= 0 && row.getDouble(2) <= 1)
+  }
+
+  // ---- q_ngram_lm --------------------------------------------------------
+
+  test("q_ngram_lm == local add-1 bigram LM; perplexity positive") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val vocab = docs.flatMap(_._2).distinct.size
+    val st = docs.flatMap { case (id, w) =>
+      if (w.size >= 2) w.zip(w.tail).map(p => (id, p._1, p._2)) else Seq.empty
+    }
+    val cBi = st.groupBy(t => (t._2, t._3)).view.mapValues(_.size).toMap
+    val cCtx = st.groupBy(_._2).view.mapValues(_.size).toMap
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val local = st.groupBy(_._1).view.mapValues { g =>
+      val lp = g.map(t => r6(math.log((cBi((t._2, t._3)) + 1.0) /
+        (cCtx(t._2).toDouble + vocab)))).sum
+      (g.size.toLong, r6(lp.toDouble).toDouble,
+        r4(math.exp(-lp.toDouble / g.size)))
+    }.toMap
+    val got = run("q_ngram_lm").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == local.keySet)
+    got.foreach { case (id, (nb, lpG, pplG)) =>
+      val (nbL, lpL, pplL) = local(id)
+      assert(nb == nbL, s"doc $id n_bigrams")
+      assert(math.abs(lpG - lpL) < 1e-9, s"doc $id log_prob $lpG != $lpL")
+      assert(math.abs(pplG - pplL) < 1e-9, s"doc $id ppl")
+      assert(pplG > 0)
+    }
+  }
+
+  // ---- q_tree_paths ------------------------------------------------------
+
+  test("q_tree_paths == the binary decomposition of every key") {
+    val keys = Tables.customer(spark, TestSpark.Sf0001)
+      .select(col("c_custkey").cast("long"))
+      .collect().map(_.getLong(0)).filter(_ >= 1)
+    val local = keys.map { k =>
+      // ancestors root→k are the binary-prefix chain k >> d, ..., k >> 0
+      val depth = (63 - java.lang.Long.numberOfLeadingZeros(k))
+      val path = (depth to 0 by -1).map(j => k >> j).mkString("/")
+      k -> (depth, path)
+    }.toMap
+    val got = run("q_tree_paths").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(got == local)
+  }
+
   // ---- q_cohort_ltv ------------------------------------------------------
 
   test("q_cohort_ltv == local weekly cohort ledger") {

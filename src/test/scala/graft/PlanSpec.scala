@@ -485,6 +485,39 @@ class PlanSpec extends AnyFunSuite {
     // the ONE user_id window shuffle; sizes ride back broadcast
     nodeBudget("q_cohort_ltv", fileScanMax = 2, rddScanMax = 0,
                hashExMax = 6)
+    // one grid agg; prior/encoding windows run over |categories| rows
+    nodeBudget("q_target_encode", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // woe_iv shares psi's deliberate 1-row-range BNLJ — custom budget
+    val woe = finalPlan("q_woe_iv").split("== Initial Plan ==")(0)
+    def woeNodes(m: String) = woe.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(woe.contains("BroadcastNestedLoopJoin"),
+      s"q_woe_iv must broadcast the 1-row range frame:\n$woe")
+    assert(woeNodes("FileScan parquet") <= 2 &&
+           woeNodes("Exchange hashpartitioning") <= 1 &&
+           !woe.contains("CartesianProduct"),
+      s"q_woe_iv budget blown:\n$woe")
+    // ONE user_id shuffle feeds the rank window AND the user-grain agg
+    nodeBudget("q_ranking_metrics", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // the checkpointed word-array/bigram frames stand in for the text
+    // scan (0 parquet scans); st feeds sc + both count frames; the 1-row
+    // vocab frame broadcasts as the deliberate BNLJ (psi pattern)
+    val lm = finalPlan("q_ngram_lm").split("== Initial Plan ==")(0)
+    def lmNodes(m: String) = lm.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(lm.contains("BroadcastNestedLoopJoin"),
+      s"q_ngram_lm must broadcast the 1-row vocab frame:\n$lm")
+    assert(lmNodes("FileScan parquet") == 0 &&
+           lmNodes("Scan ExistingRDD") <= 5 &&
+           lmNodes("Exchange hashpartitioning") <= 8 &&
+           !lm.contains("CartesianProduct"),
+      s"q_ngram_lm budget blown:\n$lm")
+    // final plan = union of the per-level checkpointed frontiers (≤ 22
+    // at the depth bound); joins live behind the checkpoints
+    nodeBudget("q_tree_paths", fileScanMax = 0, rddScanMax = 22,
+               hashExMax = 0)
   }
 
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {

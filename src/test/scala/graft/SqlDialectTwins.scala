@@ -1013,6 +1013,33 @@ object SqlDialectTwins {
       FROM dt WHERE dt IS NOT NULL AND dt > 0
       GROUP BY user_id ORDER BY user_id""",
 
+    // unnest(range) -> explode(sequence); DuckDB 1-based list index
+    // w[i] -> element_at(w, i) (also 1-based); string_split -> split
+    "q_ngram_lm" -> """
+      WITH words AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+      st AS (
+        SELECT doc_id, element_at(w, CAST(i AS INT)) AS w1,
+               element_at(w, CAST(i AS INT) + 1) AS w2
+        FROM (SELECT doc_id, w, explode(sequence(1, size(w) - 1)) AS i
+              FROM words WHERE size(w) >= 2)),
+      cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_bi
+             FROM st GROUP BY 1, 2),
+      cc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_ctx
+             FROM st GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS vocab
+            FROM (SELECT explode(w) AS u FROM words)),
+      sc AS (
+        SELECT s.doc_id,
+          CAST(round(ln((CAST(c_bi AS DOUBLE) + 1.0) /
+                        (CAST(c_ctx AS DOUBLE) + CAST(vocab AS DOUBLE))), 6)
+               AS DECIMAL(18,6)) AS lp
+        FROM st s JOIN cb ON s.w1 = cb.w1 AND s.w2 = cb.w2
+                  JOIN cc ON s.w1 = cc.w1, v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(CAST(sum(lp) AS DOUBLE), 6) AS log_prob,
+        round(exp(-CAST(sum(lp) AS DOUBLE) / count(*)), 4) AS ppl
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
     // epoch_us -> unix_micros (the q_time_weighted_avg rewrite)
     "q_survival_km" -> """
       WITH u AS (

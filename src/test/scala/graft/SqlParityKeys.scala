@@ -58,7 +58,8 @@ object SqlParityKeys {
     "q_domain_stats", "q_snapshot_drift",
     "q_auc", "q_ks_test",
     "q_calibration", "q_psi", "q_spearman", "q_benford", "q_lift_curve",
-    "q_yoy_growth", "q_ntile_bins")
+    "q_yoy_growth", "q_ntile_bins",
+    "q_target_encode", "q_woe_iv", "q_ranking_metrics", "q_tree_paths")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
