@@ -10,7 +10,7 @@ object SparkEntry {
   private lazy val packs: Seq[QueryPack] = Seq(
     Aggregates, Joins, Scans, ScalarFuncs, Windows, SortSetOps,
     Ingestion, StreamingOps, TextOps, UdfOps, PipelineOps, Lakehouse,
-    Analytics, EvalOps
+    Analytics, EvalOps, MiningOps
   )
 
   private lazy val allQueries: Map[String, (SparkSession, String) => DataFrame] =

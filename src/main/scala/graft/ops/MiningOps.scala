@@ -1,0 +1,469 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Clustering / graph / statistics / profiling pack (round 13, third):
+  * the remaining operator families a corpus-scale platform leans on
+  * around the existing dedup/eval surface — iterative k-means over the
+  * embedding column (the corpus-clustering primitive behind semantic
+  * mixing and cluster-balanced sampling), weighted shortest paths
+  * (supply-chain / co-occurrence distance, the weighted upgrade of
+  * q_bfs_hops), mutual information (the information-theoretic sibling of
+  * q_chi_square, the feature-selection staple), day-of-week seasonality
+  * indices (the reporting decomposition q_yoy_growth doesn't cover),
+  * winsorized/trimmed robust statistics (the outlier-hardened form of
+  * q_feature_scale), and a per-column data-profiling audit (the
+  * Deequ-style quality readout over any table). Reference scope: events
+  * land via the streamsurfer batching client
+  * (/root/reference/main.go:197-231); everything here is downstream
+  * engine surface the task spec adds as first-class.
+  *
+  * Scale notes (100 TB lens):
+  *  - q_kmeans: centroids ride in ONE broadcast row (k×d doubles);
+  *    assignment is a broadcast nested-loop over that single row plus
+  *    NARROW array math (zip_with/aggregate) — the fact side NEVER
+  *    shuffles to assign. Only the centroid re-estimate shuffles, and it
+  *    is a map-combinable hash agg to a k×d grid. Per iteration the
+  *    pruned (vec_id, 8-dim slice) projection is re-scanned rather than
+  *    cached — at 100 TB the input doesn't fit memory and parquet
+  *    column pruning makes the re-scan the cheap choice (swap to
+  *    `.persist(DISK_ONLY)` when iterations ≫ 2 and scan dominates).
+  *  - q_sssp: Bellman-Ford relaxation rounds on a co-occurrence edge
+  *    list; the dist frame is node-sized and BROADCASTS into each round's
+  *    join (the q_pagerank discipline — edges never shuffle), each round
+  *    localCheckpointed. Edge build is a per-order self-join: fan-out is
+  *    bounded by order size (suppliers per order ≤ lines per order); a
+  *    hot container key would be the skew risk — cap or salt upstream.
+  *  - q_mutual_info: ONE map-combinable hash agg to the r×c grid; all
+  *    margin/total math is grid windows, never facts.
+  *  - q_seasonality: facts collapse to the CALENDAR day grain in one
+  *    agg; dow math and indices run over ≤|days| rows, then a 7-row
+  *    grid. Scale-invariant frames.
+  *  - q_winsorize: the per-group rank window is the q_gini-class
+  *    global-order-within-group trade-off — exact order statistics cost
+  *    one sort of each group. At corpus scale swap the exact k-th
+  *    statistics for `approx_percentile(p, [0.05, 0.95])` (one
+  *    map-combinable sketch agg, no sort) and keep the clamp/trim
+  *    arithmetic unchanged; the exact form here is the oracle-checkable
+  *    twin of that swap (same discipline as q_rfm / q_gini).
+  *  - q_schema_profile: one independent single-column agg per profiled
+  *    column, UNION ALL'd — a columnar store reads the same bytes as a
+  *    combined scan would, and each subplan keeps the cheap
+  *    single-distinct path (the combined multi-distinct agg plans an
+  *    Expand that multiplies every row by #distinct-aggs — measured ~3×
+  *    slower at sf0.1). At 100 TB swap exact distincts for
+  *    `approx_count_distinct` (HLL partials, one combined scan, no
+  *    distinct shuffle at all) — the profiler's standard trade (Deequ
+  *    does the same); min/max/null-rate stay exact either way.
+  */
+object MiningOps extends QueryPack {
+
+  private def all = Window.partitionBy()
+
+  private val KmDims = 8
+  private val KmK = 4
+
+  /** Exact squared-distance between the row's vector and one centroid
+    * array: per-dim terms rounded to 6 then summed as exact decimals in
+    * a sequential fold — the value is order-independent (exact), so the
+    * oracle's any-order SUM over exploded dims matches bit-for-bit. */
+  private def sqDist(vec: Column, carr: Column): Column =
+    aggregate(
+      zip_with(vec, carr, (a, b) =>
+        round((a - b) * (a - b), 6).cast(DecimalType(28, 10))),
+      lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 10)),
+      (acc, x) => (acc + x).cast(DecimalType(28, 10)))
+
+  /** One Lloyd assignment pass: nearest centroid id per vector, ties to
+    * the smallest cid (cents is sorted by cid; array_position finds the
+    * FIRST minimum). Narrow — no shuffle. */
+  private def assign(ex: DataFrame, cents: DataFrame): DataFrame =
+    ex.crossJoin(broadcast(cents))
+      .withColumn("dists", transform(col("cents"),
+        c => sqDist(col("vec"), c.getField("carr"))))
+      .withColumn("cid",
+        element_at(col("cents"),
+          array_position(col("dists"), array_min(col("dists"))).cast("int"))
+          .getField("cid"))
+      .select(col("vec_id"), col("vec"), col("cid"))
+
+  /** Collapse a (cid, carr) centroid frame to the ONE broadcastable row
+    * the assignment pass consumes (sorted by cid for tie determinism). */
+  private def oneRow(centFrame: DataFrame): DataFrame =
+    centFrame.agg(
+      array_sort(collect_list(struct(col("cid"), col("carr")))).as("cents"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- q_kmeans: Lloyd's k-means over the embedding column ----------
+    // k=4 clusters over the first 8 dims, 2 assignment rounds (init =
+    // the vectors of vec_id 0..3 — deterministic, the standard fixed-
+    // seed convention). Exactness: distances are round-6 per-dim terms
+    // summed as exact decimals (order-free), re-estimated centroids are
+    // round-6 doubles from exact decimal sums — both engines compute
+    // identical values, and ties break to the smallest centroid id.
+    "q_kmeans" -> { (s, d) =>
+      val ex = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(slice(col("embedding"), 1, KmDims),
+            v => v.cast("double")).as("vec"))
+      val c0 = ex.filter(col("vec_id") < KmK)
+        .select(col("vec_id").cast("int").as("cid"),
+          transform(col("vec"), v => round(v, 6)).as("carr"))
+      // round 1: assign to init centroids, re-estimate
+      val a1 = assign(ex, oneRow(c0))
+      val grid1 = a1.select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((round(sum(dec10(col("v"))).cast("double") /
+          count(lit(1)).cast("double"), 6)).as("c"))
+      val c1 = grid1
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          pc => pc.getField("c")).as("carr"))
+        .localCheckpoint()
+      // round 2: assign to re-estimated centroids, report the clusters
+      val a2 = assign(ex, oneRow(c1))
+      a2.select(col("cid").as("cluster"),
+          posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec10(col("v"))).cast("double") /
+            count(lit(1)).cast("double"), 4).as("centroid"))
+        .orderBy(col("cluster"), col("pos"))
+    },
+
+    // ---- q_sssp: weighted shortest paths, 3 relaxation rounds ---------
+    // Graph: suppliers co-occurring in an order, edge weight 11−co
+    // (clamped to 1 at co≥10) — nearer = more shared orders. Source =
+    // supplier 0; 3 Bellman-Ford rounds give exact min-cost within ≤3
+    // hops (the bounded-round discipline of q_bfs_hops, with weights).
+    "q_sssp" -> { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sup"))
+        .distinct()
+      val e = pairs.as("a")
+        .join(pairs.as("b"),
+          col("a.o") === col("b.o") && col("a.sup") =!= col("b.sup"))
+        .groupBy(col("a.sup").as("src"), col("b.sup").as("dst"))
+        .agg(count(lit(1)).as("co"))
+        .select(col("src"), col("dst"),
+          when(col("co") >= 10, lit(1L))
+            .otherwise(lit(11L) - col("co")).as("w"))
+        .localCheckpoint()
+      var dist = s.range(1)
+        .select(lit(0L).as("node"), lit(0L).as("dist"))
+      for (_ <- 1 to 3) {
+        val relaxed = broadcast(dist)
+          .join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.union(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist.orderBy(col("node"))
+    },
+
+    // ---- q_mutual_info: MI between two categoricals -------------------
+    // I(returnflag; linestatus) = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over
+    // the r×c grid — the information-theoretic dependence readout next
+    // to q_chi_square's frequentist one. Per-cell terms round-6, total
+    // summed as exact decimals.
+    "q_mutual_info" -> { (s, d) =>
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .groupBy(col("rf"), col("ls"))
+        .agg(count(lit(1)).as("n"))
+      val nD = col("n").cast("double")
+      val totD = sum(col("n")).over(all).cast("double")
+      val pxD = sum(col("n")).over(Window.partitionBy(col("rf"))).cast("double")
+      val pyD = sum(col("n")).over(Window.partitionBy(col("ls"))).cast("double")
+      g.select(col("rf"), col("ls"), col("n"),
+          round((nD / totD) * log((nD * totD) / (pxD * pyD)), 6).as("mi_term"))
+        .withColumn("mi_total",
+          round(sum(col("mi_term").cast(DecimalType(18, 6))).over(all)
+            .cast("double"), 6))
+        .orderBy(col("rf"), col("ls"))
+    },
+
+    // ---- q_seasonality: day-of-week seasonal index --------------------
+    // Facts collapse to the calendar day grain (one agg), dow = epoch
+    // days mod 7 (pure arithmetic — no locale, no engine dow-origin
+    // mismatch; 0 = Thursday since 1970-01-01 was one), index = dow
+    // daily-average revenue over the all-days daily average.
+    "q_seasonality" -> { (s, d) =>
+      val dayrev = Tables.events(s, d)
+        .select(col("ts").cast("date").as("day"), col("value"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(dec10(col("value"))).as("rev"))
+      val byDow = dayrev
+        .withColumn("dow",
+          (datediff(col("day"), lit("1970-01-01").cast("date")) % 7).cast("int"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("n_events"),
+          sum(col("rev")).as("revd"))
+      val avgDay = col("revd").cast("double") / col("n_days").cast("double")
+      val avgAll = sum(col("revd")).over(all).cast("double") /
+        sum(col("n_days")).over(all).cast("double")
+      byDow.select(col("dow"), col("n_days"), col("n_events"),
+          round(col("revd").cast("double"), 4).as("revenue"),
+          round(avgDay, 4).as("avg_day_rev"),
+          round(avgDay / avgAll, 6).as("seasonal_index"))
+        .orderBy(col("dow"))
+    },
+
+    // ---- q_winsorize: winsorized + trimmed robust statistics ----------
+    // Exact type-1 p05/p95 order statistics per returnflag via a rank
+    // window (k-th smallest = max over rn ≤ k — deterministic under
+    // value ties), then the clamped (winsorized) and interior (trimmed)
+    // means from exact decimal sums. ONE shuffle by group: the rank, the
+    // bound windows, and the final agg all share the rf partitioning.
+    "q_winsorize" -> { (s, d) =>
+      val wRank = Window.partitionBy(col("rf")).orderBy(col("pd"))
+      val wAll = Window.partitionBy(col("rf"))
+      val kLo = ceil(col("n").cast("double") * lit(0.05)).cast("long")
+      val kHi = ceil(col("n").cast("double") * lit(0.95)).cast("long")
+      val r = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("rf"),
+          dec(col("l_extendedprice")).as("p"),
+          col("l_extendedprice").as("pd"))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n", count(lit(1)).over(wAll))
+      val r2 = r
+        .withColumn("lo", max(when(col("rn") <= kLo, col("p"))).over(wAll))
+        .withColumn("hi", max(when(col("rn") <= kHi, col("p"))).over(wAll))
+      r2.groupBy(col("rf"))
+        .agg(max(col("n")).as("n"),
+          max(col("lo")).cast("double").as("lo"),
+          max(col("hi")).cast("double").as("hi"),
+          round(sum(least(greatest(col("p"), col("lo")), col("hi")))
+            .cast("double") / max(col("n")).cast("double"), 4).as("wins_mean"),
+          round(sum(when(col("rn") > kLo && col("rn") <= kHi, col("p")))
+              .cast("double") /
+            sum(when(col("rn") > kLo && col("rn") <= kHi, 1L).otherwise(0L))
+              .cast("double"), 4).as("trim_mean"))
+        .orderBy(col("rf"))
+    },
+
+    // ---- q_schema_profile: per-column data-quality profile ------------
+    // The Deequ-style audit row per column: count / null count / exact
+    // distinct / min / max (numeric as round-4 doubles, strings as-is).
+    // Shape: one independent single-column agg per profiled column,
+    // UNION ALL'd — with a columnar store this reads exactly the same
+    // bytes as a combined scan, and each subplan keeps the cheap
+    // SINGLE-distinct aggregation path (a combined multi-distinct agg
+    // plans an Expand that multiplies every row by #distinct-aggs —
+    // measured ~3× slower at sf0.1). The 100 TB swap for the distincts
+    // is approx_count_distinct (see scaladoc).
+    "q_schema_profile" -> { (s, d) =>
+      val nullD = lit(null).cast("double")
+      val nullS = lit(null).cast("string")
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null")
+      def num(c: String) =
+        Tables.lineitem(s, d).select(col(c))
+          .agg(count(lit(1)).as("n"), nulls(c),
+            countDistinct(col(c)).as("n_distinct"),
+            round(min(col(c)), 4).as("min_v"),
+            round(max(col(c)), 4).as("max_v"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_v"), col("max_v"),
+            nullS.as("min_s"), nullS.as("max_s"))
+      def str(c: String) =
+        Tables.lineitem(s, d).select(col(c))
+          .agg(count(lit(1)).as("n"), nulls(c),
+            countDistinct(col(c)).as("n_distinct"),
+            min(col(c)).as("min_s"), max(col(c)).as("max_s"))
+          .select(lit(c).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), nullD.as("min_v"), nullD.as("max_v"),
+            col("min_s"), col("max_s"))
+      num("l_quantity")
+        .unionAll(num("l_extendedprice"))
+        .unionAll(num("l_discount"))
+        .unionAll(str("l_returnflag"))
+        .orderBy(col("col_name"))
+    }
+  )
+
+  // ---- oracles -------------------------------------------------------
+
+  /** Shared text of one k-means (distance, assign, re-estimate) round —
+    * dialect-independent, unrolled twice below. */
+  private def kmRoundSql(centCte: String, i: Int): String = s"""
+      d$i AS (
+        SELECT e.vec_id, c.cid,
+          sum(CAST(round((e.v - c.c) * (e.v - c.c), 6) AS DECIMAL(28,10))) AS dist
+        FROM ex e JOIN $centCte c USING (pos)
+        GROUP BY e.vec_id, c.cid),
+      a$i AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+            row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+          FROM d$i) WHERE rn = 1)"""
+
+  /** Single source for the q_kmeans oracle AND its Spark-dialect twin —
+    * only the dim-explosion CTE differs (DuckDB range-table 1-based list
+    * index vs Spark posexplode), the two unrolled Lloyd rounds are
+    * byte-identical. */
+  def kmeansSql(duck: Boolean): String = {
+    val ex =
+      if (duck) s"""
+        SELECT vec_id, CAST(t.r AS INT) AS pos,
+               CAST(embedding[CAST(t.r AS INT) + 1] AS DOUBLE) AS v
+        FROM embeddings, range($KmDims) t(r)"""
+      else s"""
+        SELECT vec_id, pos, CAST(v AS DOUBLE) AS v
+        FROM embeddings
+        LATERAL VIEW posexplode(embedding) t AS pos, v
+        WHERE pos < $KmDims"""
+    s"""
+      WITH ex AS ($ex),
+      c0 AS (
+        SELECT CAST(vec_id AS INT) AS cid, pos, round(v, 6) AS c
+        FROM ex WHERE vec_id < $KmK),
+      ${kmRoundSql("c0", 1)},
+      c1 AS (
+        SELECT a.cid, e.pos,
+          round(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE), 6) AS c
+        FROM ex e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.pos),
+      ${kmRoundSql("c1", 2)}
+      SELECT a.cid AS cluster, e.pos, count(*) AS n,
+        round(CAST(sum(CAST(e.v AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE), 4) AS centroid
+      FROM ex e JOIN a2 a USING (vec_id)
+      GROUP BY a.cid, e.pos ORDER BY cluster, pos"""
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    "q_kmeans" -> kmeansSql(duck = true),
+
+    "q_sssp" -> """
+      WITH pairs AS (
+        SELECT DISTINCT l_orderkey AS o, l_suppkey AS sup FROM lineitem),
+      e AS (
+        SELECT a.sup AS src, b.sup AS dst,
+          CASE WHEN count(*) >= 10 THEN CAST(1 AS BIGINT)
+               ELSE CAST(11 AS BIGINT) - count(*) END AS w
+        FROM pairs a JOIN pairs b ON a.o = b.o AND a.sup <> b.sup
+        GROUP BY a.sup, b.sup),
+      d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+      d1 AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM d0
+          UNION ALL
+          SELECT e.dst AS node, d0.dist + e.w AS dist
+          FROM d0 JOIN e ON d0.node = e.src) GROUP BY node),
+      d2 AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM d1
+          UNION ALL
+          SELECT e.dst AS node, d1.dist + e.w AS dist
+          FROM d1 JOIN e ON d1.node = e.src) GROUP BY node),
+      d3 AS (
+        SELECT node, min(dist) AS dist FROM (
+          SELECT node, dist FROM d2
+          UNION ALL
+          SELECT e.dst AS node, d2.dist + e.w AS dist
+          FROM d2 JOIN e ON d2.node = e.src) GROUP BY node)
+      SELECT node, dist FROM d3 ORDER BY node""",
+
+    "q_mutual_info" -> """
+      WITH g AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+        FROM lineitem GROUP BY 1, 2),
+      t AS (
+        SELECT rf, ls, n,
+          round((CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE)) *
+            ln((CAST(n AS DOUBLE) * CAST(sum(n) OVER () AS DOUBLE)) /
+               (CAST(sum(n) OVER (PARTITION BY rf) AS DOUBLE) *
+                CAST(sum(n) OVER (PARTITION BY ls) AS DOUBLE))), 6) AS mi_term
+        FROM g)
+      SELECT rf, ls, n, mi_term,
+        round(CAST(sum(CAST(mi_term AS DECIMAL(18,6))) OVER () AS DOUBLE), 6)
+          AS mi_total
+      FROM t ORDER BY rf, ls""",
+
+    "q_seasonality" -> """
+      WITH dayrev AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(28,10))) AS rev
+        FROM events GROUP BY 1),
+      bydow AS (
+        SELECT datediff('day', DATE '1970-01-01', day) % 7 AS dow,
+               count(*) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               sum(rev) AS revd
+        FROM dayrev GROUP BY 1)
+      SELECT CAST(dow AS INT) AS dow, n_days, n_events,
+        round(CAST(revd AS DOUBLE), 4) AS revenue,
+        round(CAST(revd AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS avg_day_rev,
+        round((CAST(revd AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+              (CAST(sum(revd) OVER () AS DOUBLE) /
+               CAST(sum(n_days) OVER () AS DOUBLE)), 6) AS seasonal_index
+      FROM bydow ORDER BY dow""",
+
+    "q_winsorize" -> """
+      WITH r AS (
+        SELECT l_returnflag AS rf,
+          CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+          row_number() OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice) AS rn,
+          count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem),
+      r2 AS (
+        SELECT rf, p, rn, n,
+          max(CASE WHEN rn <= CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+                   THEN p END) OVER (PARTITION BY rf) AS lo,
+          max(CASE WHEN rn <= CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT)
+                   THEN p END) OVER (PARTITION BY rf) AS hi
+        FROM r)
+      SELECT rf, max(n) AS n,
+        CAST(max(lo) AS DOUBLE) AS lo, CAST(max(hi) AS DOUBLE) AS hi,
+        round(CAST(sum(least(greatest(p, lo), hi)) AS DOUBLE) /
+              CAST(max(n) AS DOUBLE), 4) AS wins_mean,
+        round(CAST(sum(CASE WHEN rn > CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+                         AND rn <= CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT)
+                        THEN p END) AS DOUBLE) /
+              CAST(sum(CASE WHEN rn > CAST(ceil(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+                         AND rn <= CAST(ceil(CAST(n AS DOUBLE) * 0.95) AS BIGINT)
+                        THEN 1 ELSE 0 END) AS DOUBLE), 4) AS trim_mean
+      FROM r2 GROUP BY rf ORDER BY rf""",
+
+    "q_schema_profile" -> """
+      SELECT * FROM (
+        SELECT 'l_quantity' AS col_name, count(*) AS n,
+          CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null,
+          count(DISTINCT l_quantity) AS n_distinct,
+          round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+          CAST(NULL AS STRING) AS min_s, CAST(NULL AS STRING) AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', count(*),
+          CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_extendedprice),
+          round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+          CAST(NULL AS STRING), CAST(NULL AS STRING)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+          CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_discount),
+          round(min(l_discount), 4), round(max(l_discount), 4),
+          CAST(NULL AS STRING), CAST(NULL AS STRING)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*),
+          CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          count(DISTINCT l_returnflag),
+          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+          min(l_returnflag), max(l_returnflag)
+        FROM lineitem)
+      ORDER BY col_name"""
+  )
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the third round-13 pack (MiningOps) — the
+  * DuckDB hash-match pins exact values; these pin the properties that
+  * make the values MEAN something (partition totals, metric bounds,
+  * order-statistic sandwiching), so a future refactor that stays
+  * hash-consistent with a wrong oracle still fails here.
+  */
+class MiningOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+
+  test("q_kmeans: clusters partition the vector set, all dims reported") {
+    val rows = q("q_kmeans").collect()
+    val total = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet").count()
+    val byCluster = rows.groupBy(_.getAs[Int]("cluster"))
+    // every reported cluster carries all 8 dims with one shared n
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until 8),
+        s"cluster $c misses dims")
+      assert(rs.map(_.getAs[Long]("n")).toSet.size == 1,
+        s"cluster $c has inconsistent sizes")
+    }
+    // the per-dim slice of cluster sizes sums to the corpus — the
+    // assignment is a partition (every vector in exactly one cluster)
+    val sizes = rows.filter(_.getAs[Int]("pos") == 0).map(_.getAs[Long]("n"))
+    assert(sizes.sum == total, s"cluster sizes ${sizes.toSeq} != $total")
+    assert(sizes.forall(_ > 0))
+  }
+
+  test("q_kmeans: matches an independent sequential Lloyd's run") {
+    // reference implementation: plain Scala over the collected vectors,
+    // same rounding contract (round-6 decimal distance terms, round-6
+    // re-estimated centroids, ties to the smallest cid)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .selectExpr("vec_id", "slice(embedding, 1, 8) AS v").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("v").map(_.toDouble).toArray).sortBy(_._1)
+    def dist(v: Array[Double], c: Array[Double]): BigDecimal =
+      v.zip(c).map { case (a, b) => r6((a - b) * (a - b)) }.sum
+    def assign(cents: Seq[(Int, Array[Double])]) =
+      vecs.map { case (id, v) =>
+        id -> cents.map { case (cid, c) => (dist(v, c), cid) }.min._2
+      }
+    def reestimate(asg: Array[(Long, Int)]) = {
+      val byC = vecs.toMap
+      asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
+        val vs = members.map(m => byC(m._1))
+        cid -> (0 until 8).map(p =>
+          (vs.map(v => BigDecimal(v(p)).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+            .toDouble / vs.length) // exact-decimal sum, double divide
+          ).map(x => r6(x).toDouble).toArray
+      }
+    }
+    val c0 = vecs.filter(_._1 < 4).map { case (id, v) =>
+      id.toInt -> v.map(x => r6(x).toDouble) }.toSeq
+    val a1 = assign(c0)
+    val c1 = reestimate(a1)
+    val a2 = assign(c1)
+    val expected = a2.groupBy(_._2).map { case (cid, m) => cid -> m.length }
+    val got = q("q_kmeans").collect().filter(_.getAs[Int]("pos") == 0)
+      .map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n").toInt).toMap
+    assert(got == expected, s"cluster sizes $got != reference $expected")
+  }
+
+  test("q_sssp: matches an independent Bellman-Ford over collected edges") {
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sup")).distinct()
+      .collect().map(r => r.getAs[Long]("o") -> r.getAs[Long]("sup"))
+    val coPairs: Seq[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      grp =>
+        val sups = grp.map(_._2).toSeq
+        for (a <- sups; b <- sups if a != b) yield (a, b)
+    }
+    val edges = coPairs.groupBy(identity).map { case ((a, b), hits) =>
+      (a, b, if (hits.size >= 10) 1L else 11L - hits.size)
+    }.toSeq
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = edges.flatMap { case (src, dst, w) =>
+        dist.get(src).map(d0 => dst -> (d0 + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = q("q_sssp").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == dist, s"sssp $got != reference $dist")
+  }
+
+  test("q_kmeans: iteration-2 centroids are inside the per-dim value range") {
+    val rows = q("q_kmeans").collect()
+    val ranges = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("pos") < 8)
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .collect().map(r => r.getAs[Int]("pos") ->
+        (r.getAs[Float]("lo").toDouble, r.getAs[Float]("hi").toDouble)).toMap
+    rows.foreach { r =>
+      val (lo, hi) = ranges(r.getAs[Int]("pos"))
+      val c = r.getAs[Double]("centroid")
+      assert(c >= lo - 1e-4 && c <= hi + 1e-4,
+        s"centroid $c outside [$lo,$hi] at pos ${r.getAs[Int]("pos")}")
+    }
+  }
+
+  test("q_sssp: source at 0, positive weights, neighbor-dominance") {
+    val rows = q("q_sssp").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(rows(0L) == 0L, "source distance must be 0")
+    assert(rows.filter(_._1 != 0L).values.forall(_ >= 1L))
+    // a reached node's dist can never exceed the direct edge from the
+    // source (relaxation dominance) — recompute the source's direct
+    // edges the same way the key builds them
+    val li = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sup")).distinct()
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.sup") =!= col("b.sup"))
+      .filter(col("a.sup") === 0L)
+      .groupBy(col("b.sup").as("dst")).agg(count(lit(1)).as("co"))
+      .select(col("dst"),
+        when(col("co") >= 10, lit(1L)).otherwise(lit(11L) - col("co")).as("w"))
+      .collect().map(r => r.getAs[Long]("dst") -> r.getAs[Long]("w"))
+    e0.foreach { case (dst, w) =>
+      assert(rows.contains(dst) && rows(dst) <= w,
+        s"dist(${dst})=${rows.get(dst)} exceeds direct edge $w")
+    }
+  }
+
+  test("q_mutual_info: grid totals and non-negativity up to rounding") {
+    val rows = q("q_mutual_info").collect()
+    val liCount = spark.read
+      .parquet(s"${TestSpark.Sf0001}/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == liCount)
+    val totals = rows.map(_.getAs[Double]("mi_total")).toSet
+    assert(totals.size == 1, "mi_total must be the same on every row")
+    // exact MI is ≥ 0; round-6 per-cell terms can only move the sum by
+    // |cells| × 5e-7
+    assert(totals.head >= -1e-5, s"MI ${totals.head} below rounding floor")
+  }
+
+  test("q_seasonality: 7 dows, day-weighted index averages to 1") {
+    val rows = q("q_seasonality").collect()
+    assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq == (0 until 7))
+    val wSum = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum
+    val nDays = rows.map(_.getAs[Long]("n_days")).sum
+    assert(math.abs(wSum / nDays - 1.0) < 1e-4,
+      s"day-weighted seasonal index ${wSum / nDays} != 1")
+  }
+
+  test("q_winsorize: bounds sandwich both robust means") {
+    q("q_winsorize").collect().foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo <= hi)
+      val wins = r.getAs[Double]("wins_mean")
+      val trim = r.getAs[Double]("trim_mean")
+      assert(wins >= lo - 1e-9 && wins <= hi + 1e-9, s"wins_mean $wins outside [$lo,$hi]")
+      assert(trim >= lo - 1e-9 && trim <= hi + 1e-9, s"trim_mean $trim outside [$lo,$hi]")
+    }
+  }
+
+  test("q_schema_profile: one row per column, consistent counts") {
+    val rows = q("q_schema_profile").collect()
+    assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_returnflag"))
+    val liCount = spark.read
+      .parquet(s"${TestSpark.Sf0001}/lineitem.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == liCount)
+      assert(r.getAs[Long]("n_null") >= 0 && r.getAs[Long]("n_null") <= liCount)
+      val nd = r.getAs[Long]("n_distinct")
+      assert(nd >= 1 && nd <= liCount)
+      if (r.getAs[String]("col_name") == "l_returnflag") {
+        assert(r.isNullAt(r.fieldIndex("min_v")) && !r.isNullAt(r.fieldIndex("min_s")))
+        assert(r.getAs[String]("min_s") <= r.getAs[String]("max_s"))
+      } else {
+        assert(r.isNullAt(r.fieldIndex("min_s")) && !r.isNullAt(r.fieldIndex("min_v")))
+        assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+      }
+    }
+  }
+}

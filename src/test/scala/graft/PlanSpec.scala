@@ -520,6 +520,42 @@ class PlanSpec extends AnyFunSuite {
                hashExMax = 0)
   }
 
+  test("third r13 pack: clustering/graph/statistics/profiling budgets") {
+    // kmeans: the deliberate BNLJ is the ONE-ROW broadcast centroid
+    // frame (the woe/psi pattern) — assignment itself is narrow array
+    // math; the only hash exchanges are the k×d grid agg(s); the final
+    // assign pass reads embeddings once (c1 rides as a checkpointed RDD)
+    val km = finalPlan("q_kmeans").split("== Initial Plan ==")(0)
+    def kmNodes(m: String) = km.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(km.contains("BroadcastNestedLoopJoin"),
+      s"q_kmeans must broadcast the 1-row centroid frame:\n$km")
+    assert(kmNodes("FileScan parquet") <= 1 &&
+           kmNodes("Exchange hashpartitioning") <= 2 &&
+           !km.contains("CartesianProduct"),
+      s"q_kmeans budget blown:\n$km")
+    // sssp: the final frame is the checkpointed round-3 dist — joins and
+    // unions live behind the checkpoints (the pagerank discipline)
+    nodeBudget("q_sssp", fileScanMax = 0, rddScanMax = 1, hashExMax = 0)
+    // mutual info: one scan into the r×c grid; margin windows re-hash
+    // the 6-row grid only
+    nodeBudget("q_mutual_info", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 3)
+    // seasonality: one scan, day-grain agg, dow re-agg — grid windows
+    // run single-partition
+    nodeBudget("q_seasonality", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 2)
+    // winsorize: ONE rf shuffle shared by the rank window, the bound
+    // windows, and the final agg
+    nodeBudget("q_winsorize", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
+    // schema profile: one single-column scan per profiled column (the
+    // columnar-honest shape — same bytes as a combined scan, no
+    // multi-distinct Expand); one distinct-partial exchange per column
+    nodeBudget("q_schema_profile", fileScanMax = 4, rddScanMax = 0,
+               hashExMax = 4)
+  }
+
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {
     // degree_dist: BOTH side aggregations must come off the one
     // checkpointed edge RDD — a FileScan here means a consumer re-derived

@@ -1139,6 +1139,32 @@ object SqlDialectTwins {
     // twin doubles as its liveness pin (r12 ADVICE item 1)
     "q_dedup_url" -> graft.ops.PipelineOps.dedupUrlSql(duck = false),
 
+    // range-table 1-based list index -> posexplode; generated from the
+    // same MiningOps.kmeansSql source as the DuckDB oracle (only the
+    // dim-explosion CTE differs — the two unrolled Lloyd rounds are
+    // byte-identical by construction)
+    "q_kmeans" -> graft.ops.MiningOps.kmeansSql(duck = false),
+
+    // DuckDB datediff('day', start, end) -> Spark datediff(end, start)
+    "q_seasonality" -> """
+      WITH dayrev AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(28,10))) AS rev
+        FROM events GROUP BY 1),
+      bydow AS (
+        SELECT datediff(day, DATE '1970-01-01') % 7 AS dow,
+               count(*) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               sum(rev) AS revd
+        FROM dayrev GROUP BY 1)
+      SELECT CAST(dow AS INT) AS dow, n_days, n_events,
+        round(CAST(revd AS DOUBLE), 4) AS revenue,
+        round(CAST(revd AS DOUBLE) / CAST(n_days AS DOUBLE), 4) AS avg_day_rev,
+        round((CAST(revd AS DOUBLE) / CAST(n_days AS DOUBLE)) /
+              (CAST(sum(revd) OVER () AS DOUBLE) /
+               CAST(sum(n_days) OVER () AS DOUBLE)), 6) AS seasonal_index
+      FROM bydow ORDER BY dow""",
+
     // range-table 1-based list index -> posexplode (0-based)
     "q_embed_centroid" -> """
       WITH ex AS (
