@@ -38,7 +38,8 @@ object ScaleSmoke {
     "q_basket_lift", "q_corr_matrix", "q_chi_square", "q_gini",
     "q_dedup_passage", "q_bpe_merges",
     "q_survival_km", "q_lift_curve", "q_hierarchy_rollup",
-    "q_tree_paths", "q_ngram_lm")
+    "q_tree_paths", "q_ngram_lm",
+    "q_kmeans", "q_sssp")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -54,13 +55,19 @@ object ScaleSmoke {
   // same time structure — the sweep-stays-small claim made empirical.
   // q_hierarchy_rollup rows-out = node count, a LINEAR pin (closed-form
   // fan-out can't explode candidates; it can only mirror the keyspace).
+  // q_kmeans rows-out is a FLAT pin (k×d grid, scale-invariant as the
+  // vector set grows 10×); q_sssp rows-out is a FLAT pin at the node
+  // count (suppliers are deliberately unshifted in the synthesis, so the
+  // graph densifies instead of replicating — the dist frame must stay
+  // node-sized as facts grow 10×).
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
         "q_token_budget", "q_dedup_cluster_rep", "q_sessionize",
         "q_containment", "q_bfs_hops", "q_feature_hash",
         "q_basket_lift", "q_dedup_passage",
-        "q_survival_km", "q_hierarchy_rollup")
+        "q_survival_km", "q_hierarchy_rollup",
+        "q_kmeans", "q_sssp")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
@@ -137,11 +144,12 @@ object ScaleSmoke {
     * rebuild). */
   private def buildSf1(spark: SparkSession, src: String, out: String,
                        copies: Int): Unit = {
-    // versioned marker: the orders-scaling change (r11) invalidates any
-    // sf1 built by an earlier synthesis — an unversioned marker would let
-    // a stale fixture (unscaled orders) feed q_pagerank a 1/10-size graph
-    // and print a plausible-but-wrong ratio
-    if (Files.exists(Paths.get(s"$out/_built_v2"))) return
+    // versioned marker: the orders-scaling change (r11) and the
+    // embeddings-scaling change (r13, q_kmeans) invalidate any sf1 built
+    // by an earlier synthesis — an unversioned marker would let a stale
+    // fixture (unscaled orders / embeddings) feed a 1/10-size input and
+    // print a plausible-but-wrong ratio
+    if (Files.exists(Paths.get(s"$out/_built_v3"))) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { c =>
       docs.select(
@@ -185,11 +193,20 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                  "embeddings"))
+    // embeddings: 10 id-shifted copies of the SAME vector set — the
+    // value distribution (and so the k-means cluster structure) is
+    // preserved while the vector count grows 10×; copy-0 keeps vec_id
+    // 0..3, so the deterministic init seeds are unchanged
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { c =>
+      emb.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+    }.reduce(_ unionByName _)
+      .coalesce(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    Files.createFile(Paths.get(s"$out/_built_v2"))
+    Files.createFile(Paths.get(s"$out/_built_v3"))
   }
 
   /** 10× customer dim for q_hierarchy_rollup / q_tree_paths (target/sf1h): copy c
