@@ -59,6 +59,22 @@ import org.apache.spark.sql.types.DecimalType
   *    `approx_count_distinct` (HLL partials, one combined scan, no
   *    distinct shuffle at all) — the profiler's standard trade (Deequ
   *    does the same); min/max/null-rate stay exact either way.
+  *
+  * Fourth r13 pack (reporting / eval additions in the same file):
+  *  - q_ngram_coverage: vocab rides BROADCAST (top-N via ordered limit —
+  *    TakeOrderedAndProject, never a global sort); the token stream
+  *    left-joins it without shuffling and collapses to the |langs| grid.
+  *    At corpus scale the vocab is the tokenizer's (fixed, shipped), so
+  *    the key is ONE scan + broadcast probe — the OOV-rate monitor every
+  *    tokenizer rollout needs.
+  *  - q_forecast_naive: calendar-day grain collapse, then a day-grain
+  *    self-join (calendar-sized both sides) — scale-invariant after the
+  *    one fact agg.
+  *  - q_effect_size: ONE map-combinable hash agg (conditional decimal
+  *    moments), closed-form Cohen's d / Hedges' g over the 1-row frame.
+  *  - q_quantile_bands: day grain first; the per-week rank windows order
+  *    ≤7 rows per partition — exact weekly P10/P50/P90 at any fact
+  *    scale because the window frame is calendar-bounded.
   */
 object MiningOps extends QueryPack {
 
@@ -285,6 +301,113 @@ object MiningOps extends QueryPack {
         .unionAll(num("l_discount"))
         .unionAll(str("l_returnflag"))
         .orderBy(col("col_name"))
+    },
+
+    // ---- q_ngram_coverage: vocabulary coverage / OOV-rate monitor -----
+    // The tokenizer-rollout readout: share of the token stream outside
+    // the top-20 vocabulary, per language. The vocab is an ordered-limit
+    // top-N (count desc, word asc — deterministic under count ties) and
+    // rides BROADCAST into the token-grain probe join, which then
+    // collapses straight to the |langs| grid.
+    "q_ngram_coverage" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word")).limit(20)
+        .select(col("word"), lit(1).as("in_v"))
+      val cov = words.join(broadcast(vocab), Seq("word"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("total_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      val nd = Tables.documents(s, d).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      cov.join(nd, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"),
+          col("oov_tokens"),
+          round(col("oov_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("oov_share"))
+        .orderBy(col("lang"))
+    },
+
+    // ---- q_forecast_naive: seasonal-naive forecast + MAPE backtest ----
+    // The ops-reporting staple: forecast(d) = actual(d−7), per-day APE
+    // from exact decimal differences, MAPE over the evaluable days. The
+    // self-join runs on the CALENDAR day grain — scale-invariant after
+    // the one fact agg.
+    "q_forecast_naive" -> { (s, d) =>
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val f = daily.as("a").join(daily.as("b"),
+          col("a.day") === date_add(col("b.day"), 7))
+        .select(col("a.day").as("day"), col("a.rev").as("actual"),
+          col("b.rev").as("forecast"))
+      f.select(col("day"),
+          round(col("actual").cast("double"), 4).as("actual"),
+          round(col("forecast").cast("double"), 4).as("forecast"),
+          round(abs(col("actual") - col("forecast")).cast("double") /
+            col("actual").cast("double"), 6).as("ape"))
+        .withColumn("mape",
+          round(sum(col("ape").cast(DecimalType(18, 6))).over(all)
+              .cast("double") /
+            count(lit(1)).over(all).cast("double"), 6))
+        .orderBy(col("day"))
+    },
+
+    // ---- q_effect_size: Cohen's d + Hedges' g between two segments ----
+    // The feature-screening companion to q_ab_ttest (magnitude, not
+    // significance): urgent vs non-urgent order totals, moments as ONE
+    // map-combinable conditional-decimal agg, closed-form d and the
+    // small-sample Hedges correction over the 1-row frame.
+    "q_effect_size" -> { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(when(col("o_orderpriority") === "1-URGENT", 1)
+          .otherwise(0).as("g"), col("o_totalprice").as("v"))
+        .agg(
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g") === 1, dec(col("v")))).as("s1"),
+          sum(when(col("g") === 0, dec(col("v")))).as("s2"),
+          sum(when(col("g") === 1,
+            (col("v") * col("v")).cast(DecimalType(28, 4)))).as("q1"),
+          sum(when(col("g") === 0,
+            (col("v") * col("v")).cast(DecimalType(28, 4)))).as("q2"))
+      val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+      val m1 = col("s1").cast("double") / n1
+      val m2 = col("s2").cast("double") / n2
+      val v1 = (col("q1").cast("double") - n1 * m1 * m1) / (n1 - lit(1.0))
+      val v2 = (col("q2").cast("double") - n2 * m2 * m2) / (n2 - lit(1.0))
+      val pooled = sqrt(((n1 - lit(1.0)) * v1 + (n2 - lit(1.0)) * v2) /
+        (n1 + n2 - lit(2.0)))
+      val cohenD = (m1 - m2) / pooled
+      val hedgesG = cohenD *
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - lit(9.0)))
+      a.select(col("n1"), col("n2"),
+        round(m1, 4).as("mean1"), round(m2, 4).as("mean2"),
+        round(cohenD, 6).as("cohen_d"), round(hedgesG, 6).as("hedges_g"))
+    },
+
+    // ---- q_quantile_bands: weekly P10/P50/P90 monitoring bands --------
+    // Exact type-1 weekly quantiles of daily revenue: the per-week rank
+    // window orders ≤7 rows per partition (calendar-bounded — the
+    // q_winsorize order-statistic trick at a grain where the sort is
+    // free at any fact scale).
+    "q_quantile_bands" -> { (s, d) =>
+      val wWin = Window.partitionBy(col("wk"))
+      def kth(q: Double) = max(when(col("rn") <=
+        ceil(col("n").cast("double") * lit(q)).cast("long"), col("rev")))
+      Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+        .withColumn("wk", date_trunc("week", col("day")).cast("date"))
+        .withColumn("rn", row_number().over(wWin.orderBy(col("rev"))))
+        .withColumn("n", count(lit(1)).over(wWin))
+        .groupBy(col("wk"))
+        .agg(max(col("n")).as("n_days"),
+          round(kth(0.1).cast("double"), 4).as("p10"),
+          round(kth(0.5).cast("double"), 4).as("p50"),
+          round(kth(0.9).cast("double"), 4).as("p90"))
+        .orderBy(col("wk"))
     }
   )
 
@@ -338,9 +461,132 @@ object MiningOps extends QueryPack {
       GROUP BY a.cid, e.pos ORDER BY cluster, pos"""
   }
 
+  /** Single source for the q_ngram_coverage oracle AND its Spark twin —
+    * only the word-explosion idiom differs. */
+  def ngramCoverageSql(duck: Boolean): String = {
+    val w =
+      if (duck) "SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents"
+      else "SELECT lang, explode(split(text, ' ')) AS word FROM documents"
+    s"""
+      WITH w AS ($w),
+      v AS (
+        SELECT word FROM (
+          SELECT word, count(*) AS c FROM w GROUP BY word
+          ORDER BY c DESC, word LIMIT 20)),
+      cov AS (
+        SELECT w.lang, count(*) AS total_tokens,
+          CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS oov_tokens
+        FROM w LEFT JOIN v ON w.word = v.word GROUP BY w.lang),
+      nd AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+      SELECT cov.lang, nd.n_docs, cov.total_tokens, cov.oov_tokens,
+        round(CAST(cov.oov_tokens AS DOUBLE) /
+              CAST(cov.total_tokens AS DOUBLE), 6) AS oov_share
+      FROM cov JOIN nd ON cov.lang = nd.lang ORDER BY cov.lang"""
+  }
+
+  /** Single source for the q_forecast_naive oracle AND its Spark twin —
+    * only the 7-days-ago join condition differs (DuckDB date+int vs
+    * Spark date_add). */
+  def forecastNaiveSql(duck: Boolean): String = {
+    val cond = if (duck) "a.day = b.day + 7" else "a.day = date_add(b.day, 7)"
+    s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+      f AS (
+        SELECT a.day, a.rev AS actual, b.rev AS forecast
+        FROM daily a JOIN daily b ON $cond),
+      t AS (
+        SELECT day,
+          round(CAST(actual AS DOUBLE), 4) AS actual,
+          round(CAST(forecast AS DOUBLE), 4) AS forecast,
+          round(CAST(abs(actual - forecast) AS DOUBLE) /
+                CAST(actual AS DOUBLE), 6) AS ape
+        FROM f)
+      SELECT day, actual, forecast, ape,
+        round(CAST(sum(CAST(ape AS DECIMAL(18,6))) OVER () AS DOUBLE) /
+              CAST(count(*) OVER () AS DOUBLE), 6) AS mape
+      FROM t ORDER BY day"""
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansSql(duck = true),
+
+    "q_ngram_coverage" -> ngramCoverageSql(duck = true),
+
+    "q_forecast_naive" -> forecastNaiveSql(duck = true),
+
+    "q_effect_size" -> """
+      WITH m AS (
+        SELECT
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END)
+            AS BIGINT) AS n2,
+          sum(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s1,
+          sum(CASE WHEN o_orderpriority <> '1-URGENT'
+              THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s2,
+          sum(CASE WHEN o_orderpriority = '1-URGENT'
+              THEN CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)) END)
+            AS q1,
+          sum(CASE WHEN o_orderpriority <> '1-URGENT'
+              THEN CAST(o_totalprice * o_totalprice AS DECIMAL(28,4)) END)
+            AS q2
+        FROM orders),
+      e AS (
+        SELECT n1, n2,
+          CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+          CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+          (CAST(q1 AS DOUBLE) - CAST(n1 AS DOUBLE) *
+            (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) *
+            (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))) /
+            (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+          (CAST(q2 AS DOUBLE) - CAST(n2 AS DOUBLE) *
+            (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) *
+            (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+            (CAST(n2 AS DOUBLE) - 1.0) AS v2
+        FROM m)
+      SELECT n1, n2, round(m1, 4) AS mean1, round(m2, 4) AS mean2,
+        round((m1 - m2) /
+          sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 +
+                (CAST(n2 AS DOUBLE) - 1.0) * v2) /
+               (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)), 6)
+          AS cohen_d,
+        round(((m1 - m2) /
+          sqrt(((CAST(n1 AS DOUBLE) - 1.0) * v1 +
+                (CAST(n2 AS DOUBLE) - 1.0) * v2) /
+               (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))) *
+          (1.0 - 3.0 / (4.0 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+            - 9.0)), 6) AS hedges_g
+      FROM e""",
+
+    "q_quantile_bands" -> """
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1),
+      r AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS wk, rev,
+          row_number() OVER (PARTITION BY CAST(date_trunc('week', day) AS DATE)
+                             ORDER BY rev) AS rn,
+          count(*) OVER (PARTITION BY CAST(date_trunc('week', day) AS DATE))
+            AS n
+        FROM daily)
+      SELECT wk, max(n) AS n_days,
+        round(CAST(max(CASE WHEN rn <=
+          CAST(ceil(CAST(n AS DOUBLE) * 0.1) AS BIGINT) THEN rev END)
+          AS DOUBLE), 4) AS p10,
+        round(CAST(max(CASE WHEN rn <=
+          CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT) THEN rev END)
+          AS DOUBLE), 4) AS p50,
+        round(CAST(max(CASE WHEN rn <=
+          CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT) THEN rev END)
+          AS DOUBLE), 4) AS p90
+      FROM r GROUP BY wk ORDER BY wk""",
 
     "q_sssp" -> """
       WITH pairs AS (

@@ -165,6 +165,69 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ngram_coverage: OOV shares agree with a sequential recount") {
+    val docs = spark.read
+      .parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[String]("text"))
+    val words = docs.flatMap { case (l, t) => t.split(" ").map(l -> _) }
+    val vocab = words.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val exp = words.groupBy(_._1).map { case (l, ws) =>
+      l -> ((ws.length.toLong, ws.count(w => !vocab(w._2)).toLong))
+    }
+    q("q_ngram_coverage").collect().foreach { r =>
+      val (tot, oov) = exp(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("total_tokens") == tot)
+      assert(r.getAs[Long]("oov_tokens") == oov)
+      assert(math.abs(r.getAs[Double]("oov_share") - oov.toDouble / tot) < 1e-6)
+    }
+  }
+
+  test("q_forecast_naive: forecast column IS the 7-day-lag actual") {
+    val rows = q("q_forecast_naive").collect()
+    val actualByDay = rows.map(r =>
+      r.getAs[java.sql.Date]("day").toLocalDate ->
+        r.getAs[Double]("actual")).toMap
+    var checked = 0
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate
+      actualByDay.get(d.minusDays(7)).foreach { prev =>
+        assert(r.getAs[Double]("forecast") == prev,
+          s"forecast at $d != actual at ${d.minusDays(7)}")
+        checked += 1
+      }
+    }
+    assert(checked > 100, s"too few overlapping days checked: $checked")
+    val mapes = rows.map(_.getAs[Double]("mape")).toSet
+    assert(mapes.size == 1 && mapes.head >= 0)
+  }
+
+  test("q_effect_size: sign and magnitude consistency") {
+    val r = q("q_effect_size").collect().head
+    val (m1, m2) = (r.getAs[Double]("mean1"), r.getAs[Double]("mean2"))
+    val d = r.getAs[Double]("cohen_d")
+    val g = r.getAs[Double]("hedges_g")
+    assert(r.getAs[Long]("n1") > 0 && r.getAs[Long]("n2") > 0)
+    // d and the mean difference must share a sign; the Hedges correction
+    // shrinks magnitude without flipping sign
+    assert(math.signum(d) == math.signum(m1 - m2) || d == 0.0)
+    assert(math.abs(g) <= math.abs(d) + 1e-12 &&
+      math.signum(g) == math.signum(d))
+  }
+
+  test("q_quantile_bands: ordered bands over calendar-bounded weeks") {
+    val rows = q("q_quantile_bands").collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(n >= 1 && n <= 7, s"week with $n days")
+      val (p10, p50, p90) = (r.getAs[Double]("p10"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"))
+      assert(p10 <= p50 && p50 <= p90, s"bands unordered: $p10 $p50 $p90")
+    }
+  }
+
   test("q_schema_profile: one row per column, consistent counts") {
     val rows = q("q_schema_profile").collect()
     assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==

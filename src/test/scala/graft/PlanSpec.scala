@@ -554,6 +554,21 @@ class PlanSpec extends AnyFunSuite {
     // multi-distinct Expand); one distinct-partial exchange per column
     nodeBudget("q_schema_profile", fileScanMax = 4, rddScanMax = 0,
                hashExMax = 4)
+    // ngram coverage: vocab derivation + coverage pass + n_docs pass
+    // (three PRUNED scans); the vocab probe join must be broadcast
+    nodeBudget("q_ngram_coverage", fileScanMax = 3, rddScanMax = 0,
+               hashExMax = 4)
+    // forecast: two day-grain derivations of the same agg + the
+    // calendar self-join; windows run single-partition over the grid
+    nodeBudget("q_forecast_naive", fileScanMax = 2, rddScanMax = 0,
+               hashExMax = 4)
+    // effect size: one scan, one global conditional-moment agg — the
+    // only exchange is the single-partition final-agg gather
+    nodeBudget("q_effect_size", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 0)
+    // quantile bands: day-grain agg, then the wk window + wk re-agg
+    nodeBudget("q_quantile_bands", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 3)
   }
 
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {

@@ -1145,6 +1145,14 @@ object SqlDialectTwins {
     // byte-identical by construction)
     "q_kmeans" -> graft.ops.MiningOps.kmeansSql(duck = false),
 
+    // unnest(string_split) -> explode(split); generated from the same
+    // MiningOps.ngramCoverageSql source as the oracle
+    "q_ngram_coverage" -> graft.ops.MiningOps.ngramCoverageSql(duck = false),
+
+    // DuckDB date+int arithmetic -> Spark date_add; generated from the
+    // same MiningOps.forecastNaiveSql source as the oracle
+    "q_forecast_naive" -> graft.ops.MiningOps.forecastNaiveSql(duck = false),
+
     // DuckDB datediff('day', start, end) -> Spark datediff(end, start)
     "q_seasonality" -> """
       WITH dayrev AS (
