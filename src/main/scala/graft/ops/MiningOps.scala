@@ -158,13 +158,18 @@ object MiningOps extends QueryPack {
     // supplier 0; 3 Bellman-Ford rounds give exact min-cost within ≤3
     // hops (the bounded-round discipline of q_bfs_hops, with weights).
     "q_sssp" -> { (s, d) =>
-      val pairs = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sup"))
-        .distinct()
-      val e = pairs.as("a")
-        .join(pairs.as("b"),
-          col("a.o") === col("b.o") && col("a.sup") =!= col("b.sup"))
-        .groupBy(col("a.sup").as("src"), col("b.sup").as("dst"))
+      // Edge build: per-order supplier set (ONE fact shuffle, collect_set
+      // is partial-aggregable) → in-row pair fan-out (narrow, bounded by
+      // order size) → pair-grain count. A distinct + self-join spelling
+      // of the same edges costs an extra fact-grain exchange pair for the
+      // equi-join — measured slower at sf0.1.
+      val e = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_suppkey")).as("sups"))
+        .select(explode(col("sups")).as("src"), col("sups"))
+        .select(col("src"), explode(col("sups")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
         .agg(count(lit(1)).as("co"))
         .select(col("src"), col("dst"),
           when(col("co") >= 10, lit(1L))
