@@ -27,7 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
                  build: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
     (FunctionIdentifier(name),
-     new ExpressionInfo(clazz.getCanonicalName, null, name, usage, ""),
+     new ExpressionInfo(clazz.getCanonicalName, null, name, usage,
+       "", "", "", "", "", "", ""),
      build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -1120,7 +1120,7 @@ object Analytics extends QueryPack {
       // 1-row agg — replacing a per-round isEmpty probe (a driver job per
       // level, half the key's wall time at sf0.1; the level count is the
       // arithmetic one, so probing added nothing)
-      val maxK = keys.agg(max(col("k"))).head.getLong(0)
+      val maxK = keys.agg(max(col("k"))).head().getLong(0)
       val rounds = 63 - java.lang.Long.numberOfLeadingZeros(math.max(maxK, 1L))
       var frontier = keys.filter(col("k") === 1)
         .select(col("k").as("node"), col("k").cast("string").as("path"),

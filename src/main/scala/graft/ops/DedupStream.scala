@@ -189,7 +189,7 @@ private[graft] class BucketProcessor(threshold: Double, ttlSec: Long)
 
   override def handleInputRows(key: BandKey, rows: Iterator[BandRow],
                                timers: TimerValues): Iterator[BandVerdict] = {
-    val wm = timers.getCurrentWatermarkInMs
+    val wm = timers.getCurrentWatermarkInMs()
     // TTL-filter BEFORE matching: a resident the timer would have evicted
     // must not anchor an arrival of the same batch
     var live = residents.get().filter(_.tsMs >= wm - ttlMs).toList
@@ -211,12 +211,12 @@ private[graft] class BucketProcessor(threshold: Double, ttlSec: Long)
                                   info: ExpiredTimerInfo)
       : Iterator[BandVerdict] = {
     val kept = residents.get()
-      .filter(_.tsMs >= timers.getCurrentWatermarkInMs - ttlMs).toArray
+      .filter(_.tsMs >= timers.getCurrentWatermarkInMs() - ttlMs).toArray
     if (kept.isEmpty) residents.clear()
     else {
       residents.put(kept)
       getHandle.registerTimer(math.max(kept.map(_.tsMs).min + ttlMs,
-        timers.getCurrentWatermarkInMs + 1))
+        timers.getCurrentWatermarkInMs() + 1))
     }
     Iterator.empty
   }

@@ -50,9 +50,9 @@ object EventJsonSource {
     // slip through readValid as all-null events.
     val dataCols = schema.fieldNames.filter(_ != "_corrupt")
       .map(f => col(s"r.$f").as(f))
-    parsed.select(dataCols :+
+    parsed.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(dataCols :+
       when(col("r").isNull, col("value")).otherwise(col("r._corrupt"))
-        .as("_corrupt"): _*)
+        .as("_corrupt")): _*)
   }
 
   /** The valid-row view (corrupt channel dropped). */
