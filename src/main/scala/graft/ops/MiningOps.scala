@@ -75,6 +75,22 @@ import org.apache.spark.sql.types.DecimalType
   *  - q_quantile_bands: day grain first; the per-week rank windows order
   *    ≤7 rows per partition — exact weekly P10/P50/P90 at any fact
   *    scale because the window frame is calendar-bounded.
+  *
+  * Fifth r13 pack (ML-data repair / sampling / advanced-SQL):
+  *  - q_impute: group-median null imputation — ONE shuffle by group
+  *    shared by the rank window, the median lookup, and the final agg
+  *    (the q_winsorize order-statistic discipline; same documented
+  *    `approx_percentile` swap at corpus scale).
+  *  - q_negative_sample: deterministic hash-based negatives (the
+  *    contrastive-training staple) — negatives come from the SAME
+  *    md5-prefix digest both engines share (no RNG state, re-runnable),
+  *    and the positive-set exclusion check is a (user, item)-keyed
+  *    equi-join — the one real shuffle, on exactly the key a 100 TB
+  *    interaction table is already bucketed by.
+  *  - q_interval_union: union-of-overlapping-intervals coverage (the
+  *    classic sweep): per-key running-max window → island ids → island
+  *    agg, all on ONE customer-keyed shuffle; islands are
+  *    bounded by interval count, never materializing per-day rows.
   */
 object MiningOps extends QueryPack {
 
@@ -413,6 +429,95 @@ object MiningOps extends QueryPack {
           round(kth(0.5).cast("double"), 4).as("p50"),
           round(kth(0.9).cast("double"), 4).as("p90"))
         .orderBy(col("wk"))
+    },
+
+    // ---- q_impute: group-median null imputation ------------------------
+    // The data-repair staple: deterministic missingness (event_id % 97),
+    // exact type-1 median of the group's non-null values via the rank
+    // window (nulls sort LAST so ranks 1..n_nn are the non-null prefix),
+    // before/after means from exact decimal sums. One event_type shuffle
+    // carries the rank, the median lookup, and the final agg.
+    "q_impute" -> { (s, d) =>
+      val wEt = Window.partitionBy(col("event_type"))
+      val r = Tables.events(s, d).select(col("event_type"),
+        when(col("event_id") % 97 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("v"))
+      val m = r
+        .withColumn("rn",
+          row_number().over(wEt.orderBy(col("v").asc_nulls_last)))
+        .withColumn("n_nn", count(col("v")).over(wEt))
+        .withColumn("med", max(when(col("v").isNotNull && col("rn") <=
+          ceil(col("n_nn").cast("double") * lit(0.5)).cast("long"),
+          col("v"))).over(wEt))
+      m.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+          round(max(col("med")), 4).as("median_used"),
+          round(sum(dec10(col("v"))).cast("double") /
+            max(col("n_nn")).cast("double"), 4).as("mean_before"),
+          round(sum(dec10(coalesce(col("v"), col("med")))).cast("double") /
+            count(lit(1)).cast("double"), 4).as("mean_after"))
+        .orderBy(col("event_type"))
+    },
+
+    // ---- q_negative_sample: deterministic hash negatives ---------------
+    // For each (customer, part) positive, two negatives from the shared
+    // md5-prefix digest (no RNG — re-runnable, resume-safe), verified
+    // against the user's positive set with a (u, item)-keyed left join.
+    // Output = the per-(draw, collision) audit grid with an exact key
+    // checksum pinning every sampled id.
+    "q_negative_sample" -> { (s, d) =>
+      // the positive set is consumed twice (draw side + exclusion side) —
+      // materialize it once (it IS the interaction table a real pipeline
+      // persists; without this both consumers re-derive the join+distinct)
+      val pos = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
+        .distinct()
+        .localCheckpoint()
+      val m = Tables.part(s, d).agg(count(lit(1)).as("m"))
+      val jf = s.range(1, 3).select(col("id").cast("int").as("j"))
+      val cand = pos.crossJoin(broadcast(jf)).crossJoin(broadcast(m))
+        .select(col("u"), col("j"),
+          (graft.expr.Md5Prefix60.h60(concat(
+            col("u").cast("string"), lit(":"),
+            col("it").cast("string"), lit(":"),
+            col("j").cast("string"))) % col("m")).as("neg"))
+      cand.join(pos.select(col("u"), col("it").as("neg"), lit(1).as("hit")),
+          Seq("u", "neg"), "left")
+        .groupBy(col("j"),
+          when(col("hit").isNotNull, 1).otherwise(0).as("is_collision"))
+        .agg(count(lit(1)).as("n"), sum(col("neg")).as("key_checksum"))
+        .orderBy(col("j"), col("is_collision"))
+    },
+
+    // ---- q_interval_union: overlapping-interval coverage sweep ---------
+    // Each order covers [orderdate, orderdate+7); total covered days per
+    // market segment via the classic sweep: running max of interval ends
+    // → new island when a start clears it → island spans. Everything
+    // rides one customer-keyed shuffle; islands are interval-bounded.
+    "q_interval_union" -> { (s, d) =>
+      val byCust = Window.partitionBy(col("cust"))
+        .orderBy(col("st"), col("en"))
+      val iv = Tables.orders(s, d).select(col("o_custkey").as("cust"),
+          col("o_orderdate").cast("date").as("st"))
+        .withColumn("en", date_add(col("st"), 7))
+      val isl = iv
+        .withColumn("prev_en", max(col("en")).over(
+          byCust.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(when(col("prev_en").isNull ||
+            col("st") > col("prev_en"), 1L).otherwise(0L)).over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val spans = isl.groupBy(col("cust"), col("isl"))
+        .agg(count(lit(1)).as("n_iv"),
+          datediff(max(col("en")), min(col("st"))).as("cov"))
+      spans.join(Tables.customer(s, d),
+          col("cust") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(sum(col("n_iv")).as("n_intervals"),
+          count(lit(1)).as("n_islands"),
+          sum(col("cov").cast("long")).as("covered_days"))
+        .orderBy(col("segment"))
     }
   )
 
@@ -516,9 +621,100 @@ object MiningOps extends QueryPack {
       FROM t ORDER BY day"""
   }
 
+  /** Single source for the q_negative_sample oracle AND its Spark twin —
+    * only the 60-bit digest idiom differs (DuckDB hex-prefix cast vs the
+    * registered md5_prefix60 extension function). */
+  def negativeSampleSql(duck: Boolean): String = {
+    val key = "CAST(u AS STRING) || ':' || CAST(it AS STRING) || " +
+      "':' || CAST(j AS STRING)"
+    val digest =
+      if (duck) PipelineOps.h60Sql(key) else s"md5_prefix60($key)"
+    s"""
+      WITH pos AS (
+        SELECT DISTINCT o_custkey AS u, l_partkey AS it
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      m AS (SELECT count(*) AS m FROM part),
+      jf AS (SELECT 1 AS j UNION ALL SELECT 2),
+      cand AS (
+        SELECT u, j, ($digest) % m.m AS neg
+        FROM pos, jf, m),
+      lj AS (
+        SELECT c.j, c.neg,
+          CASE WHEN p2.it IS NULL THEN 0 ELSE 1 END AS is_collision
+        FROM cand c LEFT JOIN pos p2 ON c.u = p2.u AND c.neg = p2.it)
+      SELECT j, is_collision, count(*) AS n,
+        CAST(sum(neg) AS BIGINT) AS key_checksum
+      FROM lj GROUP BY j, is_collision ORDER BY j, is_collision"""
+  }
+
+  /** Single source for the q_interval_union oracle AND its Spark twin —
+    * only the date+int arithmetic differs. */
+  def intervalUnionSql(duck: Boolean): String = {
+    val en = if (duck) "CAST(o_orderdate AS DATE) + 7"
+             else "date_add(CAST(o_orderdate AS DATE), 7)"
+    val cov = if (duck) "max(en) - min(st)" else "datediff(max(en), min(st))"
+    s"""
+      WITH iv AS (
+        SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS st,
+               $en AS en
+        FROM orders),
+      w AS (
+        SELECT cust, st, en,
+          max(en) OVER (PARTITION BY cust ORDER BY st, en
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS prev_en
+        FROM iv),
+      marked AS (
+        SELECT cust, st, en,
+          sum(CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END)
+            OVER (PARTITION BY cust ORDER BY st, en
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM w),
+      spans AS (
+        SELECT cust, isl, count(*) AS n_iv, $cov AS cov
+        FROM marked GROUP BY cust, isl)
+      SELECT c_mktsegment AS segment,
+        CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        count(*) AS n_islands,
+        CAST(sum(cov) AS BIGINT) AS covered_days
+      FROM spans JOIN customer ON cust = c_custkey
+      GROUP BY c_mktsegment ORDER BY segment"""
+  }
+
   def oracles: Map[String, String] = Map(
 
     "q_kmeans" -> kmeansSql(duck = true),
+
+    "q_negative_sample" -> negativeSampleSql(duck = true),
+
+    "q_interval_union" -> intervalUnionSql(duck = true),
+
+    "q_impute" -> """
+      WITH r AS (
+        SELECT event_type,
+          CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS v
+        FROM events),
+      w AS (
+        SELECT event_type, v,
+          row_number() OVER (PARTITION BY event_type
+                             ORDER BY v ASC NULLS LAST) AS rn,
+          count(v) OVER (PARTITION BY event_type) AS n_nn
+        FROM r),
+      m AS (
+        SELECT event_type, v, n_nn,
+          max(CASE WHEN v IS NOT NULL AND rn <=
+                CAST(ceil(CAST(n_nn AS DOUBLE) * 0.5) AS BIGINT)
+              THEN v END) OVER (PARTITION BY event_type) AS med
+        FROM w)
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_missing,
+        round(max(med), 4) AS median_used,
+        round(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(max(n_nn) AS DOUBLE), 4) AS mean_before,
+        round(CAST(sum(CAST(coalesce(v, med) AS DECIMAL(28,10))) AS DOUBLE) /
+              CAST(count(*) AS DOUBLE), 4) AS mean_after
+      FROM m GROUP BY event_type ORDER BY event_type""",
 
     "q_ngram_coverage" -> ngramCoverageSql(duck = true),
 

@@ -228,6 +228,64 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_impute: medians and means agree with a sequential recount") {
+    val raw = graft.Tables.events(spark, TestSpark.Sf0001)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+    val byType = raw.groupBy(_._1)
+    val got = q("q_impute").collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    byType.foreach { case (et, rows) =>
+      val vs = rows.collect { case (_, id, v) if id % 97 != 0 => v }
+      val miss = rows.count(_._2 % 97 == 0)
+      val k = math.ceil(vs.length * 0.5).toLong.toInt
+      val med = vs.sorted.apply(k - 1)
+      val r = got(et)
+      assert(r.getAs[Long]("n") == rows.length)
+      assert(r.getAs[Long]("n_missing") == miss)
+      assert(math.abs(r.getAs[Double]("median_used") - med) < 5e-5,
+        s"$et median ${r.getAs[Double]("median_used")} != $med")
+      // mean_after interpolates between before-mean and the median
+      val lo = math.min(r.getAs[Double]("mean_before"), med)
+      val hi = math.max(r.getAs[Double]("mean_before"), med)
+      val after = r.getAs[Double]("mean_after")
+      assert(after >= lo - 5e-5 && after <= hi + 5e-5)
+    }
+  }
+
+  test("q_negative_sample: full grid accounted, checksums exact") {
+    val rows = q("q_negative_sample").collect()
+    val pos = spark.read.parquet(s"${TestSpark.Sf0001}/lineitem.parquet")
+      .join(spark.read.parquet(s"${TestSpark.Sf0001}/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().count()
+    // every (positive, draw) lands in exactly one (j, collision) cell
+    Seq(1, 2).foreach { j =>
+      val n = rows.filter(_.getAs[Int]("j") == j).map(_.getAs[Long]("n")).sum
+      assert(n == pos, s"draw $j covers $n of $pos positives")
+    }
+    // determinism: a second run returns the identical grid
+    val again = q("q_negative_sample").collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("q_interval_union: coverage bounded by island spans and intervals") {
+    val rows = q("q_interval_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nIv = r.getAs[Long]("n_intervals")
+      val nIsl = r.getAs[Long]("n_islands")
+      val cov = r.getAs[Long]("covered_days")
+      assert(nIsl >= 1 && nIsl <= nIv)
+      // every island spans at least one interval length (7 days) and at
+      // most the sum of its interval lengths
+      assert(cov >= nIsl * 7, s"cov $cov < ${nIsl * 7}")
+      assert(cov <= nIv * 7, s"cov $cov > ${nIv * 7}")
+    }
+  }
+
   test("q_schema_profile: one row per column, consistent counts") {
     val rows = q("q_schema_profile").collect()
     assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==

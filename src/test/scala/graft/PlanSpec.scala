@@ -569,6 +569,28 @@ class PlanSpec extends AnyFunSuite {
     // quantile bands: day-grain agg, then the wk window + wk re-agg
     nodeBudget("q_quantile_bands", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 3)
+    // impute: ONE event_type shuffle shared by the rank window, the
+    // median lookup, and the final agg
+    nodeBudget("q_impute", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // negative sample: the deliberate BNLJs are the 2-row draw frame and
+    // the 1-row part count (psi pattern); the positive set is
+    // checkpointed ONCE (both consumers read the RDD — a re-derived
+    // join+distinct lineage here would cost an extra exchange pair),
+    // leaving the (u, neg)≡(u, it) collision-join exchanges + the grid agg
+    val ns = finalPlan("q_negative_sample").split("== Initial Plan ==")(0)
+    def nsNodes(m: String) = ns.linesIterator
+      .count(l => l.contains(m) && !l.contains("ReusedExchange"))
+    assert(ns.contains("BroadcastNestedLoopJoin"),
+      s"q_negative_sample must broadcast the draw/count frames:\n$ns")
+    assert(nsNodes("FileScan parquet") <= 1 &&
+           nsNodes("Scan ExistingRDD") <= 2 &&
+           nsNodes("Exchange hashpartitioning") <= 3 &&
+           !ns.contains("CartesianProduct"),
+      s"q_negative_sample budget blown:\n$ns")
+    // interval union: one customer-keyed shuffle carries both windows
+    // and the island agg; the segment dim joins after the collapse
+    nodeBudget("q_interval_union", fileScanMax = 2, rddScanMax = 0,
+               hashExMax = 3)
   }
 
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {

@@ -1149,6 +1149,15 @@ object SqlDialectTwins {
     // MiningOps.ngramCoverageSql source as the oracle
     "q_ngram_coverage" -> graft.ops.MiningOps.ngramCoverageSql(duck = false),
 
+    // DuckDB hex-prefix digest cast -> the registered md5_prefix60
+    // extension function; generated from the same
+    // MiningOps.negativeSampleSql source as the oracle
+    "q_negative_sample" -> graft.ops.MiningOps.negativeSampleSql(duck = false),
+
+    // DuckDB date+int / date-date arithmetic -> Spark date_add/datediff;
+    // generated from the same MiningOps.intervalUnionSql source
+    "q_interval_union" -> graft.ops.MiningOps.intervalUnionSql(duck = false),
+
     // DuckDB date+int arithmetic -> Spark date_add; generated from the
     // same MiningOps.forecastNaiveSql source as the oracle
     "q_forecast_naive" -> graft.ops.MiningOps.forecastNaiveSql(duck = false),
