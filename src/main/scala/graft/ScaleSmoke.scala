@@ -39,7 +39,8 @@ object ScaleSmoke {
     "q_dedup_passage", "q_bpe_merges",
     "q_survival_km", "q_lift_curve", "q_hierarchy_rollup",
     "q_tree_paths", "q_ngram_lm",
-    "q_kmeans", "q_sssp")
+    "q_kmeans", "q_sssp",
+    "q_impute", "q_negative_sample")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -67,7 +68,8 @@ object ScaleSmoke {
         "q_containment", "q_bfs_hops", "q_feature_hash",
         "q_basket_lift", "q_dedup_passage",
         "q_survival_km", "q_hierarchy_rollup",
-        "q_kmeans", "q_sssp")
+        "q_kmeans", "q_sssp",
+        "q_negative_sample")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
