@@ -91,6 +91,18 @@ import org.apache.spark.sql.types.DecimalType
   *    classic sweep): per-key running-max window → island ids → island
   *    agg, all on ONE customer-keyed shuffle; islands are
   *    bounded by interval count, never materializing per-day rows.
+  *
+  * Sixth r13 pack (the two remaining eval/statistics staples):
+  *  - q_pr_auc: precision-recall AUC (the imbalanced-class companion to
+  *    q_auc's ROC) — the same collapse-then-sweep: facts collapse to the
+  *    |distinct scores| grain, the ordered prefix sums run over that
+  *    grain only, and the same quantize/range-partition swap applies
+  *    when scores are continuous at corpus scale.
+  *  - q_mann_whitney: Mann-Whitney U with exact tie handling — the
+  *    2·prefix+n+1 integer identity (q_spearman's trick) makes every
+  *    rank moment an EXACT integer sum over the value grain; the
+  *    tie-corrected normal approximation is closed-form over the 1-row
+  *    moment frame.
   */
 object MiningOps extends QueryPack {
 
@@ -518,6 +530,65 @@ object MiningOps extends QueryPack {
           count(lit(1)).as("n_islands"),
           sum(col("cov").cast("long")).as("covered_days"))
         .orderBy(col("segment"))
+    },
+
+    // ---- q_pr_auc: precision-recall AUC --------------------------------
+    // The imbalanced-class companion to q_auc (ROC): same score model as
+    // q_calibration (logistic(value), label = purchase), facts collapse
+    // to the score grain, then the score-desc sweep accumulates
+    // step-interpolated Δrecall·precision terms as round-6 exact
+    // decimals.
+    "q_pr_auc" -> { (s, d) =>
+      val sweep = Window.orderBy(col("p").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = Tables.events(s, d)
+        .select((lit(1.0) / (lit(1.0) +
+            exp(-(col("value") - lit(50.0)) / lit(10.0)))).as("p"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      g.select(col("n"), col("npos"),
+          sum(col("n")).over(sweep).as("cum_n"),
+          sum(col("npos")).over(sweep).as("cum_pos"),
+          sum(col("npos")).over(all).as("pos_tot"))
+        .select(col("n"), col("npos"),
+          round((col("npos").cast("double") / col("pos_tot").cast("double")) *
+            (col("cum_pos").cast("double") / col("cum_n").cast("double")), 6)
+            .cast(DecimalType(18, 6)).as("term"),
+          col("pos_tot"))
+        .agg(sum(col("n")).as("n"), max(col("pos_tot")).as("n_pos"),
+          round(sum(col("term")).cast("double"), 4).as("auc_pr"))
+    },
+
+    // ---- q_mann_whitney: Mann-Whitney U with exact tie handling --------
+    // Nonparametric two-sample test (even vs odd event_ids, the q_psi
+    // split): ranks via the 2·prefix+n+1 identity over the value grain —
+    // every moment an exact integer sum — then the tie-corrected normal
+    // approximation closed-form over the 1-row frame.
+    "q_mann_whitney" -> { (s, d) =>
+      val prefixW = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val vg = Tables.events(s, d)
+        .select(col("value").as("v"),
+          when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("g1"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"), sum(col("g1")).as("n1"))
+      val m = vg
+        .withColumn("prefix", coalesce(sum(col("n")).over(prefixW), lit(0L)))
+        .agg(sum(col("n1")).as("n1t"),
+          sum(col("n") - col("n1")).as("n2t"),
+          sum(col("n1") * (lit(2L) * col("prefix") + col("n") + lit(1L)))
+            .as("r1x2"),
+          sum(col("n") * col("n") * col("n") - col("n")).as("tie3"))
+      val n1d = col("n1t").cast("double"); val n2d = col("n2t").cast("double")
+      val nD = n1d + n2d
+      val u1 = (col("r1x2").cast("double") - n1d * (n1d + lit(1.0))) / lit(2.0)
+      val sigma = sqrt(n1d * n2d / lit(12.0) *
+        (nD + lit(1.0) - col("tie3").cast("double") / (nD * (nD - lit(1.0)))))
+      val z = (u1 - n1d * n2d / lit(2.0)) / sigma
+      m.select(col("n1t").as("n1"), col("n2t").as("n2"),
+        round(u1, 1).as("u1"), round(z, 4).as("z"),
+        round(z / sqrt(nD), 6).as("effect_r"))
     }
   )
 
@@ -688,6 +759,74 @@ object MiningOps extends QueryPack {
     "q_negative_sample" -> negativeSampleSql(duck = true),
 
     "q_interval_union" -> intervalUnionSql(duck = true),
+
+    "q_pr_auc" -> """
+      WITH g AS (
+        SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 10.0)) AS p,
+          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      sg AS (
+        SELECT p, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos
+        FROM g GROUP BY p),
+      sw AS (
+        SELECT n, npos,
+          sum(n) OVER (ORDER BY p DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_n,
+          sum(npos) OVER (ORDER BY p DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_pos,
+          sum(npos) OVER () AS pos_tot
+        FROM sg)
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+        CAST(max(pos_tot) AS BIGINT) AS n_pos,
+        round(CAST(sum(CAST(round(
+          (CAST(npos AS DOUBLE) / CAST(pos_tot AS DOUBLE)) *
+          (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)), 6)
+          AS DECIMAL(18,6))) AS DOUBLE), 4) AS auc_pr
+      FROM sw""",
+
+    "q_mann_whitney" -> """
+      WITH r AS (
+        SELECT value AS v,
+          CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS g1
+        FROM events),
+      vg AS (
+        SELECT v, count(*) AS n, CAST(sum(g1) AS BIGINT) AS n1
+        FROM r GROUP BY v),
+      sw AS (
+        SELECT v, n, n1,
+          coalesce(sum(n) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        FROM vg),
+      m AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS n1t,
+          CAST(sum(n - n1) AS BIGINT) AS n2t,
+          CAST(sum(n1 * (2 * prefix + n + 1)) AS BIGINT) AS r1x2,
+          CAST(sum(n * n * n - n) AS BIGINT) AS tie3
+        FROM sw)
+      SELECT n1t AS n1, n2t AS n2,
+        round((CAST(r1x2 AS DOUBLE) -
+               CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0, 1)
+          AS u1,
+        round(((CAST(r1x2 AS DOUBLE) -
+                CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0 -
+               CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) /
+          sqrt(CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0 *
+            (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0 -
+             CAST(tie3 AS DOUBLE) /
+             ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)) *
+              (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))), 4) AS z,
+        round((((CAST(r1x2 AS DOUBLE) -
+                 CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0 -
+                CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) /
+          sqrt(CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0 *
+            (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0 -
+             CAST(tie3 AS DOUBLE) /
+             ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)) *
+              (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0))))) /
+          sqrt(CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)), 6) AS effect_r
+      FROM m""",
 
     "q_impute" -> """
       WITH r AS (

@@ -286,6 +286,62 @@ class MiningOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mann_whitney: matches an independent sequential rank computation") {
+    val raw = graft.Tables.events(spark, TestSpark.Sf0001)
+      .select("event_id", "value").collect()
+      .map(r => (r.getAs[Long]("event_id") % 2 == 0, r.getAs[Double]("value")))
+    val sorted = raw.sortBy(_._2)
+    // average ranks with ties, sequentially
+    val n = sorted.length
+    val avgRank = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && sorted(j + 1)._2 == sorted(i)._2) j += 1
+      val r = (i + 1 + j + 1) / 2.0
+      (i to j).foreach(k => avgRank(k) = r)
+      i = j + 1
+    }
+    val n1 = sorted.count(_._1).toLong
+    val n2 = n - n1
+    val r1 = sorted.zipWithIndex.collect {
+      case ((true, _), k) => avgRank(k) }.sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val row = q("q_mann_whitney").collect().head
+    assert(row.getAs[Long]("n1") == n1 && row.getAs[Long]("n2") == n2)
+    assert(math.abs(row.getAs[Double]("u1") - u1) < 0.51,
+      s"u1 ${row.getAs[Double]("u1")} != $u1")
+    // z sign must agree with the direction of the mean-rank difference
+    val meanR1 = r1 / n1
+    val meanR2 = (avgRank.sum - r1) / n2
+    assert(math.signum(row.getAs[Double]("z")) ==
+      math.signum(meanR1 - meanR2) || row.getAs[Double]("z") == 0.0)
+  }
+
+  test("q_pr_auc: agrees with a sequential sweep and stays in [0,1]") {
+    val raw = graft.Tables.events(spark, TestSpark.Sf0001)
+      .select("event_type", "value").collect()
+      .map(r => (1.0 / (1.0 + math.exp(-(r.getAs[Double]("value") - 50.0) / 10.0)),
+        if (r.getAs[String]("event_type") == "purchase") 1L else 0L))
+    val grain = raw.groupBy(_._1).toSeq
+      .map { case (p, rs) => (p, rs.length.toLong, rs.map(_._2).sum) }
+      .sortBy(-_._1)
+    val posTot = grain.map(_._3).sum
+    var cumN = 0L; var cumP = 0L
+    val terms = grain.map { case (_, cn, np) =>
+      cumN += cn; cumP += np
+      BigDecimal((np.toDouble / posTot) * (cumP.toDouble / cumN))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = terms.sum.setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val row = q("q_pr_auc").collect().head
+    val auc = row.getAs[Double]("auc_pr")
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(auc - expected.toDouble) < 5e-4,
+      s"auc_pr $auc != sequential $expected")
+    assert(row.getAs[Long]("n_pos") == posTot)
+  }
+
   test("q_schema_profile: one row per column, consistent counts") {
     val rows = q("q_schema_profile").collect()
     assert(rows.map(_.getAs[String]("col_name")).sorted.toSeq ==

@@ -591,6 +591,13 @@ class PlanSpec extends AnyFunSuite {
     // and the island agg; the segment dim joins after the collapse
     nodeBudget("q_interval_union", fileScanMax = 2, rddScanMax = 0,
                hashExMax = 3)
+    // pr_auc: one scan into the score-grain collapse; the sweep and the
+    // final total run single-partition over the grain
+    nodeBudget("q_pr_auc", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
+    // mann-whitney: one scan into the value-grain collapse; prefix-sum
+    // ranks and the moment agg run over the grain
+    nodeBudget("q_mann_whitney", fileScanMax = 1, rddScanMax = 0,
+               hashExMax = 1)
   }
 
   test("checkpointed graph keys read the edge grain once (no fact re-scan)") {

@@ -61,7 +61,8 @@ object SqlParityKeys {
     "q_yoy_growth", "q_ntile_bins",
     "q_target_encode", "q_woe_iv", "q_ranking_metrics", "q_tree_paths",
     "q_sssp", "q_mutual_info", "q_winsorize", "q_schema_profile",
-    "q_effect_size", "q_quantile_bands", "q_impute")
+    "q_effect_size", "q_quantile_bands", "q_impute",
+    "q_pr_auc", "q_mann_whitney")
 
   /** Keys with a Spark-dialect hand twin in [[SqlDialectTwins]] (the
     * oracle rewritten construct-for-construct; asserted one test per key
