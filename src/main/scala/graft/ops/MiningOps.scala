@@ -692,6 +692,61 @@ object MiningOps extends QueryPack {
       FROM t ORDER BY day"""
   }
 
+  /** The IMPLEMENTED corpus-scale swap for q_winsorize (SCALE.md): the
+    * exact per-group rank window becomes one map-combinable
+    * `approx_percentile` sketch agg — no per-group sort at any scale —
+    * and the clamp/trim arithmetic is unchanged. Same output schema as
+    * the key; MiningOpsSpec pins it within sketch tolerance of the exact
+    * form (the q_rfm `rollingDistinctViaDeltas` discipline: the swap is
+    * code, not a comment). */
+  def winsorizeApprox(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{percentile_approx => pap}
+    val b = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), col("l_extendedprice").as("pd"))
+      .groupBy(col("rf"))
+      .agg(count(lit(1)).as("n"),
+        pap(col("pd"), lit(0.05), lit(100000)).as("lo"),
+        pap(col("pd"), lit(0.95), lit(100000)).as("hi"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("rf"), dec(col("l_extendedprice")).as("p"))
+      .join(broadcast(b), Seq("rf"))
+      .groupBy(col("rf"))
+      .agg(max(col("n")).as("n"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        round(sum(least(greatest(col("p").cast("double"), col("lo")),
+          col("hi")).cast(DecimalType(28, 10))).cast("double") /
+          max(col("n")).cast("double"), 4).as("wins_mean"),
+        round(sum(when(col("p") > col("lo") && col("p") <= col("hi"),
+            col("p"))).cast("double") /
+          sum(when(col("p") > col("lo") && col("p") <= col("hi"), 1L)
+            .otherwise(0L)).cast("double"), 4).as("trim_mean"))
+      .orderBy(col("rf"))
+  }
+
+  /** The IMPLEMENTED corpus-scale swap for q_impute: group medians from
+    * one `approx_percentile` sketch agg broadcast back onto the stream —
+    * no rank window, so a 6-value group column no longer serializes the
+    * sort onto 6 reducers. Same output schema as the key. */
+  def imputeApprox(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{percentile_approx => pap}
+    val r = Tables.events(s, d).select(col("event_type"),
+      when(col("event_id") % 97 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    val med = r.groupBy(col("event_type"))
+      .agg(pap(col("v"), lit(0.5), lit(100000)).as("med"),
+        count(col("v")).as("n_nn"))
+    r.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_missing"),
+        round(max(col("med")), 4).as("median_used"),
+        round(sum(dec10(col("v"))).cast("double") /
+          max(col("n_nn")).cast("double"), 4).as("mean_before"),
+        round(sum(dec10(coalesce(col("v"), col("med")))).cast("double") /
+          count(lit(1)).cast("double"), 4).as("mean_after"))
+      .orderBy(col("event_type"))
+  }
+
   /** Single source for the q_negative_sample oracle AND its Spark twin —
     * only the 60-bit digest idiom differs (DuckDB hex-prefix cast vs the
     * registered md5_prefix60 extension function). */
