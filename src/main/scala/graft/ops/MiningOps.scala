@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.DecimalType
   *    NARROW array math (zip_with/aggregate) — the fact side NEVER
   *    shuffles to assign. Only the centroid re-estimate shuffles, and it
   *    is a map-combinable hash agg to a k×d grid. Per iteration the
-  *    pruned (vec_id, 8-dim slice) projection is re-scanned rather than
+  *    pruned (vec_id, embedding) projection is re-scanned rather than
   *    cached — at 100 TB the input doesn't fit memory and parquet
   *    column pruning makes the re-scan the cheap choice (swap to
   *    `.persist(DISK_ONLY)` when iterations ≫ 2 and scan dominates).
@@ -108,8 +108,8 @@ object MiningOps extends QueryPack {
 
   private def all = Window.partitionBy()
 
-  private val KmDims = 8
-  private val KmK = 4
+  private[graft] val KmDims = 64
+  private[graft] val KmK = 4
 
   /** Exact squared-distance between the row's vector and one centroid
     * array: per-dim terms rounded to 6 then summed as exact decimals in
@@ -144,7 +144,7 @@ object MiningOps extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- q_kmeans: Lloyd's k-means over the embedding column ----------
-    // k=4 clusters over the first 8 dims, 2 assignment rounds (init =
+    // k=4 clusters over the full 64-dim embeddings, 2 assignment rounds (init =
     // the vectors of vec_id 0..3 — deterministic, the standard fixed-
     // seed convention). Exactness: distances are round-6 per-dim terms
     // summed as exact decimals (order-free), re-estimated centroids are

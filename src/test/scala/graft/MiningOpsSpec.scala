@@ -19,9 +19,9 @@ class MiningOpsSpec extends AnyFunSuite {
     val rows = q("q_kmeans").collect()
     val total = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet").count()
     val byCluster = rows.groupBy(_.getAs[Int]("cluster"))
-    // every reported cluster carries all 8 dims with one shared n
+    // every reported cluster carries every dim with one shared n
     byCluster.foreach { case (c, rs) =>
-      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until 8),
+      assert(rs.map(_.getAs[Int]("pos")).sorted.toSeq == (0 until graft.ops.MiningOps.KmDims),
         s"cluster $c misses dims")
       assert(rs.map(_.getAs[Long]("n")).toSet.size == 1,
         s"cluster $c has inconsistent sizes")
@@ -39,7 +39,7 @@ class MiningOpsSpec extends AnyFunSuite {
     // re-estimated centroids, ties to the smallest cid)
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
-      .selectExpr("vec_id", "slice(embedding, 1, 8) AS v").collect()
+      .selectExpr("vec_id", s"slice(embedding, 1, ${graft.ops.MiningOps.KmDims}) AS v").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[Seq[Float]]("v").map(_.toDouble).toArray).sortBy(_._1)
     def dist(v: Array[Double], c: Array[Double]): BigDecimal =
@@ -52,7 +52,7 @@ class MiningOpsSpec extends AnyFunSuite {
       val byC = vecs.toMap
       asg.groupBy(_._2).toSeq.sortBy(_._1).map { case (cid, members) =>
         val vs = members.map(m => byC(m._1))
-        cid -> (0 until 8).map(p =>
+        cid -> (0 until graft.ops.MiningOps.KmDims).map(p =>
           (vs.map(v => BigDecimal(v(p)).setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
             .toDouble / vs.length) // exact-decimal sum, double divide
           ).map(x => r6(x).toDouble).toArray
@@ -97,7 +97,7 @@ class MiningOpsSpec extends AnyFunSuite {
     val rows = q("q_kmeans").collect()
     val ranges = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
       .select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .filter(col("pos") < 8)
+      .filter(col("pos") < graft.ops.MiningOps.KmDims)
       .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
       .collect().map(r => r.getAs[Int]("pos") ->
         (r.getAs[Float]("lo").toDouble, r.getAs[Float]("hi").toDouble)).toMap
