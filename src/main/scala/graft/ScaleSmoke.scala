@@ -152,6 +152,19 @@ object ScaleSmoke {
     // fixture (unscaled orders / embeddings) feed a 1/10-size input and
     // print a plausible-but-wrong ratio
     if (Files.exists(Paths.get(s"$out/_built_v3"))) return
+    // The copy shift (c·10M for doc_id/event_id/user_id/vec_id/o_custkey)
+    // is only collision-free while every base id stays below 10M — a
+    // larger source fixture would silently alias keys across copies and
+    // corrupt the 10× ratios (ADVICE r13). Fail loudly instead.
+    val maxBaseId = Seq(
+      "documents.parquet" -> "doc_id", "events.parquet" -> "event_id",
+      "events.parquet" -> "user_id", "embeddings.parquet" -> "vec_id",
+      "orders.parquet" -> "o_custkey").map { case (t, c) =>
+      spark.read.parquet(s"$src/$t").agg(max(col(c).cast("long")))
+        .head.getLong(0)
+    }.max
+    require(maxBaseId < 10000000L,
+      s"sf1 id-shift assumes base ids < 10M, saw $maxBaseId — raise the shift")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until copies).map { c =>
       docs.select(

@@ -449,6 +449,10 @@ object MiningOps extends QueryPack {
     // window (nulls sort LAST so ranks 1..n_nn are the non-null prefix),
     // before/after means from exact decimal sums. One event_type shuffle
     // carries the rank, the median lookup, and the final agg.
+    // CONTRACT (ADVICE r13): a group with n_nn = 0 (every value masked)
+    // has no donor — median_used/mean_before/mean_after are null BY
+    // DESIGN (n and n_missing stay exact); same contract in imputeApprox.
+    // MiningDefinitionSpec pins it with an all-missing group.
     "q_impute" -> { (s, d) =>
       val wEt = Window.partitionBy(col("event_type"))
       val r = Tables.events(s, d).select(col("event_type"),
@@ -585,7 +589,11 @@ object MiningOps extends QueryPack {
       val u1 = (col("r1x2").cast("double") - n1d * (n1d + lit(1.0))) / lit(2.0)
       val sigma = sqrt(n1d * n2d / lit(12.0) *
         (nD + lit(1.0) - col("tie3").cast("double") / (nD * (nD - lit(1.0)))))
-      val z = (u1 - n1d * n2d / lit(2.0)) / sigma
+      // Degenerate pool (every value identical, or an empty group): the
+      // tie correction drives sigma to exactly 0 and z = x/0 would emit
+      // Infinity/NaN — the normal approximation is undefined there, so
+      // z/effect_r are null by contract (ADVICE r13 item 1).
+      val z = when(sigma > lit(0.0), (u1 - n1d * n2d / lit(2.0)) / sigma)
       m.select(col("n1t").as("n1"), col("n2t").as("n2"),
         round(u1, 1).as("u1"), round(z, 4).as("z"),
         round(z / sqrt(nD), 6).as("effect_r"))
@@ -859,29 +867,26 @@ object MiningOps extends QueryPack {
           CAST(sum(n - n1) AS BIGINT) AS n2t,
           CAST(sum(n1 * (2 * prefix + n + 1)) AS BIGINT) AS r1x2,
           CAST(sum(n * n * n - n) AS BIGINT) AS tie3
-        FROM sw)
-      SELECT n1t AS n1, n2t AS n2,
-        round((CAST(r1x2 AS DOUBLE) -
-               CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0, 1)
-          AS u1,
-        round(((CAST(r1x2 AS DOUBLE) -
-                CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0 -
-               CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) /
+        FROM sw),
+      f AS (
+        SELECT n1t, n2t,
+          (CAST(r1x2 AS DOUBLE) -
+           CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0 AS u1,
           sqrt(CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0 *
             (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0 -
              CAST(tie3 AS DOUBLE) /
              ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)) *
-              (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))), 4) AS z,
-        round((((CAST(r1x2 AS DOUBLE) -
-                 CAST(n1t AS DOUBLE) * (CAST(n1t AS DOUBLE) + 1.0)) / 2.0 -
-                CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) /
-          sqrt(CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 12.0 *
-            (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) + 1.0 -
-             CAST(tie3 AS DOUBLE) /
-             ((CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)) *
-              (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0))))) /
-          sqrt(CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)), 6) AS effect_r
-      FROM m""",
+              (CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE) - 1.0)))) AS sigma
+        FROM m)
+      SELECT n1t AS n1, n2t AS n2, round(u1, 1) AS u1,
+        CASE WHEN sigma > 0 THEN round(
+          (u1 - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) / sigma, 4)
+        END AS z,
+        CASE WHEN sigma > 0 THEN round(
+          ((u1 - CAST(n1t AS DOUBLE) * CAST(n2t AS DOUBLE) / 2.0) / sigma) /
+          sqrt(CAST(n1t AS DOUBLE) + CAST(n2t AS DOUBLE)), 6)
+        END AS effect_r
+      FROM f""",
 
     "q_impute" -> """
       WITH r AS (

@@ -44,8 +44,9 @@ class MiningDefinitionSpec extends AnyFunSuite {
   }
 
   test("q_mann_whitney == brute-force pair counting, across tie regimes") {
-    // value pools of shrinking size force ever-heavier ties
-    for ((seed, pool) <- Seq((1, 1000), (2, 12), (3, 3))) {
+    // value pools of shrinking size force ever-heavier ties; pool=1 is
+    // the degenerate regime (sigma=0 → z/effect_r null, ADVICE r13)
+    for ((seed, pool) <- Seq((1, 1000), (2, 12), (3, 3), (4, 1))) {
       val rnd = new scala.util.Random(seed)
       val rows = (0L until 600L).map(i =>
         (i, "x", (rnd.nextInt(pool) + 1).toDouble))
@@ -60,6 +61,14 @@ class MiningDefinitionSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n1") == g1.size && r.getAs[Long]("n2") == g2.size)
       assert(math.abs(r.getAs[Double]("u1") - u1) < 0.51,
         s"pool=$pool: u1 ${r.getAs[Double]("u1")} != pair-count $u1")
+      if (pool == 1) { // all values tied: sigma=0, z undefined by contract
+        assert(r.isNullAt(r.fieldIndex("z")) &&
+          r.isNullAt(r.fieldIndex("effect_r")),
+          s"pool=1 must null z/effect_r, got ${r.get(3)}/${r.get(4)}")
+      } else {
+        assert(!r.isNullAt(r.fieldIndex("z")) &&
+          !r.getAs[Double]("z").isNaN && !r.getAs[Double]("z").isInfinite)
+      }
     }
   }
 
@@ -85,6 +94,27 @@ class MiningDefinitionSpec extends AnyFunSuite {
         assert(math.abs(r.getAs[Double]("mean_after") - after) < 1e-3,
           s"$et mean_after ${r.getAs[Double]("mean_after")} != $after")
       }
+    }
+  }
+
+  test("q_impute all-missing group: null medians by contract, exact counts") {
+    // Group "z" holds ONLY event_ids that are multiples of 97, so the
+    // missingness mask nulls every value — the documented n_nn = 0
+    // contract (ADVICE r13): no donor median, null stats, exact counts.
+    val zIds = Seq(0L, 97L, 194L, 291L)
+    val rows = zIds.map(i => (i, "z", 42.0)) ++
+      (1L until 50L).map(i => (i, "a", i.toDouble))
+    val dir = tmpDir("impAllMissing")
+    writeEvents(dir, rows)
+    for (df <- Seq(SparkEntry.queries("q_impute")(spark, dir),
+                   graft.ops.MiningOps.imputeApprox(spark, dir))) {
+      val z = df.collect().find(_.getAs[String]("event_type") == "z").get
+      assert(z.getAs[Long]("n") == zIds.size &&
+        z.getAs[Long]("n_missing") == zIds.size)
+      assert(z.isNullAt(z.fieldIndex("median_used")) &&
+        z.isNullAt(z.fieldIndex("mean_before")) &&
+        z.isNullAt(z.fieldIndex("mean_after")),
+        "all-missing group must null median_used/mean_before/mean_after")
     }
   }
 
