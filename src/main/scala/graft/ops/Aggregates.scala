@@ -324,6 +324,52 @@ object Aggregates extends QueryPack {
     }
   )
 
+  /** The IMPLEMENTED corpus-scale swap for q_agg_percentiles (SCALE.md
+    * "median / percentiles"): the exact `percentile` aggregate buffers
+    * every group value in one final-stage buffer; `approx_percentile`
+    * (t-digest) keeps a bounded sketch per group and its partials merge
+    * map-side, so the plan is an ordinary two-phase hash agg at any
+    * group size. Same output schema as the key; AggSwapSpec pins it
+    * within sketch tolerance of the exact form and asserts the exact
+    * buffering aggregate is gone from the plan. */
+  def aggPercentilesApprox(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 100000)")
+             .as("ps"),
+           count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+              round(element_at(col("ps"), 1), 4).as("p50"),
+              round(element_at(col("ps"), 2), 4).as("p90"),
+              round(element_at(col("ps"), 3), 4).as("p99"),
+              col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The IMPLEMENTED corpus-scale swap for q_median_mode: the exact
+    * `median` becomes an `approx_percentile(…, 0.5)` sketch, and the mode
+    * argmax drops its row_number window for a fully mergeable
+    * `max(struct(cnt, -value))` — highest count then smallest value, the
+    * same pinned tie-break, with no Window anywhere in the plan. */
+  def medianModeApprox(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(round(expr("approx_percentile(l_quantity, 0.5D, 100000)"), 4)
+             .as("med_qty"),
+           count(lit(1)).as("n"))
+    val mode = li.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("neg_qty")))
+             .as("top"))
+      .select(col("l_returnflag"),
+              (-col("top.neg_qty")).as("mode_qty"),
+              col("top.cnt").as("mode_n"))
+    med.join(mode, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q_agg_global" -> """
       SELECT

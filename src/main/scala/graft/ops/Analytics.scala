@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1207,6 +1207,50 @@ object Analytics extends QueryPack {
            max(col("sec")).as("end_sec"),
            (max(col("sec")) - min(col("sec"))).as("dur_sec"),
            outd(sum(dec(col("value")))).as("sum_value"))
+  }
+
+  /** The IMPLEMENTED corpus-scale swap for q_rfm (SCALE.md): the three
+    * global-order `ntile(4)` windows become one `approx_percentile`
+    * cutpoint agg (a 1-row frame) broadcast back onto the customer grain
+    * — arithmetic binning, no global sort anywhere. Trades exact
+    * equal-size quartiles for fixed sketch boundaries: customers at a
+    * boundary can land one bucket off the exact key, which is the
+    * documented trade; AggSwapSpec bounds the disagreement rate and
+    * asserts the no-Window plan. Same output schema as the key.
+    * Scores keep ntile's DESC orientation: 1 = top quartile. */
+  def rfmApprox(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+           count(lit(1)).as("frequency"),
+           outd(sum(dec(col("o_totalprice")))).as("monetary"))
+    val cuts = base.agg(
+      expr("approx_percentile(CAST(last_order AS LONG), " +
+           "array(0.25D, 0.5D, 0.75D), 100000)").as("rc"),
+      expr("approx_percentile(frequency, array(0.25D, 0.5D, 0.75D), 100000)")
+        .as("fc"),
+      expr("approx_percentile(monetary, array(0.25D, 0.5D, 0.75D), 100000)")
+        .as("mc"))
+    // DESC ntile semantics: bucket 1 holds the highest values, so the
+    // score counts how many ASCENDING cutpoints the value clears.
+    def score(v: Column, c: Column): Column =
+      when(v >= element_at(c, 3), 1)
+        .when(v >= element_at(c, 2), 2)
+        .when(v >= element_at(c, 1), 3)
+        .otherwise(4)
+    base.crossJoin(broadcast(cuts))
+      .withColumn("r_score", score(col("last_order").cast("long"), col("rc")))
+      .withColumn("f_score", score(col("frequency"), col("fc")))
+      .withColumn("m_score", score(col("monetary"), col("mc")))
+      .withColumn("segment",
+        when(col("r_score") === 1 && col("f_score") === 1, lit("champion"))
+          .when(col("r_score") <= 2 && col("f_score") <= 2, lit("loyal"))
+          .when(col("r_score") >= 3 && col("f_score") <= 2, lit("at_risk"))
+          .otherwise(lit("other")))
+      .select(col("custkey"), col("last_order"), col("frequency"),
+              col("monetary"), col("r_score"), col("f_score"),
+              col("m_score"), col("segment"))
+      .orderBy(col("custkey"))
   }
 
   def oracles: Map[String, String] = Map(

@@ -429,6 +429,35 @@ object EvalOps extends QueryPack {
     }
   )
 
+  /** The IMPLEMENTED corpus-scale swap for q_ntile_bins (SCALE.md): the
+    * global-order `ntile(10)` window becomes one `approx_percentile`
+    * boundary agg (a 1-row, 9-element array) broadcast back, and the bin
+    * is arithmetic — `1 + #(boundaries strictly below rev)` — so the plan
+    * is scan → two hash aggs with no Window and no global sort. Trades
+    * exact equal-depth bins for sketch boundaries (boundary-tied days can
+    * land one bin off); AggSwapSpec bounds the drift and asserts the
+    * no-Window plan. Same output schema as the key. */
+  def ntileBinsApprox(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val bounds = daily.agg(
+      expr("approx_percentile(CAST(rev AS DOUBLE), " +
+           "array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 100000)")
+        .as("bs"))
+    daily.crossJoin(broadcast(bounds))
+      .select(col("rev"),
+        (lit(1) + aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("rev").cast("double") > b, 1)
+            .otherwise(0))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_days"),
+        round(min(col("rev")).cast("double"), 4).as("lo"),
+        round(max(col("rev")).cast("double"), 4).as("hi"),
+        round(sum(col("rev")).cast("double"), 4).as("total"))
+      .orderBy(col("bin"))
+  }
+
   def oracles: Map[String, String] = Map(
 
     // Portable (DuckDB ∩ Spark) — own Spark twin via SqlOracleReuseSpec.

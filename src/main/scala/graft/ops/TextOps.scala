@@ -500,6 +500,55 @@ object TextOps extends QueryPack {
     }
   )
 
+  /** The IMPLEMENTED corpus-scale swap for q_similarity_topk (SCALE.md):
+    * the exact key shuffles ALL |probes|·|corpus| scored pairs into one
+    * per-probe window; here each input partition first reduces to its
+    * own top-k per probe with a bounded heap (mapPartitions — genuine
+    * per-partition imperative state, O(|probes|·k) memory), so the only
+    * shuffle carries ≤ partitions·|probes|·k candidate rows into the
+    * final (tiny) per-probe window. Probes stay broadcast; the corpus
+    * pass is narrow. The local heap and the window share one total order
+    * (cos desc, vec_id asc), so the result is EXACTLY the brute-force
+    * key's — a partition's discarded row can never be in the global
+    * top-k. AggSwapSpec pins row-for-row equality. */
+  def similarityTopKBlocked(s: SparkSession, d: String,
+                            k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val pairs = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pe"), col("embedding")) /
+          (sqrt(dot(col("pe"), col("pe"))) *
+           sqrt(dot(col("embedding"), col("embedding")))), 4).as("cos"))
+      .as[(Long, Long, Double)]
+    val local = pairs.mapPartitions { it =>
+      // head of each queue = the WEAKEST kept candidate (lowest cos,
+      // then highest vec_id) so one dequeue evicts it on overflow
+      val weakestFirst = Ordering.by[(Long, Double), (Double, Long)] {
+        case (vid, c) => (-c, vid)
+      }
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+      it.foreach { case (p, vid, c) =>
+        val h = heaps.getOrElseUpdate(p,
+          scala.collection.mutable.PriorityQueue.empty(weakestFirst))
+        h.enqueue((vid, c))
+        if (h.size > k) h.dequeue()
+      }
+      heaps.iterator.flatMap { case (p, h) =>
+        h.iterator.map { case (vid, c) => (p, vid, c) }
+      }
+    }.toDF("probe_id", "vec_id", "cos")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    local.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Corpus unigram LM score per doc: p(w) = count(w)/total_tokens over
     * the whole corpus, score = Σ tf·ln(p(w)) / Σ tf (unrounded). The token
     * stream collapses to (doc_id, word, tf) grain ONCE, and everything

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r14 scale-swap contract (VERDICT r13 item 1): every documented
+  * approx/blocked alternate is EXECUTABLE code pinned against its exact
+  * contract key — within sketch tolerance where the algorithm is
+  * approximate, row-for-row where it is exact — and its plan mechanically
+  * lacks the construct the swap exists to remove (global-order Window /
+  * full-pair shuffle / unbounded sort buffer). Follows the r13
+  * winsorizeApprox/imputeApprox pattern in MiningOpsSpec.
+  */
+class AggSwapSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.Sf0001)
+
+  private def close(a: Double, e: Double, tol: Double, what: String): Unit =
+    assert(math.abs(a - e) <= tol * math.max(1.0, math.abs(e)),
+      s"$what: approx $a vs exact $e")
+
+  test("aggPercentilesApprox tracks q_agg_percentiles, sketch agg only") {
+    val approx = graft.ops.Aggregates.aggPercentilesApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_percentile"), "sketch aggregate missing")
+    assert(!plan.contains("Window"))
+    val exact = q("q_agg_percentiles").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val rows = approx.collect()
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet == exact.keySet)
+    rows.foreach { a =>
+      val e = exact(a.getAs[String]("l_returnflag"))
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      for (c <- Seq("p50", "p90", "p99"))
+        close(a.getAs[Double](c), e.getAs[Double](c), 0.02,
+          s"${a.getAs[String]("l_returnflag")}.$c")
+    }
+  }
+
+  test("medianModeApprox tracks q_median_mode with a window-free plan") {
+    val approx = graft.ops.Aggregates.medianModeApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "mode argmax must be mergeable, not windowed")
+    assert(plan.contains("approx_percentile"))
+    val exact = q("q_median_mode").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    approx.collect().foreach { a =>
+      val e = exact(a.getAs[String]("l_returnflag"))
+      assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+      // the mode half is EXACT in both forms (same pinned tie-break)
+      assert(a.getAs[Double]("mode_qty") == e.getAs[Double]("mode_qty"))
+      assert(a.getAs[Long]("mode_n") == e.getAs[Long]("mode_n"))
+      close(a.getAs[Double]("med_qty"), e.getAs[Double]("med_qty"), 0.02,
+        s"${a.getAs[String]("l_returnflag")}.med_qty")
+    }
+  }
+
+  test("rfmApprox: window-free plan, monotone scores, tracks q_rfm") {
+    val approx = graft.ops.Analytics.rfmApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "cutpoint binning must not window")
+    val exact = q("q_rfm").collect()
+      .map(r => r.getAs[Long]("custkey") -> r).toMap
+    val rows = approx.collect()
+    assert(rows.map(_.getAs[Long]("custkey")).toSet == exact.keySet)
+    // base measures identical (the swap only changes the scoring)
+    rows.foreach { a =>
+      val e = exact(a.getAs[Long]("custkey"))
+      assert(a.getAs[Long]("frequency") == e.getAs[Long]("frequency"))
+      assert(a.getAs[Double]("monetary") == e.getAs[Double]("monetary"))
+    }
+    // scores are monotone in their measure: a strictly larger measure can
+    // never get a strictly larger (= worse, DESC orientation) score —
+    // the invariant equal-size ntile shares, so it pins the orientation
+    val byF = rows.sortBy(_.getAs[Long]("frequency"))
+    byF.toSeq.sliding(2).foreach { case Seq(lo, hi) =>
+      if (hi.getAs[Long]("frequency") > lo.getAs[Long]("frequency"))
+        assert(hi.getAs[Int]("f_score") <= lo.getAs[Int]("f_score"))
+      case _ => ()
+    }
+    val byM = rows.sortBy(_.getAs[Double]("monetary"))
+    byM.toSeq.sliding(2).foreach { case Seq(lo, hi) =>
+      if (hi.getAs[Double]("monetary") > lo.getAs[Double]("monetary"))
+        assert(hi.getAs[Int]("m_score") <= lo.getAs[Int]("m_score"))
+      case _ => ()
+    }
+    // and the buckets stay close to ntile's: most customers score the
+    // same as the exact key (ties at a boundary are the documented drift)
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val agree = rows.count(a =>
+        a.getAs[Int](c) == exact(a.getAs[Long]("custkey")).getAs[Int](c))
+      assert(agree >= rows.length * 0.5,
+        s"$c agrees on only $agree/${rows.length}")
+      assert(rows.map(_.getAs[Int](c)).toSet.subsetOf(Set(1, 2, 3, 4)))
+    }
+  }
+
+  test("ntileBinsApprox: window-free plan, equi-depth within sketch drift") {
+    val approx = graft.ops.EvalOps.ntileBinsApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "arithmetic binning must not window")
+    val exact = q("q_ntile_bins").collect()
+    val rows = approx.collect().sortBy(_.getAs[Int]("bin"))
+    // same day population and same revenue mass, redistributed
+    assert(rows.map(_.getAs[Long]("n_days")).sum ==
+      exact.map(_.getAs[Long]("n_days")).sum)
+    close(rows.map(_.getAs[Double]("total")).sum,
+      exact.map(_.getAs[Double]("total")).sum, 1e-6, "total revenue")
+    // near-equi-depth: daily revenue is effectively tie-free, so each
+    // bin sits within a couple of days of n/10
+    val n = rows.map(_.getAs[Long]("n_days")).sum.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("n_days") - n / 10) <= 3,
+        s"bin ${r.getAs[Int]("bin")} depth ${r.getAs[Long]("n_days")}")
+    }
+    // bins tile the revenue axis in order
+    rows.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+      case _ => ()
+    }
+  }
+
+  test("similarityTopKBlocked == q_similarity_topk row-for-row") {
+    val blocked = graft.ops.TextOps.similarityTopKBlocked(spark, TestSpark.Sf0001)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"),
+      "local heap stage missing — the full pair set would shuffle")
+    val e = q("q_similarity_topk").collect().map(_.toSeq)
+    val b = blocked.collect().map(_.toSeq)
+    assert(b.toSeq == e.toSeq, "blocked top-k must equal brute force exactly")
+  }
+}
