@@ -503,6 +503,14 @@ object PipelineOps extends QueryPack {
         nLists = 16, nProbe = 4, k = 5)
     },
 
+    // ---- q_ann_recall: the ANN quality readout (r13 verdict item 2) ---
+    // recall@5 of the IVF search vs the exact brute-force top-5 on the
+    // SAME probes, swept over nprobe — the first number an ANN user asks
+    // for, as a contract key (exact integer hit counts, oracle-able).
+    // nprobe = nLists is pinned to recall 1.0 (IVF degrades to brute
+    // force when every list is probed).
+    "q_ann_recall" -> { (s, d) => PipelineOps.annRecall(s, d) },
+
     // ---- q_split_sample: deterministic train/val/test assignment ------
     // The split a training pipeline actually needs: content-hash bucketed
     // (NOT random — reproducible across reruns, machines, and engines;
@@ -1155,6 +1163,148 @@ object PipelineOps extends QueryPack {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** recall@k of [[ivfTopK]] against the exact brute-force top-k on the
+    * same probes, swept over `nProbes` — one row per nprobe setting with
+    * integer hit counts and the recall ratio. Shares ONE centroid
+    * assignment and ONE candidate frame across the sweep (the per-nprobe
+    * results are prefix-filters of the widest probe list, so the corpus
+    * is scanned once, not |nProbes| times); the candidate frame is
+    * localCheckpointed because every sweep branch re-reads it.
+    * At 100 TB the exact arm is the expensive one — recall measurement
+    * runs on a SAMPLE of probes (here: the 5 fixture probes), which is
+    * exactly how production ANN recall is audited. */
+  def annRecall(s: SparkSession, d: String, nLists: Int = 16,
+                nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+                k: Int = 5): DataFrame = {
+    val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = e.filter(col("vec_id") < nLists)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
+              col("nrm").as("cnrm"))
+    val asg = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot(col("embedding"), col("ce")) /
+          (col("nrm") * col("cnrm"))).as("cc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    // exact ground truth: brute-force top-k (the q_similarity_topk shape)
+    val exact = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pe"), col("embedding")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    val plists = probes.join(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
+        (dot(col("pe"), col("ce")) /
+          (col("pnrm") * col("cnrm"))).as("pc"))
+      .withColumn("plrn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("pc").desc, col("cent_id"))))
+      .filter(col("plrn") <= nProbes.max)
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
+              col("plrn"))
+    val cand = plists.join(asg, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+            Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("plrn"),
+        round(dot(col("pe"), col("embedding")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .localCheckpoint()
+    val ivf = nProbes.map { np =>
+      cand.filter(col("plrn") <= np)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(lit(np).as("nprobe"), col("probe_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    ivf.join(exact, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(ne))
+      .select(col("nprobe"), col("n_hits"), col("n_exact"),
+        round(col("n_hits").cast("double") /
+              col("n_exact").cast("double"), 4).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** Single source for the q_ann_recall oracle AND its Spark-dialect twin
+    * (the kmeansSql discipline) — only the dot-product idiom and the
+    * array cast differ between dialects; the recall algebra, the nprobe
+    * sweep, and every tie-break are byte-identical. */
+  def annRecallSql(duck: Boolean): String = {
+    def dp(a: String, b: String): String =
+      if (duck) s"list_dot_product($a, $b)"
+      else s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+           "CAST(0 AS DOUBLE), (p, q) -> p + q)"
+    def cos(a: String, b: String): String =
+      s"${dp(a, b)} / (sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+    val cast =
+      if (duck) "CAST(embedding AS DOUBLE[])"
+      else "CAST(embedding AS ARRAY<DOUBLE>)"
+    val nps = Seq(1, 2, 4, 8, 16)
+    val ivfCtes = nps.map { np => s"""
+      ivf$np AS (
+        SELECT $np AS nprobe, probe_id, vec_id FROM (
+          SELECT pl.probe_id, a.vec_id,
+            row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+              round(${cos("pl.pe", "e.v")}, 4) DESC, a.vec_id) AS rn
+          FROM pl
+          JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
+          JOIN e ON e.vec_id = a.vec_id
+          WHERE pl.plrn <= $np) WHERE rn <= 5)"""
+    }.mkString(",")
+    val ivfUnion = nps.map(np => s"SELECT * FROM ivf$np")
+      .mkString(" UNION ALL ")
+    s"""
+      WITH e AS (SELECT vec_id, $cast AS v FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id < 16),
+      asg AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "c.ce")} DESC, c.cent_id) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e
+        WHERE vec_id >= 10 AND vec_id < 15),
+      exact AS (
+        SELECT probe_id, vec_id FROM (
+          SELECT p.probe_id, x.vec_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              round(${cos("p.pe", "x.v")}, 4) DESC, x.vec_id) AS rn
+          FROM probes p JOIN e x ON x.vec_id <> p.probe_id) WHERE rn <= 5),
+      pl AS (
+        SELECT probe_id, pe, cent_id, plrn FROM (
+          SELECT p.probe_id, p.pe, c.cent_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              ${cos("p.pe", "c.ce")} DESC, c.cent_id) AS plrn
+          FROM probes p, cents c) WHERE plrn <= ${nps.max}),$ivfCtes,
+      ivf AS ($ivfUnion),
+      ne AS (SELECT count(*) AS n_exact FROM exact)
+      SELECT i.nprobe,
+        CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hits,
+        ne.n_exact,
+        round(CAST(sum(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(ne.n_exact AS DOUBLE), 4) AS recall
+      FROM ivf i
+      LEFT JOIN exact x
+        ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id
+      CROSS JOIN ne
+      GROUP BY i.nprobe, ne.n_exact
+      ORDER BY i.nprobe"""
+  }
+
   /** Language profiles from a LABELED corpus: top-`profileSize` words per
     * lang (count desc, word asc). Tiny result — meant to be broadcast. */
   def languageProfiles(labeled: DataFrame, profileSize: Int): DataFrame =
@@ -1282,6 +1432,7 @@ object PipelineOps extends QueryPack {
     // strip and \1 group refs — Spark is all-occurrences with $1);
     // Spark twin in SqlDialectTwins via the SAME dedupUrlSql generator.
     "q_dedup_url" -> dedupUrlSql(duck = true),
+    "q_ann_recall" -> annRecallSql(duck = true),
 
     // DuckDB dialect (list indexing, unnest(range)); Spark twin in
     // SqlDialectTwins. Generated from the same BpeMerges constant as the

@@ -200,4 +200,45 @@ class EmbedLshSpec extends AnyFunSuite {
       assert(c <= exact(p) + 1e-9, s"probe $p: approximate beat exact?")
     }
   }
+
+  test("q_ann_recall == independent ivfTopK ∩ brute-force recomputation") {
+    // The contract key's hit counts, re-derived from the building blocks
+    // it is made of: truth = brute-force top-5 on the q_ann_ivf probes,
+    // hits(np) = |ivfTopK(np) ∩ truth|. Pins the key's algebra (not just
+    // its hash) and the degradation identity recall(nLists) = 1.0.
+    val rows = SparkEntry.queries("q_ann_recall")(s, TestSpark.Sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
+    val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.DotProduct.dot(col("embedding"), col("embedding")))
+        .as("nrm"))
+    val probes = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.expr.DotProduct.dot(col("pe"), col("embedding")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val np = r.getAs[Int]("nprobe")
+      val got = PipelineOps.ivfTopK(emb, isProbe, nLists = 16, nProbe = np,
+          k = 5)
+        .select("probe_id", "vec_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(r.getAs[Long]("n_hits") == got.intersect(truth).size.toLong,
+        s"nprobe=$np hit count")
+      assert(r.getAs[Long]("n_exact") == truth.size.toLong)
+    }
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.sliding(2).forall(p => p.head <= p.last),
+      s"recall not monotone in nprobe: $recalls")
+    assert(recalls.last == 1.0,
+      "nprobe = nLists must recover brute force exactly")
+  }
 }

@@ -307,6 +307,25 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj == bnljAll, "non-broadcast nested loop join in IVF plan")
   }
 
+  test("q_ann_recall shares one candidate frame across the nprobe sweep") {
+    // the five per-nprobe top-k branches must all read the ONE
+    // localCheckpointed candidate RDD (plus the exact arm's probe
+    // broadcast) — a re-derived candidate lineage would scan the corpus
+    // once per nprobe setting
+    val s = finalPlan("q_ann_recall").split("== Initial Plan ==")(0)
+    assert(!s.contains("CartesianProduct"))
+    val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(s).size
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(bnlj == bnljAll,
+      "non-broadcast nested loop join in the recall plan")
+    // embeddings parquet feeds the assignment + exact arm; the sweep
+    // itself must come from Scan ExistingRDD (the checkpoint), and each
+    // of the 5 branches reads it once
+    val rdd = s.linesIterator.count(l => l.contains("Scan ExistingRDD") &&
+      !l.contains("ReusedExchange"))
+    assert(rdd == 5, s"nprobe sweep reads the checkpoint $rdd times (want 5):\n$s")
+  }
+
   test("q_sessionize is ONE shuffle by user: windows and session agg share the partitioning") {
     // HashPartitioning(user_id) from the window satisfies the
     // (user_id, sess_id) groupBy's clustered distribution — the agg must

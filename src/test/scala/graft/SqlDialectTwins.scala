@@ -1139,6 +1139,10 @@ object SqlDialectTwins {
     // twin doubles as its liveness pin (r12 ADVICE item 1)
     "q_dedup_url" -> graft.ops.PipelineOps.dedupUrlSql(duck = false),
 
+    // same PipelineOps.annRecallSql source as the DuckDB oracle (only the
+    // dot-product idiom and the array cast differ)
+    "q_ann_recall" -> graft.ops.PipelineOps.annRecallSql(duck = false),
+
     // range-table 1-based list index -> posexplode; generated from the
     // same MiningOps.kmeansSql source as the DuckDB oracle (only the
     // dim-explosion CTE differs — the two unrolled Lloyd rounds are
