@@ -1,10 +1,9 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** SURVEY.md §2.B "Sort / limit / top-k" + "Set operations".
   *
@@ -13,41 +12,62 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * q_topk_per_group is one shuffle by group key + per-partition sort with
   * the rank filter pushed into the window (WindowGroupLimit in Spark 4
   * keeps only 3 rows per group per partition before the shuffle).
-  * q_sort_multi materializes an explicit global rank as a range-partitioned
-  * sort + per-partition prefix counts (`RDD.zipWithIndex`), never a
-  * single-partition window — see the key's comment for why the declarative
-  * two-query form is unsafe.
+  * q_sort_multi materializes an explicit global rank as deterministic
+  * data-derived buckets + broadcast prefix offsets + a bucket-local
+  * row_number — never a single-partition window and never an RDD
+  * drop-out; see the key's comment.
   */
 object SortSetOps extends QueryPack {
+
+  /** q_sort_multi bucket width over c_acctbal (the skew knob: TPC-H
+    * acctbal spans [-999.99, 9999.99] so 1000.0 gives ~11 bands per
+    * segment; shrink it to split hot buckets at corpus scale). */
+  private val BandWidth = 1000.0
+
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multi-key sort with mixed direction, made observable via global rank.
     //
-    // Scale-safe form (round-3 verdict item 2): range-partition on the sort
-    // keys, sort within partitions, then zipWithIndex — per-partition counts
-    // collected as an O(numPartitions) driver array and added as prefix
-    // offsets, exactly Spark's own distributed-ranking primitive. No
-    // single-partition WindowExec anywhere. zipWithIndex's two internal jobs
-    // run on ONE RDD instance, so the sampled range boundaries are computed
-    // once and the count pass and the rank pass read the same shuffle output
-    // — the equivalent two-DataFrame formulation (counts query + rank query
-    // over separate executions of repartitionByRange) would re-sample the
-    // range partitioner per query and could disagree on boundaries.
+    // DataFrame-native two-pass rank (r13 verdict item 4, replacing the
+    // r3 `rdd.zipWithIndex` form that left Tungsten and deserialized every
+    // row): bucket on a DATA-derived prefix of the sort order — (segment,
+    // acctbal band) — so the global rank decomposes exactly into
+    // `offset(bucket) + row_number within bucket`. Bucket counts are one
+    // tiny hash agg collected as an O(|buckets|) driver array (the
+    // q_token_budget broadcast-offset discipline); prefix offsets come
+    // back as a broadcast join; the within-bucket row_number windows over
+    // a real key (never a single partition). Unlike range-partitioning,
+    // the buckets are DETERMINISTIC (floor arithmetic, no boundary
+    // sampling), so the count pass and the rank pass can be separate
+    // executions without any chance of disagreeing. `BandWidth` is the
+    // skew knob: narrower bands = more, smaller windows at scale.
+    // sort_pos stays LongType (ADVICE r4): an Int rank wraps past 2^31.
     "q_sort_multi" -> { (s, d) =>
-      val keys = Seq(col("c_mktsegment").asc, col("c_acctbal").desc,
-                     col("c_custkey").asc)
-      val sorted = Tables.customer(s, d)
+      val band = floor(col("c_acctbal") / BandWidth).cast("long")
+      val base = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .repartitionByRange(keys: _*)
-        .sortWithinPartitions(keys: _*)
-      // sort_pos is LongType (ADVICE r4): an Int rank silently wraps negative
-      // past 2^31-1 rows, contradicting the key's scale-safe claim.
-      val schema = StructType(sorted.schema.fields :+
-        StructField("sort_pos", LongType, nullable = false))
-      val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
-        Row.fromSeq(r.toSeq :+ (i + 1))
-      }
-      s.createDataFrame(ranked, schema).orderBy(col("sort_pos"))
+        .withColumn("band", band)
+      // bucket order mirrors the sort order: segment asc, band DESC
+      // (acctbal sorts descending, and floor is monotone)
+      val counts = base.groupBy(col("c_mktsegment"), col("band"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+        .sortBy(r => (r.getString(0), -r.getLong(1)))
+      val offsets = counts.scanLeft(0L)(_ + _.getAs[Long]("cnt")).init
+      import s.implicits._
+      // LocalRelation (not parallelize): the offsets ride the plan as a
+      // LocalTableScan literal — no RDD anywhere in the lineage
+      val offDf = counts.zip(offsets).toSeq.map { case (r, off) =>
+        (r.getString(0), r.getLong(1), off)
+      }.toDF("c_mktsegment", "band", "off")
+      val w = Window.partitionBy(col("c_mktsegment"), col("band"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      base.join(broadcast(offDf), Seq("c_mktsegment", "band"))
+        .withColumn("sort_pos",
+          col("off") + row_number().over(w).cast("long"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+                col("sort_pos"))
+        .orderBy(col("sort_pos"))
     },
 
     // LIMIT + OFFSET over a total order.

@@ -144,17 +144,31 @@ class PlanSpec extends AnyFunSuite {
 
   test("q_sort_multi and q_watermark_late never collapse to one partition") {
     // Round-3 verdict items 2-3 replaced the global-window forms with
-    // range-partitioned two-pass algorithms; this pins the fix. A regression
-    // to `Window.orderBy(...)` with no partitionBy would reintroduce an
+    // two-pass algorithms; this pins the fix. A regression to
+    // `Window.orderBy(...)` with no partitionBy would reintroduce an
     // `Exchange SinglePartition` + partition-less WindowExec — the two plans
     // that die at 100x scale.
     for (k <- Seq("q_sort_multi", "q_watermark_late")) {
       val s = finalPlan(k)
       assert(!s.contains("Exchange SinglePartition"),
         s"$k funnels all rows through one partition:\n$s")
-      assert(!s.contains("Window "),
-        s"$k regressed to a window-based global scan:\n$s")
     }
+    // watermark_late must stay window-free entirely
+    assert(!finalPlan("q_watermark_late").contains("Window "),
+      "q_watermark_late regressed to a window-based global scan")
+    // q_sort_multi (r14, DataFrame-native): its ONE window is bucket-local
+    // — partitioned by (c_mktsegment, band) — and the rank assembly is a
+    // broadcast offset join; no RDD drop-out (the r13 zipWithIndex form),
+    // no UDFs, whole frame stays in Tungsten
+    val sm = finalPlan("q_sort_multi").split("== Initial Plan ==")(0)
+    assert(sm.contains("Window"), "q_sort_multi lost its bucket window")
+    assert(sm.linesIterator.filter(_.contains("Window"))
+      .forall(l => l.contains("c_mktsegment") && l.contains("band")),
+      s"q_sort_multi window is not bucket-partitioned:\n$sm")
+    assert(!sm.contains("Scan ExistingRDD"),
+      s"q_sort_multi dropped out of Tungsten into an RDD:\n$sm")
+    assert(sm.contains("BroadcastHashJoin"),
+      s"q_sort_multi offset join is not broadcast:\n$sm")
   }
 
   test("q_unpivot is one Expand over one scan — no shuffle before the sort") {
@@ -442,6 +456,17 @@ class PlanSpec extends AnyFunSuite {
     // triple-scan weak finding)
     nodeBudget("q_bloom_prefilter", fileScanMax = 1, rddScanMax = 1,
                hashExMax = 2)
+    // r14: the probe is Catalyst's codegen'd might_contain over a binary
+    // literal — a Scala UDF here would drop the probe filter out of
+    // whole-stage codegen and cost a per-row invocation at 100 TB
+    locally {
+      val bloomPlan = finalPlan("q_bloom_prefilter")
+        .split("== Initial Plan ==")(0)
+      assert(bloomPlan.contains("might_contain"),
+        s"bloom probe lost the Catalyst expression:\n$bloomPlan")
+      assert(!bloomPlan.contains("UDF"),
+        s"bloom probe fell back to a Scala UDF:\n$bloomPlan")
+    }
     // one scan, digests-only shuffle into the per-hash window
     nodeBudget("q_dedup_passage", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 1)
