@@ -1,0 +1,175 @@
+package graft.multimodal
+
+/** Fully decoded PNG pixel facts: true dimensions plus the mean luma over
+  * every pixel (Rec. 601 weights for color images). */
+case class PngPixels(width: Int, height: Int, meanLuma: Double)
+
+/** Decoded WAV PCM sample facts: layout plus the RMS amplitude over all
+  * samples, normalized to [0, 1]. */
+case class WavSamples(channels: Int, sampleRate: Int, nSamples: Long,
+                      rms: Double)
+
+/** REAL payload decode (r13 verdict item 5) for the two containers whose
+  * full pipeline is pure JVM — no codec libraries needed:
+  *
+  *  - PNG (W3C/ISO 15948): IDAT chunks carry zlib streams
+  *    (`java.util.zip.Inflater`) of filtered scanlines — one filter byte
+  *    per row (None/Sub/Up/Average/Paeth, spec §9) then `width·channels`
+  *    sample bytes. Supported: 8-bit depth, color types 0/2/4/6,
+  *    non-interlaced (the lake-fixture subset); anything else returns
+  *    None and quarantines like a corrupt header.
+  *  - WAV PCM (RIFF): the `data` chunk is raw little-endian samples —
+  *    s16le or u8 per the `fmt ` chunk. Format tag must be 1 (PCM).
+  *
+  * Scale shape: both run inside the same narrow `mapPartitions` stage as
+  * the header probes — per-payload CPU, no shuffle, executor-local. A
+  * decoded 100 TB lake pays exactly one pass of inflate/scan per object.
+  */
+object PixelDecode {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def u32be(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+    (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  /** PNG spec §9.4 Paeth predictor — exact integer form. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Inflate the concatenated IDAT payloads; `cap` guards a zip-bomb
+    * (the exact decoded size is known from the header). */
+  private def inflate(data: Array[Byte], cap: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](cap)
+      var off = 0
+      while (!inf.finished() && off < cap) {
+        val n = inf.inflate(out, off, cap - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off == cap && inf.finished()) Some(out) else None
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Full PNG pixel decode: inflate IDAT, reverse the per-row filters,
+    * average the luma of every pixel. */
+  def decodePng(b: Array[Byte]): Option[PngPixels] = {
+    val meta = ImageHeader.parse(b) match {
+      case Some(m) if m.format == "png" && m.bitDepth == 8 => m
+      case _ => return None
+    }
+    val colorType = u8(b, 25)
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None // indexed needs PLTE — out of subset
+    }
+    if (u8(b, 28) != 0) return None // Adam7 interlace — out of subset
+    // chunk walk: concatenate every IDAT payload in stream order
+    val idat = collection.mutable.ArrayBuffer[Byte]()
+    var i = 8
+    var sawEnd = false
+    while (!sawEnd && i + 8 <= b.length) {
+      val len = u32be(b, i)
+      if (len < 0 || i + 12 + len > b.length) return None
+      val tag = new String(b.slice(i + 4, i + 8), "US-ASCII")
+      if (tag == "IDAT") idat ++= b.slice(i + 8, i + 8 + len.toInt)
+      if (tag == "IEND") sawEnd = true
+      i += 12 + len.toInt
+    }
+    if (idat.isEmpty) return None
+    val stride = meta.width * channels
+    val raw = inflate(idat.toArray, meta.height * (stride + 1)) match {
+      case Some(r) => r
+      case None => return None
+    }
+    // reverse filters in place into `recon` (spec §9: a = left, b = up,
+    // c = up-left, all 0 outside the image)
+    val recon = new Array[Int](meta.height * stride)
+    var row = 0
+    while (row < meta.height) {
+      val ft = raw(row * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val f = raw(row * (stride + 1) + 1 + x) & 0xff
+        val a = if (x >= channels) recon(row * stride + x - channels) else 0
+        val up = if (row > 0) recon((row - 1) * stride + x) else 0
+        val c = if (row > 0 && x >= channels)
+          recon((row - 1) * stride + x - channels) else 0
+        recon(row * stride + x) = ft match {
+          case 0 => f
+          case 1 => (f + a) & 0xff
+          case 2 => (f + up) & 0xff
+          case 3 => (f + (a + up) / 2) & 0xff
+          case 4 => (f + paeth(a, up, c)) & 0xff
+        }
+        x += 1
+      }
+      row += 1
+    }
+    // mean luma: grey channel directly; Rec. 601 for color (alpha ignored)
+    var sum = 0.0
+    var p = 0
+    val nPix = meta.width * meta.height
+    while (p < nPix) {
+      val o = p * channels
+      sum += (colorType match {
+        case 0 | 4 => recon(o).toDouble
+        case _ => 0.299 * recon(o) + 0.587 * recon(o + 1) +
+                  0.114 * recon(o + 2)
+      })
+      p += 1
+    }
+    Some(PngPixels(meta.width, meta.height, sum / nPix))
+  }
+
+  private def tag(b: Array[Byte], i: Int): String =
+    if (i + 4 <= b.length) new String(b.slice(i, i + 4), "US-ASCII") else ""
+  private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)
+
+  /** WAV PCM sample decode: chunk-walk to `fmt ` (tag must be 1 = PCM,
+    * bits 8 or 16) and `data`, then RMS over all normalized samples. */
+  def decodeWavPcm(b: Array[Byte]): Option[WavSamples] = {
+    if (tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var i = 12
+    var channels = 0; var rate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    while (i + 8 <= b.length) {
+      val ck = tag(b, i); val len = u32le(b, i + 4)
+      if (i + 8 + len > b.length) return None
+      if (ck == "fmt ") {
+        if (len < 16 || u16le(b, i + 8) != 1) return None // PCM only
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12).toInt
+        bits = u16le(b, i + 22)
+      } else if (ck == "data") { dataOff = i + 8; dataLen = len.toInt }
+      i += 8 + len.toInt + (len.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0) return None
+    val bytesPer = bits match { case 8 => 1; case 16 => 2; case _ => return None }
+    val n = dataLen / bytesPer
+    if (n == 0) return Some(WavSamples(channels, rate, 0L, 0.0))
+    var sumSq = 0.0
+    var s = 0
+    while (s < n) {
+      val v = if (bytesPer == 1) (u8(b, dataOff + s) - 128) / 128.0
+              else {
+                val raw = u16le(b, dataOff + 2 * s)
+                (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0
+              }
+      sumSq += v * v
+      s += 1
+    }
+    Some(WavSamples(channels, rate, n.toLong / channels,
+      math.sqrt(sumSq / n)))
+  }
+}

@@ -306,6 +306,81 @@ class LakeSinkSpec extends AnyFunSuite {
     assert(SnapshotLake.readLatest(s, table).count() == 2L)
   }
 
+  test("update is copy-on-write: SET hits TRUE rows only, dirs survive, " +
+       "NULL predicates pass through, time travel intact") {
+    import s.implicits._
+    val table = tmpDir("snap-update")
+    SnapshotLake.commit(Seq((1L, Option(10L)), (2L, Option(20L)))
+      .toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((3L, Option(99L)), (4L, None), (5L, Option(55L)))
+      .toDF("k", "v"), table, append = true)
+    val dirsBefore = SnapshotLake.readAt(s, table, 2L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.sorted
+    val id = SnapshotLake.update(s, table, col("v") > 50L,
+      Map("v" -> (col("v") + 1000L)))
+    assert(id.contains(3L))
+    val now = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    // 99 and 55 updated; 10/20 untouched; the NULL-predicate row KEPT AS IS
+    assert(now == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> Some(1099L),
+                      4L -> None, 5L -> Some(1055L)))
+    // time travel still sees the old values
+    assert(SnapshotLake.readAt(s, table, 2L).filter(col("k") === 3L)
+      .head.getLong(1) == 99L)
+    // the unaffected first dir is REUSED by identity
+    val dirsAfter = SnapshotLake.readAt(s, table, 3L).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    assert(dirsAfter.exists(dirsBefore.contains))
+    // no-op UPDATE returns the current snapshot without a commit
+    assert(SnapshotLake.update(s, table, col("k") > 100L,
+      Map("v" -> lit(0L))).contains(3L))
+    assert(SnapshotLake.snapshots(s, table) == Seq(1L, 2L, 3L))
+    // setting an unknown column is rejected up front
+    intercept[IllegalArgumentException] {
+      SnapshotLake.update(s, table, lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
+  test("two LIVE writers race the same base: exactly one CAS wins, " +
+       "no rows lost, the loser succeeds on retry") {
+    import s.implicits._
+    val table = tmpDir("snap-update-race")
+    SnapshotLake.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), table)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val tasks = Seq(
+      (col("k") === 1L, 111L),
+      (col("k") === 2L, 222L)).map { case (p, v) =>
+      pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+        def call(): Option[Long] = {
+          start.await()
+          SnapshotLake.updateFrom(s, table, 1L, p, Map("v" -> lit(v)),
+            1000000L)
+        }
+      })
+    }
+    start.countDown()
+    val results = tasks.map(_.get())
+    pool.shutdown()
+    assert(results.count(_.contains(2L)) == 1 &&
+           results.count(_.isEmpty) == 1,
+      s"CAS race must have exactly one winner: $results")
+    // the winner's mutation (and ONLY it) is visible; no rows lost
+    val vals = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals.keySet == Set(1L, 2L))
+    assert(Seq(Map(1L -> 111L, 2L -> 20L), Map(1L -> 10L, 2L -> 222L))
+      .contains(vals), s"table shows a torn update: $vals")
+    // the loser re-reads the new base and lands cleanly on top
+    val loserIdx = results.indexWhere(_.isEmpty)
+    val (p, v) = Seq((col("k") === 1L, 111L), (col("k") === 2L, 222L))(loserIdx)
+    assert(SnapshotLake.update(s, table, p, Map("v" -> lit(v))).contains(3L))
+    assert(SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 111L, 2L -> 222L))
+  }
+
   test("merge replaces matched rows, inserts new ones, reuses unmatched dirs") {
     import s.implicits._
     val table = tmpDir("snap-merge")
