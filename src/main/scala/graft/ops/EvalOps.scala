@@ -99,26 +99,8 @@ object EvalOps extends QueryPack {
     // to 6 then sum as exact decimals — psi_total cannot drift with
     // addition order.
     "q_psi" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("value"), (col("event_id") % 2).as("half"))
-      val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-      val pe = (col("n_e").cast("double") + lit(0.5)) /
-        (sum(col("n_e")).over(all).cast("double") + lit(5.0))
-      val pa = (col("n_a").cast("double") + lit(0.5)) /
-        (sum(col("n_a")).over(all).cast("double") + lit(5.0))
-      ev.crossJoin(broadcast(rng))
-        .select(greatest(least(floor((col("value") - col("lo")) /
-            (col("hi") - col("lo")) * 10), lit(9)), lit(0))
-          .cast("int").as("bin"), col("half"))
-        .groupBy(col("bin"))
-        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_e"),
-          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_a"))
-        .select(col("bin"), col("n_e"), col("n_a"),
-          round((pe - pa) * log(pe / pa), 6).as("psi_bin"))
-        .withColumn("psi_total",
-          round(sum(col("psi_bin").cast(DecimalType(18, 6))).over(all)
-            .cast("double"), 6))
-        .orderBy(col("bin"))
+      psiOf(Tables.events(s, d)
+        .select(col("value"), (col("event_id") % 2).as("half")))
     },
 
     // ---- q_spearman: rank correlation (daily orders vs revenue) -------
@@ -428,6 +410,32 @@ object EvalOps extends QueryPack {
             .as("ndcg_at_10"))
     }
   )
+
+  /** The q_psi computation over any (value, half) frame — shared by the
+    * contract key and the streaming drift monitor (StreamingSpec pins
+    * stream-fed-lake ≡ batch on identical rows). The frame is evaluated
+    * twice (range agg + binning); callers at corpus scale pass a
+    * persisted/lake-backed frame, which is exactly the streaming shape. */
+  def psiOf(ev: DataFrame): DataFrame = {
+    val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val pe = (col("n_e").cast("double") + lit(0.5)) /
+      (sum(col("n_e")).over(all).cast("double") + lit(5.0))
+    val pa = (col("n_a").cast("double") + lit(0.5)) /
+      (sum(col("n_a")).over(all).cast("double") + lit(5.0))
+    ev.crossJoin(broadcast(rng))
+      .select(greatest(least(floor((col("value") - col("lo")) /
+          (col("hi") - col("lo")) * 10), lit(9)), lit(0))
+        .cast("int").as("bin"), col("half"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_e"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_a"))
+      .select(col("bin"), col("n_e"), col("n_a"),
+        round((pe - pa) * log(pe / pa), 6).as("psi_bin"))
+      .withColumn("psi_total",
+        round(sum(col("psi_bin").cast(DecimalType(18, 6))).over(all)
+          .cast("double"), 6))
+      .orderBy(col("bin"))
+  }
 
   /** The IMPLEMENTED corpus-scale swap for q_ntile_bins (SCALE.md): the
     * global-order `ntile(10)` window becomes one `approx_percentile`
