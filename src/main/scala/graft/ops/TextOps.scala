@@ -143,6 +143,30 @@ object TextOps extends QueryPack {
       threshold, bandSaltFactor)
   }
 
+  /** Banded-LSH candidate pairs from a [[signatureFrame]]-shaped frame:
+    * 16 band tuples per doc, equi-joined on the tuple — (d1, d2, n1, n2)
+    * distinct pairs. The set size `n` rides the signature row through the
+    * band explode (8 bytes × 16 band rows), so the Jaccard denominator
+    * needs NO separate `sizes` aggregation — the old two renamed-sizes
+    * joins each re-evaluated the whole shingle pipeline (two extra text
+    * scans at corpus scale when exchange reuse doesn't fire across the
+    * renames). Shared by [[minhashPairsFrom]] and [[minhashRecall]]. */
+  private[graft] def bandCandidates(sigs: DataFrame,
+                                    bandSaltFactor: Int): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until 4).map(r => col(s"m${4 * b + r}").as(s"v$r")): _*)
+    }
+    val buckets = sigs.select(col("doc_id"), col("n"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("n"), col("bk.band").as("band"),
+              col("bk.v0").as("v0"), col("bk.v1").as("v1"),
+              col("bk.v2").as("v2"), col("bk.v3").as("v3"))
+    Skew.selfPairs(buckets,
+      keyCols = Seq("band", "v0", "v1", "v2", "v3"), idCol = "doc_id",
+      carry = Seq("n"), saltFactor = bandSaltFactor)
+  }
+
   /** The band/candidate/Jaccard back half of [[minhashPairs]], decoupled
     * from signature DERIVATION so a pipeline that persisted its signature
     * store ([[graft.pipeline.TrainingPipeline.writeSignatureStore]]) can
@@ -162,23 +186,7 @@ object TextOps extends QueryPack {
     // byte key, dwarfed by the text it replaces. At cluster scale, re-
     // hashing bands Spark-side is a legal optimization because band
     // equality is what's joined either way.)
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until 4).map(r => col(s"m${4 * b + r}").as(s"v$r")): _*)
-    }
-    // The set size `n` rides the signature row through the band explode
-    // (8 bytes × 16 band rows), so the Jaccard denominator needs NO
-    // separate `sizes` aggregation — the old two renamed-sizes joins each
-    // re-evaluated the whole shingle pipeline (two extra text scans at
-    // corpus scale when exchange reuse doesn't fire across the renames).
-    val buckets = sigs.select(col("doc_id"), col("n"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("n"), col("bk.band").as("band"),
-              col("bk.v0").as("v0"), col("bk.v1").as("v1"),
-              col("bk.v2").as("v2"), col("bk.v3").as("v3"))
-    val cand = Skew.selfPairs(buckets,
-      keyCols = Seq("band", "v0", "v1", "v2", "v3"), idCol = "doc_id",
-      carry = Seq("n"), saltFactor = bandSaltFactor)
+    val cand = bandCandidates(sigs, bandSaltFactor)
     // Exact Jaccard on candidates only: |A∩B| via shingle-hash join.
     val inter = cand.select(col("d1"), col("d2"))
       .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
@@ -191,6 +199,141 @@ object TextOps extends QueryPack {
         (col("n1") + col("n2") - col("n_inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("jaccard"))
+  }
+
+  /** q_dedup_recall (r14): measured recall of the banded-LSH candidate
+    * generator against EXACT brute-force Jaccard truth, per threshold,
+    * next to the analytic banding S-curve `p_band = 1-(1-t^r)^b` (r = 4
+    * rows/band, b = 16 bands) — the first two numbers a dedup user asks
+    * of an LSH design. Truth = every pair sharing ≥1 shingle with
+    * J ≥ t (a pair with J > 0 must share a shingle, so the shingle-hash
+    * equi-join IS the exact pair space — Σ df² work, the honest exact-arm
+    * cost; at 100 TB recall is audited on a corpus SAMPLE, exactly like
+    * [[graft.ops.PipelineOps.annRecall]]'s exact arm). found = candidates
+    * the band join surfaces (already ⊆ the pair space). The shingle frame
+    * is localCheckpointed once and feeds the signature chain, the truth
+    * join, and the sizes — one text scan total. */
+  def minhashRecall(s: SparkSession, d: String,
+                    thresholds: Seq[Double] =
+                      Seq(0.2, 0.3, 0.5, 0.7, 0.9)): DataFrame = {
+    import s.implicits._
+    val sh = shingleHashes(Tables.documents(s, d))
+      .localCheckpoint(eager = false)
+    val sigs = signatureFrame(sh).localCheckpoint(eager = false)
+    val cand = bandCandidates(sigs, bandSaltFactor = 1)
+      .select(col("d1"), col("d2"), lit(1L).as("surfaced"))
+    val sizes = sigs.select(col("doc_id"), col("n"))
+    val tinter = sh.select(col("doc_id").as("d1"), col("h"))
+      .join(sh.select(col("doc_id").as("d2"), col("h")), Seq("h"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("n_inter"))
+    val tj = tinter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")), 4).as("j"))
+    val tc = tj.join(cand, Seq("d1", "d2"), "left")
+      .na.fill(0L, Seq("surfaced"))
+    val rowsPerBand = NumPerms / NumBands
+    val th = thresholds.toDF("t")
+    tc.crossJoin(broadcast(th))
+      .groupBy(col("t"))
+      .agg(sum(when(col("j") >= col("t"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("j") >= col("t"), col("surfaced")).otherwise(0L))
+          .as("n_found"))
+      .select(col("t").as("threshold"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("t"), lit(rowsPerBand)),
+          lit(NumBands)), 4).as("p_band"),
+        col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") /
+          col("n_true").cast("double"), 4).as("recall"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Single source for the q_dedup_recall oracle AND its Spark-dialect
+    * twin — the shingle CTE is the only dialect-specific piece (DuckDB
+    * list_transform/unnest vs the registered word_shingles extension);
+    * perm mins, band rows, the truth join, and the threshold sweep are
+    * byte-identical. */
+  private[graft] def minhashRecallSql(duck: Boolean): String = {
+    val permMins = (0 until NumPerms).map { j =>
+      s"min((${permA(j)} * h32 + ${permB(j)}) % $PermP) AS m$j"
+    }.mkString(",\n          ")
+    val bandRows = (0 until NumBands).map { b =>
+      s"SELECT doc_id, $b AS band, m${4 * b} AS v0, m${4 * b + 1} AS v1, " +
+        s"m${4 * b + 2} AS v2, m${4 * b + 3} AS v3 FROM sigs"
+    }.mkString("\n        UNION ALL ")
+    val shCte =
+      if (duck) s"""words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ), sh AS (
+        SELECT DISTINCT doc_id,
+          ${PipelineOps.h60Sql("s")} AS h
+        FROM (
+          SELECT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]
+                   || ' ' || w[CAST(i AS INT) + 2])) AS s
+          FROM words WHERE len(w) >= 3
+        )
+      )"""
+      else """sh AS (
+        SELECT DISTINCT doc_id, md5_prefix60(s) AS h
+        FROM (
+          SELECT doc_id, explode(word_shingles(text, 3)) AS s
+          FROM documents WHERE size(split(text, ' ')) >= 3
+        )
+      )"""
+    val rowsPerBand = NumPerms / NumBands
+    val thUnion = Seq(0.2, 0.3, 0.5, 0.7, 0.9)
+      .map(t => s"SELECT CAST($t AS DOUBLE) AS t").mkString(" UNION ALL ")
+    s"""
+      WITH $shCte, sh32 AS (
+        SELECT doc_id, h, h % 4294967296 AS h32 FROM sh
+      ), sigs AS (
+        SELECT doc_id,
+          $permMins
+        FROM sh32 GROUP BY doc_id
+      ), bands AS (
+        $bandRows
+      ), cand AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.v0 = y.v0 AND x.v1 = y.v1
+         AND x.v2 = y.v2 AND x.v3 = y.v3 AND x.doc_id < y.doc_id
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      ), tinter AS (
+        SELECT s1.doc_id AS d1, s2.doc_id AS d2, count(*) AS n_inter
+        FROM sh s1 JOIN sh s2 ON s2.h = s1.h AND s1.doc_id < s2.doc_id
+        GROUP BY 1, 2
+      ), tj AS (
+        SELECT t.d1, t.d2,
+          round(CAST(t.n_inter AS DOUBLE) / (z1.n + z2.n - t.n_inter), 4)
+            AS j
+        FROM tinter t
+        JOIN sizes z1 ON z1.doc_id = t.d1
+        JOIN sizes z2 ON z2.doc_id = t.d2
+      ), tc AS (
+        SELECT tj.d1, tj.d2, tj.j,
+          CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS surfaced
+        FROM tj LEFT JOIN cand c ON c.d1 = tj.d1 AND c.d2 = tj.d2
+      ), th AS ($thUnion)
+      SELECT th.t AS threshold,
+        round(1.0 - power(1.0 - power(th.t, $rowsPerBand), $NumBands), 4)
+          AS p_band,
+        CAST(sum(CASE WHEN tc.j >= th.t THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_true,
+        CAST(sum(CASE WHEN tc.j >= th.t THEN tc.surfaced ELSE 0 END)
+          AS BIGINT) AS n_found,
+        round(CAST(sum(CASE WHEN tc.j >= th.t THEN tc.surfaced ELSE 0 END)
+                   AS DOUBLE) /
+              CAST(sum(CASE WHEN tc.j >= th.t THEN 1 ELSE 0 END)
+                   AS DOUBLE), 4) AS recall
+      FROM th CROSS JOIN tc
+      GROUP BY th.t
+      ORDER BY threshold"""
   }
 
   /** THE content-prefix digest (CCNet-style leading-content hash): md5 of
@@ -292,6 +435,12 @@ object TextOps extends QueryPack {
       minhashPairs(Tables.documents(s, d), 0.5)
         .orderBy(col("d1"), col("d2"))
     },
+
+    // LSH quality readout (r14): measured banding recall vs exact
+    // brute-force Jaccard truth per threshold, next to the analytic
+    // 1-(1-t^4)^16 S-curve — the q_ann_recall discipline for the text
+    // side. Doc at [[minhashRecall]].
+    "q_dedup_recall" -> { (s, d) => minhashRecall(s, d) },
 
     // Triangle counting over the minhash near-dup graph — the
     // clique-density signal a dedup pipeline reads to tell TEMPLATE
@@ -686,6 +835,8 @@ object TextOps extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> (minhashPairsSql + "\n      ORDER BY d1, d2"),
+
+    "q_dedup_recall" -> minhashRecallSql(duck = true),
 
     "q_triangle_count" -> triangleOracleSql,
 

@@ -72,4 +72,44 @@ class MinHashSpec extends AnyFunSuite {
     val again = TextOps.queries("q_dedup_minhash")(spark, TestSpark.Sf0001).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("q_dedup_recall == sequential brute-force Jaccard truth per threshold") {
+    // Independent recomputation: collect the corpus, shingle in plain
+    // Scala, score EVERY pair exactly — then check the key's n_true
+    // against it, that found ⊆ true, and the closed-form recall/p_band.
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      .filter(_._2.nonEmpty)
+    val jac = for {
+      i <- sets.indices; k <- (i + 1) until sets.length
+      inter = sets(i)._2.intersect(sets(k)._2).size
+      if inter > 0
+    } yield r4(inter.toDouble /
+        (sets(i)._2.size + sets(k)._2.size - inter))
+    val rows = SparkEntry.queries("q_dedup_recall")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Double]("threshold")).toSeq ==
+      Seq(0.2, 0.3, 0.5, 0.7, 0.9))
+    rows.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      assert(r.getAs[Long]("n_true") == jac.count(_ >= t).toLong,
+        s"t=$t n_true")
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"),
+        "the exact-confirm design makes found ⊆ true")
+      assert(r.getAs[Double]("recall") == r4(
+        r.getAs[Long]("n_found").toDouble / r.getAs[Long]("n_true")))
+      assert(r.getAs[Double]("p_band") ==
+        r4(1.0 - math.pow(1.0 - math.pow(t, 4), 16)), s"t=$t p_band")
+    }
+    // recall is monotone in threshold (bands only get more reliable as
+    // true similarity rises)
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    assert(recalls.sliding(2).forall(p => p.head <= p.last),
+      s"recall not monotone: $recalls")
+  }
 }

@@ -412,9 +412,27 @@ class PlanSpec extends AnyFunSuite {
                hashExMax = 5)
     // bootstrap: ONE orders scan feeds all 32 replicas (the one-pass
     // claim IS this budget — a literal resample reads the table B times);
-    // the only shuffle is the ≤ B-rows-per-task per-replica agg
+    // the only shuffle is the ≤ B-rows-per-row per-replica agg
     nodeBudget("q_bootstrap_ci", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 1)
+    // dedup_recall: zero file scans — the checkpointed shingle frame
+    // feeds the signature chain AND both truth-join sides, the
+    // checkpointed signature frame feeds both band sides and the sizes;
+    // the ONLY nested-loop join is the deliberate 5-row broadcast
+    // threshold cross join (the q_ann_ivf centroid discipline), and every
+    // pair-grain exchange is digest/id-sized, never text-sized
+    locally {
+      val s = finalPlan("q_dedup_recall").split("== Initial Plan ==")(0)
+      assert(!s.contains("CartesianProduct"))
+      val bnlj = "BroadcastNestedLoopJoin BuildRight".r.findAllIn(s).size
+      val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+      assert(bnlj == bnljAll,
+        "non-broadcast nested loop join in the recall plan")
+      assert(s.linesIterator.count(_.contains("FileScan parquet")) == 0,
+        s"q_dedup_recall re-scanned text instead of the checkpoints:\n$s")
+      assert(s.linesIterator.count(l => l.contains("Scan ExistingRDD") &&
+        !l.contains("ReusedExchange")) <= 6)
+    }
   }
 
   test("scan + exchange budgets hold on the r11 ML-prep/analytics packs") {

@@ -719,6 +719,10 @@ object SqlDialectTwins {
     // ---- minhash family (generated from shared constants) ----
     "q_dedup_minhash" -> (minhashPairsSparkSql + "\n      ORDER BY d1, d2"),
 
+    // same TextOps.minhashRecallSql source as the DuckDB oracle (only the
+    // shingle CTE differs: word_shingles vs list_transform/unnest)
+    "q_dedup_recall" -> graft.ops.TextOps.minhashRecallSql(duck = false),
+
     "q_seq_pack" -> """
       WITH RECURSIVE dv AS (
         SELECT lang, doc_id,
