@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.expr.{DotProduct, GoTimestampFormat, Md5Prefix60, WordShingles}
+import graft.expr.{DotProduct, GoTimestampFormat, Md5Prefix60, NfcNormalize, WordShingles}
 
 /** Session-extension hook: registers the engine's custom Catalyst
   * expressions as SQL functions, so `spark.sql` users get them without the
@@ -54,6 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => DotProduct(a, b)
         case args => throw new IllegalArgumentException(
           s"dot_f32 requires exactly 2 arguments, got ${args.length}")
+      }))
+    ext.injectFunction(fn("nfc_normalize", classOf[NfcNormalize],
+      "nfc_normalize(str) - Unicode NFC normalization (UAX #15), mirrors DuckDB's nfc_normalize",
+      {
+        case Seq(child) => NfcNormalize(child)
+        case args => throw new IllegalArgumentException(
+          s"nfc_normalize requires exactly 1 argument, got ${args.length}")
       }))
     ext.injectFunction(fn("word_shingles", classOf[WordShingles],
       "word_shingles(text, k) - k-word shingles of space-separated text (k must be a literal int)",

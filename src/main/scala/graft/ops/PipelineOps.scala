@@ -196,6 +196,40 @@ object PipelineOps extends QueryPack {
     // constant) so no third raw-doc scan is needed for avg word length —
     // the text column is read twice total: the stopword derivation and
     // the scoring pass, the broadcast-stats floor.
+    // ---- q_text_normalize: Unicode cleanup (r14) -----------------------
+    // The canonical first pass of corpus text cleaning: NFC normalization
+    // (custom codegen'd [[graft.expr.NfcNormalize]] — Spark has no
+    // built-in; mirrors DuckDB's nfc_normalize), control-char strip, and
+    // whitespace collapse (incl. NBSP). The fixture is clean ASCII, so
+    // dirt is SYNTHESIZED deterministically by doc_id % 4 (a decomposed
+    // combining accent / a control char + double space / an NBSP) —
+    // the q_dedup_url variant-synthesis discipline; both engines build
+    // byte-identical raw strings. Output = the per-lang cleanup report
+    // (docs, chars before/after, changed count). One narrow projection +
+    // one hash agg: at 100 TB the cost is a single codegen'd text pass.
+    "q_text_normalize" -> { (s, d) =>
+      val m = col("doc_id") % 4
+      val deco = when(m === 0, // 'e' + combining acute: composes under NFC
+          concat(col("text"), lit(" cafe\u0301")))
+        .when(m === 1, // BEL control char + a double space
+          concat(lit("\u0007"), col("text"), lit("  x")))
+        .when(m === 2, // non-breaking space
+          concat(lit("a\u00A0b "), col("text")))
+        .otherwise(col("text"))
+      val cleaned = trim(regexp_replace(regexp_replace(
+          graft.expr.NfcNormalize.nfc(deco), "[\\p{Cntrl}]", ""),
+        "[\\s\\u00A0]+", " "))
+      Tables.documents(s, d)
+        .select(col("lang"), deco.as("raw"), cleaned.as("clean"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("raw"))).as("chars_raw"),
+          sum(length(col("clean"))).as("chars_clean"),
+          sum(when(col("raw") =!= col("clean"), 1L).otherwise(0L))
+            .as("n_changed"))
+        .orderBy(col("lang"))
+    },
+
     "q_quality_score" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val words = docs.select(col("doc_id"), length(col("text")).as("len"),
@@ -1433,6 +1467,29 @@ object PipelineOps extends QueryPack {
     // Spark twin in SqlDialectTwins via the SAME dedupUrlSql generator.
     "q_dedup_url" -> dedupUrlSql(duck = true),
     "q_ann_recall" -> annRecallSql(duck = true),
+
+    // synthesized dirt (decomposed accent / control char / NBSP) must be
+    // byte-identical to the DSL's lit() escapes; Spark twin in
+    // SqlDialectTwins (nfc_normalize is the registered extension there)
+    "q_text_normalize" -> raw"""
+      WITH deco AS (
+        SELECT lang,
+          CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769)
+               WHEN doc_id % 4 = 1 THEN chr(7) || text || '  x'
+               WHEN doc_id % 4 = 2 THEN 'a' || chr(160) || 'b ' || text
+               ELSE text END AS raw
+        FROM documents),
+      c AS (
+        SELECT lang, raw,
+          trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+            '[[:cntrl:]]', '', 'g'), '[\s\x{00A0}]+', ' ', 'g')) AS clean
+        FROM deco)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+        CAST(sum(length(clean)) AS BIGINT) AS chars_clean,
+        CAST(sum(CASE WHEN raw <> clean THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_changed
+      FROM c GROUP BY lang ORDER BY lang""",
 
     // DuckDB dialect (list indexing, unnest(range)); Spark twin in
     // SqlDialectTwins. Generated from the same BpeMerges constant as the

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The custom expressions (GoTimestampFormat, Md5Prefix60, DotProduct,
-  * WordShingles) claim codegen'd hot paths — this suite proves the
+  * WordShingles, NfcNormalize) claim codegen'd hot paths — this suite proves the
   * generated Java actually compiles and runs by disabling Spark's silent
   * interpreted fallback for every key that uses them. A doGenCode bug
   * would otherwise demote the expression to interpreted eval without
@@ -14,7 +14,7 @@ class CodegenSpec extends AnyFunSuite {
 
   private val keys = Seq("q_expr_go_ts", "q_doc_fingerprint",
     "q_dedup_simhash", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_embed",
-    "q_ann_ivf", "q_similarity_topk", "q_split_sample")
+    "q_ann_ivf", "q_similarity_topk", "q_split_sample", "q_text_normalize")
 
   test("custom-expression keys run under CODEGEN_ONLY with fallback off") {
     val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")

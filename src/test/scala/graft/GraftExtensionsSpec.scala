@@ -44,6 +44,18 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(r.getSeq[String](1) == Seq("a b", "b c"))
   }
 
+  test("nfc_normalize is callable from SQL and composes combining marks") {
+    // 'e' + U+0301 composes to U+00E9; already-NFC input passes through
+    val r = spark.sql(
+      """SELECT nfc_normalize('café') AS composed,
+               length(nfc_normalize('café')) AS n_composed,
+               length('café') AS n_raw,
+               nfc_normalize('plain ascii') AS untouched""").head()
+    assert(r.getString(0) == "café")
+    assert(r.getInt(1) == 4 && r.getInt(2) == 5)
+    assert(r.getString(3) == "plain ascii")
+  }
+
   test("registered functions carry usage docs") {
     val desc = spark.sql("DESCRIBE FUNCTION go_ts").collect()
       .map(_.getString(0)).mkString("\n")

@@ -1147,6 +1147,28 @@ object SqlDialectTwins {
     // dot-product idiom and the array cast differ)
     "q_ann_recall" -> graft.ops.PipelineOps.annRecallSql(duck = false),
 
+    // oracle's chr(n) synthesis -> \uXXXX string escapes; nfc_normalize
+    // is the engine's own registered extension expression here
+    "q_text_normalize" -> raw"""
+      WITH deco AS (
+        SELECT lang,
+          CASE WHEN doc_id % 4 = 0 THEN concat(text, ' café')
+               WHEN doc_id % 4 = 1 THEN concat('', text, '  x')
+               WHEN doc_id % 4 = 2 THEN concat('a b ', text)
+               ELSE text END AS raw
+        FROM documents),
+      c AS (
+        SELECT lang, raw,
+          trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+            '[\\p{Cntrl}]', ''), '[\\s\\u00A0]+', ' ')) AS clean
+        FROM deco)
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+        CAST(sum(length(clean)) AS BIGINT) AS chars_clean,
+        CAST(sum(CASE WHEN raw <> clean THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_changed
+      FROM c GROUP BY lang ORDER BY lang""",
+
     // range-table 1-based list index -> posexplode; generated from the
     // same MiningOps.kmeansSql source as the DuckDB oracle (only the
     // dim-explosion CTE differs — the two unrolled Lloyd rounds are
