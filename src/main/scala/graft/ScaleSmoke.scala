@@ -40,7 +40,8 @@ object ScaleSmoke {
     "q_survival_km", "q_lift_curve", "q_hierarchy_rollup",
     "q_tree_paths", "q_ngram_lm",
     "q_kmeans", "q_sssp",
-    "q_impute", "q_negative_sample")
+    "q_impute", "q_negative_sample",
+    "q_ann_recall", "q_dedup_recall", "q_text_normalize")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -56,6 +57,9 @@ object ScaleSmoke {
   // same time structure — the sweep-stays-small claim made empirical.
   // q_hierarchy_rollup rows-out = node count, a LINEAR pin (closed-form
   // fan-out can't explode candidates; it can only mirror the keyspace).
+  // q_ann_recall / q_dedup_recall rows-out are FLAT pins (5 threshold
+  // rows each at any corpus size); their TIMING ratios measure the exact
+  // arm — the brute-force truth cost that motivates sampling at scale.
   // q_kmeans rows-out is a FLAT pin (k×d grid, scale-invariant as the
   // vector set grows 10×); q_sssp rows-out is a FLAT pin at the node
   // count (suppliers are deliberately unshifted in the synthesis, so the
@@ -69,7 +73,8 @@ object ScaleSmoke {
         "q_basket_lift", "q_dedup_passage",
         "q_survival_km", "q_hierarchy_rollup",
         "q_kmeans", "q_sssp",
-        "q_negative_sample")
+        "q_negative_sample",
+        "q_ann_recall", "q_dedup_recall")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
