@@ -84,8 +84,16 @@ object PixelDecode {
       i += 12 + len.toInt
     }
     if (idat.isEmpty) return None
-    val stride = meta.width * channels
-    val raw = inflate(idat.toArray, meta.height * (stride + 1)) match {
+    // size the decode buffer in LONG math: a corrupt (or adversarial)
+    // IHDR can put width·height·channels past Int.MaxValue, and the Int
+    // product would wrap negative and throw NegativeArraySizeException
+    // out of the decoder — found by MediaDecodeProps bit-flip fuzzing.
+    // 256 MiB bounds a single decode buffer regardless of header claims.
+    val strideL = meta.width.toLong * channels
+    val capL = meta.height.toLong * (strideL + 1L)
+    if (capL <= 0 || capL > (1L << 28)) return None
+    val stride = strideL.toInt
+    val raw = inflate(idat.toArray, capL.toInt) match {
       case Some(r) => r
       case None => return None
     }
