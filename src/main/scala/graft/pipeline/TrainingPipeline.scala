@@ -93,6 +93,21 @@ object TrainingPipeline {
         "\\b[0-9]{3}-[0-9]{3,4}-?[0-9]{0,4}\\b", "<PHONE>"),
         "https?://[^ ]+", "<URL>"))
 
+  /** Unicode cleanup stage (r14, the q_text_normalize op as a pipeline
+    * step): NFC normalization (custom codegen'd NfcNormalize — decomposed
+    * accents, compatibility artifacts from OCR/PDF extraction), control
+    * char strip, whitespace/NBSP collapse, updating n_chars to the clean
+    * length. Narrow projection, zero shuffles; run it BEFORE any digest
+    * stage so byte-variant spellings of the same text dedup together —
+    * a decomposed 'é' and a composed 'é' hash differently raw, NFC makes
+    * them one canonical form. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+        trim(regexp_replace(regexp_replace(
+          graft.expr.NfcNormalize.nfc(col("text")), "[\\p{Cntrl}]", ""),
+          "[\\s\\u00A0]+", " ")))
+      .withColumn("n_chars", length(col("text")))
+
   /** Exact dedup: keep the lowest-id doc per md5(text). One shuffle of
     * (digest, id) — the text column never moves. */
   def dedupExact(docs: DataFrame): DataFrame = {

@@ -41,6 +41,35 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(kept.columns.toSeq == docs.columns.toSeq, "stage changed the schema")
   }
 
+  test("normalizeText canonicalizes byte-variant spellings so dedup unifies them") {
+    import s.implicits._
+    // same logical text in three byte forms: composed é, decomposed
+    // e+U+0301, and decomposed with a control char + NBSP + double space
+    val variants = Seq(
+      (1L, "caf\u00e9 au lait", "x", "x"),
+      (2L, "cafe\u0301 au lait", "x", "x"),
+      (3L, "\u0007cafe\u0301\u00a0au  lait", "x", "x"),
+      (4L, "espresso solo", "x", "x"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val cleaned = TrainingPipeline.normalizeText(variants)
+    // all three variants collapse to ONE byte form; n_chars re-derived
+    val texts = cleaned.select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(texts(1L) == texts(2L) && texts(2L) == texts(3L),
+      s"variants did not canonicalize: $texts")
+    assert(texts(1L)._1 == "caf\u00e9 au lait" && texts(1L)._2 == 12)
+    // and the digest stage now unifies them: one canonical for the three
+    val deduped = TrainingPipeline.dedupExact(cleaned)
+    assert(deduped.count() == 2L)
+    assert(deduped.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 4L))
+    // without normalization NONE of the byte-variants dedup (all four
+    // raw texts are byte-distinct) — the reason the stage runs before
+    // any digest
+    assert(TrainingPipeline.dedupExact(variants).count() == 4L)
+  }
+
   test("exact dedup keeps one doc per distinct text, lowest id") {
     val out = TrainingPipeline.dedupExact(docs)
     assert(out.select(md5(col("text"))).distinct().count() == out.count())
