@@ -103,11 +103,25 @@ object StreamingQueueSink {
     * `ds.writeStream.option("checkpointLocation", ...).foreachBatch(writer(...))`.
     * `makeQueue` is called once per delivery attempt (see class doc item 2);
     * point every instance at the same underlying sink.
-    */
-  def writer[T](makeQueue: () => EventQueue, ledger: BatchIdLedger)(
+    *
+    * DRIVER-LOCAL BY DESIGN (it models the reference's single-producer
+    * client), so the batch is collected — `maxDriverRows` turns the
+    * silent scale trap into a loud failure: a micro-batch past the bound
+    * refuses with a pointer to [[partitionedWriter]] instead of OOMing
+    * the driver mid-stream (r13 verdict "What's wrong" item 3). The count
+    * is one extra cheap job per batch; raise the bound only if the driver
+    * heap is actually sized for it. */
+  def writer[T](makeQueue: () => EventQueue, ledger: BatchIdLedger,
+                maxDriverRows: Long = 1000000L)(
       toEvent: T => Map[String, Any]): (Dataset[T], Long) => Unit =
     (batch, batchId) =>
       if (!ledger.committed(batchId)) {
+        val n = batch.count()
+        require(n <= maxDriverRows,
+          s"micro-batch $batchId has $n rows > maxDriverRows " +
+          s"$maxDriverRows for the driver-local writer — use " +
+          "StreamingQueueSink.partitionedWriter (executor-side queues, " +
+          "no driver collect) for cluster-scale streams")
         val queue = makeQueue()
         batch.collect().foreach(row => queue.enqueue(toEvent(row)).get)
         queue.flush().get

