@@ -98,8 +98,11 @@ object PixelDecode {
       case None => return None
     }
     // reverse filters in place into `recon` (spec §9: a = left, b = up,
-    // c = up-left, all 0 outside the image)
-    val recon = new Array[Int](meta.height * stride)
+    // c = up-left, all 0 outside the image). Bytes, not Ints: samples are
+    // already masked to 8 bits, and an Int array would quadruple the
+    // worst-case per-task buffer (~1 GiB at the 2^28 cap) on top of the
+    // raw + IDAT copies inside mapPartitions.
+    val recon = new Array[Byte](meta.height * stride)
     var row = 0
     while (row < meta.height) {
       val ft = raw(row * (stride + 1)) & 0xff
@@ -107,17 +110,17 @@ object PixelDecode {
       var x = 0
       while (x < stride) {
         val f = raw(row * (stride + 1) + 1 + x) & 0xff
-        val a = if (x >= channels) recon(row * stride + x - channels) else 0
-        val up = if (row > 0) recon((row - 1) * stride + x) else 0
+        val a = if (x >= channels) recon(row * stride + x - channels) & 0xff else 0
+        val up = if (row > 0) recon((row - 1) * stride + x) & 0xff else 0
         val c = if (row > 0 && x >= channels)
-          recon((row - 1) * stride + x - channels) else 0
-        recon(row * stride + x) = ft match {
+          recon((row - 1) * stride + x - channels) & 0xff else 0
+        recon(row * stride + x) = (ft match {
           case 0 => f
           case 1 => (f + a) & 0xff
           case 2 => (f + up) & 0xff
           case 3 => (f + (a + up) / 2) & 0xff
           case 4 => (f + paeth(a, up, c)) & 0xff
-        }
+        }).toByte
         x += 1
       }
       row += 1
@@ -129,9 +132,9 @@ object PixelDecode {
     while (p < nPix) {
       val o = p * channels
       sum += (colorType match {
-        case 0 | 4 => recon(o).toDouble
-        case _ => 0.299 * recon(o) + 0.587 * recon(o + 1) +
-                  0.114 * recon(o + 2)
+        case 0 | 4 => (recon(o) & 0xff).toDouble
+        case _ => 0.299 * (recon(o) & 0xff) + 0.587 * (recon(o + 1) & 0xff) +
+                  0.114 * (recon(o + 2) & 0xff)
       })
       p += 1
     }

@@ -199,7 +199,8 @@ object PipelineOps extends QueryPack {
     // ---- q_text_normalize: Unicode cleanup (r14) -----------------------
     // The canonical first pass of corpus text cleaning: NFC normalization
     // (custom codegen'd [[graft.expr.NfcNormalize]] — Spark has no
-    // built-in; mirrors DuckDB's nfc_normalize), control-char strip, and
+    // built-in; mirrors DuckDB's nfc_normalize), control-char → space
+    // (delete would weld words across \n/\t line breaks), and
     // whitespace collapse (incl. NBSP). The fixture is clean ASCII, so
     // dirt is SYNTHESIZED deterministically by doc_id % 4 (a decomposed
     // combining accent / a control char + double space / an NBSP) —
@@ -217,7 +218,7 @@ object PipelineOps extends QueryPack {
           concat(lit("a\u00A0b "), col("text")))
         .otherwise(col("text"))
       val cleaned = trim(regexp_replace(regexp_replace(
-          graft.expr.NfcNormalize.nfc(deco), "[\\p{Cntrl}]", ""),
+          graft.expr.NfcNormalize.nfc(deco), "[\\p{Cntrl}]", " "),
         "[\\s\\u00A0]+", " "))
       Tables.documents(s, d)
         .select(col("lang"), deco.as("raw"), cleaned.as("clean"))
@@ -1482,7 +1483,7 @@ object PipelineOps extends QueryPack {
       c AS (
         SELECT lang, raw,
           trim(regexp_replace(regexp_replace(nfc_normalize(raw),
-            '[[:cntrl:]]', '', 'g'), '[\s\x{00A0}]+', ' ', 'g')) AS clean
+            '[[:cntrl:]]', ' ', 'g'), '[\s\x{00A0}]+', ' ', 'g')) AS clean
         FROM deco)
       SELECT lang, count(*) AS n_docs,
         CAST(sum(length(raw)) AS BIGINT) AS chars_raw,

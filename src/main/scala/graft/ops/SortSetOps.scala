@@ -49,10 +49,14 @@ object SortSetOps extends QueryPack {
         .withColumn("band", band)
       // bucket order mirrors the sort order: segment asc, band DESC
       // (acctbal sorts descending, and floor is monotone)
+      // ordered IN THE PLAN, not on the driver: Spark's UTF8String binary
+      // (code-point) comparator must define the segment order everywhere —
+      // a driver-side Scala sortBy would compare UTF-16 code units and
+      // diverge from the executor windows on supplementary-plane strings
       val counts = base.groupBy(col("c_mktsegment"), col("band"))
         .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_mktsegment"), col("band").desc)
         .collect()
-        .sortBy(r => (r.getString(0), -r.getLong(1)))
       val offsets = counts.scanLeft(0L)(_ + _.getAs[Long]("cnt")).init
       import s.implicits._
       // LocalRelation (not parallelize): the offsets ride the plan as a

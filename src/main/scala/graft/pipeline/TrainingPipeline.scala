@@ -95,8 +95,9 @@ object TrainingPipeline {
 
   /** Unicode cleanup stage (r14, the q_text_normalize op as a pipeline
     * step): NFC normalization (custom codegen'd NfcNormalize — decomposed
-    * accents, compatibility artifacts from OCR/PDF extraction), control
-    * char strip, whitespace/NBSP collapse, updating n_chars to the clean
+    * accents, compatibility artifacts from OCR/PDF extraction),
+    * control-char → space (NOT delete: \n/\t/\r must separate words, never
+    * weld them), whitespace/NBSP collapse, updating n_chars to the clean
     * length. Narrow projection, zero shuffles; run it BEFORE any digest
     * stage so byte-variant spellings of the same text dedup together —
     * a decomposed 'é' and a composed 'é' hash differently raw, NFC makes
@@ -104,7 +105,7 @@ object TrainingPipeline {
   def normalizeText(docs: DataFrame): DataFrame =
     docs.withColumn("text",
         trim(regexp_replace(regexp_replace(
-          graft.expr.NfcNormalize.nfc(col("text")), "[\\p{Cntrl}]", ""),
+          graft.expr.NfcNormalize.nfc(col("text")), "[\\p{Cntrl}]", " "),
           "[\\s\\u00A0]+", " ")))
       .withColumn("n_chars", length(col("text")))
 

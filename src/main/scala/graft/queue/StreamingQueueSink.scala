@@ -108,22 +108,27 @@ object StreamingQueueSink {
     * client), so the batch is collected — `maxDriverRows` turns the
     * silent scale trap into a loud failure: a micro-batch past the bound
     * refuses with a pointer to [[partitionedWriter]] instead of OOMing
-    * the driver mid-stream (r13 verdict "What's wrong" item 3). The count
-    * is one extra cheap job per batch; raise the bound only if the driver
-    * heap is actually sized for it. */
+    * the driver mid-stream (r13 verdict "What's wrong" item 3). The bound
+    * is enforced in the SAME job as the collect — `limit(max+1)` — so the
+    * batch lineage executes once per delivery attempt, not twice (a
+    * count() would be a full recomputation of the source, not a metadata
+    * lookup); raise the bound only if the driver heap is actually sized
+    * for it. */
   def writer[T](makeQueue: () => EventQueue, ledger: BatchIdLedger,
-                maxDriverRows: Long = 1000000L)(
+                maxDriverRows: Int = 1000000)(
       toEvent: T => Map[String, Any]): (Dataset[T], Long) => Unit =
     (batch, batchId) =>
       if (!ledger.committed(batchId)) {
-        val n = batch.count()
-        require(n <= maxDriverRows,
-          s"micro-batch $batchId has $n rows > maxDriverRows " +
-          s"$maxDriverRows for the driver-local writer — use " +
+        require(maxDriverRows < Int.MaxValue,
+          "maxDriverRows must leave headroom for the +1 overflow probe")
+        val rows = batch.limit(maxDriverRows + 1).collect()
+        require(rows.length <= maxDriverRows,
+          s"micro-batch $batchId has > maxDriverRows " +
+          s"$maxDriverRows rows for the driver-local writer — use " +
           "StreamingQueueSink.partitionedWriter (executor-side queues, " +
           "no driver collect) for cluster-scale streams")
         val queue = makeQueue()
-        batch.collect().foreach(row => queue.enqueue(toEvent(row)).get)
+        rows.foreach(row => queue.enqueue(toEvent(row)).get)
         queue.flush().get
         ledger.commit(batchId)
       }

@@ -1160,7 +1160,7 @@ object SqlDialectTwins {
       c AS (
         SELECT lang, raw,
           trim(regexp_replace(regexp_replace(nfc_normalize(raw),
-            '[\\p{Cntrl}]', ''), '[\\s\\u00A0]+', ' ')) AS clean
+            '[\\p{Cntrl}]', ' '), '[\\s\\u00A0]+', ' ')) AS clean
         FROM deco)
       SELECT lang, count(*) AS n_docs,
         CAST(sum(length(raw)) AS BIGINT) AS chars_raw,

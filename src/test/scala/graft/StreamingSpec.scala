@@ -485,7 +485,8 @@ class StreamingSpec extends AnyFunSuite {
   test("driver-local writer refuses an over-bound batch without delivering or committing") {
     // r13 verdict "What's wrong" item 3 made loud: the driver-collect
     // writer is the reference-client model — past maxDriverRows it must
-    // fail the query BEFORE collecting (no partial delivery, ledger
+    // fail the query BEFORE delivering anything (the bounded
+    // limit(max+1) probe caps what reaches the driver, the ledger stays
     // uncommitted) and point at partitionedWriter.
     import spark.implicits._
     val sink = new InMemorySink
@@ -493,7 +494,7 @@ class StreamingSpec extends AnyFunSuite {
     val ledger = new BatchIdLedger(s"$ckpt/queue-ledger")
     val deliver = StreamingQueueSink.writer[String](
       () => EventQueue.withOpts("s", "", 300, "", "", sink).get, ledger,
-      maxDriverRows = 3L)(s => Map("event" -> s))
+      maxDriverRows = 3)(s => Map("event" -> s))
     val input = MemoryStream[String](spark)
     val q = input.toDS().writeStream
       .option("checkpointLocation", ckpt)

@@ -70,6 +70,25 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(TrainingPipeline.dedupExact(variants).count() == 4L)
   }
 
+  test("normalizeText collapses newlines/tabs to a space, never concatenating words") {
+    import s.implicits._
+    // \n \t \r\n are the control chars real documents actually carry;
+    // deleting them (instead of replacing with a space) would weld words
+    // across line breaks and silently corrupt every downstream shingle
+    val docs = Seq(
+      (1L, "hello\nworld", "x", "x"),
+      (2L, "a\tb\r\nc", "x", "x"),
+      (3L, "line one\n\nline two", "x", "x"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+    val texts = TrainingPipeline.normalizeText(docs)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "hello world", s"newline welded words: ${texts(1L)}")
+    assert(texts(2L) == "a b c", s"tab/CRLF mishandled: ${texts(2L)}")
+    assert(texts(3L) == "line one line two", s"blank line: ${texts(3L)}")
+  }
+
   test("exact dedup keeps one doc per distinct text, lowest id") {
     val out = TrainingPipeline.dedupExact(docs)
     assert(out.select(md5(col("text"))).distinct().count() == out.count())
