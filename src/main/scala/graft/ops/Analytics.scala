@@ -1258,6 +1258,45 @@ object Analytics extends QueryPack {
       .orderBy(col("custkey"))
   }
 
+  /** The IMPLEMENTED corpus-scale swap for q_auc (SCALE.md q_auc row;
+    * exact form: the collapse-then-sweep at Analytics "q_auc" above).
+    * With CONTINUOUS scores |distinct scores| ≈ |rows|, so the exact
+    * rank-sum sweep's global-order window would sort a fact-sized frame.
+    * Quantizing the score to a fixed `quantum` bounds the sweep domain
+    * BY CONSTRUCTION (range/quantum buckets — independent of row count):
+    * one fact-sized two-phase hash agg collapses to the bucket grain,
+    * the bounded bucket frame rides to the driver (the q_sort_multi
+    * O(|buckets|) offsets discipline), the strictly-below negative
+    * prefix is a plain driver scan, and the readout aggregates the
+    * enriched LocalRelation — no Window, no Sort, no shuffle past the
+    * collapse. Quantization error: scores inside one quantum become ties
+    * and take the standard half credit, so |Δauc| is bounded by the pair
+    * mass that lands within `quantum` of each other. */
+  def aucApprox(s: SparkSession, d: String,
+                quantum: Double = 0.1): DataFrame = {
+    import s.implicits._
+    val buckets = Tables.events(s, d)
+      .select(floor(col("value") / quantum).cast("long").as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("b"))
+      .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+      .collect()
+      .sortBy(_.getLong(0))
+    var cum = 0L
+    val enriched = buckets.map { r =>
+      val out = (r.getLong(0), r.getAs[Long]("pos"), r.getAs[Long]("neg"), cum)
+      cum += r.getAs[Long]("neg")
+      out
+    }.toSeq
+    enriched.toDF("b", "pos", "neg", "cum_neg")
+      .agg(
+        round(sum(col("pos") * (lit(2) * col("cum_neg") + col("neg")))
+            .cast("double") /
+          (lit(2) * sum(col("pos")) * sum(col("neg"))).cast("double"), 4)
+          .as("auc"),
+        sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q_funnel" -> """
       WITH per_user AS (

@@ -466,6 +466,51 @@ object EvalOps extends QueryPack {
       .orderBy(col("bin"))
   }
 
+  /** The IMPLEMENTED corpus-scale swap for q_lift_curve (SCALE.md
+    * q_lift_curve row; exact form: the collapse-then-sweep at EvalOps
+    * "q_lift_curve" above, which inherits q_auc's discipline). With
+    * continuous scores the exact form's ordered sweep runs over a
+    * fact-sized |distinct scores| frame; quantizing to a fixed `quantum`
+    * bounds it by construction. One fact-sized hash agg to the bucket
+    * grain, the bounded frame to the driver (q_sort_multi offsets
+    * discipline), the desc cumulative walk + decile assignment as a
+    * plain driver scan, and the decile readout aggregates the enriched
+    * LocalRelation — no Window anywhere; the only Sort orders the
+    * ≤10-row decile output. A bucket straddling a decile boundary lands
+    * wholly in one decile (the same whole-group rule the exact form
+    * applies at score grain), so per-decile counts drift by at most one
+    * bucket's mass. */
+  def liftCurveApprox(s: SparkSession, d: String,
+                      quantum: Double = 0.1): DataFrame = {
+    import s.implicits._
+    val buckets = Tables.events(s, d)
+      .select(floor(col("value") / quantum).cast("long").as("b"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("tot"), sum(col("y")).as("pos"))
+      .collect()
+      .sortBy(-_.getLong(0)) // desc: best scores first
+    val n = buckets.map(_.getAs[Long]("tot")).sum
+    val p = buckets.map(_.getAs[Long]("pos")).sum
+    var cumTot = 0L
+    var cumPos = 0L
+    val enriched = buckets.map { r =>
+      cumTot += r.getAs[Long]("tot")
+      cumPos += r.getAs[Long]("pos")
+      (math.min(cumTot * 10 / n, 9L).toInt,
+        r.getAs[Long]("tot"), r.getAs[Long]("pos"), cumPos)
+    }.toSeq
+    enriched.toDF("decile", "tot", "pos", "cum_pos")
+      .groupBy(col("decile"))
+      .agg(sum(col("tot")).as("n_rows"), sum(col("pos")).as("n_pos"),
+        round(max(col("cum_pos")).cast("double") / p.toDouble, 4)
+          .as("capture"),
+        round((sum(col("pos")).cast("double") /
+            sum(col("tot")).cast("double")) /
+          (p.toDouble / n.toDouble), 4).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   def oracles: Map[String, String] = Map(
 
     // Portable (DuckDB ∩ Spark) — own Spark twin via SqlOracleReuseSpec.

@@ -755,6 +755,46 @@ object MiningOps extends QueryPack {
       .orderBy(col("event_type"))
   }
 
+  /** The IMPLEMENTED corpus-scale swap for q_pr_auc (SCALE.md q_pr_auc
+    * row; exact form: the collapse-then-sweep at MiningOps "q_pr_auc"
+    * above). The logistic score lives in (0,1) by construction, so the
+    * quantized domain is exactly `nBuckets` cells regardless of corpus
+    * size: one fact-sized hash agg collapses to the bucket grain, the
+    * bounded frame rides to the driver (q_sort_multi offsets
+    * discipline), the score-DESC inclusive prefix is a plain driver
+    * scan, and the step-interpolated Δrecall·precision terms aggregate
+    * over the enriched LocalRelation — no Window, no Sort, no shuffle
+    * past the collapse. */
+  def prAucApprox(s: SparkSession, d: String,
+                  nBuckets: Int = 4096): DataFrame = {
+    import s.implicits._
+    val buckets = Tables.events(s, d)
+      .select((lit(1.0) / (lit(1.0) +
+          exp(-(col("value") - lit(50.0)) / lit(10.0)))).as("p"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .select(least(floor(col("p") * nBuckets), lit(nBuckets - 1L))
+        .cast("long").as("b"), col("y"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+      .collect()
+      .sortBy(-_.getLong(0)) // the sweep walks scores descending
+    val posTot = buckets.map(_.getAs[Long]("npos")).sum
+    var cumN = 0L
+    var cumPos = 0L
+    val enriched = buckets.map { r =>
+      cumN += r.getAs[Long]("n")
+      cumPos += r.getAs[Long]("npos")
+      (r.getAs[Long]("n"), r.getAs[Long]("npos"), cumN, cumPos)
+    }.toSeq
+    enriched.toDF("n", "npos", "cum_n", "cum_pos")
+      .select(col("n"),
+        round((col("npos").cast("double") / lit(posTot).cast("double")) *
+          (col("cum_pos").cast("double") / col("cum_n").cast("double")), 6)
+          .cast(DecimalType(18, 6)).as("term"))
+      .agg(sum(col("n")).as("n"), max(lit(posTot)).as("n_pos"),
+        round(sum(col("term")).cast("double"), 4).as("auc_pr"))
+  }
+
   /** Single source for the q_negative_sample oracle AND its Spark twin —
     * only the 60-bit digest idiom differs (DuckDB hex-prefix cast vs the
     * registered md5_prefix60 extension function). */

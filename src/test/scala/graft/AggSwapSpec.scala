@@ -121,6 +121,71 @@ class AggSwapSpec extends AnyFunSuite {
     }
   }
 
+  // The r15 continuous-score sweep family (VERDICT r14 item 2): the exact
+  // forms sweep an ordered |distinct scores| frame — fact-sized when
+  // scores are continuous. Each swap quantizes the score to a fixed-size
+  // bucket domain, collapses facts with ONE hash agg, and runs the sweep
+  // over the bounded bucket frame via the q_sort_multi driver-offsets
+  // discipline. The returned plan must carry NO Window and NO fact scan:
+  // everything past the collapse rides a LocalRelation.
+
+  test("aucApprox tracks q_auc with no window and no sort in the readout") {
+    val approx = graft.ops.Analytics.aucApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sweep must not window")
+    assert(!plan.contains("Sort"), "sweep must not sort")
+    assert(!plan.contains("Scan parquet"),
+      "readout must aggregate the bounded LocalRelation, not rescan facts")
+    val e = q("q_auc").head()
+    val a = approx.head()
+    // quantization never drops rows — the label counts stay exact
+    assert(a.getAs[Long]("n_pos") == e.getAs[Long]("n_pos"))
+    assert(a.getAs[Long]("n_neg") == e.getAs[Long]("n_neg"))
+    close(a.getAs[Double]("auc"), e.getAs[Double]("auc"), 0.02, "auc")
+  }
+
+  test("prAucApprox tracks q_pr_auc with no window and no sort in the readout") {
+    val approx = graft.ops.MiningOps.prAucApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sweep must not window")
+    assert(!plan.contains("Sort"), "sweep must not sort")
+    assert(!plan.contains("Scan parquet"),
+      "readout must aggregate the bounded LocalRelation, not rescan facts")
+    val e = q("q_pr_auc").head()
+    val a = approx.head()
+    assert(a.getAs[Long]("n") == e.getAs[Long]("n"))
+    assert(a.getAs[Long]("n_pos") == e.getAs[Long]("n_pos"))
+    close(a.getAs[Double]("auc_pr"), e.getAs[Double]("auc_pr"), 0.02, "auc_pr")
+  }
+
+  test("liftCurveApprox tracks q_lift_curve per decile, window-free") {
+    val approx = graft.ops.EvalOps.liftCurveApprox(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sweep must not window")
+    assert(!plan.contains("Scan parquet"),
+      "readout must aggregate the bounded LocalRelation, not rescan facts")
+    val exact = q("q_lift_curve").collect()
+      .map(r => r.getAs[Int]("decile") -> r).toMap
+    val rows = approx.collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSet == exact.keySet)
+    // totals are conserved exactly; per-decile masses drift by at most
+    // one straddling bucket (whole-group decile rule at bucket grain)
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      exact.values.map(_.getAs[Long]("n_rows")).sum)
+    assert(rows.map(_.getAs[Long]("n_pos")).sum ==
+      exact.values.map(_.getAs[Long]("n_pos")).sum)
+    rows.foreach { a =>
+      val e = exact(a.getAs[Int]("decile"))
+      close(a.getAs[Long]("n_rows").toDouble,
+        e.getAs[Long]("n_rows").toDouble, 0.03,
+        s"decile ${a.getAs[Int]("decile")} n_rows")
+      close(a.getAs[Double]("capture"), e.getAs[Double]("capture"), 0.03,
+        s"decile ${a.getAs[Int]("decile")} capture")
+      close(a.getAs[Double]("lift"), e.getAs[Double]("lift"), 0.10,
+        s"decile ${a.getAs[Int]("decile")} lift")
+    }
+  }
+
   test("similarityTopKBlocked == q_similarity_topk row-for-row") {
     val blocked = graft.ops.TextOps.similarityTopKBlocked(spark, TestSpark.Sf0001)
     val plan = blocked.queryExecution.executedPlan.toString
