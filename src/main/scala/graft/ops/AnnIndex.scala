@@ -1,0 +1,164 @@
+package graft.ops
+
+import graft.sources.SnapshotLake
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (inverted-file) index for approximate nearest-neighbor
+  * serving — the production shape the query-time-built `ivfTopK`
+  * deliberately is not (r14 verdict item: "a production vector pipeline
+  * builds the index once and serves many probes from it").
+  *
+  * Layout: one index root = two [[SnapshotLake]] tables —
+  *  - `<root>/centroids`: (cid INT, carr ARRAY<DOUBLE>) — the k-means
+  *    TRAINED list centroids (not arbitrary seed vectors), tiny,
+  *    broadcast at every serve.
+  *  - `<root>/lists`: (cid INT, vec_id LONG, vec ARRAY<DOUBLE>, nrm
+  *    DOUBLE) — the inverted lists themselves: each corpus vector stored
+  *    WITH its norm under its nearest centroid, range-laid-out by cid so
+  *    a probe's `cid IN (...)` scan prunes to the probed lists'
+  *    row-groups instead of the corpus.
+  *
+  * Training is SPHERICAL k-means under the q_kmeans exact-arithmetic
+  * discipline: assignment by cosine (sequential-order dot products —
+  * bit-reproducible cross-engine, the proven q_ann_recall idiom), ties
+  * to the smallest cid, re-estimated centroids round-6 means from exact
+  * decimal sums. Cosine to a mean is scale-invariant, so the means
+  * serve directly as list centroids.
+  * Training runs on a deterministic SAMPLE (`vec_id % sampleMod == 0`)
+  * — the standard IVF practice; only the final full-corpus assignment
+  * touches every vector, and that pass is one narrow broadcast
+  * projection (no shuffle to assign).
+  *
+  * Scale: centroids are O(√n) rows (the classic nLists ≈ √n rule), the
+  * lists table is corpus-sized but append-only — [[append]] assigns ONLY
+  * the new vectors against the persisted centroids and commits an
+  * incremental snapshot, so index maintenance never rewrites history.
+  * Serving reads `nProbe/nLists` of the corpus per probe batch.
+  */
+object AnnIndex {
+
+  /** Double-array dot product (HOF form): the index stores vectors as
+    * ARRAY<DOUBLE> (the trained-centroid arithmetic needs doubles), so
+    * the codegen'd float-only DotProduct expression does not apply. */
+  private[ops] def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+
+  /** Per-vector ordered centroid preferences, computed IN-ROW: one
+    * broadcast of the (sorted) centroid array (norms precomputed), one
+    * `transform` building (-cos, cid) structs, one `array_sort` — no
+    * explode, no shuffle, and the nLists× fan-out never materializes.
+    * COSINE is the assignment metric everywhere (spherical k-means):
+    * the serve-time score is cosine, so list membership and probe
+    * routing must rank by the same geometry — Euclidean assignment
+    * measurably loses recall at fixed nProbe (AnnIndexSpec history).
+    * Cosine to a mean centroid is scale-invariant, so the Lloyd means
+    * never need renormalizing. Output column `clist` is the (-cos, cid)
+    * struct array ascending = cosine DESC, ties to the smaller cid. */
+  private def withClist(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val oneRow = cents
+      .select(col("cid"), col("carr"),
+        sqrt(dotD(col("carr"), col("carr"))).as("cnrm"))
+      .agg(array_sort(collect_list(
+        struct(col("cid"), col("carr"), col("cnrm")))).as("cents"))
+    vecs.crossJoin(broadcast(oneRow))
+      .withColumn("clist", array_sort(transform(col("cents"),
+        c => struct(
+          (-(dotD(col("vec"), c.getField("carr")) /
+            (col("nrm") * c.getField("cnrm")))).as("negcos"),
+          c.getField("cid").as("cid")))))
+      .drop("cents")
+  }
+
+  /** Best-cosine centroid id per vector (the spherical-Lloyd assignment /
+    * the list a vector files under). */
+  private def assignCid(vecs: DataFrame, cents: DataFrame): DataFrame =
+    withClist(vecs, cents)
+      .withColumn("cid", element_at(col("clist"), 1).getField("cid"))
+      .drop("clist")
+
+  /** Normalize an embeddings frame to (vec_id, vec ARRAY<DOUBLE>, nrm). */
+  private def vecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("vec"))
+      .withColumn("nrm", sqrt(dotD(col("vec"), col("vec"))))
+
+  /** Train `nLists` centroids with one Lloyd re-estimation round over the
+    * deterministic `vec_id % sampleMod == 0` sample (init = the sample's
+    * first nLists vec_ids, round-6 — the q_kmeans fixed-seed convention).
+    * Returns (cid INT, carr ARRAY<DOUBLE round-6>). */
+  def trainCentroids(emb: DataFrame, nLists: Int,
+                     sampleMod: Int = 1): DataFrame = {
+    val sample = vecsOf(emb).filter(col("vec_id") % sampleMod === 0)
+    val c0 = sample.filter(col("vec_id") < nLists.toLong * sampleMod)
+      .select((col("vec_id") / sampleMod).cast("int").as("cid"),
+        transform(col("vec"), v => round(v, 6)).as("carr"))
+    val a1 = assignCid(sample, c0)
+    a1.select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(sum(col("v").cast(org.apache.spark.sql.types
+          .DecimalType(28, 10))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("c"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        pc => pc.getField("c")).as("carr"))
+  }
+
+  /** Build the persisted index: train centroids, assign every vector,
+    * commit both tables as fresh snapshots. Returns the lists snapshot
+    * id. The lists frame is range-partitioned by cid before the write so
+    * each parquet file covers a contiguous cid band (probe-side
+    * data-skipping). */
+  def build(emb: DataFrame, root: String, nLists: Int,
+            sampleMod: Int = 1): Long = {
+    val cents = trainCentroids(emb, nLists, sampleMod).localCheckpoint()
+    SnapshotLake.commit(cents, s"$root/centroids", append = false)
+    val lists = assignCid(vecsOf(emb), cents)
+      .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+      .repartitionByRange(col("cid"))
+    SnapshotLake.commit(lists, s"$root/lists", append = false)
+  }
+
+  /** Incremental maintenance: assign ONLY the new vectors against the
+    * PERSISTED centroids and append one snapshot to the lists table —
+    * history (and every `readAt`) stays byte-stable, centroids untouched.
+    * Returns the new lists snapshot id. */
+  def append(spark: SparkSession, newEmb: DataFrame, root: String): Long = {
+    val cents = SnapshotLake.readLatest(spark, s"$root/centroids")
+    val lists = assignCid(vecsOf(newEmb), cents)
+      .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+      .repartitionByRange(col("cid"))
+    SnapshotLake.commit(lists, s"$root/lists", append = true)
+  }
+
+  /** Serve cosine top-`k` for a (probe_id, pe ARRAY<DOUBLE>) query frame
+    * from the persisted index: broadcast the centroid table, rank each
+    * probe's lists by exact sqDist (ascending, ties to smaller cid),
+    * scan only the `nProbe` nearest lists, score round-4 cosine, keep
+    * k per probe. `nProbe = nLists` degrades to exact brute force
+    * (AnnIndexSpec pins the identity). */
+  def topK(spark: SparkSession, root: String, queries: DataFrame,
+           nProbe: Int, k: Int): DataFrame = {
+    val cents = SnapshotLake.readLatest(spark, s"$root/centroids")
+    val lists = SnapshotLake.readLatest(spark, s"$root/lists")
+    val plists = withClist(
+        queries.select(col("probe_id").as("vec_id"), col("pe").as("vec"))
+          .withColumn("nrm", sqrt(dotD(col("vec"), col("vec")))),
+        cents)
+      .select(col("vec_id").as("probe_id"), col("vec").as("pe"),
+        col("nrm").as("pnrm"),
+        posexplode(slice(col("clist"), 1, nProbe)).as(Seq("pp", "dc")))
+      .select(col("probe_id"), col("pe"), col("pnrm"),
+        col("dc").getField("cid").as("cid"))
+    plists.join(lists, Seq("cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotD(col("pe"), col("vec")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+  }
+}

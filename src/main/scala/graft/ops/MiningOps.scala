@@ -115,7 +115,7 @@ object MiningOps extends QueryPack {
     * array: per-dim terms rounded to 6 then summed as exact decimals in
     * a sequential fold — the value is order-independent (exact), so the
     * oracle's any-order SUM over exploded dims matches bit-for-bit. */
-  private def sqDist(vec: Column, carr: Column): Column =
+  private[ops] def sqDist(vec: Column, carr: Column): Column =
     aggregate(
       zip_with(vec, carr, (a, b) =>
         round((a - b) * (a - b), 6).cast(DecimalType(28, 10))),

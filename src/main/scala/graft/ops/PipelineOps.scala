@@ -1214,12 +1214,22 @@ object PipelineOps extends QueryPack {
     val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
-    val cents = e.filter(col("vec_id") < nLists)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
-              col("nrm").as("cnrm"))
+    // r15: the inverted lists hang off TRAINED centroids — the same
+    // spherical-Lloyd round [[AnnIndex.trainCentroids]] persists for the
+    // production index — instead of the first nLists raw vectors. The
+    // 16-row centroid frame is localCheckpointed because both the
+    // assignment and the probe-routing arms consume it (re-deriving it
+    // would re-run the training job). Mixed float/double dots go through
+    // the double HOF (the centroid means are doubles); the cosine values
+    // stay bit-reproducible cross-engine (sequential-order sums).
+    val cents = AnnIndex.trainCentroids(Tables.embeddings(s, d), nLists)
+      .select(col("cid").as("cent_id"), col("carr").as("ce"),
+        sqrt(AnnIndex.dotD(col("carr"), col("carr"))).as("cnrm"))
+      .localCheckpoint()
+    val vd = transform(col("embedding"), v => v.cast("double"))
     val asg = e.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        (dot(col("embedding"), col("ce")) /
+        (AnnIndex.dotD(vd, col("ce")) /
           (col("nrm") * col("cnrm"))).as("cc"))
       .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
         .orderBy(col("cc").desc, col("cent_id"))))
@@ -1238,7 +1248,8 @@ object PipelineOps extends QueryPack {
       .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
     val plists = probes.join(broadcast(cents))
       .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
-        (dot(col("pe"), col("ce")) /
+        (AnnIndex.dotD(transform(col("pe"), v => v.cast("double")),
+          col("ce")) /
           (col("pnrm") * col("cnrm"))).as("pc"))
       .withColumn("plrn", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("pc").desc, col("cent_id"))))
@@ -1299,10 +1310,43 @@ object PipelineOps extends QueryPack {
     }.mkString(",")
     val ivfUnion = nps.map(np => s"SELECT * FROM ivf$np")
       .mkString(" UNION ALL ")
+    // r15: the lists hang off TRAINED centroids — one spherical-Lloyd
+    // round (cosine assignment to the round-6 seed vectors, then round-6
+    // exact-decimal means), the same arithmetic AnnIndex.trainCentroids
+    // runs for the persisted index. Dialect splits: element round-6 over
+    // the array, the dim explosion, and the ordered array reassembly.
+    val r6 =
+      if (duck) "list_transform(v, x -> round(x, 6))"
+      else "transform(v, x -> round(x, 6))"
+    val exg =
+      if (duck) s"""
+        SELECT vec_id, CAST(t.r AS INT) AS pos,
+               v[CAST(t.r AS INT) + 1] AS vv
+        FROM e, range(${MiningOps.KmDims}) t(r)"""
+      else """
+        SELECT vec_id, pos, vv FROM e
+        LATERAL VIEW posexplode(v) t AS pos, vv"""
+    val relist =
+      if (duck) "list(c ORDER BY pos)"
+      else "transform(array_sort(collect_list(struct(pos, c))), pc -> pc.c)"
     s"""
       WITH e AS (SELECT vec_id, $cast AS v FROM embeddings),
-      cents AS (
-        SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id < 16),
+      seeds AS (
+        SELECT CAST(vec_id AS INT) AS cid, $r6 AS c
+        FROM e WHERE vec_id < 16),
+      ka AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, s.cid,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "s.c")} DESC, s.cid) AS rn
+          FROM e, seeds s) WHERE rn = 1),
+      exg AS ($exg),
+      cgrid AS (
+        SELECT a.cid, x.pos,
+          round(CAST(sum(CAST(x.vv AS DECIMAL(28,10))) AS DOUBLE) /
+                CAST(count(*) AS DOUBLE), 6) AS c
+        FROM exg x JOIN ka a USING (vec_id) GROUP BY a.cid, x.pos),
+      cents AS (SELECT cid AS cent_id, $relist AS ce FROM cgrid GROUP BY cid),
       asg AS (
         SELECT vec_id, cent_id FROM (
           SELECT e.vec_id, c.cent_id,

@@ -1,0 +1,171 @@
+package graft
+
+import graft.ops.AnnIndex
+import graft.sources.SnapshotLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index (r14 verdict item 3): centroids TRAINED with
+  * the q_kmeans Lloyd discipline (not arbitrary seed vectors), index
+  * built once as SnapshotLake tables, served many times, maintained by
+  * incremental append — with the training math pinned by an independent
+  * driver-side recomputation and serving pinned by the brute-force
+  * degradation identity. */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val NLists = 16
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def emb: DataFrame = Tables.embeddings(s, TestSpark.Sf0001)
+
+  test("trainCentroids == an independent driver-side Lloyd round") {
+    val got = AnnIndex.trainCentroids(emb, NLists).collect()
+      .map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("carr").toSeq).toMap
+    assert(got.keySet == (0 until NLists).toSet)
+
+    // independent recomputation: plain Scala spherical Lloyd — cosine
+    // assignment via sequential-order dot products (the cross-engine
+    // determinism idiom), ties to the smallest cid, round-6 re-estimated
+    // means from exact decimal sums
+    val vecs = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+      s0
+    }
+    val seeds = vecs.take(NLists).map { case (id, v) =>
+      id.toInt -> v.map(x => r6(x).toDouble)
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val coss = seeds.map { case (cid, c) =>
+        cid -> dot(v, c) / (nrm * math.sqrt(dot(c, c)))
+      }
+      id -> coss.minBy { case (cid, cs) => (-cs, cid) }._1
+    }
+    val byId = vecs.toMap
+    val expect = assigned.groupBy(_._2).map { case (cid, members) =>
+      val vs = members.map(m => byId(m._1))
+      cid -> vs.head.indices.map { i =>
+        val sum = vs.map(v => BigDecimal(v(i)).setScale(10,
+          BigDecimal.RoundingMode.HALF_UP)).foldLeft(BigDecimal(0))(_ + _)
+        r6(sum.toDouble / vs.length).toDouble
+      }.toSeq
+    }
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (cid, carr) =>
+      assert(carr == expect(cid), s"centroid $cid drifted")
+    }
+  }
+
+  test("build persists both tables; every vector filed under exactly one list") {
+    val root = tmpDir("ann_idx")
+    AnnIndex.build(emb, root, NLists)
+    val cents = SnapshotLake.readLatest(s, s"$root/centroids")
+    assert(cents.count() == NLists)
+    val lists = SnapshotLake.readLatest(s, s"$root/lists")
+    assert(lists.count() == emb.count(), "a vector is missing from the lists")
+    assert(lists.select("vec_id").distinct().count() == emb.count(),
+      "a vector is filed under two lists")
+    // the inverted layout is live: every list id is a trained centroid id
+    val cids = lists.select("cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(cids.subsetOf((0 until NLists).toSet))
+  }
+
+  test("append assigns only new vectors against persisted centroids; history byte-stable") {
+    val root = tmpDir("ann_idx_inc")
+    val old = emb.filter(col("vec_id") < 400)
+    val fresh = emb.filter(col("vec_id") >= 400)
+    AnnIndex.build(old, root, NLists)
+    val firstId = SnapshotLake.latest(s, s"$root/lists").get
+    val centsBefore = SnapshotLake.readLatest(s, s"$root/centroids").collect()
+      .map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("carr").toSeq).toMap
+
+    AnnIndex.append(s, fresh, root)
+    // centroids untouched — append must never retrain
+    val centsAfter = SnapshotLake.readLatest(s, s"$root/centroids").collect()
+      .map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("carr").toSeq).toMap
+    assert(centsAfter == centsBefore)
+    // old snapshot is byte-stable; the new one is the union
+    assert(SnapshotLake.readAt(s, s"$root/lists", firstId).count() == 400)
+    val all = SnapshotLake.readLatest(s, s"$root/lists")
+    assert(all.count() == emb.count())
+    // appended vectors landed in the list a fresh assignment would pick:
+    // re-building on the SAME centroids is order-independent
+    val rebuilt = tmpDir("ann_idx_rebuild")
+    AnnIndex.build(old, rebuilt, NLists) // same training set → same centroids
+    AnnIndex.append(s, fresh, rebuilt)
+    val a = all.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = SnapshotLake.readLatest(s, s"$rebuilt/lists")
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("topK at nProbe = nLists degrades to exact brute force; trained recall beats seeded") {
+    val root = tmpDir("ann_idx_serve")
+    AnnIndex.build(emb, root, NLists)
+    // 50 probes, not the contract key's 5: a 25-pair sample flips ±0.04
+    // per boundary neighbor, drowning the centroid-quality signal; at
+    // 250 pairs the trained-vs-seeded ordering is stable at every nprobe
+    val probes = emb.filter(col("vec_id") >= 10 && col("vec_id") < 60)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), v => v.cast("double")).as("pe"))
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("v"))
+    // brute-force truth (the q_similarity_topk shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val dot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+    val exact = e.crossJoin(probes).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pe"), col("v")) /
+          (sqrt(dot(col("pe"), col("pe"))) * sqrt(dot(col("v"), col("v")))),
+          4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val full = AnnIndex.topK(s, root, probes, nProbe = NLists, k = 5)
+      .select("probe_id", "rn", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(full == exact, "nProbe=nLists must equal brute force exactly")
+
+    // recall@5 at nProbe=4 from the TRAINED index vs the exact set
+    val served = AnnIndex.topK(s, root, probes, nProbe = 4, k = 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.map { case ((p, _), v) => (p, v) }.toSet
+    val recallTrained = served.intersect(hits).size.toDouble / hits.size
+    // seeded-centroid recall at the same nprobe, computed HERE from the
+    // pre-r15 seed discipline (lists = raw vectors 0..15) so the
+    // comparison stays valid after the contract key moves to trained
+    // centroids
+    val seededRecall = {
+      val ivf = graft.ops.PipelineOps.ivfTopK(
+          emb, col("vec_id") >= 10 && col("vec_id") < 60,
+          nLists = NLists, nProbe = 4, k = 5)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      ivf.intersect(hits).size.toDouble / hits.size
+    }
+    assert(recallTrained >= seededRecall,
+      s"trained-centroid recall $recallTrained < seeded $seededRecall")
+  }
+}

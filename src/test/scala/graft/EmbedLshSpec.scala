@@ -204,8 +204,11 @@ class EmbedLshSpec extends AnyFunSuite {
   test("q_ann_recall == independent ivfTopK ∩ brute-force recomputation") {
     // The contract key's hit counts, re-derived from the building blocks
     // it is made of: truth = brute-force top-5 on the q_ann_ivf probes,
-    // hits(np) = |ivfTopK(np) ∩ truth|. Pins the key's algebra (not just
-    // its hash) and the degradation identity recall(nLists) = 1.0.
+    // hits(np) = |AnnIndex.topK(np) ∩ truth| served from a PERSISTED
+    // index built with the same trained centroids (r15: the key and the
+    // index share one training discipline — this doubles as the pin that
+    // query-time sweep ≡ persisted-index serving). Pins the key's
+    // algebra (not just its hash) and the identity recall(nLists) = 1.0.
     val rows = SparkEntry.queries("q_ann_recall")(s, TestSpark.Sf0001)
       .collect()
     assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4, 8, 16))
@@ -225,9 +228,17 @@ class EmbedLshSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idxRoot = {
+      val dDir = java.nio.file.Files.createTempDirectory("ann_recall_idx").toFile
+      dDir.deleteOnExit()
+      dDir.getAbsolutePath
+    }
+    graft.ops.AnnIndex.build(emb, idxRoot, nLists = 16)
+    val queries = probes.select(col("probe_id"),
+      transform(col("pe"), v => v.cast("double")).as("pe"))
     rows.foreach { r =>
       val np = r.getAs[Int]("nprobe")
-      val got = PipelineOps.ivfTopK(emb, isProbe, nLists = 16, nProbe = np,
+      val got = graft.ops.AnnIndex.topK(s, idxRoot, queries, nProbe = np,
           k = 5)
         .select("probe_id", "vec_id").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet

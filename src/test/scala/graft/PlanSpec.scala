@@ -332,9 +332,12 @@ class PlanSpec extends AnyFunSuite {
     val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(s).size
     assert(bnlj == bnljAll,
       "non-broadcast nested loop join in the recall plan")
-    // embeddings parquet feeds the assignment + exact arm; the sweep
-    // itself must come from Scan ExistingRDD (the checkpoint), and each
-    // of the 5 branches reads it once
+    // embeddings parquet feeds the exact arm; the sweep itself must come
+    // from Scan ExistingRDD (the candidate checkpoint), each of the 5
+    // branches reading it once. The r15 trained-centroid checkpoint is
+    // invisible here by design: its two consumers (assignment + probe
+    // routing) live INSIDE the candidate build, so the cand checkpoint
+    // absorbs that lineage and the final plan never re-runs the training.
     val rdd = s.linesIterator.count(l => l.contains("Scan ExistingRDD") &&
       !l.contains("ReusedExchange"))
     assert(rdd == 5, s"nprobe sweep reads the checkpoint $rdd times (want 5):\n$s")
