@@ -9,6 +9,10 @@ case class PngPixels(width: Int, height: Int, meanLuma: Double)
 case class WavSamples(channels: Int, sampleRate: Int, nSamples: Long,
                       rms: Double)
 
+/** Fully decoded JPEG pixel facts: true dimensions plus the mean luma
+  * over every pixel (Rec. 601 over the decoded sRGB). */
+case class JpegPixels(width: Int, height: Int, meanLuma: Double)
+
 /** REAL payload decode (r13 verdict item 5) for the two containers whose
   * full pipeline is pure JVM — no codec libraries needed:
   *
@@ -146,6 +150,48 @@ object PixelDecode {
   private def u16le(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def u32le(b: Array[Byte], i: Int): Long =
     u16le(b, i).toLong | (u16le(b, i + 2).toLong << 16)
+
+  /** JPEG pixel decode via the JDK's bundled codec (r14 verdict item 4:
+    * `javax.imageio` SHIPS a baseline+progressive JFIF/JPEG reader — the
+    * old "needs a codec" quarantine reason was not load-bearing). The
+    * container header is parsed FIRST ([[ImageHeader]]) so the pixel cap
+    * is enforced from header-claimed dimensions before any decode buffer
+    * exists — the PNG zip-bomb discipline; 2^24 px bounds the ARGB
+    * readback at 64 MiB per concurrent task. Mean luma is Rec. 601 over
+    * the decoded sRGB (a grayscale JPEG decodes to r=g=b=Y, so the same
+    * weights return Y exactly). Variants the JDK reader rejects —
+    * arithmetic coding, CMYK/Adobe four-channel, lossless, truncated
+    * streams — return None and quarantine like a corrupt header; headless
+    * JVMs are fine (ImageIO never touches a display). */
+  def decodeJpeg(b: Array[Byte]): Option[JpegPixels] = {
+    val meta = ImageHeader.parse(b) match {
+      case Some(m) if m.format == "jpeg" => m
+      case _ => return None
+    }
+    if (meta.width <= 0 || meta.height <= 0 ||
+        meta.width.toLong * meta.height > (1L << 24)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w != meta.width || h != meta.height) return None // header lied
+      val argb = img.getRGB(0, 0, w, h, null, 0, w)
+      var sum = 0.0
+      var i = 0
+      while (i < argb.length) {
+        val p = argb(i)
+        sum += 0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+               0.114 * (p & 0xff)
+        i += 1
+      }
+      Some(JpegPixels(w, h, sum / (w.toLong * h)))
+    } catch {
+      // the JDK reader throws IIOException/IllegalArgument on malformed
+      // entropy streams and unsupported colorspaces — quarantine, never
+      // crash the task
+      case _: Exception => None
+    }
+  }
 
   /** WAV PCM sample decode: chunk-walk to `fmt ` (tag must be 1 = PCM,
     * bits 8 or 16) and `data`, then RMS over all normalized samples. */

@@ -90,4 +90,44 @@ object MediaDecodeProps extends Properties("MediaDecode") {
       PixelDecode.decodeWavPcm(RiffSig ++ b).forall(_.channels >= 0)
       true
     }
+
+  /** A small VALID JPEG (8×8 grey gradient) written by the JDK's own
+    * encoder — the mutation target for the r15 decodeJpeg path. */
+  private val validJpeg: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (x * 16 + y * 16) & 0xff
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+  private val JpegSig = Array(0xff, 0xd8).map(_.toByte)
+
+  property("decodeJpeg never throws on noise / magic-prefixed noise") =
+    forAll(noise) { b =>
+      PixelDecode.decodeJpeg(b).forall(_.width >= 0)
+      PixelDecode.decodeJpeg(JpegSig ++ b).forall(_.width >= 0)
+      true
+    }
+
+  property("decodeJpeg survives truncation at every length") = {
+    // the JDK reader must be contained: any prefix quarantines or decodes
+    // to a sane shape — never escapes IIOException/IndexOutOfBounds
+    PixelDecode.decodeJpeg(validJpeg)
+      .exists(p => p.width == 8 && p.height == 8) &&
+      (0 until validJpeg.length).forall { n =>
+        PixelDecode.decodeJpeg(validJpeg.take(n))
+          .forall(p => p.width > 0 && p.height > 0)
+      }
+  }
+
+  property("decodeJpeg never throws on single-byte corruption") =
+    validJpeg.indices.forall { i =>
+      val m = validJpeg.clone()
+      m(i) = (m(i) ^ 0x55).toByte
+      PixelDecode.decodeJpeg(m).forall(p => p.width > 0 && p.height > 0)
+    }
 }

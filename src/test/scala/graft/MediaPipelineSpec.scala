@@ -357,6 +357,67 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(PixelDecode.decodePng("text".getBytes("UTF-8")).isEmpty)
   }
 
+  /** REAL JPEG via the JDK's own encoder (deterministic pixels → a true
+    * entropy-coded JFIF stream) — the fixture the r15 decodeJpeg path is
+    * pinned against. */
+  private def realJpeg(w: Int, h: Int, gray: Boolean,
+                       px: (Int, Int) => Int): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(w, h, t)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK jpg writer missing")
+    bos.toByteArray
+  }
+
+  test("JPEG pixel decode: true dims, luma == independent ImageIO recomputation") {
+    // smooth gradient — the JPEG-friendly content where default-quality
+    // lossy round-trip keeps the MEAN luma within a couple of codes
+    val jpg = realJpeg(16, 12, gray = false, (x, y) => {
+      val v = (x * 8 + y * 4) & 0xff; (v << 16) | (v << 8) | v
+    })
+    val got = PixelDecode.decodeJpeg(jpg).get
+    assert((got.width, got.height) == (16, 12))
+    // independent recomputation: decode the same bytes with ImageIO
+    // directly and average Rec. 601 luma — must match EXACTLY (pins the
+    // readback + luma algebra, not the codec)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val want = (for (y <- 0 until 12; x <- 0 until 16) yield {
+      val p = img.getRGB(x, y)
+      0.299 * ((p >> 16) & 0xff) + 0.587 * ((p >> 8) & 0xff) +
+        0.114 * (p & 0xff)
+    }).sum / (16 * 12)
+    assert(math.abs(got.meanLuma - want) < 1e-9, s"${got.meanLuma} vs $want")
+    // and the lossy round-trip bound vs the SOURCE pixels
+    val srcMean = (for (y <- 0 until 12; x <- 0 until 16)
+      yield ((x * 8 + y * 4) & 0xff).toDouble).sum / (16 * 12)
+    assert(math.abs(got.meanLuma - srcMean) < 3.0,
+      s"lossy drift too big: ${got.meanLuma} vs source $srcMean")
+    // grayscale JPEG: r=g=b=Y so Rec. 601 returns Y exactly; a constant
+    // image survives quantization almost untouched
+    val gg = PixelDecode.decodeJpeg(
+      realJpeg(8, 8, gray = true, (_, _) => 0x808080)).get
+    assert((gg.width, gg.height) == (8, 8))
+    assert(math.abs(gg.meanLuma - 128.0) < 1.5, s"grey luma ${gg.meanLuma}")
+  }
+
+  test("JPEG pixel decode quarantines what the JDK codec cannot decode") {
+    // header-only synthetic stream: parseable SOF, no entropy data
+    assert(PixelDecode.decodeJpeg(jpegBytes(222, 333, 0xc0, 3)).isEmpty)
+    // header claims > 2^24 px: refused from the HEADER, before any buffer
+    assert(PixelDecode.decodeJpeg(jpegBytes(5000, 4000, 0xc0, 3)).isEmpty)
+    // non-JPEG payloads route to None, not to the codec
+    assert(PixelDecode.decodeJpeg("text".getBytes("UTF-8")).isEmpty)
+    assert(PixelDecode.decodeJpeg(
+      realPng(2, 2, 0, Array(1, 2, 3, 4), Seq(0, 0))).isEmpty)
+    // truncation: decode must never escape an exception
+    val jpg = realJpeg(16, 16, gray = true, (x, y) => (x * y) & 0xff)
+    (0 until jpg.length by 7).foreach { n =>
+      PixelDecode.decodeJpeg(jpg.take(n)) // None or Some — just no throw
+    }
+  }
+
   test("WAV PCM decode: exact RMS over normalized s16le samples") {
     val vals = Seq(0.5, -0.5, 0.25, -0.25, 1.0, -1.0)
     val got = PixelDecode.decodeWavPcm(wavWithSamples(2, 8000, vals)).get
@@ -378,10 +439,16 @@ class MediaPipelineSpec extends AnyFunSuite {
       MediaFile(1, "image/png", realPng(2, 2, 0, gpx, Seq(0, 2))),
       MediaFile(2, "audio/wav", wavWithSamples(1, 16000, Seq(0.5, -0.5))),
       MediaFile(3, "image/jpeg", jpegBytes(222, 333, 0xc0, 3)),
-      MediaFile(4, "text/plain", "just text".getBytes("UTF-8"))).toDS()
+      MediaFile(4, "text/plain", "just text".getBytes("UTF-8")),
+      MediaFile(5, "image/jpeg",
+        realJpeg(8, 8, gray = true, (_, _) => 0x404040))).toDS()
     val pix = MediaPipeline.decodePixels(mixed).collect().toSeq
-    assert(pix.map(_.doc_id) == Seq(1L))
+      .sortBy(_.doc_id)
+    // the real JPEG (doc 5) decodes alongside the PNG; the header-only
+    // fake (doc 3) still quarantines
+    assert(pix.map(_.doc_id) == Seq(1L, 5L))
     assert(math.abs(pix.head.mean_luma - 127.5) < 1e-9)
+    assert(pix(1).width == 8 && math.abs(pix(1).mean_luma - 64.0) < 1.5)
     val aud = MediaPipeline.decodeAudioSamples(mixed).collect().toSeq
     assert(aud.map(_.doc_id) == Seq(2L))
     assert(aud.head.n_frames_per_chan == 2L)
