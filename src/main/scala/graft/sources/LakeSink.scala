@@ -121,9 +121,10 @@ object SnapshotLake {
   def latest(spark: SparkSession, table: String): Option[Long] =
     snapshots(spark, table).lastOption
 
-  /** The data directories visible at snapshot `id`. */
-  private def manifestDirs(spark: SparkSession, table: String,
-                           id: Long): Seq[String] = {
+  /** Raw manifest lines at snapshot `id`: data-directory lines plus any
+    * `#schema`-prefixed evolution directives (manifest v2, r15). */
+  private def manifestLines(spark: SparkSession, table: String,
+                            id: Long): Seq[String] = {
     val fs = fsFor(spark, table)
     val p = manifestPath(table, id)
     require(fs.exists(p), s"no committed snapshot $id at $table")
@@ -132,6 +133,48 @@ object SnapshotLake {
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** The data directories visible at snapshot `id`. */
+  private def manifestDirs(spark: SparkSession, table: String,
+                           id: Long): Seq[String] =
+    manifestLines(spark, table, id).filterNot(_.startsWith("#"))
+
+  /** The schema-evolution directives recorded at snapshot `id`, in
+    * application order. Tab-separated so type DDL may carry spaces:
+    * `#schema<TAB>add<TAB><name><TAB><typeDdl>` and
+    * `#schema<TAB>rename<TAB><from><TAB><to>`. */
+  private[graft] def manifestDirectives(spark: SparkSession, table: String,
+                                        id: Long): Seq[String] =
+    manifestLines(spark, table, id).filter(_.startsWith("#"))
+
+  /** Apply recorded evolution to a raw merged-schema read — the reader
+    * half of ALTER-without-rewrite (r14 verdict item 5):
+    *  - `add`: a column NO visible file carries yet materializes as a
+    *    typed NULL (post-evolution appends that DO carry it read through
+    *    untouched — mergeSchema already unions those).
+    *  - `rename`: rename-by-mapping. Pre-rename directories still store
+    *    the old name, post-rename writes store the new one, so a merged
+    *    read can surface BOTH columns — the mapping coalesces old into
+    *    new and drops old, giving one logical column across history.
+    * Directives apply in recorded order, so chained renames compose. */
+  private[graft] def applyDirectives(df: DataFrame,
+                                     directives: Seq[String]): DataFrame =
+    directives.foldLeft(df) { (d, line) =>
+      line.split("\t") match {
+        case Array("#schema", "add", name, typeDdl) =>
+          if (d.columns.contains(name)) d
+          else d.withColumn(name, lit(null).cast(typeDdl))
+        case Array("#schema", "rename", from, to) =>
+          (d.columns.contains(from), d.columns.contains(to)) match {
+            case (true, true) =>
+              d.withColumn(to, coalesce(col(to), col(from))).drop(from)
+            case (true, false) => d.withColumnRenamed(from, to)
+            case _             => d
+          }
+        case _ => throw new IllegalArgumentException(
+          s"unknown manifest directive: $line")
+      }
+    }
 
   /** Step 1 of a commit — land the data somewhere no reader looks. A
     * crash after this leaves an unreferenced directory: invisible.
@@ -148,7 +191,8 @@ object SnapshotLake {
     * `snap-<id>.manifest`. False = lost the id race (caller re-reads the
     * latest id and retries); throws only on real FS failure. */
   private[graft] def tryCommitManifest(spark: SparkSession, table: String,
-                                         id: Long, dirs: Seq[String]): Boolean = {
+                                         id: Long, dirs: Seq[String],
+                                         directives: Seq[String] = Nil): Boolean = {
     val fs = fsFor(spark, table)
     fs.mkdirs(manifestDir(table))
     val dst = manifestPath(table, id)
@@ -156,7 +200,10 @@ object SnapshotLake {
     val tmp = new HPath(manifestDir(table),
       s"snap-$id.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write((dirs.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    // dirs sorted for determinism; directives keep their RECORDED order
+    // (renames chain) and sit after the dirs
+    try out.write(((dirs.sorted ++ directives).mkString("\n") + "\n")
+      .getBytes("UTF-8"))
     finally out.close()
     // Rename with EXPLICIT no-overwrite semantics (Options.Rename.NONE):
     // FileSystem.rename on a POSIX-backed store (RawLocalFileSystem, NFS)
@@ -200,11 +247,17 @@ object SnapshotLake {
     var attempts = 0
     while (attempts < 64) { // CAS loop: each retry observes a NEWER latest
       val base = latest(spark, table)
-      val visible =
-        if (append) base.map(manifestDirs(spark, table, _)).getOrElse(Nil)
-        else Nil
+      // append inherits the base's evolution directives (old dirs still
+      // need them applied); full-replace resets them — the table IS the
+      // new frame, its schema carried by its own files
+      val (visible, dirvs) =
+        if (append)
+          base.map(b => (manifestDirs(spark, table, b),
+                         manifestDirectives(spark, table, b)))
+            .getOrElse((Nil, Nil))
+        else (Nil, Nil)
       val id = base.getOrElse(0L) + 1
-      if (tryCommitManifest(spark, table, id, visible :+ dir)) return id
+      if (tryCommitManifest(spark, table, id, visible :+ dir, dirvs)) return id
       attempts += 1
     }
     throw new IllegalStateException(
@@ -214,17 +267,78 @@ object SnapshotLake {
   /** Time-travel read: the table exactly as of committed snapshot `id`,
     * byte-stable regardless of later commits or in-flight writers.
     *
-    * Additive schema evolution is first-class: snapshots written with
+    * Schema evolution is first-class and MANIFEST-RECORDED (r15):
+    * implicit additive evolution still works — snapshots written with
     * extra columns union into one schema (`mergeSchema`) and rows from
-    * pre-evolution snapshots read the new columns as NULL — the Delta/
-    * Iceberg add-column semantics, without a rewrite of history.
-    * Incompatible type changes fail loudly at read (parquet footer
-    * merge), never silently coerce. The cost is one footer read per
-    * file at planning; manifests bound the file set so this is
-    * snapshot-sized, not directory-listing-sized. */
+    * pre-evolution snapshots read the new columns as NULL, the Delta/
+    * Iceberg add-column semantics without a rewrite of history — and
+    * explicit [[addColumn]]/[[renameColumn]] directives recorded in the
+    * manifest apply here in order (null-fill before any data carries the
+    * column; rename-by-mapping across pre/post-rename directories).
+    * Time travel honors evolution history: a readAt BEFORE the ALTER
+    * snapshot sees the old schema byte-stable. Incompatible type changes
+    * fail loudly at read (parquet footer merge), never silently coerce.
+    * The cost is one footer read per file at planning; manifests bound
+    * the file set so this is snapshot-sized, not directory-listing-sized. */
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(manifestDirs(spark, table, id): _*)
+    applyDirectives(
+      spark.read.option("mergeSchema", "true")
+        .parquet(manifestDirs(spark, table, id): _*),
+      manifestDirectives(spark, table, id))
+
+  /** ALTER TABLE ... ADD COLUMN, recorded in the manifest (r15 — no data
+    * rewrite, no history mutation): the commit is one new manifest whose
+    * data dirs are unchanged and whose directive list grows by one. The
+    * column reads as a typed NULL from every directory that predates it
+    * and flows through once writers start carrying it; every snapshot
+    * BEFORE the returned id is readAt-byte-stable. Same CAS discipline
+    * as [[commit]]. Returns the ALTER's snapshot id. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                typeDdl: String): Long = {
+    require(name.nonEmpty && typeDdl.nonEmpty &&
+      !name.contains("\t") && !typeDdl.contains("\t") &&
+      !name.contains("\n") && !typeDdl.contains("\n"),
+      "column name/type must be non-empty and tab/newline-free")
+    evolve(spark, table, s"#schema\tadd\t$name\t$typeDdl", schema =>
+      require(!schema.fieldNames.contains(name),
+        s"column $name already exists at $table"))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — rename-by-mapping (r15): pre-rename
+    * directories keep the old physical name and map to the new one at
+    * read; post-rename writes carry the new name directly. History stays
+    * byte-stable; UPDATE/DELETE/MERGE predicates resolve the new name
+    * against every directory. Returns the ALTER's snapshot id. */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String): Long = {
+    require(from.nonEmpty && to.nonEmpty && from != to &&
+      !from.contains("\t") && !to.contains("\t") &&
+      !from.contains("\n") && !to.contains("\n"),
+      "column names must be distinct, non-empty and tab/newline-free")
+    evolve(spark, table, s"#schema\trename\t$from\t$to", schema => {
+      require(schema.fieldNames.contains(from),
+        s"no column $from at $table")
+      require(!schema.fieldNames.contains(to),
+        s"column $to already exists at $table")
+    })
+  }
+
+  private def evolve(spark: SparkSession, table: String, directive: String,
+                     validate: org.apache.spark.sql.types.StructType => Unit): Long = {
+    var attempts = 0
+    while (attempts < 64) {
+      val base = latest(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot at $table"))
+      val dirs = manifestDirs(spark, table, base)
+      val dirvs = manifestDirectives(spark, table, base)
+      validate(evolvedSchema(spark, dirs, dirvs))
+      if (tryCommitManifest(spark, table, base + 1, dirs, dirvs :+ directive))
+        return base + 1
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"schema evolution lost $attempts CAS races at $table — livelock?")
+  }
 
   /** Read the latest committed snapshot. */
   def readLatest(spark: SparkSession, table: String): DataFrame = {
@@ -319,9 +433,11 @@ object SnapshotLake {
     while (attempts < 64) {
       val base = latest(spark, table)
       val visible = base.map(manifestDirs(spark, table, _)).getOrElse(Nil)
+      val dirvs = base.map(manifestDirectives(spark, table, _)).getOrElse(Nil)
       if (committedIds.nonEmpty) return None // twin zombie won the key
       val id = base.getOrElse(0L) + 1
-      if (tryCommitManifest(spark, table, id, visible :+ dir)) return Some(id)
+      if (tryCommitManifest(spark, table, id, visible :+ dir, dirvs))
+        return Some(id)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -383,7 +499,10 @@ object SnapshotLake {
                                  maxRecordsPerFile: Long): Option[Long] = {
     val dir = writeData(readAt(spark, table, base), table, maxRecordsPerFile)
     // single CAS attempt at exactly base+1 — anything else means the
-    // rewrite's input is no longer the table
+    // rewrite's input is no longer the table. Evolution directives are
+    // deliberately DROPPED: readAt already materialized them into the
+    // rewritten files, so carrying them forward would be a no-op at best
+    // and a re-rename hazard at worst.
     if (latest(spark, table).contains(base) &&
         tryCommitManifest(spark, table, base + 1, Seq(dir)))
       Some(base + 1)
@@ -428,14 +547,26 @@ object SnapshotLake {
     * push to parquet (plain alias passthrough); filters on the
     * null-filled ones constant-fold per directory. */
   private def readAligned(spark: SparkSession, dirs: Seq[String],
+                          directives: Seq[String],
                           full: org.apache.spark.sql.types.StructType): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    // recorded evolution applies BEFORE alignment so a predicate on a
+    // renamed column resolves against pre-rename directories too
+    val df = applyDirectives(
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*), directives)
     val have = df.columns.toSet
     df.select(full.fields.toSeq.map { f =>
       if (have(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
   }
+
+  /** The table's EVOLVED schema at `base` — merged parquet union with the
+    * recorded directives applied (what [[readAt]] serves). */
+  private def evolvedSchema(spark: SparkSession, dirs: Seq[String],
+                            directives: Seq[String]) =
+    applyDirectives(
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
+      directives).schema
 
   /** The prune/rewrite/CAS half of [[delete]], base-parameterized so the
     * concurrent-commit race is testable deterministically. */
@@ -444,14 +575,14 @@ object SnapshotLake {
                                 predicate: org.apache.spark.sql.Column,
                                 maxRecordsPerFile: Long): Option[Long] = {
     val dirs = manifestDirs(spark, table, base)
-    val full = spark.read.option("mergeSchema", "true")
-      .parquet(dirs: _*).schema
+    val dirvs = manifestDirectives(spark, table, base)
+    val full = evolvedSchema(spark, dirs, dirvs)
     val affected = dirs.filter { d =>
-      !readAligned(spark, Seq(d), full).filter(predicate).isEmpty
+      !readAligned(spark, Seq(d), dirvs, full).filter(predicate).isEmpty
     }
     if (affected.isEmpty) return Some(base)
     val kept = dirs.diff(affected)
-    val remaining = readAligned(spark, affected, full)
+    val remaining = readAligned(spark, affected, dirvs, full)
       .filter(!(predicate <=> lit(true)))
     // an empty rewrite writes no part files and would break schema
     // inference at read — materialize one schema-bearing empty file only
@@ -461,7 +592,7 @@ object SnapshotLake {
       else if (kept.nonEmpty) kept
       else Seq(writeData(remaining.repartition(1), table, maxRecordsPerFile))
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
       Some(base + 1)
     else None
   }
@@ -497,18 +628,18 @@ object SnapshotLake {
                                 maxRecordsPerFile: Long): Option[Long] = {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     val dirs = manifestDirs(spark, table, base)
-    val full = spark.read.option("mergeSchema", "true")
-      .parquet(dirs: _*).schema
+    val dirvs = manifestDirectives(spark, table, base)
+    val full = evolvedSchema(spark, dirs, dirvs)
     val missing = set.keySet.diff(full.fieldNames.toSet)
     require(missing.isEmpty,
       s"UPDATE may only set existing columns; unknown: $missing")
     val affected = dirs.filter { d =>
-      !readAligned(spark, Seq(d), full).filter(predicate).isEmpty
+      !readAligned(spark, Seq(d), dirvs, full).filter(predicate).isEmpty
     }
     if (affected.isEmpty) return Some(base)
     val kept = dirs.diff(affected)
     val hit = predicate <=> lit(true)
-    val rewritten = readAligned(spark, affected, full)
+    val rewritten = readAligned(spark, affected, dirvs, full)
       .select(full.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) =>
@@ -518,7 +649,7 @@ object SnapshotLake {
       }: _*)
     val newDirs = kept :+ writeData(rewritten, table, maxRecordsPerFile)
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
       Some(base + 1)
     else None
   }
@@ -553,23 +684,24 @@ object SnapshotLake {
     if (src.isEmpty) return Some(base) // empty change set: no-op, no snapshot
     val srcKeys = broadcast(src.select(keys.map(col): _*).distinct())
     val dirs = manifestDirs(spark, table, base)
-    val full = spark.read.option("mergeSchema", "true")
-      .parquet(dirs: _*).schema
+    val dirvs = manifestDirectives(spark, table, base)
+    val full = evolvedSchema(spark, dirs, dirvs)
     val affected = dirs.filter { d =>
-      !readAligned(spark, Seq(d), full).join(srcKeys, keys, "left_semi").isEmpty
+      !readAligned(spark, Seq(d), dirvs, full)
+        .join(srcKeys, keys, "left_semi").isEmpty
     }
     val kept = dirs.diff(affected)
     val rewrittenOpt =
       if (affected.isEmpty) None
       else {
-        val surviving = readAligned(spark, affected, full)
+        val surviving = readAligned(spark, affected, dirvs, full)
           .join(srcKeys, keys, "left_anti")
         if (surviving.isEmpty) None
         else Some(writeData(surviving, table, maxRecordsPerFile))
       }
     val newDirs = kept ++ rewrittenOpt :+ writeData(src, table, maxRecordsPerFile)
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
       Some(base + 1)
     else None
   }

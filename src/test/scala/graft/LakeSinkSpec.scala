@@ -448,6 +448,98 @@ class LakeSinkSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 9L))
   }
 
+  test("addColumn: manifest-recorded ALTER — history byte-stable, " +
+       "null-filled reads, appends union, mutations still green") {
+    import s.implicits._
+    val table = tmpDir("snap-alter-add")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), table)
+    val alterId = SnapshotLake.addColumn(s, table, "score", "double")
+    assert(alterId == 2L)
+    // time travel BEFORE the ALTER: old schema, byte-stable
+    assert(SnapshotLake.readAt(s, table, 1L).columns.toSeq == Seq("k", "v"))
+    // at the ALTER snapshot: column exists, typed NULL everywhere
+    val cur = SnapshotLake.readAt(s, table, alterId)
+    assert(cur.schema("score").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    assert(cur.filter(col("score").isNotNull).isEmpty)
+    // duplicate ALTER refuses
+    intercept[IllegalArgumentException](
+      SnapshotLake.addColumn(s, table, "score", "double"))
+    // append rows that CARRY the column: union reads through, old rows
+    // stay NULL
+    SnapshotLake.commit(Seq((3L, "c", 30.0)).toDF("k", "v", "score"),
+      table, append = true)
+    val all = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("score")))
+      .toMap
+    assert(all == Map(1L -> None, 2L -> None, 3L -> Some(30.0)))
+    // UPDATE keyed on the ALTERed column rewrites pre-evolution dirs
+    assert(SnapshotLake.update(s, table, col("score").isNull,
+      Map("score" -> lit(0.0))).isDefined)
+    assert(SnapshotLake.readLatest(s, table)
+      .filter(col("score").isNull).isEmpty)
+    // and the pre-ALTER snapshot is STILL the old schema after all that
+    assert(SnapshotLake.readAt(s, table, 1L).columns.toSeq == Seq("k", "v"))
+  }
+
+  test("renameColumn: rename-by-mapping across pre/post-rename dirs; " +
+       "DELETE/MERGE resolve the new name everywhere") {
+    import s.implicits._
+    val table = tmpDir("snap-alter-rename")
+    SnapshotLake.commit(Seq((1L, 10.0), (2L, 99.0)).toDF("k", "amount"), table)
+    val alterId = SnapshotLake.renameColumn(s, table, "amount", "value")
+    // history: pre-rename snapshot keeps the OLD name
+    assert(SnapshotLake.readAt(s, table, 1L).columns.toSeq ==
+      Seq("k", "amount"))
+    // evolved read: ONE logical column under the new name, old data mapped
+    val cur = SnapshotLake.readAt(s, table, alterId)
+    assert(cur.columns.toSeq == Seq("k", "value"))
+    assert(cur.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ==
+      Map(1L -> 10.0, 2L -> 99.0))
+    // invalid renames refuse
+    intercept[IllegalArgumentException](
+      SnapshotLake.renameColumn(s, table, "nope", "x"))
+    intercept[IllegalArgumentException](
+      SnapshotLake.renameColumn(s, table, "k", "value"))
+    // post-rename appends carry the new physical name; the mapping
+    // coalesces both generations into one column
+    SnapshotLake.commit(Seq((3L, 55.0)).toDF("k", "value"), table,
+      append = true)
+    val all = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all == Map(1L -> 10.0, 2L -> 99.0, 3L -> 55.0))
+    // DELETE on the NEW name hits a pre-rename row (old physical layout)
+    assert(SnapshotLake.delete(s, table, col("value") > 90.0).isDefined)
+    assert(SnapshotLake.readLatest(s, table).select("k")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // MERGE keyed on k replaces a pre-rename row under the evolved schema
+    assert(SnapshotLake.merge(s, table,
+      Seq((1L, 11.0)).toDF("k", "value"), Seq("k")).isDefined)
+    val merged = SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(merged == Map(1L -> 11.0, 3L -> 55.0))
+    // chained rename composes in recorded order
+    SnapshotLake.renameColumn(s, table, "value", "price")
+    assert(SnapshotLake.readLatest(s, table).columns.toSeq ==
+      Seq("k", "price"))
+  }
+
+  test("compact materializes evolution into files and drops the directives") {
+    import s.implicits._
+    val table = tmpDir("snap-alter-compact")
+    SnapshotLake.commit(Seq((1L, 10.0)).toDF("k", "amount"), table)
+    SnapshotLake.renameColumn(s, table, "amount", "value")
+    SnapshotLake.addColumn(s, table, "tag", "string")
+    val cid = SnapshotLake.compact(s, table).get
+    assert(SnapshotLake.manifestDirectives(s, table, cid).isEmpty,
+      "compact must materialize (not carry) the recorded evolution")
+    val cur = SnapshotLake.readAt(s, table, cid)
+    assert(cur.columns.toSeq == Seq("k", "value", "tag"))
+    assert(cur.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.isNullAt(2))).toSeq ==
+      Seq((1L, 10.0, true)))
+  }
+
   test("audit reports per-column drift between two snapshots, nulls included") {
     import s.implicits._
     val table = tmpDir("snap-audit")
