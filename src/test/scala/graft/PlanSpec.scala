@@ -153,9 +153,15 @@ class PlanSpec extends AnyFunSuite {
       assert(!s.contains("Exchange SinglePartition"),
         s"$k funnels all rows through one partition:\n$s")
     }
-    // watermark_late must stay window-free entirely
-    assert(!finalPlan("q_watermark_late").contains("Window "),
-      "q_watermark_late regressed to a window-based global scan")
+    // q_watermark_late (r15, DataFrame-native): its ONE window is
+    // bucket-local — a partition-less WindowExec or any RDD drop-out
+    // (the pre-r15 mapPartitionsWithIndex form) is a regression
+    val wm = finalPlan("q_watermark_late").split("== Initial Plan ==")(0)
+    assert(!wm.contains("Scan ExistingRDD"),
+      "q_watermark_late left Tungsten (RDD lineage)")
+    assert(wm.linesIterator.filter(_.contains("Window"))
+      .forall(l => l.contains("bucket")),
+      s"q_watermark_late window lost its bucket partitioning:\n$wm")
     // q_sort_multi (r14, DataFrame-native): its ONE window is bucket-local
     // — partitioned by (c_mktsegment, band) — and the rank assembly is a
     // broadcast offset join; no RDD drop-out (the r13 zipWithIndex form),
