@@ -509,6 +509,56 @@ object SnapshotLake {
     else None
   }
 
+  /** Bit-interleaved z-curve value over `cols` (each masked to `bits`
+    * low bits) — the same curve the q_zorder contract key computes for
+    * its 2-D tile audit, generalized to N dimensions: column j's bit i
+    * lands at position i·N+j, so a contiguous z-range confines EVERY
+    * interleaved dimension to a bounded envelope. Pure narrow integer
+    * math (shifts/masks), codegen-friendly. */
+  private def zValue(cols: Seq[org.apache.spark.sql.Column],
+                     bits: Int): org.apache.spark.sql.Column = {
+    val n = cols.length
+    val masked = cols.map(c => pmod(c.cast("long"), lit(1L << bits)))
+    (0 until bits).flatMap { i =>
+      masked.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }.reduce(_ + _)
+  }
+
+  /** Z-ORDER layout pass (r15, VERDICT r14 item 8 — the executable form
+    * of SCALE.md's z-order row): rewrite the latest snapshot
+    * `repartitionByRange`-partitioned and sorted on the z-curve of
+    * `zCols`, under the same single-CAS discipline as [[compact]]. What
+    * it buys at 100 TB: each written file covers one contiguous z-range,
+    * so its parquet min/max stats confine EVERY clustered column to a
+    * bounded envelope — scans filtered on ANY of the zCols (not just a
+    * lead sort key) skip files/row-groups via pushed predicates.
+    * One range shuffle; evolution directives materialize like
+    * [[compact]]. Returns None on a lost CAS race. */
+  def compactZOrder(spark: SparkSession, table: String, zCols: Seq[String],
+                    bits: Int = 8, targetFiles: Int = 0,
+                    maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    require(zCols.nonEmpty && bits >= 1 && bits <= 20,
+      "z-order needs >= 1 column and 1..20 bits per dimension")
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    val df = readAt(spark, table, base)
+    val withZ = df.withColumn("__z", zValue(zCols.map(col), bits))
+    // explicit targetFiles pins the range-partition count (AQE coalesces
+    // the default form on small tables — fine at 100 TB, defeating for a
+    // layout test); 0 = let the session/AQE size it
+    val ranged =
+      if (targetFiles > 0) withZ.repartitionByRange(targetFiles, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    val laid = ranged.sortWithinPartitions(col("__z")).drop("__z")
+    val dir = writeData(laid, table, maxRecordsPerFile)
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, Seq(dir)))
+      Some(base + 1)
+    else None
+  }
+
   /** Row-level DELETE — copy-on-write at data-directory granularity (the
     * Delta/Iceberg CoW shape): directories with NO matching row survive
     * into the new manifest UNTOUCHED (their files keep identity for

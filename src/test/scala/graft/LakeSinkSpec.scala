@@ -540,6 +540,48 @@ class LakeSinkSpec extends AnyFunSuite {
       Seq((1L, 10.0, true)))
   }
 
+  test("compactZOrder: z-laid files carry bounded per-column envelopes " +
+       "a stats-consulting reader prunes on") {
+    import s.implicits._
+    val table = tmpDir("snap-zorder")
+    // 4096 uniform-ish (x, y) points — unclustered on arrival
+    val df = s.range(0, 4096).select(
+      (col("id") % 256).as("x"), ((col("id") * 37) % 256).as("y"),
+      col("id").as("pay"))
+    SnapshotLake.commit(df, table)
+    val zid = SnapshotLake.compactZOrder(s, table, Seq("x", "y"),
+      targetFiles = 16)
+    assert(zid.contains(2L))
+    val cur = SnapshotLake.readLatest(s, table)
+    assert(cur.count() == 4096L, "layout pass must not change the rows")
+    val files = cur.inputFiles
+    assert(files.length >= 8, s"want a multi-file layout, got ${files.length}")
+    // per-file (x, y) envelopes: contiguous z-ranges confine BOTH dims
+    val envs = files.map { f =>
+      val r = s.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val avgArea = envs.map { case (x0, x1, y0, y1) =>
+      (x1 - x0 + 1).toDouble * (y1 - y0 + 1)
+    }.sum / envs.length
+    assert(avgArea <= 256.0 * 256 / 4,
+      s"z-layout envelopes too loose: avg area $avgArea of ${256 * 256}")
+    // the pruning probe: a reader consulting file stats for a point
+    // predicate touches a small fraction of the files
+    val hits = envs.count { case (x0, x1, y0, y1) =>
+      x0 <= 5 && 5 <= x1 && y0 <= 7 && 7 <= y1
+    }
+    assert(hits <= math.max(1, files.length / 4),
+      s"point probe hits $hits of ${files.length} file envelopes")
+    // and Spark's own scan pushes the zCol predicates to parquet
+    val plan = cur.filter(col("x") === 5L && col("y") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(x)")
+      || plan.contains("EqualTo(x,5)"),
+      s"zCol predicate not pushed:\n$plan")
+  }
+
   test("audit reports per-column drift between two snapshots, nulls included") {
     import s.implicits._
     val table = tmpDir("snap-audit")
