@@ -129,11 +129,12 @@ object Windows extends QueryPack {
     // the activity frame already collapsed to DISTINCT (type, day, user)
     // rows, then reduced to one row per (type, day). 100 TB lens: the
     // collect_set state is bounded by distinct users per 7-day window ×
-    // one partition per event type — the documented constant-memory
-    // alternative when windows get wide is the first-appearance trick
-    // (lag(day) per (type, user); a user contributes +1 to day d where
-    // prev NULL or gap > 6, −1 at expiry; prefix-sum the deltas), which
-    // trades the set state for two extra shuffles.
+    // one partition per event type — O(window users) PER ROW, the shape
+    // the r15 sf1 gate measured at 12×/10× data. The constant-memory
+    // alternative is IMPLEMENTED as [[windowCountDistinctDeltas]]
+    // (first-appearance interval deltas + a calendar-grain prefix sum —
+    // EXACT, row-for-row equal, 8.3 → 1.1 s at sf1; AggSwapSpec pins it),
+    // trading the set state for two extra mergeable shuffles.
     "q_window_count_distinct" -> { (s, d) =>
       val act = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
@@ -148,6 +149,60 @@ object Windows extends QueryPack {
         .orderBy(col("event_type"), col("day"))
     }
   )
+
+  /** The IMPLEMENTED corpus-scale swap for q_window_count_distinct (r15 —
+    * flagged by the sf1 full-bench gate at 12×/10× data): the key's
+    * `collect_set` over a RANGE frame rebuilds an O(users-in-window) set
+    * PER ROW inside |event_type| partitions — quadratic in users per
+    * window and serialized on a handful of partitions. The
+    * first-appearance DELTA form is EXACT (not a sketch): a user's
+    * activity days merge into covered intervals ([a, a+6] unioned when
+    * gaps ≤ 6), each interval contributes +1 at its start day and −1 the
+    * day after it expires; per-(type, day) delta sums are an ordinary
+    * mergeable hash agg, and the prefix sum runs over the
+    * CALENDAR-bounded (type, day) grain — scale-invariant window, no set
+    * state anywhere. Same output schema and values as the key
+    * (AggSwapSpec pins row-for-row equality). */
+  def windowCountDistinctDeltas(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")))
+    // per-(type, user) interval edges: ±1 deltas from two lag/lead probes
+    // over bounded per-user activity-day lists
+    val wu = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("dn"))
+    val edges = act
+      .withColumn("prev", lag(col("dn"), 1).over(wu))
+      .withColumn("next", lead(col("dn"), 1).over(wu))
+      .select(col("event_type"), col("dn"),
+        when(col("prev").isNull || col("dn") - col("prev") > 6, 1L)
+          .otherwise(0L).as("start"),
+        when(col("next").isNull || col("next") - col("dn") > 6, 1L)
+          .otherwise(0L).as("end"))
+    val deltas = edges.filter(col("start") === 1)
+        .select(col("event_type"), col("dn"), lit(1L).as("delta"))
+      .unionByName(edges.filter(col("end") === 1)
+        .select(col("event_type"), (col("dn") + 7).as("dn"),
+          lit(-1L).as("delta")))
+    // per-day distinct actives (u1) double as the 0-delta anchor rows so
+    // every output day reads its running value
+    val days = act.groupBy(col("event_type"), col("day"), col("dn"))
+      .agg(count(lit(1)).as("u1"))
+    val merged = deltas
+      .unionByName(days.select(col("event_type"), col("dn"),
+        lit(0L).as("delta")))
+      .groupBy(col("event_type"), col("dn"))
+      .agg(sum(col("delta")).as("delta"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("dn"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val running = merged
+      .withColumn("u7", sum(col("delta")).over(wRun))
+      .select(col("event_type"), col("dn"), col("u7"))
+    days.join(running, Seq("event_type", "dn"))
+      .select(col("event_type"), col("day"), col("u1"), col("u7"))
+      .orderBy(col("event_type"), col("day"))
+  }
 
   def oracles: Map[String, String] = Map(
     "q_window_percent" -> """

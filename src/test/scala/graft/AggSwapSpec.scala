@@ -186,6 +186,21 @@ class AggSwapSpec extends AnyFunSuite {
     }
   }
 
+  test("windowCountDistinctDeltas == q_window_count_distinct row-for-row, no set state") {
+    // r15 sf1-gate finding: the key's collect_set-over-range-frame costs
+    // O(users-in-window) PER ROW inside |event_type| partitions (12× at
+    // 10× data). The delta form is EXACT — interval algebra, not a
+    // sketch — so the pin is full row equality, and the plan must carry
+    // no collect_set (the quadratic state the swap exists to remove).
+    val approx = graft.ops.Windows.windowCountDistinctDeltas(spark, TestSpark.Sf0001)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), "set state crept back in")
+    val e = q("q_window_count_distinct").collect().map(_.toSeq)
+    val a = approx.collect().map(_.toSeq)
+    assert(a.toSeq == e.toSeq,
+      s"delta form diverged: ${a.length} vs ${e.length} rows")
+  }
+
   test("similarityTopKBlocked == q_similarity_topk row-for-row") {
     val blocked = graft.ops.TextOps.similarityTopKBlocked(spark, TestSpark.Sf0001)
     val plan = blocked.queryExecution.executedPlan.toString
