@@ -115,6 +115,47 @@ class AnnStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }}
 
+  test("kill/restart recovers list residency — an incarnation-2 probe still finds incarnation-1 vectors") { withRocksDb {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val root = tmpDir("ann_stream_recover_idx")
+    AnnIndex.build(emb, root, NLists)
+    val v = emb.filter(col("vec_id") === 0L).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ann_recover_ckpt").toString
+    val input = MemoryStream[StreamVec](spark)
+    // memory sink can't recover from a checkpoint — collect through
+    // foreachBatch; the Set dedups at-least-once replay
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[AnnHit]()
+    def start() = AnnStream
+      .annTopKStream(input.toDS(), root, nProbe = 2, k = 5,
+        ttlSec = 1000000L)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AnnHit],
+                       _: Long) => b.collect().foreach(hits.add) }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(StreamVec(1L, sec(1000), v))
+      q1.processAllAvailable()
+    } finally q1.stop() // kill with vec 1 resident in list state
+
+    val q2 = start()
+    try {
+      input.addData(StreamVec(2L, sec(1001), v)) // identical direction
+      q2.processAllAvailable()
+      val got = {
+        import scala.jdk.CollectionConverters._
+        hits.asScala.toSet
+      }
+      assert(got == Set(AnnHit(2L, 1, 1L, 1.0)),
+        s"recovered residency must serve vec 1 to vec 2: $got")
+    } finally q2.stop()
+  }}
+
   test("watermark TTL: expired vectors stop serving; in-TTL ones still do") { withRocksDb {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
