@@ -92,7 +92,10 @@ object PixelDecode {
     // IHDR can put width·height·channels past Int.MaxValue, and the Int
     // product would wrap negative and throw NegativeArraySizeException
     // out of the decoder — found by MediaDecodeProps bit-flip fuzzing.
-    // 256 MiB bounds a single decode buffer regardless of header claims.
+    // 256 MiB bounds EACH decode buffer regardless of header claims —
+    // and since r15 `recon` is a byte array too (not Int — 4× the
+    // footprint, the ADVICE r14 finding), worst-case per-task memory is
+    // raw + recon + the IDAT copy ≈ 3 × 256 MiB, not 1.25 GiB.
     val strideL = meta.width.toLong * channels
     val capL = meta.height.toLong * (strideL + 1L)
     if (capL <= 0 || capL > (1L << 28)) return None
