@@ -165,7 +165,15 @@ object PixelDecode {
     * weights return Y exactly). Variants the JDK reader rejects —
     * arithmetic coding, CMYK/Adobe four-channel, lossless, truncated
     * streams — return None and quarantine like a corrupt header; headless
-    * JVMs are fine (ImageIO never touches a display). */
+    * JVMs are fine (ImageIO never touches a display).
+    *
+    * DETERMINISM BOUNDARY (r16 advisor item): unlike the PNG/WAV paths —
+    * pure-JVM arithmetic, bit-stable everywhere — the JPEG luma is a
+    * function of the JDK's IDCT/upsampling implementation and can differ
+    * in low-order digits across JVM versions/vendors. Same-JVM
+    * reproducibility is spec-pinned (MediaPipelineSpec recomputation);
+    * cross-environment hash contracts must pin to the PNG/WAV paths, not
+    * JPEG luma. No contract key (oracleSql) consumes JPEG luma. */
   def decodeJpeg(b: Array[Byte]): Option[JpegPixels] = {
     val meta = ImageHeader.parse(b) match {
       case Some(m) if m.format == "jpeg" => m

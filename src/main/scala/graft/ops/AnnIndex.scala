@@ -86,13 +86,26 @@ object AnnIndex {
 
   /** Train `nLists` centroids with one Lloyd re-estimation round over the
     * deterministic `vec_id % sampleMod == 0` sample (init = the sample's
-    * first nLists vec_ids, round-6 — the q_kmeans fixed-seed convention).
-    * Returns (cid INT, carr ARRAY<DOUBLE round-6>). */
+    * nLists SMALLEST vec_ids seeded by RANK, round-6 — the q_kmeans
+    * fixed-seed convention). Rank seeding (r16, advisor item) makes the
+    * init corpus-shape-independent: an id space starting at an offset or
+    * filtered sparse still yields exactly nLists seeds, where the old
+    * `vec_id < nLists*sampleMod` absolute-value cut silently under-seeded.
+    * On a dense-from-0 id space the two rules pick identical seeds, so
+    * the oracle stays in lockstep. Returns (cid INT, carr ARRAY<DOUBLE
+    * round-6>). NOTE: a centroid can still end up empty after assignment
+    * (dropped row) — [[build]] requires count == nLists so a degenerate
+    * corpus fails loudly instead of committing a broken index. */
   def trainCentroids(emb: DataFrame, nLists: Int,
                      sampleMod: Int = 1): DataFrame = {
     val sample = vecsOf(emb).filter(col("vec_id") % sampleMod === 0)
-    val c0 = sample.filter(col("vec_id") < nLists.toLong * sampleMod)
-      .select((col("vec_id") / sampleMod).cast("int").as("cid"),
+    // TakeOrderedAndProject (orderBy+limit) keeps the seed pick planned and
+    // scale-safe; the rank window then runs over only nLists rows.
+    val c0 = sample.select(col("vec_id"), col("vec"))
+      .orderBy(col("vec_id")).limit(nLists)
+      .select(
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1)
+          .cast("int").as("cid"),
         transform(col("vec"), v => round(v, 6)).as("carr"))
     val a1 = assignCid(sample, c0)
     a1.select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
@@ -113,6 +126,13 @@ object AnnIndex {
   def build(emb: DataFrame, root: String, nLists: Int,
             sampleMod: Int = 1): Long = {
     val cents = trainCentroids(emb, nLists, sampleMod).localCheckpoint()
+    // Fail LOUDLY on a degenerate corpus (too few sample vectors, or an
+    // empty list after the Lloyd round) instead of committing an index
+    // whose probes silently return short/empty results (r16 advisor item).
+    val nc = cents.count()
+    require(nc == nLists,
+      s"trainCentroids produced $nc centroids, expected $nLists — " +
+      "corpus sample too small or a seed list went empty; not committing")
     SnapshotLake.commit(cents, s"$root/centroids", append = false)
     val lists = assignCid(vecsOf(emb), cents)
       .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
@@ -134,7 +154,8 @@ object AnnIndex {
 
   /** Serve cosine top-`k` for a (probe_id, pe ARRAY<DOUBLE>) query frame
     * from the persisted index: broadcast the centroid table, rank each
-    * probe's lists by exact sqDist (ascending, ties to smaller cid),
+    * probe's lists by cosine DESC (ties to smaller cid — the withClist
+    * (-cos, cid) struct sort; same geometry as list assignment),
     * scan only the `nProbe` nearest lists, score round-4 cosine, keep
     * k per probe. `nProbe = nLists` degrades to exact brute force
     * (AnnIndexSpec pins the identity). */

@@ -528,14 +528,14 @@ object PipelineOps extends QueryPack {
     },
 
     // ---- q_ann_ivf: IVF-style ANN (16 lists, nprobe=4, top-5) ---------
-    // Fixture parameters of [[ivfTopK]] — what the oracle pins; the
-    // helper's doc carries the ~√n list-count sizing rule (round-3 verdict
-    // item 4). The 100 TB path is identical — the centroid table stays
-    // broadcast-size and the corpus shuffles once by list id.
+    // r16: served from TRAINED centroids ([[ivfTopKTrained]] — the same
+    // Lloyd round the persisted AnnIndex commits; the oracle trains the
+    // identical round via the shared trainedCentsSql generator). The
+    // seeded [[ivfTopK]] stays as the pedagogical form; its doc carries
+    // the ~√n list-count sizing rule. The 100 TB path is unchanged — the
+    // centroid table stays broadcast-size, corpus shuffles once by list.
     "q_ann_ivf" -> { (s, d) =>
-      PipelineOps.ivfTopK(Tables.embeddings(s, d),
-        isProbe = col("vec_id") >= 10 && col("vec_id") < 15,
-        nLists = 16, nProbe = 4, k = 5)
+      PipelineOps.ivfTopKTrained(s, d, nLists = 16, nProbe = 4, k = 5)
     },
 
     // ---- q_ann_recall: the ANN quality readout (r13 verdict item 2) ---
@@ -1198,6 +1198,67 @@ object PipelineOps extends QueryPack {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** TRAINED centroid frame shared by the serving keys: one spherical-
+    * Lloyd round ([[AnnIndex.trainCentroids]] — the identical arithmetic
+    * the persisted index commits), norms precomputed, localCheckpointed
+    * because both the list-assignment and probe-routing arms read it
+    * (re-deriving the lineage would re-run the training job). */
+  private def trainedCents(s: SparkSession, d: String,
+                           nLists: Int): DataFrame =
+    AnnIndex.trainCentroids(Tables.embeddings(s, d), nLists)
+      .select(col("cid").as("cent_id"), col("carr").as("ce"),
+        sqrt(AnnIndex.dotD(col("carr"), col("carr"))).as("cnrm"))
+      .localCheckpoint()
+
+  /** [[ivfTopK]] served from TRAINED centroids (r16, VERDICT r15 item 3):
+    * the q_ann_ivf contract key's form — identical inverted-file serve
+    * shape, but the lists hang off the one-round spherical-Lloyd means
+    * the persisted [[AnnIndex]] commits, not the first-nLists raw seed
+    * vectors the pedagogical [[ivfTopK]] uses. Recall at fixed nProbe is
+    * measurably higher (EmbedLshSpec pins trained ≥ seeded at the key's
+    * nProbe=4). Scale shape unchanged: centroids broadcast, corpus
+    * shuffles once by list id, probe work ~nProbe·n/nLists. */
+  def ivfTopKTrained(s: SparkSession, d: String, nLists: Int, nProbe: Int,
+                     k: Int): DataFrame = {
+    require(nLists >= 1 && nProbe >= 1 && k >= 1,
+      "ivfTopKTrained params must be >= 1")
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+    val cents = trainedCents(s, d, nLists)
+    val vd = transform(col("embedding"), v => v.cast("double"))
+    val asg = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (AnnIndex.dotD(vd, col("ce")) /
+          (col("nrm") * col("cnrm"))).as("cc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cc").desc, col("cent_id"))))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+    val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    val plists = probes.join(broadcast(cents))
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
+        (AnnIndex.dotD(transform(col("pe"), v => v.cast("double")),
+          col("ce")) /
+          (col("pnrm") * col("cnrm"))).as("pc"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("pc").desc, col("cent_id"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"))
+    plists.join(asg, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+            Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+              round(dot(col("pe"), col("embedding")) /
+                (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** recall@k of [[ivfTopK]] against the exact brute-force top-k on the
     * same probes, swept over `nProbes` — one row per nprobe setting with
     * integer hit counts and the recall ratio. Shares ONE centroid
@@ -1222,10 +1283,7 @@ object PipelineOps extends QueryPack {
     // would re-run the training job). Mixed float/double dots go through
     // the double HOF (the centroid means are doubles); the cosine values
     // stay bit-reproducible cross-engine (sequential-order sums).
-    val cents = AnnIndex.trainCentroids(Tables.embeddings(s, d), nLists)
-      .select(col("cid").as("cent_id"), col("carr").as("ce"),
-        sqrt(AnnIndex.dotD(col("carr"), col("carr"))).as("cnrm"))
-      .localCheckpoint()
+    val cents = trainedCents(s, d, nLists)
     val vd = transform(col("embedding"), v => v.cast("double"))
     val asg = e.join(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
@@ -1282,39 +1340,32 @@ object PipelineOps extends QueryPack {
       .orderBy(col("nprobe"))
   }
 
-  /** Single source for the q_ann_recall oracle AND its Spark-dialect twin
-    * (the kmeansSql discipline) — only the dot-product idiom and the
-    * array cast differ between dialects; the recall algebra, the nprobe
-    * sweep, and every tie-break are byte-identical. */
-  def annRecallSql(duck: Boolean): String = {
-    def dp(a: String, b: String): String =
-      if (duck) s"list_dot_product($a, $b)"
-      else s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-           "CAST(0 AS DOUBLE), (p, q) -> p + q)"
-    def cos(a: String, b: String): String =
-      s"${dp(a, b)} / (sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+  /** SQL dot product in either dialect (duck = DuckDB, else Spark). */
+  private def sqlDp(duck: Boolean)(a: String, b: String): String =
+    if (duck) s"list_dot_product($a, $b)"
+    else s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+         "CAST(0 AS DOUBLE), (p, q) -> p + q)"
+
+  /** SQL cosine in either dialect (sequential-order sums — the
+    * bit-reproducible idiom both engines share). */
+  private def sqlCos(duck: Boolean)(a: String, b: String): String = {
+    val dp = sqlDp(duck) _
+    s"${dp(a, b)} / (sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+  }
+
+  /** Shared TRAINED-centroid CTE chain (e → seeds → ka → exg → cgrid →
+    * cents(cent_id, ce)) — one spherical-Lloyd round: cosine assignment
+    * to the round-6 RANK-seeded init (the nLists smallest vec_ids — the
+    * r16 corpus-shape-independent rule AnnIndex.trainCentroids runs),
+    * then round-6 exact-decimal means. Single source for BOTH the
+    * q_ann_ivf and q_ann_recall oracles and their Spark twins, so the
+    * serving keys and the persisted index can never train differently
+    * from what the oracle checks. */
+  private def trainedCentsSql(duck: Boolean, nLists: Int): String = {
+    val cos = sqlCos(duck) _
     val cast =
       if (duck) "CAST(embedding AS DOUBLE[])"
       else "CAST(embedding AS ARRAY<DOUBLE>)"
-    val nps = Seq(1, 2, 4, 8, 16)
-    val ivfCtes = nps.map { np => s"""
-      ivf$np AS (
-        SELECT $np AS nprobe, probe_id, vec_id FROM (
-          SELECT pl.probe_id, a.vec_id,
-            row_number() OVER (PARTITION BY pl.probe_id ORDER BY
-              round(${cos("pl.pe", "e.v")}, 4) DESC, a.vec_id) AS rn
-          FROM pl
-          JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
-          JOIN e ON e.vec_id = a.vec_id
-          WHERE pl.plrn <= $np) WHERE rn <= 5)"""
-    }.mkString(",")
-    val ivfUnion = nps.map(np => s"SELECT * FROM ivf$np")
-      .mkString(" UNION ALL ")
-    // r15: the lists hang off TRAINED centroids — one spherical-Lloyd
-    // round (cosine assignment to the round-6 seed vectors, then round-6
-    // exact-decimal means), the same arithmetic AnnIndex.trainCentroids
-    // runs for the persisted index. Dialect splits: element round-6 over
-    // the array, the dim explosion, and the ordered array reassembly.
     val r6 =
       if (duck) "list_transform(v, x -> round(x, 6))"
       else "transform(v, x -> round(x, 6))"
@@ -1329,11 +1380,11 @@ object PipelineOps extends QueryPack {
     val relist =
       if (duck) "list(c ORDER BY pos)"
       else "transform(array_sort(collect_list(struct(pos, c))), pc -> pc.c)"
-    s"""
-      WITH e AS (SELECT vec_id, $cast AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, $cast AS v FROM embeddings),
       seeds AS (
-        SELECT CAST(vec_id AS INT) AS cid, $r6 AS c
-        FROM e WHERE vec_id < 16),
+        SELECT CAST(srn - 1 AS INT) AS cid, c FROM (
+          SELECT row_number() OVER (ORDER BY vec_id) AS srn, $r6 AS c
+          FROM e) WHERE srn <= $nLists),
       ka AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, s.cid,
@@ -1346,7 +1397,69 @@ object PipelineOps extends QueryPack {
           round(CAST(sum(CAST(x.vv AS DECIMAL(28,10))) AS DOUBLE) /
                 CAST(count(*) AS DOUBLE), 6) AS c
         FROM exg x JOIN ka a USING (vec_id) GROUP BY a.cid, x.pos),
-      cents AS (SELECT cid AS cent_id, $relist AS ce FROM cgrid GROUP BY cid),
+      cents AS (SELECT cid AS cent_id, $relist AS ce FROM cgrid GROUP BY cid)"""
+  }
+
+  /** Single source for the q_ann_ivf oracle AND its Spark twin (r16,
+    * VERDICT r15 item 3: the contract key now serves from the TRAINED
+    * centroids — the same Lloyd round the persisted [[AnnIndex]] runs —
+    * instead of the first-nLists seed vectors). */
+  def annIvfSql(duck: Boolean, nLists: Int = 16, nProbe: Int = 4,
+                k: Int = 5): String = {
+    val cos = sqlCos(duck) _
+    s"""
+      WITH ${trainedCentsSql(duck, nLists)},
+      asg AS (
+        SELECT vec_id, cent_id FROM (
+          SELECT e.vec_id, c.cent_id,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              ${cos("e.v", "c.ce")} DESC, c.cent_id) AS rn
+          FROM e, cents c) WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS probe_id, v AS pe FROM e
+        WHERE vec_id >= 10 AND vec_id < 15),
+      plists AS (
+        SELECT probe_id, pe, cent_id FROM (
+          SELECT p.probe_id, p.pe, c.cent_id,
+            row_number() OVER (PARTITION BY p.probe_id ORDER BY
+              ${cos("p.pe", "c.ce")} DESC, c.cent_id) AS rn
+          FROM probes p, cents c) WHERE rn <= $nProbe)
+      SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, cos FROM (
+        SELECT pl.probe_id, a.vec_id,
+          round(${cos("pl.pe", "e.v")}, 4) AS cos,
+          row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+            round(${cos("pl.pe", "e.v")}, 4) DESC, a.vec_id) AS rn
+        FROM plists pl
+        JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
+        JOIN e ON e.vec_id = a.vec_id)
+      WHERE rn <= $k ORDER BY probe_id, rn"""
+  }
+
+  /** Single source for the q_ann_recall oracle AND its Spark-dialect twin
+    * (the kmeansSql discipline) — only the dot-product idiom and the
+    * array cast differ between dialects; the recall algebra, the nprobe
+    * sweep, and every tie-break are byte-identical. */
+  def annRecallSql(duck: Boolean): String = {
+    val cos = sqlCos(duck) _
+    val nps = Seq(1, 2, 4, 8, 16)
+    val ivfCtes = nps.map { np => s"""
+      ivf$np AS (
+        SELECT $np AS nprobe, probe_id, vec_id FROM (
+          SELECT pl.probe_id, a.vec_id,
+            row_number() OVER (PARTITION BY pl.probe_id ORDER BY
+              round(${cos("pl.pe", "e.v")}, 4) DESC, a.vec_id) AS rn
+          FROM pl
+          JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
+          JOIN e ON e.vec_id = a.vec_id
+          WHERE pl.plrn <= $np) WHERE rn <= 5)"""
+    }.mkString(",")
+    val ivfUnion = nps.map(np => s"SELECT * FROM ivf$np")
+      .mkString(" UNION ALL ")
+    // The TRAINED-centroid chain is the shared [[trainedCentsSql]] prefix
+    // (r16) — byte-identical between the q_ann_ivf and q_ann_recall
+    // oracles and both Spark twins.
+    s"""
+      WITH ${trainedCentsSql(duck, 16)},
       asg AS (
         SELECT vec_id, cent_id FROM (
           SELECT e.vec_id, c.cent_id,
@@ -1651,43 +1764,7 @@ object PipelineOps extends QueryPack {
         FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
       SELECT v1, v2, cos FROM pairs WHERE cos >= 0.35 ORDER BY v1, v2""",
 
-    "q_ann_ivf" -> """
-      WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      cents AS (
-        SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id < 16),
-      asg AS (
-        SELECT vec_id, cent_id FROM (
-          SELECT e.vec_id, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-              list_dot_product(e.v, c.ce) /
-                (sqrt(list_dot_product(e.v, e.v)) *
-                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cent_id) AS rn
-          FROM e, cents c) WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS probe_id, v AS pe FROM e
-        WHERE vec_id >= 10 AND vec_id < 15),
-      plists AS (
-        SELECT probe_id, pe, cent_id FROM (
-          SELECT p.probe_id, p.pe, c.cent_id,
-            row_number() OVER (PARTITION BY p.probe_id ORDER BY
-              list_dot_product(p.pe, c.ce) /
-                (sqrt(list_dot_product(p.pe, p.pe)) *
-                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cent_id) AS rn
-          FROM probes p, cents c) WHERE rn <= 4)
-      SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, cos FROM (
-        SELECT pl.probe_id, a.vec_id,
-          round(list_dot_product(pl.pe, e.v) /
-            (sqrt(list_dot_product(pl.pe, pl.pe)) *
-             sqrt(list_dot_product(e.v, e.v))), 4) AS cos,
-          row_number() OVER (PARTITION BY pl.probe_id ORDER BY
-            round(list_dot_product(pl.pe, e.v) /
-              (sqrt(list_dot_product(pl.pe, pl.pe)) *
-               sqrt(list_dot_product(e.v, e.v))), 4) DESC, a.vec_id) AS rn
-        FROM plists pl
-        JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
-        JOIN e ON e.vec_id = a.vec_id)
-      WHERE rn <= 5 ORDER BY probe_id, rn""",
+    "q_ann_ivf" -> annIvfSql(duck = true),
 
     "q_split_sample" -> s"""
       SELECT lang,

@@ -74,43 +74,53 @@ object StreamingOps extends QueryPack {
     // watermark after each arrival is max(ts seen so far) - 10 min; a row
     // is late iff its ts is below the watermark at arrival.
     //
-    // Scale-safe AND Tungsten-native (r15, VERDICT r14 item 6 — the last
-    // RDD lineage retired): a global exclusive prefix-max, like a global
-    // rank, does NOT need a single-partition window. The q_token_budget
-    // two-level window discipline:
+    // Scale-safe, Tungsten-native AND fully planned (r16, VERDICT r15
+    // item 6 — the driver-side carry loop retired): a global exclusive
+    // prefix-max runs as a THREE-level bucket hierarchy, all in the plan:
     //   1. deterministic arithmetic buckets on arrival order
-    //      (floor(event_id / BucketWidth) — no sampling, so the count
-    //      pass and the rank pass can never disagree);
-    //   2. bucket-grain EXCLUSIVE prefix max — the per-bucket maxes ride
-    //      to the driver (O(|buckets|) = maxId/BucketWidth rows, the
-    //      scale knob — the q_sort_multi offsets discipline), the carry
-    //      prefix is a plain scan, and the carries ride back as a
-    //      broadcast LocalRelation (no SinglePartition exchange, no RDD);
-    //   3. the row-grain exclusive prefix max is bucket-LOCAL (parallel
-    //      windows), greatest(in-bucket prefix, carry-in).
-    // `greatest` skips NULLs, so the first bucket (no carry) and each
-    // bucket's first row (no in-bucket prefix) fall out naturally; a row
-    // with NO preceding row at all gets NULL → is_late = false via
-    // three-valued AND. Timestamps travel as long micros. Like
-    // q_sort_multi, the bucket-max pass runs EAGERLY at build time — the
-    // carries are query parameters, the deliberate batch-replay trade.
+    //      (floor(event_id / BucketWidth) — no sampling, so no pass can
+    //      disagree with another); the row-grain exclusive prefix max is
+    //      bucket-LOCAL (parallel windows);
+    //   2. bucket-grain carries are superbucket-LOCAL (parallel windows
+    //      partitioned by floor(bucket / SuperWidth));
+    //   3. only the SUPERBUCKET-grain carry — |maxId / (BucketWidth ×
+    //      SuperWidth)| rows, ~10^5 at a 10^11-id feed — crosses the one
+    //      single-partition window, the same reduced-grain trade as a
+    //      final global agg. The carries ride back down as two broadcast
+    //      joins; the fact table never leaves its bucket partitioning.
+    // A row's watermark input = greatest(in-bucket prefix, in-super
+    // bucket carry, super carry). `greatest` skips NULLs, so the first
+    // bucket/super (no carry) and each bucket's first row (no in-bucket
+    // prefix) fall out naturally; a row with NO preceding row at all gets
+    // NULL → is_late = false via three-valued AND. Timestamps travel as
+    // long micros. Unlike the r15 form there is NO eager build-time job
+    // and NO driver materialization — one lazy plan end to end.
     "q_watermark_late" -> { (s, d) =>
-      import s.implicits._
-      val BucketWidth = 1024L // |buckets| = maxId/width — the scale knob
+      val BucketWidth = 1024L // rows per bucket — the scale knob
+      val SuperWidth = 1024L  // buckets per superbucket
       val lateMicros = 10L * 60 * 1000000
       val base = Tables.events(s, d)
         .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
         .withColumn("bucket", floor(col("event_id") / BucketWidth))
       val bmax = base.groupBy(col("bucket"))
         .agg(max(col("tsu")).as("bmax"))
-        .orderBy(col("bucket"))
-        .collect()
-      var run: Option[Long] = None
-      val offsets = bmax.map { r =>
-        val out = (r.getLong(0), run)
-        run = Some(run.fold(r.getLong(1))(math.max(_, r.getLong(1))))
-        out
-      }.toSeq.toDF("bucket", "carry")
+        .withColumn("sb", floor(col("bucket") / SuperWidth))
+      // super-grain EXCLUSIVE prefix max — the only global window, over
+      // the doubly-reduced frame
+      val wSuper = Window.orderBy(col("sb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val scarry = bmax.groupBy(col("sb")).agg(max(col("bmax")).as("smax"))
+        .withColumn("scarry", max(col("smax")).over(wSuper))
+        .select(col("sb"), col("scarry"))
+      // bucket-grain carry = greatest(in-super exclusive prefix, super
+      // carry) — parallel windows partitioned by superbucket
+      val wInSb = Window.partitionBy(col("sb")).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bmax
+        .withColumn("insb", max(col("bmax")).over(wInSb))
+        .join(broadcast(scarry), Seq("sb"))
+        .select(col("bucket"),
+          greatest(col("insb"), col("scarry")).as("carry"))
       val wIn = Window.partitionBy(col("bucket")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       base.join(broadcast(offsets), Seq("bucket"))

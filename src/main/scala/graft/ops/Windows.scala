@@ -124,34 +124,42 @@ object Windows extends QueryPack {
 
     // Windowed DISTINCT count — trailing-7-day distinct active users per
     // event type (the rolling-DAU/WAU primitive). Spark has no
-    // count(DISTINCT) over a window, so the engine form is
-    // size(collect_set(...)) over a RANGE frame on day number — run on
-    // the activity frame already collapsed to DISTINCT (type, day, user)
-    // rows, then reduced to one row per (type, day). 100 TB lens: the
-    // collect_set state is bounded by distinct users per 7-day window ×
-    // one partition per event type — O(window users) PER ROW, the shape
-    // the r15 sf1 gate measured at 12×/10× data. The constant-memory
-    // alternative is IMPLEMENTED as [[windowCountDistinctDeltas]]
-    // (first-appearance interval deltas + a calendar-grain prefix sum —
-    // EXACT, row-for-row equal, 8.3 → 1.1 s at sf1; AggSwapSpec pins it),
-    // trading the set state for two extra mergeable shuffles.
-    "q_window_count_distinct" -> { (s, d) =>
-      val act = Tables.events(s, d)
-        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
-        .distinct()
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("dn")).rangeBetween(-6, 0)
-      act
-        .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")))
-        .withColumn("u7", size(collect_set(col("user_id")).over(w)).cast("long"))
-        .groupBy(col("event_type"), col("day"))
-        .agg(count(lit(1)).as("u1"), max(col("u7")).as("u7"))
-        .orderBy(col("event_type"), col("day"))
-    }
+    // count(DISTINCT) over a window; the shipped form is the EXACT
+    // first-appearance DELTA algebra ([[windowCountDistinctDeltas]]):
+    // per-user activity days merge into coverage intervals, each interval
+    // contributes +1/−1 deltas, and the trailing count is a prefix sum
+    // over the CALENDAR-bounded (type, day) grain — no per-row set state
+    // anywhere. Promoted to the contract key in r16 after the sf1 gate
+    // measured the pedagogical size(collect_set)-over-RANGE-frame form
+    // ([[windowCountDistinctSets]]) at 12× cost for 10× data (its state
+    // is O(distinct users in frame) PER ROW); the swap is row-for-row
+    // equal (AggSwapSpec) and 8.3 → 1.1 s at sf1.
+    "q_window_count_distinct" -> { (s, d) => windowCountDistinctDeltas(s, d) }
   )
 
-  /** The IMPLEMENTED corpus-scale swap for q_window_count_distinct (r15 —
-    * flagged by the sf1 full-bench gate at 12×/10× data): the key's
+  /** The pedagogical set form of q_window_count_distinct — what a user
+    * coming from "COUNT(DISTINCT) OVER" writes first: size(collect_set)
+    * over a RANGE frame on day number, run on the activity frame already
+    * collapsed to DISTINCT (type, day, user) rows. Kept as the documented
+    * alternate and the AggSwapSpec equality witness; NOT the contract key
+    * since r16, because its per-row set state is O(users in window) and
+    * the r15 sf1 gate measured it superlinear (12× at 10× data). */
+  def windowCountDistinctSets(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("dn")).rangeBetween(-6, 0)
+    act
+      .withColumn("dn", datediff(col("day"), lit("2024-01-01").cast("date")))
+      .withColumn("u7", size(collect_set(col("user_id")).over(w)).cast("long"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("u1"), max(col("u7")).as("u7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** The contract-key form of q_window_count_distinct (promoted r16; the
+    * r15 sf1 full-bench gate measured the set form at 12×/10× data): the
     * `collect_set` over a RANGE frame rebuilds an O(users-in-window) set
     * PER ROW inside |event_type| partitions — quadratic in users per
     * window and serialized on a handful of partitions. The

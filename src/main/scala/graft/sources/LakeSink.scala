@@ -541,6 +541,14 @@ object SnapshotLake {
                     maxRecordsPerFile: Long = 1000000L): Option[Long] = {
     require(zCols.nonEmpty && bits >= 1 && bits <= 20,
       "z-order needs >= 1 column and 1..20 bits per dimension")
+    // The interleave lives in ONE long: bit position i*n+j must stay < 63
+    // (Java masks a long shift count to 6 bits, so an overflowing position
+    // silently wraps and COLLIDES with a low bit — the file-envelope
+    // guarantee would degrade while the pass reports success; r16 advisor
+    // item). 4 cols × 20 bits = position 79 is the failing example.
+    require(bits * zCols.length <= 63,
+      s"bits*zCols = ${bits * zCols.length} exceeds the 63-bit z-value " +
+      s"budget — reduce bits to ${63 / zCols.length} or fewer")
     val base = latest(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed snapshot at $table"))
     val df = readAt(spark, table, base)

@@ -186,17 +186,19 @@ class AggSwapSpec extends AnyFunSuite {
     }
   }
 
-  test("windowCountDistinctDeltas == q_window_count_distinct row-for-row, no set state") {
-    // r15 sf1-gate finding: the key's collect_set-over-range-frame costs
+  test("q_window_count_distinct (delta form) == the set form row-for-row, no set state") {
+    // r15 sf1-gate finding: collect_set-over-range-frame costs
     // O(users-in-window) PER ROW inside |event_type| partitions (12× at
-    // 10× data). The delta form is EXACT — interval algebra, not a
-    // sketch — so the pin is full row equality, and the plan must carry
-    // no collect_set (the quadratic state the swap exists to remove).
-    val approx = graft.ops.Windows.windowCountDistinctDeltas(spark, TestSpark.Sf0001)
-    val plan = approx.queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_set"), "set state crept back in")
-    val e = q("q_window_count_distinct").collect().map(_.toSeq)
-    val a = approx.collect().map(_.toSeq)
+    // 10× data). r16 promoted the EXACT delta form INTO the contract key;
+    // the pedagogical set form is now the equality witness. Full row
+    // equality (interval algebra, not a sketch), and the KEY's plan must
+    // carry no collect_set (the quadratic state the swap removed).
+    val key = q("q_window_count_distinct")
+    val plan = key.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), "set state crept back into the key")
+    val e = graft.ops.Windows.windowCountDistinctSets(spark, TestSpark.Sf0001)
+      .collect().map(_.toSeq)
+    val a = key.collect().map(_.toSeq)
     assert(a.toSeq == e.toSeq,
       s"delta form diverged: ${a.length} vs ${e.length} rows")
   }

@@ -252,4 +252,44 @@ class EmbedLshSpec extends AnyFunSuite {
     assert(recalls.last == 1.0,
       "nprobe = nLists must recover brute force exactly")
   }
+
+  test("q_ann_ivf (trained, r16) recall@5 delta vs seeded ivfTopK at nProbe=4") {
+    // The r16 contract-key swap's measured readout at the key's own
+    // operating point (16 lists, 4 probes, top-5, probes 10..14):
+    // trained recall is pinned as a floor and the trained-vs-seeded
+    // delta recorded. Pointwise superiority is NOT asserted — recall
+    // curves cross at single operating points (on this fixture seeded
+    // happens to hit 1.0 at nProbe=4; trained measures 0.96). The
+    // systematic trained > seeded claim is pinned where it holds, on
+    // AnnIndexSpec's 50-probe sweep. Truth = brute-force top-5.
+    val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
+    val e = emb.select(col("vec_id"), col("embedding"),
+      sqrt(graft.expr.DotProduct.dot(col("embedding"), col("embedding")))
+        .as("nrm"))
+    val probes = e.filter(isProbe)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+              col("nrm").as("pnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = probes.crossJoin(e).filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(graft.expr.DotProduct.dot(col("pe"), col("embedding")) /
+          (col("pnrm") * col("nrm")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+        .intersect(truth).size.toDouble / truth.size
+    val trained = recallOf(
+      PipelineOps.ivfTopKTrained(s, TestSpark.Sf0001, 16, 4, 5))
+    val seeded = recallOf(
+      PipelineOps.ivfTopK(emb, isProbe, nLists = 16, nProbe = 4, k = 5))
+    info(s"recall@5 at nProbe=4: trained=$trained seeded=$seeded " +
+         f"(delta=${trained - seeded}%+.2f)")
+    // measured 0.96 on the fixture, slack for a borderline float nudge
+    assert(trained >= 0.90,
+      s"trained recall floor broken at the key's operating point: $trained")
+  }
 }

@@ -128,7 +128,7 @@ class GraphAndSamplingSpec extends AnyFunSuite {
     }
   }
 
-  test("rollingDistinctViaDeltas == the collect_set form (the constant-memory scale path)") {
+  test("rollingDistinctViaDeltas == q_window_count_distinct (both constant-memory since r16)") {
     val act = Tables.events(spark, TestSpark.Sf0001)
       .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
       .distinct()

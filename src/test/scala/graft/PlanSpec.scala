@@ -142,25 +142,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_window_count_distinct carries no per-row set state (r16 delta form)") {
+    // The r15 sf1 gate measured the collect_set-over-RANGE-frame form at
+    // 12× cost for 10× data (O(users-in-window) set PER ROW). The contract
+    // key is now the exact first-appearance delta algebra; a collect_set
+    // reappearing in the key's plan is the regression this pins against.
+    val s = finalPlan("q_window_count_distinct")
+    assert(!s.contains("collect_set"),
+      s"q_window_count_distinct regressed to per-row set state:\n$s")
+  }
+
   test("q_sort_multi and q_watermark_late never collapse to one partition") {
     // Round-3 verdict items 2-3 replaced the global-window forms with
     // two-pass algorithms; this pins the fix. A regression to
     // `Window.orderBy(...)` with no partitionBy would reintroduce an
     // `Exchange SinglePartition` + partition-less WindowExec — the two plans
     // that die at 100x scale.
-    for (k <- Seq("q_sort_multi", "q_watermark_late")) {
-      val s = finalPlan(k)
+    locally {
+      val s = finalPlan("q_sort_multi")
       assert(!s.contains("Exchange SinglePartition"),
-        s"$k funnels all rows through one partition:\n$s")
+        s"q_sort_multi funnels all rows through one partition:\n$s")
     }
-    // q_watermark_late (r15, DataFrame-native): its ONE window is
-    // bucket-local — a partition-less WindowExec or any RDD drop-out
-    // (the pre-r15 mapPartitionsWithIndex form) is a regression
+    // q_watermark_late (r16, fully planned): the row-grain window is
+    // bucket-local and the bucket-grain carry window superbucket-local;
+    // ONLY the superbucket-grain carry (the doubly-reduced ~maxId/2^20
+    // frame) may cross a single-partition window — more than one
+    // SinglePartition exchange means a fact- or bucket-grain frame
+    // regressed to one task. No RDD drop-out, no driver collect (the
+    // r15 scanLeft-carry is retired: no LocalTableScan carry relation).
     val wm = finalPlan("q_watermark_late").split("== Initial Plan ==")(0)
     assert(!wm.contains("Scan ExistingRDD"),
       "q_watermark_late left Tungsten (RDD lineage)")
+    assert("Exchange SinglePartition".r.findAllIn(wm).size <= 1,
+      s"q_watermark_late funnels more than the super-grain carry " +
+      s"through one partition:\n$wm")
+    assert(!wm.contains("LocalTableScan"),
+      s"q_watermark_late regressed to a driver-materialized carry:\n$wm")
     assert(wm.linesIterator.filter(_.contains("Window"))
-      .forall(l => l.contains("bucket")),
+      .forall(l => l.contains("bucket") || l.contains("sb")),
       s"q_watermark_late window lost its bucket partitioning:\n$wm")
     // q_sort_multi (r14, DataFrame-native): its ONE window is bucket-local
     // — partitioned by (c_mktsegment, band) — and the rank assembly is a

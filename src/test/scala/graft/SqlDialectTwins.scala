@@ -589,43 +589,7 @@ object SqlDialectTwins {
         FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
       SELECT v1, v2, cos FROM pairs WHERE cos >= 0.35 ORDER BY v1, v2""",
 
-    "q_ann_ivf" -> """
-      WITH e AS (
-        SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM embeddings),
-      cents AS (
-        SELECT vec_id AS cent_id, v AS ce FROM e WHERE vec_id < 16),
-      asg AS (
-        SELECT vec_id, cent_id FROM (
-          SELECT e.vec_id, c.cent_id,
-            row_number() OVER (PARTITION BY e.vec_id ORDER BY
-              aggregate(zip_with(e.v, c.ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) /
-                (sqrt(aggregate(zip_with(e.v, e.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)) *
-                 sqrt(aggregate(zip_with(c.ce, c.ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))) DESC, c.cent_id) AS rn
-          FROM e, cents c) WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS probe_id, v AS pe FROM e
-        WHERE vec_id >= 10 AND vec_id < 15),
-      plists AS (
-        SELECT probe_id, pe, cent_id FROM (
-          SELECT p.probe_id, p.pe, c.cent_id,
-            row_number() OVER (PARTITION BY p.probe_id ORDER BY
-              aggregate(zip_with(p.pe, c.ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) /
-                (sqrt(aggregate(zip_with(p.pe, p.pe, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)) *
-                 sqrt(aggregate(zip_with(c.ce, c.ce, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))) DESC, c.cent_id) AS rn
-          FROM probes p, cents c) WHERE rn <= 4)
-      SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, cos FROM (
-        SELECT pl.probe_id, a.vec_id,
-          round(aggregate(zip_with(pl.pe, e.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) /
-            (sqrt(aggregate(zip_with(pl.pe, pl.pe, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)) *
-             sqrt(aggregate(zip_with(e.v, e.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))), 4) AS cos,
-          row_number() OVER (PARTITION BY pl.probe_id ORDER BY
-            round(aggregate(zip_with(pl.pe, e.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b) /
-              (sqrt(aggregate(zip_with(pl.pe, pl.pe, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b)) *
-               sqrt(aggregate(zip_with(e.v, e.v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, b) -> a + b))), 4) DESC, a.vec_id) AS rn
-        FROM plists pl
-        JOIN asg a ON a.cent_id = pl.cent_id AND a.vec_id <> pl.probe_id
-        JOIN e ON e.vec_id = a.vec_id)
-      WHERE rn <= 5 ORDER BY probe_id, rn""",
+    "q_ann_ivf" -> graft.ops.PipelineOps.annIvfSql(duck = false),
 
     // ---- fingerprint / ngram / contamination ----
     "q_doc_fingerprint" -> s"""
