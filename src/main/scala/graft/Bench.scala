@@ -96,20 +96,55 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
     }
+    // Non-steal contention markers (r16, VERDICT r15 item 7): the r15
+    // driver artifact sat 18% above the verified-quiet same-HEAD run with
+    // near-zero steal ticks — a contention class (co-tenant memory
+    // bandwidth) steal can't see. Two extra per-pass signals make it
+    // adjudicable from the artifact alone:
+    //  - wall_cpu_ratio = pass wall-seconds x nCpus / JVM process-CPU-
+    //    seconds. On a quiet host the suite keeps the executor pool busy
+    //    at a characteristic ratio; bandwidth contention stretches wall
+    //    while process-CPU stays flat, so the ratio rises ACROSS THE
+    //    WHOLE PASS (unlike steal, which needs the hypervisor to report).
+    //    Compare passes to each other and to the BASELINE.md anchor row —
+    //    an artifact whose ratios sit uniformly above the anchor's is
+    //    contended even at steal~0.
+    //  - loadavg1 = /proc/loadavg 1-min at pass end: >> nCpus means
+    //    co-tenant runnable pressure. -1 = unreadable.
+    def procCpuNanos(): Long =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        .getProcessCpuTime
+      catch { case _: Throwable => -1L }
+    def loadAvg1(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val stealPerPass = Array.ofDim[Long](passes)
     val ticksPerPass = Array.ofDim[Long](passes)
+    val wallCpuRatio = Array.ofDim[Double](passes)
+    val loadPerPass = Array.ofDim[Double](passes)
     val samples = (1 to passes).flatMap { pi =>
       val (steal0, ticks0) = cpuTicks()
+      val pc0 = procCpuNanos()
+      val w0 = System.nanoTime()
       val res = names.map { name =>
         val g0 = gcMillis()
         val t0 = System.nanoTime()
         val r = run(name)
         (name, (System.nanoTime() - t0) / 1e9, r.isRight, gcMillis() - g0)
       }
+      val wall = (System.nanoTime() - w0) / 1e9
+      val pc1 = procCpuNanos()
       val (steal1, ticks1) = cpuTicks()
       val ok = steal0 >= 0 && steal1 >= 0
       stealPerPass(pi - 1) = if (ok) steal1 - steal0 else -1L
       ticksPerPass(pi - 1) = if (ok) ticks1 - ticks0 else -1L
+      wallCpuRatio(pi - 1) =
+        if (pc0 >= 0 && pc1 > pc0)
+          math.round(wall * cpus.toDouble / ((pc1 - pc0) / 1e9) * 1000) / 1000.0
+        else -1.0
+      loadPerPass(pi - 1) = loadAvg1()
       res
     }
     // A key is `failed` if ANY pass crashed (a flaky crash is a crash, not a
@@ -136,10 +171,12 @@ object Bench {
     val total = timed.collect { case (_, v, true) => v }.sum
     val steal = stealPerPass.mkString("[", ",", "]")
     val ticks = ticksPerPass.mkString("[", ",", "]")
+    val ratios = wallCpuRatio.mkString("[", ",", "]")
+    val loads = loadPerPass.mkString("[", ",", "]")
     val gcs = gcMax.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"gc_ms_max":$gcs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"steal_ticks":$steal,"cpu_ticks":$ticks,"wall_cpu_ratio":$ratios,"loadavg1":$loads,"gc_ms_max":$gcs,"sf":"$sfDir"}"""
     println(json)
     // STDOUT CONTRACT (ADVICE r8): the LAST stdout line is the canonical
     // parse target. The full record above outgrew the driver's stdout
