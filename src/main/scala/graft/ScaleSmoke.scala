@@ -41,7 +41,8 @@ object ScaleSmoke {
     "q_tree_paths", "q_ngram_lm",
     "q_kmeans", "q_sssp",
     "q_impute", "q_negative_sample",
-    "q_ann_recall", "q_dedup_recall", "q_text_normalize")
+    "q_ann_recall", "q_dedup_recall", "q_text_normalize",
+    "q_dedup_embed")
   // rows-out tracked where output size ≈ candidate/pair count (the scale
   // health metric for LSH designs); timing keys alone say nothing about
   // whether candidates exploded. q_stratified_sample's rows-out is the
@@ -65,6 +66,11 @@ object ScaleSmoke {
   // count (suppliers are deliberately unshifted in the synthesis, so the
   // graph densifies instead of replicating — the dist frame must stay
   // node-sized as facts grow 10×).
+  // q_dedup_embed rows-out = near-dup PAIR count — with the r16 per-copy
+  // sign-pattern isometry the expectation is ~10× (each copy reproduces
+  // the base pair set in its own rotated frame; cross-copy cosines sit
+  // near 0), replacing the 252× identical-copy artifact the r15 gate
+  // measured.
   private val CountKeys =
     Set("q_dedup_simhash", "q_dedup_minhash", "q_connected_components",
         "q_seq_pack", "q_stratified_sample", "q_dedup_incremental",
@@ -74,7 +80,7 @@ object ScaleSmoke {
         "q_survival_km", "q_hierarchy_rollup",
         "q_kmeans", "q_sssp",
         "q_negative_sample",
-        "q_ann_recall", "q_dedup_recall")
+        "q_ann_recall", "q_dedup_recall", "q_dedup_embed")
 
   def main(args: Array[String]): Unit = {
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
@@ -152,11 +158,12 @@ object ScaleSmoke {
   private def buildSf1(spark: SparkSession, src: String, out: String,
                        copies: Int): Unit = {
     // versioned marker: the orders-scaling change (r11) and the
-    // embeddings-scaling change (r13, q_kmeans) invalidate any sf1 built
+    // embeddings-scaling changes (r13 q_kmeans; r16 per-copy sign
+    // pattern) invalidate any sf1 built
     // by an earlier synthesis — an unversioned marker would let a stale
     // fixture (unscaled orders / embeddings) feed a 1/10-size input and
     // print a plausible-but-wrong ratio
-    if (Files.exists(Paths.get(s"$out/_built_v3"))) return
+    if (Files.exists(Paths.get(s"$out/_built_v4"))) return
     // The copy shift (c·10M for doc_id/event_id/user_id/vec_id/o_custkey)
     // is only collision-free while every base id stays below 10M — a
     // larger source fixture would silently alias keys across copies and
@@ -213,20 +220,32 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$out/orders.parquet")
 
-    // embeddings: 10 id-shifted copies of the SAME vector set — the
-    // value distribution (and so the k-means cluster structure) is
-    // preserved while the vector count grows 10×; copy-0 keeps vec_id
-    // 0..3, so the deterministic init seeds are unchanged
+    // embeddings: 10 id-shifted copies, each under a per-copy
+    // deterministic coordinate SIGN PATTERN (r16, VERDICT r15 item 5) —
+    // an ISOMETRY per copy: intra-copy dot products, norms, and the
+    // k-means cluster structure are preserved EXACTLY (Σ s_i² x_i y_i =
+    // Σ x_i y_i), while CROSS-copy cosines scramble toward 0 (random
+    // ±1 agreement over 64 dims, std ≈ 1/8), so q_dedup_embed's 10×
+    // scaling row measures real near-dup pair growth instead of the
+    // identical-copy artifact (252× pairs: every vector was a 10-way
+    // dup of itself). Copy 0 passes through unchanged — the q_kmeans /
+    // AnnIndex deterministic init seeds (smallest vec_ids) keep their
+    // exact values.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     (0 until copies).map { c =>
-      emb.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+      val flipped =
+        if (c == 0) emb
+        else emb.withColumn("embedding",
+          expr(s"transform(embedding, (x, i) -> " +
+               s"CASE WHEN pmod(hash($c, i), 2) = 0 THEN x ELSE -x END)"))
+      flipped.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
     }.reduce(_ unionByName _)
       .coalesce(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    Files.createFile(Paths.get(s"$out/_built_v3"))
+    Files.createFile(Paths.get(s"$out/_built_v4"))
   }
 
   /** 10× customer dim for q_hierarchy_rollup / q_tree_paths (target/sf1h): copy c

@@ -152,6 +152,44 @@ object AnnIndex {
     SnapshotLake.commit(lists, s"$root/lists", append = true)
   }
 
+  /** Drift-triggered retrain (r16, VERDICT r15 item 4): [[append]] never
+    * retrains by spec, so appended mass that drifts from the trained
+    * centroids degrades recall at fixed nProbe (AnnIndexSpec measures the
+    * decay). `rebuild` retrains on the CURRENT corpus (base + every
+    * append, read from the lists table itself) and re-files every vector,
+    * under the same optimistic single-CAS discipline as
+    * `SnapshotLake.compact`: the rewrite targets exactly base+1 and
+    * returns None if ANY commit (i.e. a concurrent [[append]]) landed
+    * meanwhile — retrying with the stale rewrite would silently DROP the
+    * racing append's vectors, so the caller re-invokes on the new base
+    * instead and no append is ever lost. On success the centroids table
+    * is replaced after the lists CAS lands; the one-commit window where
+    * new lists serve beside old centroids can only misroute probes
+    * (recall, not correctness) and closes at the next statement —
+    * maintenance is single-writer by the same assumption compact makes.
+    * Returns Some(new lists snapshot id), or None on a lost race. */
+  def rebuild(spark: SparkSession, root: String, nLists: Int,
+              sampleMod: Int = 1): Option[Long] = {
+    val listsT = s"$root/lists"
+    val base = SnapshotLake.latest(spark, listsT).getOrElse(
+      throw new IllegalArgumentException(s"no built index at $root"))
+    val corpus = SnapshotLake.readAt(spark, listsT, base)
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val cents = trainCentroids(corpus, nLists, sampleMod).localCheckpoint()
+    val nc = cents.count()
+    require(nc == nLists,
+      s"rebuild trained $nc centroids, expected $nLists — not committing")
+    val lists = assignCid(vecsOf(corpus), cents)
+      .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+      .repartitionByRange(col("cid"))
+    val dir = SnapshotLake.writeData(lists, listsT, 1000000L)
+    if (SnapshotLake.latest(spark, listsT).contains(base) &&
+        SnapshotLake.tryCommitManifest(spark, listsT, base + 1, Seq(dir))) {
+      SnapshotLake.commit(cents, s"$root/centroids", append = false)
+      Some(base + 1)
+    } else None
+  }
+
   /** Serve cosine top-`k` for a (probe_id, pe ARRAY<DOUBLE>) query frame
     * from the persisted index: broadcast the centroid table, rank each
     * probe's lists by cosine DESC (ties to smaller cid — the withClist

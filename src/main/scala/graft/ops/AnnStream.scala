@@ -58,14 +58,54 @@ object AnnStream {
 
   /** The streaming ANN top-k. `indexRoot` must hold a built
     * [[AnnIndex]] (its centroids table routes the stream); `ttlSec` is
-    * how far (event time) behind the watermark a vector stays servable. */
+    * how far (event time) behind the watermark a vector stays servable.
+    *
+    * `pinDir` (r16, VERDICT r15 item 4): pass the query's CHECKPOINT
+    * directory to pin the centroid snapshot the stream routes by. First
+    * start resolves the latest centroids snapshot and records its id in
+    * `<pinDir>/graft-ann-centroids.pin`; every restart re-reads the
+    * PINNED snapshot via time travel, so an `AnnIndex.rebuild` landing
+    * mid-stream cannot silently re-route a running query — the bucket
+    * residency in the state store was filed under the OLD centroids, and
+    * serving new routes against old residents would break the
+    * single-residency invariant (a neighbor could be missed or seen
+    * twice). Adopting a rebuilt index is an explicit operation: new
+    * checkpoint (or delete the pin), fresh state. Without `pinDir` the
+    * stream snapshots whatever is latest at build time (the pre-r16
+    * behavior — fine for tests and one-shot queries, but a restart after
+    * a rebuild re-routes silently). */
   def annTopKStream(vectors: Dataset[StreamVec], indexRoot: String,
                     nProbe: Int, k: Int, ttlSec: Long,
-                    latenessSec: Long = 10L): Dataset[AnnHit] = {
+                    latenessSec: Long = 10L,
+                    pinDir: Option[String] = None): Dataset[AnnHit] = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val centsTable = s"$indexRoot/centroids"
+    val centsDf = pinDir match {
+      case None => graft.sources.SnapshotLake.readLatest(spark, centsTable)
+      case Some(dir) =>
+        val pin = java.nio.file.Paths.get(dir, "graft-ann-centroids.pin")
+        val id =
+          if (java.nio.file.Files.exists(pin))
+            java.nio.file.Files.readString(pin).trim.toLong
+          else {
+            val latest = graft.sources.SnapshotLake
+              .latest(spark, centsTable)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no built index at $indexRoot"))
+            java.nio.file.Files.createDirectories(pin.getParent)
+            // tmp + ATOMIC_MOVE: a crash mid-write must not leave a
+            // truncated pin that a restart would parse as a bad id
+            val tmp = pin.resolveSibling(pin.getFileName.toString + ".tmp")
+            java.nio.file.Files.writeString(tmp, latest.toString)
+            java.nio.file.Files.move(tmp, pin,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            latest
+          }
+        graft.sources.SnapshotLake.readAt(spark, centsTable, id)
+    }
     val cents: Array[(Int, Array[Double], Double)] =
-      graft.sources.SnapshotLake.readLatest(spark, s"$indexRoot/centroids")
+      centsDf
         .collect()
         .map(r => (r.getAs[Int]("cid"),
           r.getAs[scala.collection.Seq[Double]]("carr").toArray))

@@ -785,10 +785,19 @@ object TextOps extends QueryPack {
     * component = min reachable id per node, then per-component rollup.
     */
   /** Shared CTE prefix: minhash pairs → undirected edges → transitive
-    * closure → (id, comp) labels. Both components oracles build on it. */
+    * closure → (id, comp) labels. Both components oracles build on it.
+    *
+    * The `/*PAIRS*/ ... /*END_PAIRS*/` markers are INERT SQL comments for
+    * any plain run (the driver's sf0.01 gate executes the inline form
+    * unchanged) but let `tools/check_oracle.py --materialize` lift the
+    * pair derivation into a DuckDB TEMP TABLE first: DuckDB re-inlines a
+    * CTE referenced from a recursive CTE into EVERY unrolled round, so
+    * at sf1 the un-materialized form re-derives the full MinHash pair
+    * set ~log2(ids) times (measured >30 min / 70 GB spill — the r15 sf1
+    * gate's 3 oracle-side exclusions, closed by this in r16). */
   private def componentsCteSql: String = s"""
       WITH RECURSIVE pairs AS (
-        $minhashPairsSql
+        /*PAIRS*/ $minhashPairsSql /*END_PAIRS*/
       ), edges AS (
         SELECT d1 AS a, d2 AS b FROM pairs
         UNION
@@ -819,7 +828,7 @@ object TextOps extends QueryPack {
 
   private def triangleOracleSql: String = s"""
       WITH pairs AS (
-        $minhashPairsSql
+        /*PAIRS*/ $minhashPairsSql /*END_PAIRS*/
       ), tri AS (
         SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
         FROM pairs e1

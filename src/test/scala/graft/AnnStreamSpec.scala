@@ -156,6 +156,68 @@ class AnnStreamSpec extends AnyFunSuite {
     } finally q2.stop()
   }}
 
+  test("pinDir pins the centroid snapshot across restart — a mid-stream rebuild cannot re-route (r16)") { withRocksDb {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val root = tmpDir("ann_stream_pin_idx")
+    AnnIndex.build(emb, root, NLists)
+    val pinnedId = SnapshotLake.latest(spark, s"$root/centroids").get
+    val v = emb.filter(col("vec_id") === 0L).collect()(0)
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ann_pin_ckpt").toString
+    val input = MemoryStream[StreamVec](spark)
+    val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[AnnHit]()
+    def start() = AnnStream
+      .annTopKStream(input.toDS(), root, nProbe = 2, k = 5,
+        ttlSec = 1000000L, pinDir = Some(ckpt))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[AnnHit],
+                       _: Long) => b.collect().foreach(hits.add) }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(StreamVec(1L, sec(1000), v))
+      q1.processAllAvailable()
+    } finally q1.stop() // vec 1 resident under the PINNED routing
+
+    // a rebuild lands mid-stream: drifted appends + retrain move the
+    // centroids (latest != pinned), exactly the event the pin defends
+    // against
+    val drifted = emb.filter(col("vec_id") >= 250)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> " +
+             "CASE WHEN pmod(hash(7, i), 2) = 0 THEN x ELSE -x END)")
+          .as("embedding"))
+    AnnIndex.append(spark, drifted, root)
+    assert(AnnIndex.rebuild(spark, root, NLists).isDefined)
+    val oldCents = SnapshotLake.readAt(spark, s"$root/centroids", pinnedId)
+      .collect().map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("carr").toSeq).toMap
+    val newCents = SnapshotLake.readLatest(spark, s"$root/centroids")
+      .collect().map(r => r.getAs[Int]("cid") ->
+        r.getAs[scala.collection.Seq[Double]]("carr").toSeq).toMap
+    assert(oldCents != newCents,
+      "rebuild must move the centroids for this pin test to mean anything")
+
+    val q2 = start() // restart: must route by the PINNED snapshot
+    try {
+      input.addData(StreamVec(2L, sec(1001), v)) // identical direction
+      q2.processAllAvailable()
+      val got = {
+        import scala.jdk.CollectionConverters._
+        hits.asScala.toSet
+      }
+      assert(got == Set(AnnHit(2L, 1, 1L, 1.0)),
+        s"pinned routing must still serve vec 1 to vec 2: $got")
+      val pin = java.nio.file.Paths.get(ckpt, "graft-ann-centroids.pin")
+      assert(java.nio.file.Files.readString(pin).trim.toLong == pinnedId,
+        "restart must not advance the pinned snapshot id")
+    } finally q2.stop()
+  }}
+
   test("watermark TTL: expired vectors stop serving; in-TTL ones still do") { withRocksDb {
     import spark.implicits._
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
