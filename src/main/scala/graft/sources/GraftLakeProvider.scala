@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  InMemoryFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graftlake")` — the DataSource V2-era SQL surface of
+  * [[SnapshotLake]] (r16, VERDICT r15 item 9): time travel and incremental
+  * reads become `spark.read` options (and `CREATE ... USING graftlake`
+  * DDL) instead of object-API calls, so the lake is queryable like every
+  * other source in the engine.
+  *
+  * Options:
+  *  - `path` (or `.load(<table root>)`) — the SnapshotLake table root;
+  *  - `snapshotId` — time travel: read the table exactly as of that
+  *    committed snapshot (default: latest). Byte-stable under later
+  *    commits, exactly [[SnapshotLake.readAt]];
+  *  - `sinceSnapshotId` — incremental: only the data directories added in
+  *    `(since, snapshotId]`, exactly [[SnapshotLake.readIncremental]].
+  *
+  * Architecture — DELEGATION, not a reader (the lakehouse-format shape
+  * Delta/Iceberg use on Spark): the manifest resolves to a data-directory
+  * list, which backs Spark's own `HadoopFsRelation` + `ParquetFileFormat`
+  * through an `InMemoryFileIndex` rooted at EXACTLY the manifest's
+  * directories. Everything the built-in parquet source does — vectorized
+  * reads, whole-stage codegen, filter pushdown to row-group stats, column
+  * pruning, file-split parallelism — applies unchanged, while the
+  * manifest (not a directory listing) decides which files exist: orphaned
+  * compaction dirs and in-flight writers are invisible, identically to
+  * the object API. At 100 TB the planning cost is manifest-sized, and a
+  * z-ordered table's file envelopes prune through the same pushed
+  * predicates as any parquet scan (GraftLakeProviderSpec probes both).
+  *
+  * Schema evolution: additive `addColumn` directives apply natively — the
+  * scan schema is the directive-applied snapshot schema, and Spark's
+  * parquet reader null-fills a requested column absent from a file (the
+  * same by-name resolution `mergeSchema` reads rely on), so pre-evolution
+  * directories read the new column as typed NULL and post-evolution
+  * appends read through. `renameColumn` directives are REFUSED loudly:
+  * rename-by-mapping needs the coalesce(new, old) projection of
+  * [[SnapshotLake.applyDirectives]], which a bare file relation cannot
+  * express — a name-based format needs parquet field ids (the
+  * Delta/Iceberg column-mapping technique) to push renames into the scan,
+  * and silently dropping pre-rename data would be corruption, not
+  * degradation. `readAt` remains the full-fidelity reader for renamed
+  * tables.
+  */
+class GraftLakeProvider extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graftlake"
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake needs a table root: .load(<table>) or option(\"path\", ...)"))
+    val latest = SnapshotLake.latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed snapshot at $table"))
+    val snap = parameters.get("snapshotId").map(_.trim.toLong)
+      .getOrElse(latest)
+    val directives = SnapshotLake.manifestDirectives(spark, table, snap)
+    val renames = directives.filter(_.split("\t")(1) == "rename")
+    require(renames.isEmpty,
+      s"graftlake cannot scan a rename-evolved snapshot (directives: " +
+      s"${renames.mkString("; ")}) — rename-by-mapping needs the " +
+      "coalesce projection of SnapshotLake.readAt; use that API for " +
+      "renamed tables")
+    val (dirs, schema) = parameters.get("sinceSnapshotId")
+        .map(_.trim.toLong) match {
+      case None =>
+        // directive-applied schema: adds surface as typed NULLs wherever
+        // no file carries them (parquet by-name resolution)
+        (SnapshotLake.manifestDirs(spark, table, snap),
+         SnapshotLake.readAt(spark, table, snap).schema)
+      case Some(since) =>
+        require(since <= snap, s"sinceSnapshotId $since > snapshotId $snap")
+        val delta = SnapshotLake.manifestDirs(spark, table, snap)
+          .diff(SnapshotLake.manifestDirs(spark, table, since))
+        // mirror readIncremental: raw merged schema of the NEW dirs only
+        // (no directives — the delta is change-feed grain, not the table)
+        (delta,
+         if (delta.isEmpty) StructType(Nil)
+         else spark.read.option("mergeSchema", "true")
+           .parquet(delta: _*).schema)
+    }
+    val index = new InMemoryFileIndex(spark, dirs.map(new Path(_)),
+      Map.empty[String, String], Some(schema))
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty[String, String])(spark)
+  }
+}

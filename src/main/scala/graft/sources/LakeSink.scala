@@ -135,7 +135,7 @@ object SnapshotLake {
   }
 
   /** The data directories visible at snapshot `id`. */
-  private def manifestDirs(spark: SparkSession, table: String,
+  private[graft] def manifestDirs(spark: SparkSession, table: String,
                            id: Long): Seq[String] =
     manifestLines(spark, table, id).filterNot(_.startsWith("#"))
 
