@@ -177,9 +177,12 @@ object MediaPipeline {
     })
   }
 
-  /** REAL sample-decode stage: WAV PCM payloads yield their layout plus
-    * the RMS amplitude over all normalized samples; non-PCM and non-WAV
-    * payloads drop out. Narrow mapPartitions, no shuffle. */
+  /** REAL sample-decode stage: WAV PCM and FLAC payloads (r16 —
+    * [[FlacDecode]], pure-JVM fixed/LPC subframe decode) yield their
+    * layout plus the RMS amplitude over all normalized samples; MP3 and
+    * corrupt payloads drop out (the JDK ships no MP3 codec — that
+    * boundary stays header-only by [[probeAudioHeaders]]). Narrow
+    * mapPartitions, no shuffle. */
   def decodeAudioSamples(media: Dataset[MediaFile]): Dataset[AudioSampleRow] = {
     val s = media.sparkSession
     import s.implicits._
@@ -187,6 +190,9 @@ object MediaPipeline {
       PixelDecode.decodeWavPcm(m.bytes).map(w =>
         AudioSampleRow(m.doc_id, w.channels, w.sampleRate, w.nSamples,
           w.rms))
+        .orElse(FlacDecode.decodeFlac(m.bytes).map(f =>
+          AudioSampleRow(m.doc_id, f.channels, f.sampleRate,
+            f.framesPerChan, f.rms)))
     })
   }
 

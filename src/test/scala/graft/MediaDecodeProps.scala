@@ -130,4 +130,58 @@ object MediaDecodeProps extends Properties("MediaDecode") {
       m(i) = (m(i) ^ 0x55).toByte
       PixelDecode.decodeJpeg(m).forall(p => p.width > 0 && p.height > 0)
     }
+
+  /** A small VALID FLAC (mono, one CONSTANT-subframe frame) — layout
+    * mirrors FlacDecodeSpec's encoder; the mutation target for the r16
+    * decodeFlac path. */
+  private val validFlac: Array[Byte] = {
+    val out = collection.mutable.ArrayBuffer[Byte]()
+    out ++= "fLaC".getBytes("US-ASCII")
+    out ++= Array[Byte](0x80.toByte, 0x00, 0x00, 34)
+    out ++= Array[Byte](0x10, 0x00, 0x10, 0x00)
+    out ++= Array.fill[Byte](6)(0)
+    val rate = 16000
+    out += ((rate >> 12) & 0xff).toByte
+    out += ((rate >> 4) & 0xff).toByte
+    out += (((rate & 0xf) << 4) | (0 << 1) | 0).toByte // mono, bits 16
+    out += (((16 - 1) & 0xf) << 4).toByte
+    out ++= Array[Byte](0, 0, 0, 64) // 64 total samples
+    out ++= Array.fill[Byte](16)(0)
+    // frame: sync(14) res(1) strat(1) | bs=6 sr=0 | ch=0 ss=0 res |
+    // frameNo 0 | bs-1=63 | crc8 0 | subframe CONSTANT header
+    // (pad 0, type 000000, wasted 0 → 0x00) | 16-bit value 1000 |
+    // already byte-aligned | crc16 0
+    out ++= Array(0xff, 0xf8, 0x60, 0x00, 0x00, 0x3f, 0x00).map(_.toByte)
+    out += 0x00.toByte
+    out += ((1000 >> 8) & 0xff).toByte
+    out += (1000 & 0xff).toByte
+    out ++= Array[Byte](0, 0) // crc16
+    out.toArray
+  }
+
+  private val FlacSig = "fLaC".getBytes("US-ASCII")
+
+  property("decodeFlac never throws on noise / magic-prefixed noise") =
+    forAll(noise) { b =>
+      graft.multimodal.FlacDecode.decodeFlac(b).forall(_.channels >= 0)
+      graft.multimodal.FlacDecode.decodeFlac(FlacSig ++ b)
+        .forall(_.channels >= 0)
+      true
+    }
+
+  property("decodeFlac survives truncation at every length") = {
+    graft.multimodal.FlacDecode.decodeFlac(validFlac)
+      .exists(f => f.channels == 1 && f.framesPerChan == 64) &&
+      (0 until validFlac.length).forall { n =>
+        graft.multimodal.FlacDecode.decodeFlac(validFlac.take(n))
+          .forall(f => f.channels >= 1)
+      }
+  }
+
+  property("decodeFlac never throws on single-byte corruption") =
+    validFlac.indices.forall { i =>
+      val m = validFlac.clone()
+      m(i) = (m(i) ^ 0x55).toByte
+      graft.multimodal.FlacDecode.decodeFlac(m).forall(_.channels >= 1)
+    }
 }
