@@ -1,12 +1,15 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  RelationProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graftlake")` — the DataSource V2-era SQL surface of
@@ -49,8 +52,31 @@ import org.apache.spark.sql.types.StructType
   * and silently dropping pre-rename data would be corruption, not
   * degradation. `readAt` remains the full-fidelity reader for renamed
   * tables.
+  *
+  * Write path (r16, the read path's completion): the same short name is a
+  * batch sink and a streaming sink, both delegating to the manifest-CAS
+  * commit protocol — every `save` is ONE atomic snapshot (readers see
+  * old-or-new, never a partial directory) and `overwrite` is the atomic
+  * full-replace that plain parquet `mode("overwrite")` cannot give:
+  *  - `df.write.format("graftlake").mode(m).save(table)` — `append` →
+  *    [[SnapshotLake.commit]](append = true); `overwrite` → full-replace
+  *    commit; `errorifexists` / `ignore` key off an existing COMMITTED
+  *    snapshot (an orphaned data dir from a crashed writer does not
+  *    count — manifests are the source of truth);
+  *  - `ds.writeStream.format("graftlake").option("checkpointLocation",
+  *    cp).start(table)` — each micro-batch commits through
+  *    [[SnapshotLake.commitIdempotent]] keyed on the batchId: the
+  *    exactly-once discipline of [[SnapshotLake.streamWriter]] behind the
+  *    format-level API (a restart's replayed batch is a recorded no-op,
+  *    a crashed half-write is healed and rewritten). Append output mode
+  *    only — Complete/Update re-emit updated result rows, which an
+  *    append-only snapshot history would duplicate, so they are refused
+  *    at start.
+  *  - option `maxRecordsPerFile` bounds written file sizes (default 1M).
   */
-class GraftLakeProvider extends RelationProvider with DataSourceRegister {
+class GraftLakeProvider extends RelationProvider
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graftlake"
 
   override def createRelation(sqlContext: SQLContext,
@@ -99,5 +125,74 @@ class GraftLakeProvider extends RelationProvider with DataSourceRegister {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty[String, String])(spark)
+  }
+
+  private def maxRecs(parameters: Map[String, String]): Long =
+    parameters.get("maxRecordsPerFile").map(_.trim.toLong)
+      .getOrElse(1000000L)
+
+  /** Batch write: `df.write.format("graftlake").mode(m).save(table)`. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake needs a table root: .save(<table>) or option(\"path\", ...)"))
+    val exists = SnapshotLake.latest(spark, table).isDefined
+    mode match {
+      case SaveMode.Append =>
+        SnapshotLake.commit(data, table, append = true, maxRecs(parameters))
+      case SaveMode.Overwrite =>
+        // atomic full replace: old snapshots stay time-travelable
+        SnapshotLake.commit(data, table, append = false, maxRecs(parameters))
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graftlake table at $table already has committed snapshots " +
+          "(mode errorifexists)")
+      case SaveMode.Ignore if exists => // recorded no-op
+      case _ => // ErrorIfExists/Ignore on an empty table root: first commit
+        SnapshotLake.commit(data, table, append = true, maxRecs(parameters))
+    }
+    // The returned relation only carries the written schema (CTAS reads
+    // it for the catalog entry). Deliberately NOT the read relation: a
+    // legitimate append to a rename-evolved table would otherwise throw
+    // AFTER its commit landed, from the reader's rename refusal.
+    new BaseRelation {
+      override def sqlContext: SQLContext = spark.sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
+
+  /** Streaming sink: exactly-once micro-batch commits keyed on batchId —
+    * `SnapshotLake.streamWriter`'s discipline behind
+    * `writeStream.format("graftlake")`. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graftlake needs a table root: .start(<table>) or option(\"path\", ...)"))
+    require(outputMode == OutputMode.Append(),
+      s"graftlake is an append-only snapshot history; output mode " +
+      s"$outputMode would re-emit updated rows as duplicates — use " +
+      "append mode (aggregate with a watermark so results finalize)")
+    require(partitionColumns.isEmpty,
+      "graftlake does not lay data out by partition columns; " +
+      "use compactZOrder for layout")
+    val bound = maxRecs(parameters)
+    new Sink {
+      override def addBatch(batchId: Long,
+                            data: org.apache.spark.sql.DataFrame): Unit = {
+        // re-materialize over the already-planned physical RDD — the
+        // incoming frame is a streaming micro-batch a fresh batch query
+        // could not re-plan (and must not re-read)
+        SnapshotLake.commitIdempotent(GraftShim.rematerialize(data), table,
+          s"batch-$batchId", bound)
+        ()
+      }
+      override def name(): String = s"graftlake[$table]"
+    }
   }
 }

@@ -10,4 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Re-materialize a micro-batch DataFrame handed to a V1 streaming
+    * `Sink.addBatch` as an ordinary batch frame over the SAME physical
+    * plan (`queryExecution.toRdd`), so a sink can run its own batch
+    * writer on it. Passing the incoming Dataset straight into a new
+    * batch query would re-plan it from the logical plan — against
+    * streaming leaf nodes that a batch planner refuses (and a second
+    * source read if it didn't). This is the standard V1-sink bridge the
+    * file-format sinks use; rows are copied because the physical RDD of
+    * a whole-stage-codegen plan reuses its row buffer. */
+  def rematerialize(data: Dataset[Row]): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
+  }
 }
