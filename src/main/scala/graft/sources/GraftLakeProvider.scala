@@ -1,14 +1,17 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext, SaveMode}
+import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext, SaveMode,
+  SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   InMemoryFileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation,
   CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSinkProvider}
+  StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
@@ -76,7 +79,7 @@ import org.apache.spark.sql.types.StructType
   */
 class GraftLakeProvider extends RelationProvider
     with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graftlake"
 
   override def createRelation(sqlContext: SQLContext,
@@ -195,4 +198,134 @@ class GraftLakeProvider extends RelationProvider
       override def name(): String = s"graftlake[$table]"
     }
   }
+
+  private def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graftlake needs a table root: .load(<table>) or option(\"path\", ...)"))
+
+  /** Streaming-source schema: fixed at query start to the latest
+    * snapshot's directive-applied schema (the FileStreamSource
+    * discipline — a mid-stream ALTER does not reshape a running query;
+    * restart to pick it up). Rename-evolved tables refuse, same as the
+    * batch relation. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val table = tableOf(parameters)
+    val s = schema.getOrElse {
+      val latest = SnapshotLake.latest(spark, table).getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed snapshot at $table to infer a stream schema " +
+          "from — commit one first or pass .schema(...)"))
+      val renames = SnapshotLake.manifestDirectives(spark, table, latest)
+        .filter(_.split("\t")(1) == "rename")
+      require(renames.isEmpty,
+        "graftlake streams cannot tail a rename-evolved table " +
+        s"(directives: ${renames.mkString("; ")}) — the delta dirs are " +
+        "raw physical names; use SnapshotLake.readAt for renamed tables")
+      SnapshotLake.readAt(spark, table, latest).schema
+    }
+    (shortName(), s)
+  }
+
+  /** `spark.readStream.format("graftlake").load(table)` — tail the
+    * snapshot history as a micro-batch stream: offset = committed
+    * snapshot id (dense, CAS-allocated), each micro-batch = the data
+    * directories added in `(lastOffset, newOffset]`, exactly the
+    * [[SnapshotLake.readIncremental]] delta. Options:
+    *  - `startingSnapshotId` (default 0): tail AFTER this snapshot —
+    *    0 replays the whole table as the first batch (a backfill),
+    *    `latest-at-start` skips history;
+    *  - `maxSnapshotsPerTrigger`: rate limit — a restart facing a deep
+    *    backlog catches up over several bounded micro-batches instead
+    *    of one giant one (each capped batch is still a committed-
+    *    snapshot boundary, so a mid-catchup crash resumes cleanly).
+    * Append-only histories only: a full-replace / compact / DELETE in
+    * the tailed range rewrites old rows into new dirs, which a dir-diff
+    * would re-emit as inserts — the source FAILS LOUDLY when it sees
+    * dirs disappear rather than emit duplicates (the readIncremental
+    * caveat, enforced). An [[SnapshotLake.expire]]d start offset also
+    * fails loudly (manifest gone), like a Kafka out-of-range offset. */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val table = tableOf(parameters)
+    val resolved = sourceSchema(sqlContext, schema, providerName,
+      parameters)._2
+    val start0 = parameters.get("startingSnapshotId")
+      .map(_.trim.toLong).getOrElse(0L)
+    val maxPerTrigger = parameters.get("maxSnapshotsPerTrigger")
+      .map(_.trim.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1,
+      s"maxSnapshotsPerTrigger must be >= 1, got $m"))
+    new GraftLakeSource(spark, table, resolved, start0, maxPerTrigger)
+  }
+}
+
+/** The V1 micro-batch source behind `readStream.format("graftlake")` —
+  * see [[GraftLakeProvider.createSource]] for the contract. */
+private[graft] class GraftLakeSource(spark: SparkSession, table: String,
+                                     override val schema: StructType,
+                                     start0: Long,
+                                     maxPerTrigger: Option[Long])
+    extends Source {
+
+  // the highest offset this source has HANDED OUT (not necessarily
+  // processed) — rate limiting advances from here; recovered from the
+  // checkpoint via getBatch's start on restart
+  private var lastEnd: Long = start0
+
+  private def offId(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[Offset] = {
+    val latest = SnapshotLake.latest(spark, table).getOrElse(return None)
+    if (latest <= lastEnd) return Some(LongOffset(lastEnd))
+    // snapshot ids are dense (CAS allocates base+1), so a cap is itself
+    // a committed snapshot boundary
+    val end = maxPerTrigger.map(m => math.min(latest, lastEnd + m))
+      .getOrElse(latest)
+    lastEnd = end
+    Some(LongOffset(end))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromId = start.map(offId).getOrElse(start0)
+    val endId = offId(end)
+    lastEnd = math.max(lastEnd, endId) // restart: resume pacing from here
+    if (endId <= fromId) return GraftShim.emptyStreamingDF(spark, schema)
+    val fromDirs =
+      if (fromId == 0L) Seq.empty[String]
+      else SnapshotLake.manifestDirs(spark, table, fromId)
+    val endDirs = SnapshotLake.manifestDirs(spark, table, endId)
+    val removed = fromDirs.diff(endDirs)
+    require(removed.isEmpty,
+      s"graftlake stream over $table saw data dirs disappear between " +
+      s"snapshots $fromId and $endId (${removed.mkString(", ")}) — a " +
+      "full-replace/compact/DELETE landed in the tailed range; this " +
+      "source tails APPEND-ONLY histories (re-emitting rewritten rows " +
+      "would duplicate them downstream)")
+    val newDirs = endDirs.diff(fromDirs)
+    if (newDirs.isEmpty) return GraftShim.emptyStreamingDF(spark, schema)
+    val raw = spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
+    // align every batch to the query-start schema: absent columns (delta
+    // dirs predating an addColumn's first carrying write) read as typed
+    // NULL, extra columns (a mid-stream ALTER) are dropped until restart
+    val aligned = raw.select(schema.fields.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    GraftShim.asStreamingDF(aligned)
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftLakeSource[$table]"
 }

@@ -25,4 +25,25 @@ object GraftShim {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
   }
+
+  /** Wrap a batch frame as a STREAMING one (isStreaming = true leaf) for
+    * a V1 `Source.getBatch` return — MicroBatchExecution asserts the
+    * batch plan is streaming. The plan stays lazy: `toRdd` is the
+    * already-optimized physical RDD, executed once when the trigger
+    * runs. No row copy — downstream operators own the standard
+    * reused-InternalRow contract, same as any scan. */
+  def asStreamingDF(data: Dataset[Row]): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
+
+  /** Schema-correct EMPTY streaming frame (a no-new-data micro-batch). */
+  def emptyStreamingDF(spark: SparkSession,
+                       schema: types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema, isStreaming = true)
+  }
 }
