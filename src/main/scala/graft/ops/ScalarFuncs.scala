@@ -70,8 +70,19 @@ object ScalarFuncs extends QueryPack {
         .orderBy(col("o_orderkey"))
     },
 
+    // Sort FIRST on the narrow inputs, evaluate the math AFTER the
+    // shuffle (r16, the r15 watch item): a Sort ABOVE a wide computed
+    // projection evaluates it twice (the range-partitioner sample pass +
+    // the real pass) and shuffles the 12 computed columns; sorting the 6
+    // raw inputs and projecting on top evaluates every expression once,
+    // post-exchange, and row order is untouched (Project preserves it).
+    // Measured 3.3 → 0.83 s at sf0.1 — the same rows, same order.
     "q_math_funcs" -> { (s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           round(col("l_extendedprice"), 2).as("r2"),
@@ -84,7 +95,6 @@ object ScalarFuncs extends QueryPack {
           round(sqrt(col("l_quantity")), 4).as("sqrt_qty"),
           (col("l_orderkey") % 7).as("okey_mod7"),
           signum(col("l_discount") - 0.05).cast("int").as("disc_sign"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     },
 
     // ONE string-schema from_json parse feeds k_str/k_int/no_missing
@@ -102,7 +112,12 @@ object ScalarFuncs extends QueryPack {
       val sch = StructType(Seq(
         StructField("k", StringType), StructField("missing", StringType)))
       val schTyped = StructType(Seq(StructField("k", IntegerType)))
+      // sort the raw (event_id, props) FIRST, parse after the exchange —
+      // the q_math_funcs discipline (r16): parsing under the Sort runs
+      // Jackson twice (range-sample pass + real pass)
       Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(col("event_id"), from_json(col("props"), sch).as("j"),
                 from_json(col("props"), schTyped).as("jt"))
         .select(
@@ -111,7 +126,6 @@ object ScalarFuncs extends QueryPack {
           col("j.k").cast("int").as("k_int"),
           col("jt.k").as("k_struct"),
           col("j.missing").isNull.as("no_missing"))
-        .orderBy(col("event_id"))
     },
 
     "q_array_funcs" -> { (s, d) =>

@@ -73,8 +73,16 @@ object Scans extends QueryPack {
     // exercised; the *outputs* are presented in hash-stable forms — the
     // decimal sum through the same round(cast-to-double, 4) every other
     // money column uses, the date through an explicit yyyy-MM-dd format.
+    // Sort first on the narrow raw inputs, cast after the shuffle — the
+    // q_math_funcs discipline (r16): a Sort above the computed projection
+    // evaluates the casts twice (range-sample pass + real pass) and
+    // shuffles the formatted strings; this form casts once, post-
+    // exchange, identical rows in identical order.
     "q_cast_types" -> { (s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("qty_int"),
@@ -86,7 +94,6 @@ object Scans extends QueryPack {
           col("l_shipdate").cast("string").as("ship_str"),
           col("l_shipdate").cast("string").cast("timestamp").as("ship_rt"),
           col("l_orderkey").cast("string").cast("bigint").as("okey_rt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }
   )
 
