@@ -63,13 +63,17 @@ object UdfOps extends QueryPack {
     },
 
     // Custom Catalyst expression (codegen): Go `.999` timestamp format.
+    // Sorted on the raw (event_id, ts) BEFORE formatting (the
+    // q_math_funcs discipline, r16): formatting under the Sort runs the
+    // expression in the range-sample pass too and shuffles strings.
     "q_expr_go_ts" -> { (s, d) =>
       Tables.events(s, d)
+        .select(col("event_id"), col("ts"))
+        .orderBy(col("event_id"))
         .select(col("event_id"),
                 GraftShim.column(
                   GoTimestampFormat(GraftShim.expression(col("ts"))))
                   .as("go_ts"))
-        .orderBy(col("event_id"))
     }
   )
 
