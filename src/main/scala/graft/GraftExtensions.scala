@@ -17,9 +17,15 @@ import graft.expr.{DotProduct, GoTimestampFormat, Md5Prefix60, NfcNormalize, Wor
   *   spark.sql("SELECT go_ts(ts), md5_prefix60(text) FROM ...")
   * }}}
   *
-  * This is the standard extension-library seam (SparkSessionExtensions →
-  * injectFunction); no custom Rule/Strategy is needed anywhere in the
-  * engine (SURVEY §4.2), so function injection is the only hook used.
+  * This is the standard extension-library seam. Two hooks are used:
+  * injectFunction for the custom expressions above, and (r16)
+  * injectOptimizerRule for [[graft.plans.EvalAfterSort]] — the hoist
+  * that evaluates computed projections AFTER a global sort instead of
+  * twice under it (once in the range-sample pass, once for real); the
+  * engine's own keys carry the shape by hand, the rule gives the same
+  * plan to SQL/Column users who write the natural `SELECT … ORDER BY`.
+  * No custom Strategy/physical operator is needed anywhere (SURVEY
+  * §4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -32,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
      build)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // runs inside the operator-optimization fixpoint batch, alongside
+    // ColumnPruning (which then prunes the child below the moved Sort)
+    ext.injectOptimizerRule(_ => graft.plans.EvalAfterSort)
     // builders are total: wrong arity gets a descriptive error, not the
     // analyzer-internal MatchError a bare partial function would throw
     ext.injectFunction(fn("go_ts", classOf[GoTimestampFormat],
