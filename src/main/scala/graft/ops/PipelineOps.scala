@@ -452,20 +452,38 @@ object PipelineOps extends QueryPack {
     // ---- q_doc_fingerprint: winnowing (k=5 char-grams, window w=8) ----
     // Rolling h60 over 5-grams; fingerprint = window minimum; per doc the
     // distinct fingerprint set summarized as count / xor / min.
+    // r16: computed entirely IN-ROW — the winnowing grain is per-document,
+    // so exploding to a (doc, pos) frame only to window-shuffle it back
+    // together by doc_id paid an exchange of EVERY char-gram hash (8
+    // bytes × ~text length per doc ≈ 8× the corpus bytes). One transform
+    // builds the gram-hash array, a second takes sliding-window minima
+    // (slice truncates at the tail exactly like ROWS BETWEEN CURRENT AND
+    // 7 FOLLOWING), array_distinct + in-row folds produce the summary —
+    // identical values (same h60, same window semantics). The one
+    // exchange that remains is a repartition of the RAW (doc_id, text)
+    // pairs: the per-doc hashing is the key's real work and must spread
+    // across cores regardless of how few files the scan yields (the sf
+    // fixtures are single-file = single-task; a 100 TB corpus shuffles
+    // 1× its bytes here instead of 8×). The partition count is EXPLICIT:
+    // AQE's byte-size coalescing sees ~300 bytes of text per doc and
+    // folds the exchange back to one partition, hiding ~1000 hash
+    // computations per row behind a tiny shuffle size — the classic
+    // CPU-dense-narrow-row trap (REPARTITION_BY_NUM is exempt).
     "q_doc_fingerprint" -> { (s, d) =>
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))))
-            .as("pos"))
-        .select(col("doc_id"), col("pos"),
-                h60(col("text").substr(col("pos"), lit(5))).as("h"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.currentRow, 7)
-      grams.select(col("doc_id"), min(col("h")).over(w).as("fp"))
-        .distinct()
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_fp"), expr("bit_xor(fp)").as("fp_xor"),
-             min(col("fp")).as("fp_min"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("hs",
+          transform(sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+            pos => h60(col("text").substr(pos, lit(5)))))
+        .withColumn("fps", array_distinct(
+          transform(sequence(lit(1), size(col("hs"))),
+            i => array_min(slice(col("hs"), i, lit(8))))))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L),
+            (acc, x) => acc.bitwiseXOR(x)).as("fp_xor"),
+          array_min(col("fps")).as("fp_min"))
         .orderBy(col("doc_id"))
     },
 
