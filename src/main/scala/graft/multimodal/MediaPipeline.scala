@@ -30,6 +30,14 @@ case class AudioMetaRow(doc_id: Long, format: String, channels: Int,
                         sample_rate: Int, bits_per_sample: Int,
                         duration_sec: Option[Double])
 
+/** One parsed video container header (see [[VideoHeader]]), as a typed
+  * row; `duration_sec` None when the movie header doesn't declare one,
+  * `video_codec` None when no sample description is present. */
+case class VideoMetaRow(doc_id: Long, format: String, major_brand: String,
+                        n_tracks: Int, width: Int, height: Int,
+                        duration_sec: Option[Double],
+                        video_codec: Option[String])
+
 /** One REAL pixel decode (see [[PixelDecode.decodePng]]): true mean luma
   * over every pixel of the payload. */
 case class PixelRow(doc_id: Long, width: Int, height: Int, mean_luma: Double)
@@ -156,6 +164,26 @@ object MediaPipeline {
       AudioHeader.parse(m.bytes).map(meta => AudioMetaRow(m.doc_id,
         meta.format, meta.channels, meta.sampleRate, meta.bitsPerSample,
         meta.durationSec))
+    })
+  }
+
+  /** Video header probe: the video sibling of [[probeHeaders]] —
+    * ISO-BMFF (MP4/MOV) payloads yield (brand, tracks, width, height,
+    * duration, codec) rows from the box structure alone; everything else
+    * drops out. Same scale shape as the siblings: narrow mapPartitions,
+    * no shuffle; a real deployment reads the `moov` box, which fast-start
+    * files place at the head of the object. Frame DECODE stays behind the
+    * documented codec boundary (like MP3 audio): H.264/H.265 entropy
+    * decoding has no JVM-bundled codec, so frames route to the stub path
+    * of [[decodeFrames]] — the metadata, routing, and quarantine plumbing
+    * here is the real, tested part. */
+  def probeVideoHeaders(media: Dataset[MediaFile]): Dataset[VideoMetaRow] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      VideoHeader.parse(m.bytes).map(meta => VideoMetaRow(m.doc_id,
+        meta.format, meta.majorBrand, meta.nTracks, meta.width,
+        meta.height, meta.durationSec, meta.videoCodec))
     })
   }
 
