@@ -43,6 +43,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      // the engine runs under its own extensions (r16): the EvalAfterSort
+      // optimizer rule + SQL-registered custom expressions are active in
+      // the driver contract sessions, not just user sessions — the hash
+      // gate then certifies the rule changes no values on any key
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -104,6 +104,11 @@ object ScaleSmoke {
     val keys = Keys.filter(k => only.isEmpty || only(k))
     val countKeys = CountKeys.filter(k => only.isEmpty || only(k))
     val spark = SparkSession.builder()
+      // the engine runs under its own extensions (r16): the EvalAfterSort
+      // optimizer rule + SQL-registered custom expressions are active in
+      // the driver contract sessions, not just user sessions — the hash
+      // gate then certifies the rule changes no values on any key
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -22,6 +22,11 @@ object Verify {
       else SparkEntry.queries.view.filterKeys(only).toMap
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // the engine runs under its own extensions (r16): the EvalAfterSort
+      // optimizer rule + SQL-registered custom expressions are active in
+      // the driver contract sessions, not just user sessions — the hash
+      // gate then certifies the rule changes no values on any key
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
