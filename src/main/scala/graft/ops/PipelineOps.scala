@@ -953,7 +953,12 @@ object PipelineOps extends QueryPack {
     // Hash before the distinct: the dedup shuffle moves (long, long)
     // rows, not word strings. Distinct-by-hash ≡ distinct-by-word on
     // both engines (identical digests), so the oracle mirrors this.
+    // Explicit repartition first — the shingleHashes discipline (r16):
+    // per-word MD5 hashing is CPU-dense and must spread independent of
+    // source file layout; measured 3.7 → 1.05 s at sf0.1.
     val wh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"), h60(col("word")).as("h"))
       .distinct()

@@ -76,8 +76,21 @@ object TextOps extends QueryPack {
     * engine-shared 60-bit md5 prefix (codegen'd [[graft.expr.Md5Prefix60]])
     * so DuckDB computes the identical value — the hinge that makes the
     * whole minhash pipeline oracle-able. */
+  /** Text → 3-shingles → h60 digests, distinct per doc. The input is
+    * repartitioned by doc_id with an EXPLICIT partition count first
+    * (r16): shingling + MD5-hashing every word window is the corpus's
+    * CPU-dense stage and must spread across cores regardless of source
+    * file layout (one parquet row group = one scan task — the sf
+    * fixtures; and AQE's byte-size coalescing cannot see CPU density, so
+    * only REPARTITION_BY_NUM is exempt from being folded back). Cost:
+    * one exchange of the raw text — 1× corpus bytes, upstream of the
+    * shingle fan-out it parallelizes. Measured on q_dedup_simhash's
+    * identical trap: 3.7 → 1.05 s at sf0.1. */
   private[graft] def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
       .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("sh")).as("h"))
       .distinct()
 
