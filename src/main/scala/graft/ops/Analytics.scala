@@ -305,6 +305,9 @@ object Analytics extends QueryPack {
     // deterministic boundary.
     "q_pmi_bigrams" -> { (s, d) =>
       val counts = Tables.documents(s, d)
+        // spread the CPU-dense gram/hash stage (the shingleHashes r16
+        // discipline: one row group = one scan task otherwise)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(concat(split(col("text"), " "),
           graft.expr.WordShingles.of(col("text"), 2))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("c"))
@@ -549,6 +552,9 @@ object Analytics extends QueryPack {
       val stats = Tables.orders(s, d)
         .select(col("o_orderkey"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
+        // spread the h60 + 32-way resample-weight evaluation (the
+        // shingleHashes r16 discipline — CPU-dense, one row group)
+        .repartition(s.sparkContext.defaultParallelism, col("o_orderkey"))
         .select(
           (graft.expr.Md5Prefix60.h60(col("o_orderkey").cast("string")) %
             lit(4294967296L)).as("h32"),

@@ -75,8 +75,7 @@ object TextOps extends QueryPack {
   /** doc_id → distinct (doc_id, shingle-hash) rows. The digest is the
     * engine-shared 60-bit md5 prefix (codegen'd [[graft.expr.Md5Prefix60]])
     * so DuckDB computes the identical value — the hinge that makes the
-    * whole minhash pipeline oracle-able. */
-  /** Text → 3-shingles → h60 digests, distinct per doc. The input is
+    * whole minhash pipeline oracle-able. The input is
     * repartitioned by doc_id with an EXPLICIT partition count first
     * (r16): shingling + MD5-hashing every word window is the corpus's
     * CPU-dense stage and must spread across cores regardless of source
@@ -396,6 +395,9 @@ object TextOps extends QueryPack {
     // word in exactly one passage).
     "q_dedup_passage" -> { (s, d) =>
       val chunks = Tables.documents(s, d)
+        // spread the CPU-dense gram/hash stage (the shingleHashes r16
+        // discipline: one row group = one scan task otherwise)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 10)
         .select(col("doc_id"), col("ws"),

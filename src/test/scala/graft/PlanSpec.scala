@@ -441,8 +441,11 @@ class PlanSpec extends AnyFunSuite {
     // bootstrap: ONE orders scan feeds all 32 replicas (the one-pass
     // claim IS this budget — a literal resample reads the table B times);
     // the only shuffle is the ≤ B-rows-per-row per-replica agg
+    // +1 exchange r16: the explicit REPARTITION_BY_NUM that spreads the
+    // h60 + 32-way resample-weight evaluation off the single-row-group
+    // scan task (the shingleHashes spread discipline)
     nodeBudget("q_bootstrap_ci", fileScanMax = 1, rddScanMax = 0,
-               hashExMax = 1)
+               hashExMax = 2)
     // dedup_recall: zero file scans — the checkpointed shingle frame
     // feeds the signature chain AND both truth-join sides, the
     // checkpointed signature frame feeds both band sides and the sizes;
@@ -514,8 +517,10 @@ class PlanSpec extends AnyFunSuite {
         s"bloom probe fell back to a Scala UDF:\n$bloomPlan")
     }
     // one scan, digests-only shuffle into the per-hash window
+    // +1 exchange r16: the explicit spread repartition before the
+    // passage-hash stage (the shingleHashes discipline)
     nodeBudget("q_dedup_passage", fileScanMax = 1, rddScanMax = 0,
-               hashExMax = 1)
+               hashExMax = 2)
     // one scan; two-level agg for the exact distinct-host count; the
     // share window is a SinglePartition exchange over |domains| rows
     nodeBudget("q_domain_stats", fileScanMax = 1, rddScanMax = 0,
