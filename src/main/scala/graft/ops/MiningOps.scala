@@ -151,7 +151,11 @@ object MiningOps extends QueryPack {
     // round-6 doubles from exact decimal sums — both engines compute
     // identical values, and ties break to the smallest centroid id.
     "q_kmeans" -> { (s, d) =>
+      // spread the per-vector decimal distance evaluation (shingleHashes
+      // r16 discipline — one row group = one scan task otherwise; both
+      // assignment rounds re-evaluate off this frame)
       val ex = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .select(col("vec_id"),
           transform(slice(col("embedding"), 1, KmDims),
             v => v.cast("double")).as("vec"))

@@ -1309,7 +1309,12 @@ object PipelineOps extends QueryPack {
                 nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
                 k: Int = 5): DataFrame = {
     val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+    // spread the per-vector dot-product arms (shingleHashes r16
+    // discipline): assignment = |corpus| x nLists 64-dim dots, exact arm
+    // = |corpus| x |probes| — both in-row off this frame's partitioning
+    val e = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     // r15: the inverted lists hang off TRAINED centroids — the same
     // spherical-Lloyd round [[AnnIndex.trainCentroids]] persists for the
