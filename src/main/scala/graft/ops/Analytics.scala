@@ -305,9 +305,6 @@ object Analytics extends QueryPack {
     // deterministic boundary.
     "q_pmi_bigrams" -> { (s, d) =>
       val counts = Tables.documents(s, d)
-        // spread the CPU-dense gram/hash stage (the shingleHashes r16
-        // discipline: one row group = one scan task otherwise)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(explode(concat(split(col("text"), " "),
           graft.expr.WordShingles.of(col("text"), 2))).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("c"))

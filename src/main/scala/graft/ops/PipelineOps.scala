@@ -181,10 +181,7 @@ object PipelineOps extends QueryPack {
     // vote logic with TrainingPipeline.annotateLanguage via the helpers
     // below — one source of truth for the classifier.
     "q_lang_id" -> { (s, d) =>
-      // spread the CPU-dense n-gram profile stages (shingleHashes r16
-      // discipline); both profile derivation and prediction scan docs
       val docs = Tables.documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val profiles = PipelineOps.languageProfiles(docs, 20)
       PipelineOps.predictLanguage(docs, profiles)
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -425,9 +422,6 @@ object PipelineOps extends QueryPack {
     // documents.
     "q_bpe_merges" -> { (s, d) =>
       var docs = Tables.documents(s, d)
-        // spread the CPU-dense gram/hash stage (the shingleHashes r16
-        // discipline: one row group = one scan task otherwise)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           concat(lit("["), regexp_replace(col("text"), " ", "]["), lit("]"))
             .as("stream"))
@@ -513,11 +507,7 @@ object PipelineOps extends QueryPack {
       // shuffle, distinct, and join then moves 8-byte longs instead of
       // bigram strings. Gram STRINGS must match the oracle's
       // `ws[i] || ' ' || ws[i+1]` exactly — h60 runs on them.
-      val grams = docs
-        // spread the CPU-dense gram/hash stage (the shingleHashes r16
-        // discipline: one row group = one scan task otherwise)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
+      val grams = docs.select(col("doc_id"),
           explode(graft.expr.WordShingles.of(col("text"), 2)).as("gs"))
         .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
         .distinct()
@@ -843,9 +833,6 @@ object PipelineOps extends QueryPack {
     // overlap count. Grams travel as h60 longs end-to-end.
     "q_containment" -> { (s, d) =>
       val grams = Tables.documents(s, d)
-        // spread the CPU-dense gram/hash stage (the shingleHashes r16
-        // discipline: one row group = one scan task otherwise)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           explode(graft.expr.WordShingles.of(col("text"), 5)).as("gs"))
         .select(col("doc_id"), h60(col("gs")).as("g"))
@@ -1309,12 +1296,7 @@ object PipelineOps extends QueryPack {
                 nProbes: Seq[Int] = Seq(1, 2, 4, 8, 16),
                 k: Int = 5): DataFrame = {
     val isProbe = col("vec_id") >= 10 && col("vec_id") < 15
-    // spread the per-vector dot-product arms (shingleHashes r16
-    // discipline): assignment = |corpus| x nLists 64-dim dots, exact arm
-    // = |corpus| x |probes| — both in-row off this frame's partitioning
-    val e = Tables.embeddings(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), col("embedding"),
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     // r15: the inverted lists hang off TRAINED centroids — the same
     // spherical-Lloyd round [[AnnIndex.trainCentroids]] persists for the

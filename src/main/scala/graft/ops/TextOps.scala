@@ -395,9 +395,6 @@ object TextOps extends QueryPack {
     // word in exactly one passage).
     "q_dedup_passage" -> { (s, d) =>
       val chunks = Tables.documents(s, d)
-        // spread the CPU-dense gram/hash stage (the shingleHashes r16
-        // discipline: one row group = one scan task otherwise)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 10)
         .select(col("doc_id"), col("ws"),

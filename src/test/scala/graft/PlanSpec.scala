@@ -517,10 +517,8 @@ class PlanSpec extends AnyFunSuite {
         s"bloom probe fell back to a Scala UDF:\n$bloomPlan")
     }
     // one scan, digests-only shuffle into the per-hash window
-    // +1 exchange r16: the explicit spread repartition before the
-    // passage-hash stage (the shingleHashes discipline)
     nodeBudget("q_dedup_passage", fileScanMax = 1, rddScanMax = 0,
-               hashExMax = 2)
+               hashExMax = 1)
     // one scan; two-level agg for the exact distinct-host count; the
     // share window is a SinglePartition exchange over |domains| rows
     nodeBudget("q_domain_stats", fileScanMax = 1, rddScanMax = 0,
