@@ -82,14 +82,25 @@ object VideoHeader {
     val inMoov = boxes(bytes, moov.start, moov.end)
 
     val duration = find(inMoov, "mvhd").flatMap { m =>
-      val v = u8(bytes, m.start)
-      val (ts, dur) =
-        if (v == 1) (u32be(bytes, m.start + 20), u64be(bytes, m.start + 24))
-        else (u32be(bytes, m.start + 12), u32be(bytes, m.start + 16))
-      // all-ones duration is the spec's "unknown" sentinel
-      val unknown = if (v == 1) -1L else 0xffffffffL
-      if (ts > 0 && dur != unknown) Some(dur.toDouble / ts.toDouble)
-      else None
+      // A truncated/short mvhd (e.g. an 8-byte empty box) must quarantine,
+      // not read sibling bytes as duration: bound every fixed-offset read
+      // by the box's own payload. v1 needs 32 bytes (ver/flags + two u64
+      // times + u32 timescale + u64 duration), v0 needs 20.
+      if (m.end - m.start < 1) None
+      else {
+        val v = u8(bytes, m.start)
+        val need = if (v == 1) 32 else 20
+        if (m.end - m.start < need) None
+        else {
+          val (ts, dur) =
+            if (v == 1) (u32be(bytes, m.start + 20), u64be(bytes, m.start + 24))
+            else (u32be(bytes, m.start + 12), u32be(bytes, m.start + 16))
+          // all-ones duration is the spec's "unknown" sentinel
+          val unknown = if (v == 1) -1L else 0xffffffffL
+          if (ts > 0 && dur != unknown) Some(dur.toDouble / ts.toDouble)
+          else None
+        }
+      }
     }
 
     val traks = inMoov.filter(_.tpe == "trak")
@@ -97,6 +108,10 @@ object VideoHeader {
     val video = traks.flatMap { t =>
       val inTrak = boxes(bytes, t.start, t.end)
       find(inTrak, "tkhd").flatMap { h =>
+        // empty tkhd payload: skip this track rather than read a sibling's
+        // bytes as the version
+        if (h.end - h.start < 1) None
+        else {
         val v = u8(bytes, h.start)
         // v0: ver/flags(4) c(4) m(4) id(4) res(4) dur(4) res(8) layer(2)
         //     alt(2) vol(2) res(2) matrix(36) w(4) h(4)  -> w at +76
@@ -107,6 +122,7 @@ object VideoHeader {
           val w = (u32be(bytes, wOff) >> 16).toInt    // 16.16 fixed point
           val hh = (u32be(bytes, wOff + 4) >> 16).toInt
           if (w > 0 && hh > 0) Some((w, hh, inTrak)) else None
+        }
         }
       }
     }.headOption

@@ -84,6 +84,22 @@ object AnnIndex {
       transform(col("embedding"), v => v.cast("double")).as("vec"))
       .withColumn("nrm", sqrt(dotD(col("vec"), col("vec"))))
 
+  /** Loud dimension gate (r16 advisor item): [[dotD]]'s zip_with
+    * null-pads mismatched-length arrays, so a wrong-dimension query or
+    * appended vector would otherwise surface as a null cosine silently
+    * sorting LAST in the ranking — mysteriously missing neighbors
+    * instead of an error. Wraps the vector column so any row whose
+    * length differs from the index dimension throws at scan time. */
+  private def checkedVec(vec: Column, d: Int, what: String): Column =
+    when(assert_true(size(vec) === d,
+      concat(lit(s"$what vector dim "), size(vec).cast("string"),
+        lit(s" does not match index dim $d"))).isNull, vec)
+
+  /** The index's vector dimension = the persisted centroids' (one tiny
+    * row read). */
+  private def centroidDim(cents: DataFrame): Int =
+    cents.select(size(col("carr"))).head.getInt(0)
+
   /** Train `nLists` centroids with one Lloyd re-estimation round over the
     * deterministic `vec_id % sampleMod == 0` sample (init = the sample's
     * nLists SMALLEST vec_ids seeded by RANK, round-6 — the q_kmeans
@@ -146,7 +162,10 @@ object AnnIndex {
     * Returns the new lists snapshot id. */
   def append(spark: SparkSession, newEmb: DataFrame, root: String): Long = {
     val cents = SnapshotLake.readLatest(spark, s"$root/centroids")
-    val lists = assignCid(vecsOf(newEmb), cents)
+    val d = centroidDim(cents)
+    val checked = vecsOf(newEmb)
+      .withColumn("vec", checkedVec(col("vec"), d, "appended"))
+    val lists = assignCid(checked, cents)
       .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
       .repartitionByRange(col("cid"))
     SnapshotLake.commit(lists, s"$root/lists", append = true)
@@ -253,6 +272,13 @@ object AnnIndex {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sample = vecsOf(emb).filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("vec"))
+    // trainPq is public: validate divisibility HERE, not only in buildPq
+    // (r16 advisor item) — a non-divisible dim would otherwise floor the
+    // subvector width and silently TRUNCATE every vector's tail dims out
+    // of the codebook (silent recall corruption, not a loud failure).
+    val dTrain = sample.select(size(col("vec"))).head.getInt(0)
+    require(dTrain % m == 0,
+      s"vector dim $dTrain not divisible by m=$m subspaces")
     val sw = (size(col("vec")) / m).cast("int")
     var cb = sample.orderBy(col("vec_id")).limit(nCodes)
       .select(
@@ -393,13 +419,19 @@ object AnnIndex {
     val codes = SnapshotLake.readLatest(spark, s"$root/pq/codes")
     val lists = SnapshotLake.readLatest(spark, s"$root/lists")
     val m = cb.agg(countDistinct(col("sub"))).head.getLong(0).toInt
+    // probe-side dimension gates: wrong-dim queries fail loudly (not a
+    // null-padded cosine), and the in-row LUT slices assume d % m == 0
+    val d = centroidDim(cents)
+    require(d % m == 0, s"index dim $d not divisible by m=$m subspaces")
+    val checkedQ = queries
+      .withColumn("pe", checkedVec(col("pe"), d, "probe"))
     // one-row broadcast codebook: [sub][code] -> carr
     val cbRow = groupCodebook(cb)
       .agg(array_sort(collect_list(struct(col("sub"),
         transform(col("codes"), c => c.getField("carr")).as("arrs"))))
         .as("cbs"))
     val probes = withClist(
-        queries.select(col("probe_id").as("vec_id"), col("pe").as("vec"))
+        checkedQ.select(col("probe_id").as("vec_id"), col("pe").as("vec"))
           .withColumn("nrm", sqrt(dotD(col("vec"), col("vec")))),
         cents)
       .select(col("vec_id").as("probe_id"), col("vec").as("pe"),
@@ -454,8 +486,10 @@ object AnnIndex {
            nProbe: Int, k: Int): DataFrame = {
     val cents = SnapshotLake.readLatest(spark, s"$root/centroids")
     val lists = SnapshotLake.readLatest(spark, s"$root/lists")
+    val checkedQ = queries
+      .withColumn("pe", checkedVec(col("pe"), centroidDim(cents), "probe"))
     val plists = withClist(
-        queries.select(col("probe_id").as("vec_id"), col("pe").as("vec"))
+        checkedQ.select(col("probe_id").as("vec_id"), col("pe").as("vec"))
           .withColumn("nrm", sqrt(dotD(col("vec"), col("vec")))),
         cents)
       .select(col("vec_id").as("probe_id"), col("vec").as("pe"),

@@ -257,8 +257,15 @@ class GraftLakeProvider extends RelationProvider
     val table = tableOf(parameters)
     val resolved = sourceSchema(sqlContext, schema, providerName,
       parameters)._2
-    val start0 = parameters.get("startingSnapshotId")
-      .map(_.trim.toLong).getOrElse(0L)
+    // `latest-at-start` resolves ONCE, at source construction (r16 advisor
+    // item: it was documented but fell through to toLong and crashed) —
+    // the offset it pins is what "skip history" means for this query.
+    val start0 = parameters.get("startingSnapshotId").map(_.trim) match {
+      case Some("latest-at-start") =>
+        SnapshotLake.latest(spark, table).getOrElse(0L)
+      case Some(s) => s.toLong
+      case None => 0L
+    }
     val maxPerTrigger = parameters.get("maxSnapshotsPerTrigger")
       .map(_.trim.toLong)
     maxPerTrigger.foreach(m => require(m >= 1,

@@ -234,4 +234,37 @@ class AnnIndexSpec extends AnyFunSuite {
     // pre-rebuild history stays byte-stable (time travel unaffected)
     assert(SnapshotLake.readAt(s, s"$root/lists", 1).count() == 250)
   }
+
+  test("wrong-dimension probes and appends fail loudly, not null-pad (r17)") {
+    val root = tmpDir("ann_idx_dim")
+    AnnIndex.build(emb, root, NLists)
+    // a probe with a truncated vector: zip_with would null-pad it into a
+    // null cosine that silently sorts last — the r17 gate throws instead
+    val badProbe = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"),
+        slice(transform(col("embedding"), v => v.cast("double")),
+          1, 5).as("pe"))
+    val exK = intercept[Exception] {
+      AnnIndex.topK(s, root, badProbe, nProbe = 2, k = 3).collect()
+    }
+    assert(exK.getMessage.contains("does not match index dim"),
+      s"wrong failure: ${exK.getMessage}")
+    // appended vectors with the wrong dim fail at append, never filed
+    val badNew = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        slice(col("embedding"), 1, 7).as("embedding"))
+    val before = SnapshotLake.readLatest(s, s"$root/lists").count()
+    val exA = intercept[Exception] {
+      AnnIndex.append(s, badNew, root)
+    }
+    assert(exA.getMessage.contains("does not match index dim"))
+    assert(SnapshotLake.readLatest(s, s"$root/lists").count() == before,
+      "a failed append must not have committed rows")
+    // correct-dimension probes still serve through the gate unchanged
+    val okProbe = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), v => v.cast("double")).as("pe"))
+    assert(AnnIndex.topK(s, root, okProbe, nProbe = NLists, k = 3)
+      .count() == 9)
+  }
 }

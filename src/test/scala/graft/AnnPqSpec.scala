@@ -134,4 +134,27 @@ class AnnPqSpec extends AnyFunSuite {
     assert(served.exists(_ >= 400),
       "appended vectors must be servable after catch-up")
   }
+
+  test("trainPq and topKPq validate dimensions loudly (r17)") {
+    // trainPq is public: a non-divisible m would silently truncate every
+    // subvector's tail dims — must require d % m == 0 itself
+    val exT = intercept[IllegalArgumentException] {
+      AnnIndex.trainPq(emb, m = 7, nCodes = 8)
+    }
+    assert(exT.getMessage.contains("not divisible"),
+      s"wrong failure: ${exT.getMessage}")
+    // probe-side: wrong-dim query vectors throw, not null-pad
+    val root = tmpDir("ann_pq_dim")
+    AnnIndex.build(emb, root, NLists)
+    AnnIndex.buildPq(s, root, M, NCodes)
+    val badProbe = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"),
+        slice(transform(col("embedding"), v => v.cast("double")),
+          1, 6).as("pe"))
+    val exP = intercept[Exception] {
+      AnnIndex.topKPq(s, root, badProbe, nProbe = 2, k = 3).collect()
+    }
+    assert(exP.getMessage.contains("does not match index dim"),
+      s"wrong failure: ${exP.getMessage}")
+  }
 }

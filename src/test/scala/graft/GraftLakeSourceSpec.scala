@@ -105,6 +105,27 @@ class GraftLakeSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingSnapshotId=latest-at-start skips all history (r17)") {
+    import s.implicits._
+    val table = tmpDir("gls-latest")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), table)
+    val q = s.readStream.format("graftlake")
+      .option("startingSnapshotId", "latest-at-start").load(table)
+      .writeStream.format("memory").queryName("gls_latest")
+      .option("checkpointLocation", tmpDir("gls-latest-cp")).start()
+    try {
+      q.processAllAvailable()
+      assert(rows(s.table("gls_latest")).isEmpty,
+        "latest-at-start must emit nothing for pre-existing history")
+      // only snapshots committed AFTER query start flow
+      SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), table,
+        append = true)
+      q.processAllAvailable()
+      assert(rows(s.table("gls_latest")) == Set(Seq[Any](3L, "c")))
+    } finally q.stop()
+  }
+
   test("a compact in the tailed range fails loudly instead of re-emitting") {
     import s.implicits._
     val table = tmpDir("gls-compact")

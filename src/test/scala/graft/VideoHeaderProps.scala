@@ -70,6 +70,39 @@ object VideoHeaderProps extends Properties("VideoHeader") {
         true
     }
 
+  // r17 (advisor item): short mvhd/tkhd boxes — including the size-8
+  // empty-payload form, at EOF and mid-file — must quarantine the FIELD
+  // (duration None / track skipped), never throw, and never read a
+  // sibling box's bytes as duration.
+  property("short mvhd/tkhd boxes quarantine the field, never throw") =
+    forAll(Gen.chooseNum(0, 19), Gen.oneOf(true, false)) { (plen, atEof) =>
+      val shortMvhd = box("mvhd", Array.fill[Byte](plen)(3))
+      val moovKids =
+        if (atEof) Array(shortMvhd)
+        else Array(shortMvhd, box("free", Array.fill[Byte](32)(-1)))
+      val f = box("ftyp", "isom".getBytes, u32(0)) ++
+        box("moov", moovKids.toIndexedSeq: _*)
+      val m = VideoHeader.parse(f)
+      val shortTkhd = box("ftyp", "isom".getBytes, u32(0)) ++
+        box("moov", box("trak", box("tkhd")),
+          box("trak", box("tkhd", Array.fill[Byte](plen)(7))))
+      val t = VideoHeader.parse(shortTkhd)
+      m.forall(_.durationSec.isEmpty) &&
+        t.forall(v => v.width == 0 && v.height == 0 && v.nTracks == 2)
+    }
+
+  property("a v1 mvhd shorter than 32 bytes quarantines duration") = {
+    // version byte 1 but only 24 payload bytes: the u64 duration read
+    // would cross into the next box without the r17 guard
+    val v1short = box("mvhd", Array[Byte](1, 0, 0, 0),
+      Array.fill[Byte](20)(2))
+    val f = box("ftyp", "isom".getBytes, u32(0)) ++
+      box("moov", v1short, box("free", Array.fill[Byte](40)(-1)))
+    forAll(Gen.const(0)) { _ =>
+      VideoHeader.parse(f).exists(_.durationSec.isEmpty)
+    }
+  }
+
   property("the valid movie parses to its exact facts") = {
     val m = VideoHeader.parse(validMp4).get
     forAll(Gen.const(0)) { _ =>
