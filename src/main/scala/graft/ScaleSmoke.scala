@@ -82,7 +82,118 @@ object ScaleSmoke {
         "q_negative_sample",
         "q_ann_recall", "q_dedup_recall", "q_dedup_embed")
 
+  /** The second decade (r17, VERDICT r16 item 7): the 6 worst sf1-ratio
+    * keys re-measured at a synthesized sf10 (100 copies of sf0.1, same
+    * per-copy isometry/prefix/shift discipline as [[buildSf1]] — the
+    * rules compose, so sf10's first ten copies ARE sf1's content). The
+    * sf1 gate caught collect_set superlinearity; one more decade catches
+    * the next one before 100×. Run with `runMain graft.ScaleSmoke sf10`. */
+  private val Sf10Keys = Seq(
+    "q_dedup_embed", "q_doc_fingerprint", "q_winsorize", "q_pagerank",
+    "q_containment", "q_dedup_ngram")
+  private val Sf10CountKeys =
+    Set("q_dedup_embed", "q_containment", "q_dedup_ngram")
+
+  private def sf10Main(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    def run(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both scales, then one timed pass per scale (the sf10 side is
+    // minutes-long — min-of-N would double a already-long run; the
+    // DECADE ratio sf10/sf1 is the signal and tolerates pass noise)
+    Sf10Keys.foreach(k => run(k, "target/sf1"))
+    System.gc(); Thread.sleep(2000)
+    val sf1 = Sf10Keys.map(k => k -> run(k, "target/sf1")).toMap
+    val sf10 = Sf10Keys.map(k => k -> run(k, "target/sf10")).toMap
+    val counts = Sf10CountKeys.toSeq.sorted.map { k =>
+      k -> (SparkEntry.queries(k)(spark, "target/sf1").count(),
+            SparkEntry.queries(k)(spark, "target/sf10").count())
+    }
+    println(f"%nkey | sf1 s | sf10 s | decade ratio")
+    Sf10Keys.foreach { k =>
+      println(f"$k | ${sf1(k)}%.2f | ${sf10(k)}%.2f | ${sf10(k) / sf1(k)}%.1fx")
+    }
+    println("\nkey | rows sf1 | rows sf10 | ratio")
+    counts.foreach { case (k, (a, b)) =>
+      println(f"$k | $a | $b | ${b.toDouble / a}%.1fx")
+    }
+    spark.stop()
+  }
+
+  /** N-copy synthesis with the [[buildSf1]] rules generalized (only the
+    * tables the sf10 keys read are scaled; dims pass through). */
+  private def buildSfN(spark: SparkSession, src: String, out: String,
+                       copies: Int): Unit = {
+    if (Files.exists(Paths.get(s"$out/_built_v1"))) return
+    val maxBaseId = Seq(
+      "documents.parquet" -> "doc_id", "embeddings.parquet" -> "vec_id",
+      "orders.parquet" -> "o_custkey").map { case (t, c) =>
+      spark.read.parquet(s"$src/$t").agg(max(col(c).cast("long")))
+        .head.getLong(0)
+    }.max
+    require(maxBaseId < 10000000L,
+      s"sfN id-shift assumes base ids < 10M, saw $maxBaseId")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    (0 until copies).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        expr(s"array_join(transform(split(text, ' '), w -> concat('x$c', w)), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    (0 until copies).map { c =>
+      val flipped =
+        if (c == 0) emb
+        else emb.withColumn("embedding",
+          expr(s"transform(embedding, (x, i) -> " +
+               s"CASE WHEN pmod(hash($c, i), 2) = 0 THEN x ELSE -x END)"))
+      flipped.withColumn("vec_id", col("vec_id") + lit(c * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(16).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    (0 until copies).map { c =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(c * 1000000000L))
+    }.reduce(_ unionByName _)
+      .repartition(64).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    (0 until copies).map { c =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(c * 1000000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(c * 10000000L))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "events"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    Files.createFile(Paths.get(s"$out/_built_v1"))
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.toSeq == Seq("sf10")) return sf10Main()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares

@@ -1276,11 +1276,22 @@ object Analytics extends QueryPack {
     * and take the standard half credit, so |Δauc| is bounded by the pair
     * mass that lands within `quantum` of each other. */
   def aucApprox(s: SparkSession, d: String,
-                quantum: Double = 0.1): DataFrame = {
+                quantum: Double = 0.1, maxBuckets: Int = 4096): DataFrame = {
     import s.implicits._
-    val buckets = Tables.events(s, d)
-      .select(floor(col("value") / quantum).cast("long").as("b"),
+    val scored = Tables.events(s, d)
+      .select(col("value").cast("double").as("value"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    // Bound the driver grid BY CONSTRUCTION (r16 verdict nit): the grid is
+    // range/quantum buckets — fine for a bounded score, UNBOUNDED for an
+    // arbitrary column. One cheap single-column min/max pre-pass coarsens
+    // the quantum so the grid never exceeds maxBuckets (+1); a sane range
+    // keeps the requested quantum and byte-identical buckets.
+    val mm = scored.agg(min(col("value")), max(col("value"))).head
+    val q =
+      if (mm.isNullAt(0)) quantum
+      else math.max(quantum, (mm.getDouble(1) - mm.getDouble(0)) / maxBuckets)
+    val buckets = scored
+      .select(floor(col("value") / q).cast("long").as("b"), col("y"))
       .groupBy(col("b"))
       .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
       .collect()

@@ -113,7 +113,8 @@ object AnnIndex {
     * (dropped row) — [[build]] requires count == nLists so a degenerate
     * corpus fails loudly instead of committing a broken index. */
   def trainCentroids(emb: DataFrame, nLists: Int,
-                     sampleMod: Int = 1): DataFrame = {
+                     sampleMod: Int = 1, rounds: Int = 1): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sample = vecsOf(emb).filter(col("vec_id") % sampleMod === 0)
     // TakeOrderedAndProject (orderBy+limit) keeps the seed pick planned and
     // scale-safe; the rank window then runs over only nLists rows.
@@ -123,8 +124,16 @@ object AnnIndex {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1)
           .cast("int").as("cid"),
         transform(col("vec"), v => round(v, 6)).as("carr"))
-    val a1 = assignCid(sample, c0)
-    a1.select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
+    // rounds = 1 is the contract shape (q_ann_ivf oracle lockstep); the
+    // extra rounds checkpoint between iterations to cut lineage growth
+    (1 until rounds).foldLeft(reestimate(sample, c0))((c, _) =>
+      reestimate(sample, c.localCheckpoint()))
+  }
+
+  /** Round-6 exact-decimal mean vector per cid of a (cid, vec) frame. */
+  private def meanOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(round(sum(col("v").cast(org.apache.spark.sql.types
           .DecimalType(28, 10))).cast("double") /
@@ -132,7 +141,11 @@ object AnnIndex {
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         pc => pc.getField("c")).as("carr"))
-  }
+
+  /** One Lloyd re-estimation round: assign `sample` (vec/nrm frame) to
+    * `cents`, re-average per cid (round-6 exact-decimal means). */
+  private def reestimate(sample: DataFrame, cents: DataFrame): DataFrame =
+    meanOf(assignCid(sample, cents))
 
   /** Build the persisted index: train centroids, assign every vector,
     * commit both tables as fresh snapshots. Returns the lists snapshot
@@ -207,6 +220,127 @@ object AnnIndex {
       SnapshotLake.commit(cents, s"$root/centroids", append = false)
       Some(base + 1)
     } else None
+  }
+
+  /** Hot-list re-balance (r17, VERDICT r16 item 8): [[append]] files new
+    * vectors under the EXISTING centroids, so drifted append mass piles
+    * into few lists and a probe touching a hot list reads far more than
+    * corpus/nLists — read amplification grows even when recall holds.
+    * `rebalance` SPLITS every list whose residency exceeds
+    * `maxSkew × mean`: a local rank-seeded 2-means (the
+    * [[trainCentroids]] discipline, k=2) over the hot list's own members
+    * replaces its centroid with two (the first keeps the old cid, the
+    * second takes a fresh id above the current max), and ONLY the hot
+    * lists' vectors re-file — cold lists are untouched rows in the
+    * rewritten snapshot. The PQ layer, when present, re-encodes exactly
+    * the moved vectors against their new residuals under the PERSISTED
+    * codebook (codebook drift is [[rebuild]]+buildPq territory;
+    * AnnPqSpec measures recall across the split).
+    *
+    * Same single-CAS discipline as [[rebuild]]: the lists rewrite
+    * targets exactly base+1 and returns None on a lost race (a racing
+    * [[append]] is never dropped); centroids and codes follow after the
+    * lists CAS lands (the one-commit windows only misroute probes, not
+    * correctness, and close at the next statement). Returns
+    * Some(new lists snapshot id), Some(base) when nothing is hot. */
+  def rebalance(spark: SparkSession, root: String,
+                maxSkew: Double = 2.0): Option[Long] = {
+    require(maxSkew > 1.0, s"maxSkew must exceed 1.0, got $maxSkew")
+    val listsT = s"$root/lists"
+    val base = SnapshotLake.latest(spark, listsT).getOrElse(
+      throw new IllegalArgumentException(s"no built index at $root"))
+    val lists = SnapshotLake.readAt(spark, listsT, base).localCheckpoint()
+    val counts = lists.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("cid") -> r.getAs[Long]("n"))
+    val mean = counts.map(_._2).sum.toDouble / counts.length
+    val hot = counts.filter(_._2 > maxSkew * mean).map(_._1).sorted
+    if (hot.isEmpty) return Some(base)
+    var nextCid = counts.map(_._1).max + 1
+    val cents = SnapshotLake.readLatest(spark, s"$root/centroids")
+
+    // split each hot list: local 2-means over its members, old cid +
+    // one fresh cid, members re-filed between the two
+    val splits = hot.flatMap { h =>
+      val members = vecsOf(lists.filter(col("cid") === h)
+        .select(col("vec_id"), col("vec").as("embedding")))
+        .localCheckpoint()
+      // MEDIAN-SPLIT init (deterministic, inside the mass): halve the
+      // list at the median cosine-to-its-own-centroid and seed Lloyd
+      // with the two halves' means. Seeding with member PAIRS (rank or
+      // maximin) puts at least one seed on the list's fringe, and for
+      // the common hot shape — one dominant direction plus structure —
+      // Lloyd then only shaves fringe points; the balanced radial
+      // split starts both seeds in the mass, so the rounds converge to
+      // a genuine partition of it.
+      val withC = members.crossJoin(broadcast(
+          cents.filter(col("cid") === h).select(col("carr").as("cv"),
+            sqrt(dotD(col("carr"), col("carr"))).as("cn"))))
+        .withColumn("cosC",
+          dotD(col("vec"), col("cv")) / (col("nrm") * col("cn")))
+      val med = withC.agg(expr("percentile(cosC, 0.5)")).head.getDouble(0)
+      val c0 = meanOf(withC
+          .withColumn("cid", when(col("cosC") <= med, lit(h))
+            .otherwise(lit(nextCid)).cast("int"))
+          .select(col("cid"), col("vec")))
+        .localCheckpoint()
+      val two =
+        if (c0.count() < 2) c0 // point mass: both halves identical
+        else (1 to 3).foldLeft(c0)((c, _) =>
+          reestimate(members, c).localCheckpoint())
+      // a degenerate list (all-identical vectors) collapses to one
+      // surviving centroid: nothing to split, leave the list as-is
+      if (two.count() < 2) None
+      else {
+        val refiled = assignCid(members, two)
+          .select(col("cid"), col("vec_id"), col("vec"), col("nrm"))
+          .localCheckpoint()
+        // effectiveness gate: a split that strands under 1/32 of the
+        // members on one side neither fixes read amplification nor
+        // terminates (a pile of near-identical vectors — an un-deduped
+        // near-dup cluster — is IRREDUCIBLE by centroid geometry; that
+        // mass is q_dedup_embed's job). Skip it; rebalance then reaches
+        // a fixpoint instead of livelocking.
+        val sizes = refiled.groupBy(col("cid")).count()
+          .collect().map(_.getLong(1))
+        if (sizes.length < 2 || sizes.min < sizes.sum / 32.0) None
+        else {
+          nextCid += 1
+          Some((h, two, refiled))
+        }
+      }
+    }
+    if (splits.isEmpty) return Some(base)
+    val splitCids = splits.map(_._1).toSeq
+    val newLists = splits.map(_._3)
+      .foldLeft(lists.filter(!col("cid").isin(splitCids: _*)))(_ unionByName _)
+      .repartitionByRange(col("cid"))
+    val dir = SnapshotLake.writeData(newLists, listsT, 1000000L)
+    if (!(SnapshotLake.latest(spark, listsT).contains(base) &&
+          SnapshotLake.tryCommitManifest(spark, listsT, base + 1, Seq(dir))))
+      return None
+    val newCents = splits.map(_._2)
+      .foldLeft(cents.filter(!col("cid").isin(splitCids: _*)))(_ unionByName _)
+    SnapshotLake.commit(newCents, s"$root/centroids", append = false)
+    // PQ layer catch-up: re-encode exactly the moved vectors' residuals
+    val codesT = s"$root/pq/codes"
+    if (SnapshotLake.latest(spark, codesT).isDefined) {
+      val cb = SnapshotLake.readLatest(spark, s"$root/pq/codebook")
+      val m = cb.agg(countDistinct(col("sub"))).head.getLong(0).toInt
+      val moved = splits.map(_._3).reduce(_ unionByName _)
+      val resid = withResiduals(moved,
+        splits.map(_._2).reduce(_ unionByName _))
+      val movedCodes = encodePq(
+          resid.select(col("vec_id"), col("rvec").as("vec")),
+          groupCodebook(cb), m)
+        .join(resid.select(col("cid"), col("vec_id"), col("nrm")),
+          Seq("vec_id"))
+        .select(col("cid"), col("vec_id"), col("codes"), col("nrm"))
+      val keep = SnapshotLake.readLatest(spark, codesT)
+        .filter(!col("cid").isin(splitCids: _*))
+      SnapshotLake.commit(keep.unionByName(movedCodes)
+        .repartitionByRange(col("cid")), codesT, append = false)
+    }
+    Some(base + 1)
   }
 
   // ------------------------------------------------------------------

@@ -1,8 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, CsvToStructs, ExprId, Expression, JsonToStructs,
-  NamedExpression, RegExpExtract, RegExpReplace, ScalaUDF, SortOrder}
+  AttributeReference, CsvToStructs, ExprId, Expression, GetJsonObject,
+  JsonToStructs, JsonTuple, NamedExpression, RegExpExtract, RegExpReplace,
+  ScalaUDF, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
   Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -49,6 +50,7 @@ object EvalAfterSort extends Rule[LogicalPlan] {
 
   private def expensive(e: Expression): Boolean = e.exists {
     case _: JsonToStructs | _: CsvToStructs | _: ScalaUDF |
+         _: GetJsonObject | _: JsonTuple |
          _: RegExpExtract | _: RegExpReplace => true
     case _: graft.expr.GoTimestampFormat | _: graft.expr.Md5Prefix60 |
          _: graft.expr.NfcNormalize | _: graft.expr.WordShingles => true

@@ -1,0 +1,565 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite,
+  Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation,
+  RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, Write,
+  WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex,
+  OutputWriter, OutputWriterFactory}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions,
+  ParquetUtils}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.v2.HadoopConfCarrier
+
+/** DataSource V2 `TableCatalog` for graftlake (r17, VERDICT r16 item 1) —
+  * the SQL DML surface the V1 provider shape could not give. Registered as
+  *
+  * {{{ spark.sql.catalog.graftlake = graft.sources.GraftLakeCatalog }}}
+  *
+  * it makes every [[SnapshotLake]] table addressable as
+  * ``graftlake.`/abs/table/root` `` (or, with the catalog option
+  * `warehouse=/lake`, as `graftlake.name` → `/lake/name`), so the first
+  * statements a Delta/Iceberg user types work verbatim:
+  *
+  *  - `SELECT ... FROM graftlake.\`/t\``   — V2 parquet scan planned from
+  *    the manifest (same delegation shape as the V1 provider: Spark's own
+  *    vectorized reader, pushdown, pruning — the manifest only decides
+  *    which files exist);
+  *  - `INSERT INTO` / `INSERT OVERWRITE`  — one atomic snapshot commit
+  *    per statement ([[SnapshotLake.commit]] semantics, append vs
+  *    full-replace);
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` — planned by Spark's own
+  *    row-level machinery onto the existing CoW mutation protocol. The
+  *    table implements BOTH row-level interfaces the planner knows:
+  *      1. [[SupportsDeleteV2]]: a DELETE whose predicate fully
+  *         translates to V2 filters takes the METADATA path —
+  *         [[SnapshotLake.delete]]'s directory-granular CoW (directories
+  *         with no matching row survive untouched; the 100 TB shape);
+  *      2. [[SupportsRowLevelOperations]] (group-based copy-on-write):
+  *         everything else — UPDATE, MERGE (all ANSI clause forms,
+  *         including NOT MATCHED BY SOURCE, courtesy of Spark's
+  *         rewrite), and non-translatable DELETEs — scans the pinned
+  *         snapshot, computes the replacement rows, and commits ONE
+  *         atomic full-replace snapshot. The group here is the whole
+  *         table: the operation's scan advertises no runtime group
+  *         filtering, so Spark's rewrite feeds the write every surviving
+  *         row and the full-replace commit is exact. (Directory-granular
+  *         SQL UPDATE/MERGE would need file-level runtime filtering —
+  *         the documented scale refinement; the object API
+  *         [[SnapshotLake.update]]/[[SnapshotLake.merge]] already gives
+  *         dir-granular CoW for pipeline use.)
+  *  - `CREATE TABLE` / CTAS / `DROP TABLE`, and `ALTER TABLE ... ADD
+  *    COLUMN` / `RENAME COLUMN` routed to the manifest-recorded
+  *    evolution directives ([[SnapshotLake.addColumn]]/
+  *    [[SnapshotLake.renameColumn]]) — ALTER without data rewrite.
+  *
+  * Concurrency: every statement pins the latest committed snapshot at
+  * table-load time; mutation commits CAS exactly `base + 1` and FAIL
+  * LOUDLY if any other commit landed in between (GraftLakeCatalogSpec
+  * races one) — the single-CAS discipline of the object API, surfaced as
+  * a statement error instead of a silent lost update. Pre-mutation
+  * snapshots stay time-travel-readable (`snapshotId` read option /
+  * [[SnapshotLake.readAt]]).
+  *
+  * Rename-evolved tables refuse to SCAN here for the same reason as the
+  * V1 provider (rename-by-mapping needs the readAt coalesce projection)
+  * — see GraftLakeProvider's scaladoc; `readAt` stays the full-fidelity
+  * reader until column mapping lands.
+  */
+class GraftLakeCatalog extends TableCatalog {
+  private var catName: String = "graftlake"
+  private var warehouse: Option[String] = None
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = Option(options.get("warehouse"))
+  }
+  override def name(): String = catName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** `graftlake.\`/abs/path\`` → the path; `graftlake.ns.name` →
+    * `<warehouse>/ns/name` when the catalog has a warehouse root. */
+  private def pathOf(ident: Identifier): String = {
+    val joined = (ident.namespace().toSeq :+ ident.name()).mkString("/")
+    if (joined.startsWith("/")) joined
+    else warehouse.map(w => s"$w/$joined").getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake table '$joined' is not an absolute path and the " +
+        "catalog has no warehouse option — address tables as " +
+        "graftlake.`/abs/table/root` or set " +
+        s"spark.sql.catalog.$catName.warehouse"))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    warehouse match {
+      case None => Array.empty
+      case Some(w) =>
+        val root = new Path((w +: namespace.toSeq).mkString("/"))
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root).collect {
+          case st if st.isDirectory &&
+              SnapshotLake.latest(spark, st.getPath.toUri.getPath).isDefined =>
+            Identifier.of(namespace, st.getPath.getName)
+        }
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    SnapshotLake.latest(spark, path) match {
+      case Some(snap) => new GraftLakeTable(path, snap)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graftlake does not lay data out by partition transforms; " +
+      "use SnapshotLake.compactZOrder for layout")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val path = pathOf(ident)
+    // a schema-bearing empty first snapshot (the delete()-path idiom):
+    // CTAS appends the query's rows as snapshot 2
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema).repartition(1)
+    SnapshotLake.commit(empty, path, append = true)
+    new GraftLakeTable(path, SnapshotLake.latest(spark, path).get)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (SnapshotLake.latest(spark, path).isEmpty)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graftlake ALTER supports only top-level columns")
+        SnapshotLake.addColumn(spark, path, add.fieldNames()(0),
+          add.dataType().sql)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "graftlake ALTER supports only top-level columns")
+        SnapshotLake.renameColumn(spark, path, ren.fieldNames()(0),
+          ren.newName())
+      case other => throw new UnsupportedOperationException(
+        s"graftlake ALTER does not support $other — the manifest records " +
+        "add/rename directives only (no data rewrite)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existed = SnapshotLake.latest(spark, path).isDefined
+    if (existed) fs.delete(root, true)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graftlake tables are path-addressed; move the directory instead")
+}
+
+/** The V2 table behind [[GraftLakeCatalog]]: scans delegate to Spark's
+  * own V2 parquet scan over exactly the manifest's directories (pinned at
+  * the snapshot this table object was loaded at — one statement, one
+  * snapshot), writes and row-level operations commit through the manifest
+  * CAS. */
+private[graft] class GraftLakeTable(val tableRoot: String,
+                                    val snapshotAtLoad: Long)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsDeleteV2 {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = s"graftlake.`$tableRoot`"
+
+  // the directive-applied evolved schema at the pinned snapshot — what
+  // readAt serves, so adds surface as typed NULLs
+  override lazy val schema: StructType =
+    SnapshotLake.readAt(spark, tableRoot, snapshotAtLoad).schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** Rename-evolved snapshots scan by column mapping when every dir
+    * carries field ids (the V1 provider's r17 discipline, same
+    * requirements); otherwise refuse loudly with the compact-to-upgrade
+    * path. Returns the scan schema to request. */
+  private[graft] def scanSchema(dirs: Seq[String]): StructType = {
+    val directives = SnapshotLake
+      .manifestDirectives(spark, tableRoot, snapshotAtLoad)
+    val renames = directives.filter(_.split("\t")(1) == "rename")
+    if (renames.isEmpty) schema
+    else {
+      require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+          "false").toBoolean,
+        "graftlake scans rename-evolved tables by parquet field id — " +
+        "set spark.sql.parquet.fieldId.read.enabled=true (or use " +
+        "SnapshotLake.readAt)")
+      require(SnapshotLake.dirsCarryFieldIds(spark, dirs),
+        s"a directory of $tableRoot predates field-id writes (r17) — run " +
+        "SnapshotLake.compact to rewrite it with ids, or read via " +
+        "SnapshotLake.readAt")
+      SnapshotLake.withFieldIds(schema, directives)
+    }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val dirs = SnapshotLake.manifestDirs(spark, tableRoot, snapshotAtLoad)
+    val reqSchema = scanSchema(dirs)
+    // manifest-stats planning (r17): same dir-disqualification the V1
+    // relation applies — pushed predicates prune whole dirs with zero
+    // footer reads; statsPruning=false opts out
+    val stats =
+      if (Option(options.get("statsPruning")).exists(_.trim == "false"))
+        Map.empty[String, Map[String, DirColStats]]
+      else StatsPrune.parse(
+        SnapshotLake.manifestStats(spark, tableRoot, snapshotAtLoad))
+    val index =
+      if (stats.isEmpty)
+        new InMemoryFileIndex(spark, dirs.map(new Path(_)),
+          Map.empty[String, String], Some(reqSchema))
+      else new StatsPrunedFileIndex(spark, dirs, reqSchema, stats)
+    ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftLakeWriteBuilder(tableRoot, info.schema())
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
+      : RowLevelOperationBuilder =
+    () => new GraftLakeRowLevelOperation(this, info.command())
+
+  // ---- SupportsDeleteV2: the metadata(-granular) DELETE fast path ----
+  // Spark's OptimizeMetadataOnlyDeleteFromTable swaps the group-based
+  // rewrite for this whenever the WHERE clause fully translates to V2
+  // predicates — landing in SnapshotLake.delete's dir-granular CoW
+  // (directories with no matching row survive untouched).
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p =>
+      org.apache.spark.sql.GraftShim.predicateToV1(p).exists(f => FilterToColumn(f).isDefined))
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val cond = predicates.toSeq
+      .map(p => FilterToColumn(org.apache.spark.sql.GraftShim.predicateToV1(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable DELETE predicate: $p"))).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable DELETE predicate: $p")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    SnapshotLake.deleteFrom(spark, tableRoot, snapshotAtLoad, cond, 1000000L)
+      .getOrElse(throw new IllegalStateException(
+        s"concurrent commit at $tableRoot: DELETE read snapshot " +
+        s"$snapshotAtLoad but another commit landed first — re-run the " +
+        "statement (single-CAS discipline, no silent lost update)"))
+    ()
+  }
+}
+
+/** V1 `sources.Filter` → `Column` translation for the metadata DELETE
+  * path (the inverse direction of Spark's own pushdown translation).
+  * Returns None for any node it cannot express — canDeleteWhere then
+  * routes the statement to the group-based rewrite instead. */
+private[graft] object FilterToColumn {
+  def apply(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) => for (a <- apply(l); b <- apply(r)) yield a && b
+    case sources.Or(l, r) => for (a <- apply(l); b <- apply(r)) yield a || b
+    case sources.Not(c) => apply(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
+/** Group-based copy-on-write row-level operation: the scan reads the
+  * pinned snapshot in full (no runtime group filtering — the "group" is
+  * the table), Spark's rewrite computes the replacement rows, and the
+  * write commits ONE atomic full-replace snapshot CAS'd against the
+  * snapshot the statement read. */
+private[graft] class GraftLakeRowLevelOperation(table: GraftLakeTable,
+                                                cmd: Command)
+    extends RowLevelOperation {
+  override def command(): Command = cmd
+  // The delegated ParquetScan advertises SupportsRuntimeV2Filtering,
+  // which invites Spark's RowLevelOperationRuntimeGroupFiltering to
+  // narrow the rewrite's query to MATCHED groups and expect a
+  // partial-group replace from the write — but this operation's group is
+  // the whole table and its write is a full replace, so a narrowed query
+  // would DROP every carry-over row of untouched directories
+  // (GraftLakeCatalogSpec's UPDATE case caught exactly that). Wrap the
+  // scan to expose only the bare Scan surface: the rule bails, the query
+  // reads the pinned snapshot in full, and the full-replace commit is
+  // exact. (Pushdown is deliberately absent too — a row-level rewrite
+  // must read every row to carry the unmatched ones over.)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val inner = table.newScanBuilder(options)
+    () => {
+      val scan = inner.build()
+      new org.apache.spark.sql.connector.read.Scan {
+        override def readSchema(): StructType = scan.readSchema()
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          scan.toBatch
+        override def description(): String =
+          s"graftlake row-level scan (${scan.description()})"
+      }
+    }
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftLakeBatchWrite(table.tableRoot, info.schema(),
+            GraftLakeBatchWrite.ReplaceAll(table.snapshotAtLoad),
+            stripLeadingMarker = true)
+      }
+    }
+  override def description(): String =
+    s"graftlake $cmd (copy-on-write, CAS base ${table.snapshotAtLoad})"
+}
+
+/** `INSERT INTO` (append) / `INSERT OVERWRITE` (truncate → atomic
+  * full-replace) builder. */
+private[graft] class GraftLakeWriteBuilder(tableRoot: String,
+                                           schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new GraftLakeBatchWrite(tableRoot, schema,
+        if (doTruncate) GraftLakeBatchWrite.Truncate
+        else GraftLakeBatchWrite.Append)
+  }
+}
+
+private[graft] object GraftLakeBatchWrite {
+  sealed trait Mode
+  /** Stack onto the latest manifest (CAS retry loop, like commit). */
+  case object Append extends Mode
+  /** Atomic full replace of whatever is latest (INSERT OVERWRITE). */
+  case object Truncate extends Mode
+  /** Full replace CAS'd to exactly `base + 1` — the row-level-operation
+    * commit: any interleaved commit fails the statement loudly. */
+  final case class ReplaceAll(base: Long) extends Mode
+
+  case class StagedLakeFile(path: String) extends WriterCommitMessage
+}
+
+/** The distributed write half: tasks write real parquet (Spark's own
+  * ParquetOutputWriter via ParquetUtils.prepareWrite — same footer/codec
+  * config as `df.write.parquet`) into a staging directory under
+  * `data/` that no manifest references; job commit renames exactly the
+  * REPORTED files into a fresh data directory (a speculative duplicate
+  * that lost the task race never lands) and then CAS-commits the
+  * manifest. A crash at any point leaves only unreferenced directories —
+  * invisible to readers, GC'd by [[SnapshotLake.expire]]. */
+private[graft] class GraftLakeBatchWrite(tableRoot: String,
+                                         schema: StructType,
+                                         mode: GraftLakeBatchWrite.Mode,
+                                         stripLeadingMarker: Boolean = false)
+    extends BatchWrite {
+  import GraftLakeBatchWrite._
+
+  private val jobId = UUID.randomUUID().toString
+  private def stagingDir = s"$tableRoot/data/$jobId-staging"
+  private def dataDir = s"$tableRoot/data/$jobId"
+  private def spark: SparkSession = SparkSession.active
+  private def hadoopConf: Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    // prepareWrite mutates the job conf with the parquet write-support
+    // keys (schema, legacy-format flag, timestamp type, codec) — capture
+    // THAT conf for the executors. Field ids (column mapping, r17) ride
+    // the schema metadata, same as SnapshotLake.writeData.
+    val dirvs = SnapshotLake.latest(spark, tableRoot)
+      .map(SnapshotLake.manifestDirectives(spark, tableRoot, _))
+      .getOrElse(Nil)
+    val idSchema = SnapshotLake.withFieldIds(schema, dirvs)
+    val job = Job.getInstance(hadoopConf)
+    val factory = ParquetUtils.prepareWrite(spark.sessionState.conf, job,
+      idSchema, new ParquetOptions(Map.empty[String, String],
+        spark.sessionState.conf))
+    new GraftLakeWriterFactory(stagingDir, idSchema, factory,
+      HadoopConfCarrier.capture(job.getConfiguration), stripLeadingMarker)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(tableRoot).getFileSystem(hadoopConf)
+    fs.mkdirs(new Path(dataDir))
+    messages.foreach { case StagedLakeFile(p) =>
+      val src = new Path(p)
+      if (!fs.rename(src, new Path(dataDir, src.getName)))
+        throw new java.io.IOException(
+          s"commit rename failed: $src -> $dataDir/${src.getName}")
+    }
+    fs.delete(new Path(stagingDir), true)
+    mode match {
+      case Append =>
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 64) {
+          val base = SnapshotLake.latest(spark, tableRoot)
+          val (visible, dirvs) = base.map(b =>
+            (SnapshotLake.manifestDirs(spark, tableRoot, b),
+             SnapshotLake.manifestDirectives(spark, tableRoot, b)))
+            .getOrElse((Nil, Nil))
+          done = SnapshotLake.tryCommitManifest(spark, tableRoot,
+            base.getOrElse(0L) + 1, visible :+ dataDir, dirvs)
+          attempts += 1
+        }
+        if (!done) throw new IllegalStateException(
+          s"INSERT INTO lost $attempts CAS races at $tableRoot — livelock?")
+      case Truncate =>
+        var attempts = 0
+        var done = false
+        while (!done && attempts < 64) {
+          val base = SnapshotLake.latest(spark, tableRoot).getOrElse(0L)
+          // full replace resets directives: the table IS the new frame
+          done = SnapshotLake.tryCommitManifest(spark, tableRoot,
+            base + 1, Seq(dataDir))
+          attempts += 1
+        }
+        if (!done) throw new IllegalStateException(
+          s"INSERT OVERWRITE lost $attempts CAS races at $tableRoot")
+      case ReplaceAll(base) =>
+        if (!(SnapshotLake.latest(spark, tableRoot).contains(base) &&
+              SnapshotLake.tryCommitManifest(spark, tableRoot, base + 1,
+                Seq(dataDir)))) {
+          fs.delete(new Path(dataDir), true)
+          throw new IllegalStateException(
+            s"concurrent commit at $tableRoot: this statement read " +
+            s"snapshot $base but another commit landed first — re-run " +
+            "the statement (single-CAS discipline, no silent lost update)")
+        }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(tableRoot).getFileSystem(hadoopConf)
+    fs.delete(new Path(stagingDir), true)
+    fs.delete(new Path(dataDir), true)
+  }
+}
+
+private[graft] class GraftLakeWriterFactory(stagingDir: String,
+                                            schema: StructType,
+                                            factory: OutputWriterFactory,
+                                            conf: Array[(String, String)],
+                                            stripLeadingMarker: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftLakeDataWriter(stagingDir, schema, factory, partitionId,
+      taskId, HadoopConfCarrier.restore(conf), stripLeadingMarker)
+}
+
+private[graft] class GraftLakeDataWriter(stagingDir: String,
+                                         schema: StructType,
+                                         factory: OutputWriterFactory,
+                                         partitionId: Int, taskId: Long,
+                                         conf: Configuration,
+                                         stripLeadingMarker: Boolean)
+    extends DataWriter[InternalRow] {
+  import GraftLakeBatchWrite.StagedLakeFile
+
+  private val attempt = new TaskAttemptContextImpl(conf,
+    new TaskAttemptID(new TaskID(new org.apache.hadoop.mapreduce.JobID(
+      "graftlake", 0), TaskType.MAP, partitionId), taskId.toInt))
+  // task ids restart at 0 per application: the file name alone must be
+  // collision-free across jobs, so the staging dir (job UUID) carries
+  // the uniqueness and the landed name keeps partition+task for debug
+  private val staged =
+    s"$stagingDir/part-$partitionId-$taskId${factory.getFileExtension(attempt)}"
+  // created EAGERLY so even a zero-row task emits a schema-bearing file
+  // (an empty table must still read with its schema)
+  private val out: OutputWriter = factory.newInstance(staged, schema, attempt)
+
+  // Group-based row-level writes carry Spark's internal __row_operation
+  // marker as the HEAD column of every row (ReplaceData.operationResolved
+  // asserts exactly that layout), and the marker-stripping write task is
+  // only chosen for connectors that declared metadata columns
+  // (ReplaceDataExec.writingTask) — graftlake's whole-table group has
+  // none, so the writer applies the same fields-1..n projection the
+  // projecting task would have (the write schema is the table schema, in
+  // table order, matching the rewrite's data-attribute order).
+  private val proj =
+    if (stripLeadingMarker)
+      Some(org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+        (1 to schema.length).toIndexedSeq))
+    else None
+  private var checkedArity = false
+
+  override def write(row: InternalRow): Unit = proj match {
+    case Some(p) =>
+      if (!checkedArity) {
+        require(row.numFields == schema.length + 1,
+          s"row-level write expected rows of [__row_operation] ++ " +
+          s"${schema.length} table columns, got ${row.numFields} fields " +
+          "— Spark's ReplaceData row layout changed")
+        checkedArity = true
+      }
+      p.project(row)
+      out.write(p)
+    case None => out.write(row)
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedLakeFile(staged)
+  }
+  override def abort(): Unit = {
+    out.close()
+    new Path(staged).getFileSystem(conf).delete(new Path(staged), false)
+  }
+  override def close(): Unit = ()
+}

@@ -96,12 +96,7 @@ class GraftLakeProvider extends RelationProvider
       .getOrElse(latest)
     val directives = SnapshotLake.manifestDirectives(spark, table, snap)
     val renames = directives.filter(_.split("\t")(1) == "rename")
-    require(renames.isEmpty,
-      s"graftlake cannot scan a rename-evolved snapshot (directives: " +
-      s"${renames.mkString("; ")}) — rename-by-mapping needs the " +
-      "coalesce projection of SnapshotLake.readAt; use that API for " +
-      "renamed tables")
-    val (dirs, schema) = parameters.get("sinceSnapshotId")
+    val (dirs, schema0) = parameters.get("sinceSnapshotId")
         .map(_.trim.toLong) match {
       case None =>
         // directive-applied schema: adds surface as typed NULLs wherever
@@ -119,8 +114,41 @@ class GraftLakeProvider extends RelationProvider
          else spark.read.option("mergeSchema", "true")
            .parquet(delta: _*).schema)
     }
-    val index = new InMemoryFileIndex(spark, dirs.map(new Path(_)),
-      Map.empty[String, String], Some(schema))
+    // Rename-evolved snapshots scan by COLUMN MAPPING (r17, lifting the
+    // r16 refusal): the requested schema carries the origin-hash parquet
+    // field ids ([[SnapshotLake.withFieldIds]]), so Spark's field-id
+    // matching resolves a pre-rename file's old physical name to the new
+    // logical column. Needs the session's field-id read switch and every
+    // visible dir written with ids (compact rewrites legacy dirs and
+    // lifts the refusal); readAt stays the always-works fallback.
+    val schema =
+      if (renames.isEmpty) schema0
+      else {
+        require(parameters.get("sinceSnapshotId").isEmpty,
+          "graftlake incremental reads of a rename-evolved snapshot are " +
+          "raw-physical-grain; use SnapshotLake.readIncremental")
+        require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
+            "false").toBoolean,
+          "graftlake scans rename-evolved tables by parquet field id — " +
+          "set spark.sql.parquet.fieldId.read.enabled=true (or use " +
+          "SnapshotLake.readAt)")
+        require(SnapshotLake.dirsCarryFieldIds(spark, dirs),
+          s"a directory of $table predates field-id writes (r17) — run " +
+          "SnapshotLake.compact to rewrite it with ids, or read via " +
+          "SnapshotLake.readAt")
+        SnapshotLake.withFieldIds(schema0, directives)
+      }
+    // manifest-stats planning (r17): pushed predicates disqualify whole
+    // dirs before any footer read; option statsPruning=false opts out
+    val stats =
+      if (parameters.get("statsPruning").exists(_.trim == "false"))
+        Map.empty[String, Map[String, DirColStats]]
+      else StatsPrune.parse(SnapshotLake.manifestStats(spark, table, snap))
+    val index =
+      if (stats.isEmpty)
+        new InMemoryFileIndex(spark, dirs.map(new Path(_)),
+          Map.empty[String, String], Some(schema))
+      else new StatsPrunedFileIndex(spark, dirs, schema, stats)
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
@@ -226,7 +254,14 @@ class GraftLakeProvider extends RelationProvider
         "graftlake streams cannot tail a rename-evolved table " +
         s"(directives: ${renames.mkString("; ")}) — the delta dirs are " +
         "raw physical names; use SnapshotLake.readAt for renamed tables")
-      SnapshotLake.readAt(spark, table, latest).schema
+      val base = SnapshotLake.readAt(spark, table, latest).schema
+      if (parameters.get("changeFeed").exists(_.trim == "true"))
+        StructType(base.fields.toSeq :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType, nullable = false) :+
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType, nullable = false))
+      else base
     }
     (shortName(), s)
   }
@@ -270,7 +305,9 @@ class GraftLakeProvider extends RelationProvider
       .map(_.trim.toLong)
     maxPerTrigger.foreach(m => require(m >= 1,
       s"maxSnapshotsPerTrigger must be >= 1, got $m"))
-    new GraftLakeSource(spark, table, resolved, start0, maxPerTrigger)
+    val changeFeed = parameters.get("changeFeed").exists(_.trim == "true")
+    new GraftLakeSource(spark, table, resolved, start0, maxPerTrigger,
+      changeFeed)
   }
 }
 
@@ -279,7 +316,8 @@ class GraftLakeProvider extends RelationProvider
 private[graft] class GraftLakeSource(spark: SparkSession, table: String,
                                      override val schema: StructType,
                                      start0: Long,
-                                     maxPerTrigger: Option[Long])
+                                     maxPerTrigger: Option[Long],
+                                     changeFeed: Boolean = false)
     extends Source {
 
   // the highest offset this source has HANDED OUT (not necessarily
@@ -303,11 +341,21 @@ private[graft] class GraftLakeSource(spark: SparkSession, table: String,
     Some(LongOffset(end))
   }
 
+  /** Align a raw dir read to `to`: absent columns (delta dirs predating
+    * an addColumn's first carrying write) read as typed NULL, extra
+    * columns (a mid-stream ALTER) drop until restart. */
+  private def alignTo(raw: DataFrame, to: StructType): DataFrame =
+    raw.select(to.fields.map { f =>
+      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val fromId = start.map(offId).getOrElse(start0)
     val endId = offId(end)
     lastEnd = math.max(lastEnd, endId) // restart: resume pacing from here
     if (endId <= fromId) return GraftShim.emptyStreamingDF(spark, schema)
+    if (changeFeed) return changeBatch(fromId, endId)
     val fromDirs =
       if (fromId == 0L) Seq.empty[String]
       else SnapshotLake.manifestDirs(spark, table, fromId)
@@ -318,18 +366,46 @@ private[graft] class GraftLakeSource(spark: SparkSession, table: String,
       s"snapshots $fromId and $endId (${removed.mkString(", ")}) — a " +
       "full-replace/compact/DELETE landed in the tailed range; this " +
       "source tails APPEND-ONLY histories (re-emitting rewritten rows " +
-      "would duplicate them downstream)")
+      "would duplicate them downstream); tail mutations with " +
+      "option(\"changeFeed\", \"true\")")
     val newDirs = endDirs.diff(fromDirs)
     if (newDirs.isEmpty) return GraftShim.emptyStreamingDF(spark, schema)
     val raw = spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
-    // align every batch to the query-start schema: absent columns (delta
-    // dirs predating an addColumn's first carrying write) read as typed
-    // NULL, extra columns (a mid-stream ALTER) are dropped until restart
-    val aligned = raw.select(schema.fields.map { f =>
-      if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toIndexedSeq: _*)
-    GraftShim.asStreamingDF(aligned)
+    GraftShim.asStreamingDF(alignTo(raw, schema))
+  }
+
+  /** The change feed (r17, VERDICT r16 item 6 — the Delta-CDF idea at
+    * directory grain): each snapshot step `id` in `(fromId, endId]`
+    * contributes its manifest dir-diff as tagged rows — dirs REMOVED at
+    * `id` emit their rows as `_change_type = 'delete'`, dirs ADDED emit
+    * `'insert'`, both stamped `_commit_version = id` so a consumer can
+    * apply steps IN ORDER (a key updated twice inside one batch stays
+    * correct). CoW consequences, documented: an UPDATE/MERGE surfaces as
+    * delete+insert pairs at dir grain (carried-over rows of a rewritten
+    * dir appear in both — they net to zero for any keyed apply), and a
+    * compaction emits full delete+insert pairs of the compacted mass
+    * (value-neutral; a keyed consumer converges, it just does wasted
+    * work — schedule compaction and CDC consumption apart). Removed
+    * dirs stay readable until [[SnapshotLake.expire]]; an expired step
+    * fails loudly like any out-of-range offset. */
+  private def changeBatch(fromId: Long, endId: Long): DataFrame = {
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version"))
+    val frames = ((fromId + 1) to endId).flatMap { id =>
+      val prev =
+        if (id <= 1L) Seq.empty[String]
+        else SnapshotLake.manifestDirs(spark, table, id - 1)
+      val cur = SnapshotLake.manifestDirs(spark, table, id)
+      Seq("insert" -> cur.diff(prev), "delete" -> prev.diff(cur)).collect {
+        case (tpe, dirs) if dirs.nonEmpty =>
+          alignTo(spark.read.option("mergeSchema", "true")
+              .parquet(dirs: _*), dataSchema)
+            .withColumn("_change_type", lit(tpe))
+            .withColumn("_commit_version", lit(id))
+      }
+    }
+    if (frames.isEmpty) GraftShim.emptyStreamingDF(spark, schema)
+    else GraftShim.asStreamingDF(alignTo(frames.reduce(_ unionAll _), schema))
   }
 
   override def commit(end: Offset): Unit = ()

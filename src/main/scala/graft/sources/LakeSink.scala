@@ -145,7 +145,22 @@ object SnapshotLake {
     * `#schema<TAB>rename<TAB><from><TAB><to>`. */
   private[graft] def manifestDirectives(spark: SparkSession, table: String,
                                         id: Long): Seq[String] =
-    manifestLines(spark, table, id).filter(_.startsWith("#"))
+    manifestLines(spark, table, id).filter(_.startsWith("#schema"))
+
+  /** Manifest v3 (r17): per-directory column statistics recorded at
+    * commit, one line per (dir, atomic numeric/date/timestamp column):
+    * `#stats<TAB><dir><TAB><col><TAB><rows><TAB><nulls><TAB><min><TAB><max>`
+    * (min/max are exact decimal strings; both empty for an all-null
+    * column). The reader half ([[GraftLakeProvider]]'s planning-time
+    * prune) disqualifies whole directories against pushed predicates
+    * BEFORE any footer read — the Iceberg manifest-stats idea: at 100 TB
+    * a z-ordered table's point probe plans from O(manifest) instead of
+    * O(files) footers. Stats are a pure function of the dir's immutable
+    * files, so commits INHERIT lines for carried-over dirs and compute
+    * fresh ones (from parquet footers, no data scan) only for new dirs. */
+  private[graft] def manifestStats(spark: SparkSession, table: String,
+                                   id: Long): Seq[String] =
+    manifestLines(spark, table, id).filter(_.startsWith("#stats"))
 
   /** Apply recorded evolution to a raw merged-schema read — the reader
     * half of ALTER-without-rewrite (r14 verdict item 5):
@@ -176,15 +191,208 @@ object SnapshotLake {
       }
     }
 
+  // ------------------------------------------------------------------
+  // Column mapping by parquet field id (r17, VERDICT r16 item 3 — the
+  // Delta/Iceberg technique that lets the native providers scan
+  // rename-evolved tables). Every column's field id is a STABLE hash of
+  // its ORIGIN name — the name it was first written under, resolved by
+  // walking the manifest's recorded rename chain backwards — so a
+  // rename changes the logical name but never the id. Writers attach
+  // the ids as parquet field ids; readers request the evolved schema
+  // WITH ids and Spark's field-id matching resolves a pre-rename file's
+  // old physical name to the new logical column. Directories written
+  // before r17 carry no ids and keep the loud refusal (compact rewrites
+  // them and lifts it); `readAt`'s coalesce projection remains the
+  // always-works fallback.
+  // ------------------------------------------------------------------
+
+  /** The origin (first-written) name of logical column `name` under the
+    * recorded directive chain — reversed walk so reused names resolve
+    * through the chain segment that actually produced them. */
+  private[graft] def originOf(name: String,
+                              directives: Seq[String]): String =
+    directives.reverse.foldLeft(name) { (cur, line) =>
+      line.split("\t") match {
+        case Array("#schema", "rename", from, to) if cur == to => from
+        case _ => cur
+      }
+    }
+
+  /** Stable positive field id for an origin name (String.hashCode is
+    * spec-fixed across JVMs). */
+  private[graft] def fieldIdFor(origin: String): Int =
+    math.max(1, origin.hashCode & 0x7fffffff)
+
+  /** The schema with `parquet.field.id` metadata attached to every
+    * top-level field (renames are top-level, so nested fields resolve by
+    * name inside their matched struct). Fails loudly on an id collision
+    * — silent collision would cross-wire two columns at read. */
+  private[graft] def withFieldIds(schema: org.apache.spark.sql.types.StructType,
+                                  directives: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    val ids = schema.fields.map(f => f.name -> fieldIdFor(originOf(f.name,
+      directives))).toMap
+    require(ids.values.toSet.size == ids.size,
+      s"field-id hash collision among ${schema.fieldNames.mkString(",")} — " +
+      "rename the colliding column before committing")
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("parquet.field.id", ids(f.name).toLong).build())
+    })
+  }
+
+  /** True iff every listed dir's parquet files carry field ids on every
+    * top-level column (one footer read per dir — planning-sized). */
+  private[graft] def dirsCarryFieldIds(spark: SparkSession,
+                                       dirs: Seq[String]): Boolean =
+    dirs.forall { d =>
+      try {
+        val fs = fsFor(spark, d)
+        fs.listStatus(new HPath(d)).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.headOption.forall { st =>
+          val footer = org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFooterReader.readFooter(
+              org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, spark.sparkContext.hadoopConfiguration),
+              org.apache.parquet.format.converter.ParquetMetadataConverter
+                .SKIP_ROW_GROUPS)
+          footer.getFileMetaData.getSchema.getFields.stream()
+            .allMatch(f => f.getId != null)
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
+
   /** Step 1 of a commit — land the data somewhere no reader looks. A
     * crash after this leaves an unreferenced directory: invisible.
-    * `private[graft]` so LakeSinkSpec can simulate exactly that crash. */
+    * `private[graft]` so LakeSinkSpec can simulate exactly that crash.
+    * Writes attach origin-hash parquet field ids (column mapping, r17)
+    * derived from the latest committed directive chain. */
   private[graft] def writeData(df: DataFrame, table: String,
                                  maxRecordsPerFile: Long): String = {
     val dir = s"$table/data/${java.util.UUID.randomUUID()}"
-    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+    val spark = df.sparkSession
+    val dirvs = latest(spark, table)
+      .map(manifestDirectives(spark, table, _)).getOrElse(Nil)
+    val withIds = withFieldIds(df.schema, dirvs)
+    val tagged = df.select(df.columns.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.functions.col(s"`$c`")
+        .as(c, withIds.fields(i).metadata)
+    }.toIndexedSeq: _*)
+    tagged.write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("errorifexists").parquet(dir)
     dir
+  }
+
+  /** Footer-derived [[manifestStats]] lines for one data dir: per
+    * atomic numeric/date/timestamp(micros) column, exact min/max (merged
+    * across files and row groups), null count and row count — read from
+    * parquet FOOTERS only, never the data. Columns whose physical stats
+    * cannot be trusted for logical comparison are skipped: decimals
+    * (unscaled physical values), strings/binary (truncation), ts-millis,
+    * NaN/Inf float endpoints, chunks with missing statistics. A dir with
+    * no eligible column records one `-` sentinel line so later commits
+    * inherit instead of re-reading footers. Never throws — stats are an
+    * optimization, a failure records the sentinel and the dir simply
+    * does not prune. */
+  private[graft] def computeStatsLines(spark: SparkSession,
+                                       dir: String): Seq[String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val sentinel = Seq(s"#stats\t$dir\t-\t0\t0\t\t")
+    try {
+      val fs = fsFor(spark, dir)
+      val files = fs.listStatus(new HPath(dir)).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      // (col -> (rows, nulls, min, max)); banned = stats untrustworthy
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Long, Long, Option[BigDecimal], Option[BigDecimal])]
+      val banned = scala.collection.mutable.Set.empty[String]
+      def bdOf(v: AnyRef): Option[BigDecimal] = v match {
+        case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+        case l: java.lang.Long    => Some(BigDecimal(l.longValue))
+        case f: java.lang.Float =>
+          if (f.isNaN || f.isInfinite) None
+          else Some(BigDecimal(f.doubleValue))
+        case d: java.lang.Double =>
+          if (d.isNaN || d.isInfinite) None
+          else Some(BigDecimal(d.doubleValue))
+        case _ => None
+      }
+      files.foreach { st =>
+        val footer = org.apache.spark.sql.execution.datasources.parquet
+          .ParquetFooterReader.readFooter(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(st, spark.sparkContext.hadoopConfiguration),
+            org.apache.parquet.format.converter.ParquetMetadataConverter
+              .NO_FILTER)
+        footer.getBlocks.forEach { block =>
+          block.getColumns.forEach { chunk =>
+            val name = chunk.getPath.toDotString
+            val pt = chunk.getPrimitiveType
+            val ann = pt.getLogicalTypeAnnotation
+            val eligible = !name.contains(".") && !name.contains("\t") &&
+              (pt.getPrimitiveTypeName match {
+                case INT32 | INT64 => ann == null ||
+                  ann.isInstanceOf[LogicalTypeAnnotation
+                    .DateLogicalTypeAnnotation] ||
+                  (ann match {
+                    case t: LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation =>
+                      t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.isSigned
+                    case _ => false
+                  })
+                case FLOAT | DOUBLE => ann == null
+                case _ => false
+              })
+            if (eligible && !banned(name)) {
+              val s0 = chunk.getStatistics
+              if (s0 == null || !s0.isNumNullsSet) {
+                banned += name; acc.remove(name)
+              } else {
+                val (mn, mx) =
+                  if (!s0.hasNonNullValue) (None, None)
+                  else (bdOf(s0.genericGetMin.asInstanceOf[AnyRef]),
+                        bdOf(s0.genericGetMax.asInstanceOf[AnyRef]))
+                val hasValues = block.getRowCount > s0.getNumNulls
+                if (hasValues && (mn.isEmpty || mx.isEmpty)) {
+                  // non-null values exist but endpoints are unusable
+                  banned += name; acc.remove(name)
+                } else {
+                  val (r0, n0, pmn, pmx) = acc.getOrElse(name,
+                    (0L, 0L, None: Option[BigDecimal],
+                     None: Option[BigDecimal]))
+                  def merge(a: Option[BigDecimal], b: Option[BigDecimal],
+                            f: (BigDecimal, BigDecimal) => BigDecimal) =
+                    (a, b) match {
+                      case (Some(x), Some(y)) => Some(f(x, y))
+                      case (x, None) => x
+                      case (None, y) => y
+                    }
+                  acc(name) = (r0 + block.getRowCount,
+                    n0 + s0.getNumNulls,
+                    merge(pmn, mn, _ min _), merge(pmx, mx, _ max _))
+                }
+              }
+            }
+          }
+        }
+      }
+      val lines = acc.toSeq.map { case (c, (rows, nulls, mn, mx)) =>
+        s"#stats\t$dir\t$c\t$rows\t$nulls\t" +
+          s"${mn.map(_.toString).getOrElse("")}\t" +
+          s"${mx.map(_.toString).getOrElse("")}"
+      }
+      if (lines.isEmpty) sentinel else lines
+    } catch {
+      case scala.util.control.NonFatal(_) => sentinel
+    }
   }
 
   /** Step 2 — the commit point: manifest to a tmp name, atomic rename to
@@ -199,11 +407,24 @@ object SnapshotLake {
     if (fs.exists(dst)) return false // a concurrent committer owns this id
     val tmp = new HPath(manifestDir(table),
       s"snap-$id.tmp-${java.util.UUID.randomUUID()}")
+    // per-dir column stats (manifest v3, r17): a dir's files are
+    // immutable, so lines are INHERITED from the predecessor manifest
+    // when present and computed from footers only for dirs it does not
+    // cover (new dirs; or every dir, once, on the first post-upgrade
+    // commit over a legacy manifest)
+    val prior: Map[String, Seq[String]] =
+      if (id > 1 && fs.exists(manifestPath(table, id - 1)))
+        manifestStats(spark, table, id - 1)
+          .groupBy(_.split("\t", -1)(1))
+      else Map.empty
+    val statsLines = dirs.sorted.flatMap(d =>
+      prior.getOrElse(d, computeStatsLines(spark, d)))
     val out = fs.create(tmp, false)
     // dirs sorted for determinism; directives keep their RECORDED order
-    // (renames chain) and sit after the dirs
-    try out.write(((dirs.sorted ++ directives).mkString("\n") + "\n")
-      .getBytes("UTF-8"))
+    // (renames chain) and sit after the dirs; stats last
+    try out.write(
+      ((dirs.sorted ++ directives ++ statsLines).mkString("\n") + "\n")
+        .getBytes("UTF-8"))
     finally out.close()
     // Rename with EXPLICIT no-overwrite semantics (Options.Rename.NONE):
     // FileSystem.rename on a POSIX-backed store (RawLocalFileSystem, NFS)

@@ -38,6 +38,13 @@ object GraftShim {
       ds.queryExecution.toRdd, ds.schema, isStreaming = true)
   }
 
+  /** V2 connector `Predicate` → V1 `sources.Filter` (Spark's own
+    * translation, `private[sql]`): the metadata-DELETE path of the
+    * graftlake V2 table turns pushed predicates back into Columns. */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter
+      .Predicate): Option[sources.Filter] =
+    internal.connector.PredicateUtils.toV1(p)
+
   /** Schema-correct EMPTY streaming frame (a no-new-data micro-batch). */
   def emptyStreamingDF(spark: SparkSession,
                        schema: types.StructType): DataFrame = {

@@ -186,6 +186,41 @@ class AggSwapSpec extends AnyFunSuite {
     }
   }
 
+  test("approx sweeps bound the driver grid on a pathological score range (r17)") {
+    // r16 verdict nit: floor(value/quantum) grids are range/quantum rows —
+    // UNBOUNDED for an arbitrary score column. A synthetic events fixture
+    // with a ±1e9 value range must still collect <= maxBuckets(+1) rows
+    // (the min/max pre-pass coarsens the quantum), and label totals stay
+    // exact because coarsening never drops rows.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("aggswap-path")
+      .toFile.getAbsolutePath
+    val n = 5000
+    val ev = (1 to n).map { i =>
+      val sign = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, if (i % 3 == 0) "purchase" else "view",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        sign * i.toDouble * 400000.0) // range ~ 4e9 >> 0.1 quantum
+    }.toDF("user_id", "event_type", "ts", "value")
+    ev.write.parquet(s"$dir/events.parquet")
+    val mb = 512
+    val auc = graft.ops.Analytics.aucApprox(spark, dir, maxBuckets = mb)
+    val aucRow = auc.head()
+    assert(aucRow.getAs[Long]("n_pos") == n / 3)
+    assert(aucRow.getAs[Long]("n_neg") == n - n / 3)
+    val lift = graft.ops.EvalOps.liftCurveApprox(spark, dir, maxBuckets = mb)
+    val liftRows = lift.collect()
+    assert(liftRows.map(_.getAs[Long]("n_rows")).sum == n)
+    // the driver grid itself: recompute the bucket cardinality the swap
+    // would collect — must respect the bound
+    val mm = ev.agg(org.apache.spark.sql.functions.min($"value"),
+      org.apache.spark.sql.functions.max($"value")).head()
+    val q0 = math.max(0.1, (mm.getDouble(1) - mm.getDouble(0)) / mb)
+    val grid = ev.select(org.apache.spark.sql.functions
+        .floor($"value" / q0).as("b")).distinct().count()
+    assert(grid <= mb + 1, s"grid $grid exceeds bound ${mb + 1}")
+  }
+
   test("q_window_count_distinct (delta form) == the set form row-for-row, no set state") {
     // r15 sf1-gate finding: collect_set-over-range-frame costs
     // O(users-in-window) PER ROW inside |event_type| partitions (12× at

@@ -135,6 +135,117 @@ class AnnPqSpec extends AnyFunSuite {
       "appended vectors must be servable after catch-up")
   }
 
+  test("rebalance splits hot lists: skew drops, recall holds, PQ re-encodes (r17)") {
+    import org.apache.spark.sql.expressions.Window
+    val root = tmpDir("ann_rebal")
+    AnnIndex.build(emb, root, NLists)
+    AnnIndex.buildPq(s, root, M, NCodes)
+    // skewed append: a broad 300-vector cloud dominated by vec 0's
+    // direction (v0 + 0.15..0.30 of 50 distinct partner directions) —
+    // realistic drift: one region grows hot, but the mass has internal
+    // structure a 2-means split can separate
+    val v0 = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("e0"))
+    val drift = emb.filter(col("vec_id") >= 100 && col("vec_id") < 150)
+      .crossJoin(v0)
+      .select(col("vec_id"), col("embedding"), col("e0"),
+        explode(sequence(lit(0), lit(5))).as("j"))
+      .select(
+        (lit(1000L) + (col("vec_id") - 100) * 6 + col("j")).as("vec_id"),
+        zip_with(col("e0"), col("embedding"), (a, b) =>
+          a + b * (lit(0.15f) + col("j").cast("float") * lit(0.03f)))
+          .as("embedding"))
+    AnnIndex.append(s, drift, root)
+    AnnIndex.appendPq(s, root)
+    def residency: Map[Int, Long] = SnapshotLake
+      .readLatest(s, s"$root/lists").groupBy(col("cid")).count()
+      .collect().map(r => r.getAs[Int]("cid") -> r.getAs[Long]("count"))
+      .toMap
+    val before = residency
+    val meanBefore = before.values.sum.toDouble / before.size
+    assert(before.values.max > 2.0 * meanBefore,
+      s"fixture must be skewed for this test: $before")
+
+    // recall truth: exact cosine top-5 over the FULL corpus
+    val corpus = SnapshotLake.readLatest(s, s"$root/lists")
+      .select(col("vec_id"), col("vec").as("embedding"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), v => v.cast("double")).as("pe"))
+    val dot = (a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+    val e = corpus.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("v"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dot(col("pe"), col("v")) /
+          (sqrt(dot(col("pe"), col("pe"))) * sqrt(dot(col("v"), col("v")))),
+          4).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nProbe: Int): Double = {
+      val got = AnnIndex.topK(s, root, probes, nProbe, k = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (p, t) =>
+        got.getOrElse(p, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val recallBefore = recallAt(3)
+
+    val snap = AnnIndex.rebalance(s, root, maxSkew = 2.0)
+    assert(snap.isDefined && snap.get > 0L, "rebalance must commit")
+    val after = residency
+    // no vector lost or duplicated
+    assert(after.values.sum == before.values.sum)
+    assert(SnapshotLake.readLatest(s, s"$root/lists")
+      .select("vec_id").distinct().count() == before.values.sum)
+    // the hot mass actually split: max residency strictly dropped and
+    // the list count grew
+    assert(after.values.max < before.values.max,
+      s"split must shed the hot list: ${before.values.max} -> " +
+      s"${after.values.max}")
+    assert(after.size > before.size)
+    assert(SnapshotLake.readLatest(s, s"$root/centroids").count() ==
+      after.size.toLong)
+    // recall at the same nProbe survives the split
+    val recallAfter = recallAt(3)
+    info(f"recall@5 nProbe=3: before=$recallBefore%.3f after=$recallAfter%.3f")
+    assert(recallAfter >= recallBefore - 0.05,
+      s"recall collapsed across rebalance: $recallBefore -> $recallAfter")
+    // PQ layer re-encoded: full coverage, still serves the drifted mass
+    val codes = SnapshotLake.readLatest(s, s"$root/pq/codes")
+    assert(codes.count() == before.values.sum)
+    assert(codes.select("vec_id").distinct().count() == before.values.sum)
+    val served = AnnIndex.topKPq(s, root, probes,
+      nProbe = after.size, k = 5, refine = 200)
+    assert(served.count() == truth.size * 5L)
+    // iterating to the fixpoint restores the residency bound — the
+    // read-amplification contract (no list above maxSkew x mean) — and
+    // the fixpoint call itself is a recorded no-op
+    var last = snap.get
+    var rounds = 0
+    var settled = false
+    while (!settled && rounds < 8) {
+      val r = AnnIndex.rebalance(s, root, maxSkew = 2.0)
+      assert(r.isDefined, "no concurrent writer — rebalance must commit")
+      settled = r.get == last
+      last = r.get
+      rounds += 1
+    }
+    assert(settled, "rebalance must reach a fixpoint")
+    val fin = residency
+    val finMean = fin.values.sum.toDouble / fin.size
+    assert(fin.values.max <= 2.0 * finMean,
+      s"fixpoint must restore the residency bound: max=${fin.values.max} " +
+      s"mean=$finMean")
+  }
+
   test("trainPq and topKPq validate dimensions loudly (r17)") {
     // trainPq is public: a non-divisible m would silently truncate every
     // subvector's tail dims — must require d % m == 0 itself

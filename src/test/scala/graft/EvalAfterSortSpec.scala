@@ -101,4 +101,35 @@ class EvalAfterSortSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"SQL shape must hoist too:\n${df.queryExecution.optimizedPlan}")
     } finally ext.catalog.dropTempView("eas_li")
   }
+
+  test("the reshaped keys' SQL twins hoist on the user path (r17, verdict item 9)") {
+    // The r16 perf pass hand-carried the sort-first/project-after shape in
+    // the DSL keys; this pins that a SQL user typing the PARITY TWIN of
+    // each reshaped key gets the same hoisted plan through spark.sql under
+    // GraftExtensions — the rule on the path users take, not only its
+    // unit shapes. Values must equal the DSL key's run in the same session
+    // (order included — every twin carries ORDER BY).
+    Tables.lineitem(ext, TestSpark.Sf0001).createOrReplaceTempView("lineitem")
+    Tables.events(ext, TestSpark.Sf0001).createOrReplaceTempView("events")
+    try {
+      val twins: Seq[(String, String)] = Seq(
+        "q_math_funcs" -> SparkEntry.oracleSql("q_math_funcs"),
+        "q_cast_types" -> SqlDialectTwins.twins("q_cast_types"),
+        "q_json_funcs" -> SqlDialectTwins.twins("q_json_funcs"),
+        "q_expr_go_ts" ->
+          "SELECT event_id, go_ts(ts) AS go_ts FROM events ORDER BY event_id")
+      twins.foreach { case (key, sql) =>
+        val viaSql = ext.sql(sql)
+        assert(hoisted(viaSql),
+          s"$key SQL twin did not hoist:\n${viaSql.queryExecution.optimizedPlan}")
+        val viaDsl = SparkEntry.queries(key)(ext, TestSpark.Sf0001)
+        assert(viaSql.collect().map(_.toSeq).toSeq ==
+               viaDsl.collect().map(_.toSeq).toSeq,
+          s"$key SQL twin diverged from the DSL key")
+      }
+    } finally {
+      ext.catalog.dropTempView("lineitem")
+      ext.catalog.dropTempView("events")
+    }
+  }
 }

@@ -80,19 +80,50 @@ class GraftLakeProviderSpec extends AnyFunSuite {
     assert(pre.schema.fieldNames.toSeq == Seq("k", "v"))
   }
 
-  test("rename-evolved snapshots refuse loudly (no silent null-filled history)") {
+  test("rename-evolved snapshots scan natively by field id (≡ readAt, r17)") {
     import s.implicits._
     val table = tmpDir("glake-rename")
     SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), table)
     SnapshotLake.renameColumn(s, table, "v", "val")
+    // pre-rename history reads through the NEW logical name: the r16
+    // refusal is lifted by column mapping — the requested schema carries
+    // the origin-hash field ids the pre-rename file was written with
+    val native = s.read.format("graftlake").load(table)
+    assert(native.schema.fieldNames.toSeq == Seq("k", "val"))
+    assert(rows(native) == rows(SnapshotLake.readLatest(s, table)))
+    assert(rows(native) == Set(Vector(1L, "a")))
+    // a post-rename append writes the new physical name; both read
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "val"), table)
+    assert(rows(s.read.format("graftlake").load(table)) ==
+      Set(Vector(1L, "a"), Vector(2L, "b")))
+    // chained rename still maps (origin resolves through the chain)
+    SnapshotLake.renameColumn(s, table, "val", "label")
+    assert(rows(s.read.format("graftlake").load(table)) ==
+      rows(SnapshotLake.readLatest(s, table)))
+    assert(s.read.format("graftlake").load(table)
+      .filter(col("label") === "a").count() == 1L)
+  }
+
+  test("a legacy dir without field ids keeps the rename refusal; compact lifts it") {
+    import s.implicits._
+    val table = tmpDir("glake-rename-legacy")
+    // simulate a pre-r17 dir: write WITHOUT field ids and hand-commit it
+    val legacy = s"$table/data/legacy-${java.util.UUID.randomUUID()}"
+    Seq((1L, "a")).toDF("k", "v").write.parquet(legacy)
+    assert(SnapshotLake.tryCommitManifest(s, table, 1L, Seq(legacy)))
+    SnapshotLake.renameColumn(s, table, "v", "val")
     val e = intercept[IllegalArgumentException] {
       s.read.format("graftlake").load(table).collect()
     }
-    assert(e.getMessage.contains("readAt"),
-      s"refusal must point at the full-fidelity reader: ${e.getMessage}")
-    // the object API still reads the renamed table fine
+    assert(e.getMessage.contains("compact"),
+      s"refusal must point at the upgrade path: ${e.getMessage}")
+    // the object API always reads renamed tables
     assert(SnapshotLake.readLatest(s, table).columns.toSeq ==
       Seq("k", "val"))
+    // compact rewrites the legacy dir with ids -> native scan lifts
+    assert(SnapshotLake.compact(s, table).isDefined)
+    assert(rows(s.read.format("graftlake").load(table)) ==
+      rows(SnapshotLake.readLatest(s, table)))
   }
 
   test("native pruned parquet scan over exactly the manifest's files") {

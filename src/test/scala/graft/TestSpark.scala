@@ -17,6 +17,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.catalog.graftlake",
+        "graft.sources.GraftLakeCatalog")
+      // column-mapped (rename-evolved) graftlake scans match by field id
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   lazy val spark: SparkSession = {
