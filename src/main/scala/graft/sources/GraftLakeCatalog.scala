@@ -138,6 +138,35 @@ class GraftLakeCatalog extends TableCatalog {
     }
   }
 
+  /** `SELECT ... FROM graftlake.\`t\` VERSION AS OF <snapshot id>` —
+    * SQL time travel onto the pinned-snapshot table (≡ the `snapshotId`
+    * read option / [[SnapshotLake.readAt]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    val snap = scala.util.Try(version.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graftlake VERSION AS OF takes a snapshot id, got '$version'"))
+    if (!SnapshotLake.snapshots(spark, path).contains(snap))
+      throw new IllegalArgumentException(
+        s"no committed snapshot $snap at $path (expired or never " +
+        "committed)")
+    new GraftLakeTable(path, snap)
+  }
+
+  /** `... TIMESTAMP AS OF <ts>` — resolves to the LATEST snapshot whose
+    * manifest commit time is at or before the timestamp (micros), the
+    * Delta/Iceberg timestamp-travel rule. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    val millis = timestamp / 1000L
+    val at = SnapshotLake.snapshotTimes(spark, path)
+      .filter(_._2 <= millis).map(_._1).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot at $path committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(millis)}"))
+    new GraftLakeTable(path, at)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {

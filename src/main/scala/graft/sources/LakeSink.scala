@@ -121,6 +121,16 @@ object SnapshotLake {
   def latest(spark: SparkSession, table: String): Option[Long] =
     snapshots(spark, table).lastOption
 
+  /** (snapshot id, manifest mtime millis) ascending — the commit clock
+    * TIMESTAMP AS OF resolves against (the manifest file IS the commit,
+    * so its mtime is the commit instant). */
+  def snapshotTimes(spark: SparkSession,
+                    table: String): Seq[(Long, Long)] = {
+    val fs = fsFor(spark, table)
+    snapshots(spark, table).map(id =>
+      id -> fs.getFileStatus(manifestPath(table, id)).getModificationTime)
+  }
+
   /** Raw manifest lines at snapshot `id`: data-directory lines plus any
     * `#schema`-prefixed evolution directives (manifest v2, r15). */
   private def manifestLines(spark: SparkSession, table: String,

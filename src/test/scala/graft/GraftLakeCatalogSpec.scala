@@ -220,6 +220,37 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       == Seq("k", "tag"))
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL (r17)") {
+    import s.implicits._
+    val t = tmpDir("cat-tt")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), t)
+    Thread.sleep(1100) // distinct commit-clock seconds for the ts rule
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), t, append = true)
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 1")) ==
+      Set(Seq[Any](1L, "a")))
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 2")) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    val exV = intercept[Exception] {
+      s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 9").collect()
+    }
+    assert(exV.getMessage.contains("no committed snapshot"))
+    // a timestamp between the two commits resolves to snapshot 1
+    val t1 = SnapshotLake.snapshotTimes(s, t).head._2
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    val mid = fmt.format(java.time.Instant.ofEpochMilli(t1 + 500))
+    assert(rows(s.sql(
+      s"SELECT * FROM graftlake.`$t` TIMESTAMP AS OF '$mid'")) ==
+      Set(Seq[Any](1L, "a")))
+    val exT = intercept[Exception] {
+      val early = fmt.format(java.time.Instant.ofEpochMilli(t1 - 60000))
+      s.sql(s"SELECT * FROM graftlake.`$t` TIMESTAMP AS OF '$early'")
+        .collect()
+    }
+    assert(exT.getMessage.contains("at or before"))
+  }
+
   test("warehouse-relative names resolve and list") {
     import s.implicits._
     val wh = tmpDir("cat-wh")
