@@ -51,7 +51,8 @@ object GraphRank {
     * k−1 iterations inside nested broadcast jobs — only worth it when |V|
     * is large enough that materializing ranks is itself expensive. */
   def pagerank(edges: DataFrame, iters: Int = 8, damping: Double = 0.85,
-               checkpointEvery: Int = 1): DataFrame = {
+               checkpointEvery: Int = 1,
+               broadcastRanks: Boolean = true): DataFrame = {
     val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
     // one evaluation of the caller's edge pipeline, ever: outw, the n
     // count, and the ew build all read this in-memory snapshot
@@ -72,9 +73,18 @@ object GraphRank {
     // itself outgrows broadcast (billions of nodes), flip to
     // src-partitioning + a co-partitioned shuffle join and pay the
     // edge-sized per-iteration exchange — the classic trade.
+    // broadcastRanks = false IS that flip, implemented below.
+    // broadcastRanks = false is that flip (r17, implemented): the edge
+    // frame pre-partitions by SRC once, each iteration hash-partitions
+    // the rank frame by node (a |V|-row exchange) and the join runs
+    // CO-PARTITIONED with no broadcast and no edge-side shuffle; the
+    // groupBy(dst) then pays the per-iteration edge-sized exchange the
+    // broadcast form avoids. Arithmetic is identical (same decimal
+    // rounding discipline), so the two strategies are row-equal —
+    // GraphRankLargeSpec pins it and the no-broadcast plan shape.
     val ew = e.select(col(srcC).as("src"), col(dstC).as("dst"), col(wC).as("w"))
       .join(outw, Seq("src"))
-      .repartition(col("dst"))
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
       .localCheckpoint()
     val n = outw.count()
     // the node universe (every node with an out-edge, per the input
@@ -91,7 +101,10 @@ object GraphRank {
       // rounded to 12 decimals, and per-node sums are bounded by the total
       // rank mass (= 1), so 4 integer digits are plenty — and 18 digits
       // keeps the value long-backed (compact) in the aggregation buffer
-      val contrib = ew.join(broadcast(ranks), col("node") === col("src"))
+      val rankSide =
+        if (broadcastRanks) broadcast(ranks)
+        else ranks.repartition(col("node"))
+      val contrib = ew.join(rankSide, col("node") === col("src"))
         .select(col("dst"),
           round(col("r") * col("w") / col("ow"), 12)
             .cast(DecimalType(18, 14)).as("c"))

@@ -236,9 +236,19 @@ private[graft] class GraftLakeTable(val tableRoot: String,
   override def name(): String = s"graftlake.`$tableRoot`"
 
   // the directive-applied evolved schema at the pinned snapshot — what
-  // readAt serves, so adds surface as typed NULLs
-  override lazy val schema: StructType =
-    SnapshotLake.readAt(spark, tableRoot, snapshotAtLoad).schema
+  // readAt serves, so adds surface as typed NULLs. Rename-evolved
+  // snapshots carry the origin-hash field ids ON THE TABLE SCHEMA: the
+  // relation's attributes (not the ScanBuilder args) are what Spark
+  // prunes into the parquet requested schema, so the ids must ride here
+  // for field-id matching to resolve pre-rename files.
+  override lazy val schema: StructType = {
+    val base = SnapshotLake.readAt(spark, tableRoot, snapshotAtLoad).schema
+    val directives = SnapshotLake
+      .manifestDirectives(spark, tableRoot, snapshotAtLoad)
+    if (directives.exists(_.split("\t")(1) == "rename"))
+      SnapshotLake.withFieldIds(base, directives)
+    else base
+  }
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -247,13 +257,12 @@ private[graft] class GraftLakeTable(val tableRoot: String,
   /** Rename-evolved snapshots scan by column mapping when every dir
     * carries field ids (the V1 provider's r17 discipline, same
     * requirements); otherwise refuse loudly with the compact-to-upgrade
-    * path. Returns the scan schema to request. */
+    * path. The id-bearing schema itself lives on [[schema]]. */
   private[graft] def scanSchema(dirs: Seq[String]): StructType = {
-    val directives = SnapshotLake
+    val renames = SnapshotLake
       .manifestDirectives(spark, tableRoot, snapshotAtLoad)
-    val renames = directives.filter(_.split("\t")(1) == "rename")
-    if (renames.isEmpty) schema
-    else {
+      .filter(_.split("\t")(1) == "rename")
+    if (renames.nonEmpty) {
       require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
           "false").toBoolean,
         "graftlake scans rename-evolved tables by parquet field id — " +
@@ -263,8 +272,8 @@ private[graft] class GraftLakeTable(val tableRoot: String,
         s"a directory of $tableRoot predates field-id writes (r17) — run " +
         "SnapshotLake.compact to rewrite it with ids, or read via " +
         "SnapshotLake.readAt")
-      SnapshotLake.withFieldIds(schema, directives)
     }
+    schema
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)

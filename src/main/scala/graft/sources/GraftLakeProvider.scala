@@ -111,8 +111,7 @@ class GraftLakeProvider extends RelationProvider
         // (no directives — the delta is change-feed grain, not the table)
         (delta,
          if (delta.isEmpty) StructType(Nil)
-         else spark.read.option("mergeSchema", "true")
-           .parquet(delta: _*).schema)
+         else SnapshotLake.readMergedRaw(spark, delta).schema)
     }
     // Rename-evolved snapshots scan by COLUMN MAPPING (r17, lifting the
     // r16 refusal): the requested schema carries the origin-hash parquet
@@ -370,7 +369,7 @@ private[graft] class GraftLakeSource(spark: SparkSession, table: String,
       "option(\"changeFeed\", \"true\")")
     val newDirs = endDirs.diff(fromDirs)
     if (newDirs.isEmpty) return GraftShim.emptyStreamingDF(spark, schema)
-    val raw = spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
+    val raw = SnapshotLake.readMergedRaw(spark, newDirs)
     GraftShim.asStreamingDF(alignTo(raw, schema))
   }
 
@@ -398,8 +397,7 @@ private[graft] class GraftLakeSource(spark: SparkSession, table: String,
       val cur = SnapshotLake.manifestDirs(spark, table, id)
       Seq("insert" -> cur.diff(prev), "delete" -> prev.diff(cur)).collect {
         case (tpe, dirs) if dirs.nonEmpty =>
-          alignTo(spark.read.option("mergeSchema", "true")
-              .parquet(dirs: _*), dataSchema)
+          alignTo(SnapshotLake.readMergedRaw(spark, dirs), dataSchema)
             .withColumn("_change_type", lit(tpe))
             .withColumn("_commit_version", lit(id))
       }

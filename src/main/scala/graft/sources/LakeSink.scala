@@ -275,6 +275,25 @@ object SnapshotLake {
       } catch { case scala.util.control.NonFatal(_) => false }
     }
 
+  /** Merged-schema raw read of lake data dirs with parquet field-id
+    * metadata STRIPPED from the requested schema (r17): the raw merged
+    * union of a rename-evolved table carries BOTH the old and the new
+    * column name with the SAME origin-hash field id, and under
+    * `spark.sql.parquet.fieldId.read.enabled` the reader would match by
+    * id and cross-wire them — these call sites (readAt's coalesce
+    * mapping, the CoW mutation rewrites, incremental deltas) WANT
+    * name-resolution semantics; id matching belongs to the single-name
+    * evolved-schema scans of the graftlake providers. */
+  private[graft] def readMergedRaw(spark: SparkSession,
+                                   dirs: Seq[String]): DataFrame = {
+    val inferred = spark.read.option("mergeSchema", "true")
+      .parquet(dirs: _*).schema
+    val stripped = org.apache.spark.sql.types.StructType(
+      inferred.fields.map(_.copy(
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+    spark.read.schema(stripped).parquet(dirs: _*)
+  }
+
   /** Step 1 of a commit — land the data somewhere no reader looks. A
     * crash after this leaves an unreferenced directory: invisible.
     * `private[graft]` so LakeSinkSpec can simulate exactly that crash.
@@ -513,8 +532,7 @@ object SnapshotLake {
     * the file set so this is snapshot-sized, not directory-listing-sized. */
   def readAt(spark: SparkSession, table: String, id: Long): DataFrame =
     applyDirectives(
-      spark.read.option("mergeSchema", "true")
-        .parquet(manifestDirs(spark, table, id): _*),
+      readMergedRaw(spark, manifestDirs(spark, table, id)),
       manifestDirectives(spark, table, id))
 
   /** ALTER TABLE ... ADD COLUMN, recorded in the manifest (r15 — no data
@@ -593,7 +611,7 @@ object SnapshotLake {
     val newDirs = manifestDirs(spark, table, toId)
       .diff(manifestDirs(spark, table, fromId))
     if (newDirs.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true").parquet(newDirs: _*)
+    else readMergedRaw(spark, newDirs)
   }
 
   /** Data-quality drift audit between two committed snapshots: per
@@ -840,8 +858,7 @@ object SnapshotLake {
                           full: org.apache.spark.sql.types.StructType): DataFrame = {
     // recorded evolution applies BEFORE alignment so a predicate on a
     // renamed column resolves against pre-rename directories too
-    val df = applyDirectives(
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*), directives)
+    val df = applyDirectives(readMergedRaw(spark, dirs), directives)
     val have = df.columns.toSet
     df.select(full.fields.toSeq.map { f =>
       if (have(f.name)) col(f.name)
@@ -853,9 +870,7 @@ object SnapshotLake {
     * recorded directives applied (what [[readAt]] serves). */
   private def evolvedSchema(spark: SparkSession, dirs: Seq[String],
                             directives: Seq[String]) =
-    applyDirectives(
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*),
-      directives).schema
+    applyDirectives(readMergedRaw(spark, dirs), directives).schema
 
   /** The prune/rewrite/CAS half of [[delete]], base-parameterized so the
     * concurrent-commit race is testable deterministically. */

@@ -1,0 +1,166 @@
+package graft
+
+import graft.sources.{DirColStats, StatsPrune}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Adversarial property for the manifest-stats pruner (r17): pruning is
+  * only ever allowed to be a NO-OP optimization — if `disqualifies` says
+  * a directory has no matching row, then evaluating the same predicate
+  * over the directory's actual rows must find none. Stats are computed
+  * here exactly as the writer records them (min/max over non-nulls, null
+  * and row counts), predicates are generated over both a stats-covered
+  * column and an uncovered one, composed with And/Or/Not, with literals
+  * drawn to straddle the data range. A single counterexample means
+  * silently lost rows at read time, so this property is the safety net
+  * under every future evaluator extension. */
+object StatsPruneProps extends Properties("StatsPrune") {
+
+  private val kAttr = AttributeReference("k", LongType)()
+  private val xAttr = AttributeReference("x", DoubleType)()
+  private val zAttr = AttributeReference("z", LongType)() // no stats
+
+  private case class Dir(ks: Seq[Option[Long]], xs: Seq[Option[Double]])
+
+  private val dirGen: Gen[Dir] = for {
+    n <- Gen.chooseNum(1, 40)
+    ks <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const(None),
+      Gen.chooseNum(-50L, 50L).map(Some(_))))
+    xs <- Gen.listOfN(n, Gen.oneOf(
+      Gen.const(None),
+      Gen.chooseNum(-10.0, 10.0).map(Some(_))))
+  } yield Dir(ks, xs)
+
+  private def statsOf(d: Dir): Map[String, DirColStats] = {
+    def one(vs: Seq[Option[Double]]): DirColStats = {
+      val nn = vs.flatten
+      DirColStats(vs.size.toLong, (vs.size - nn.size).toLong,
+        if (nn.isEmpty) None else Some(BigDecimal(nn.min)),
+        if (nn.isEmpty) None else Some(BigDecimal(nn.max)))
+    }
+    Map("k" -> one(d.ks.map(_.map(_.toDouble))), "x" -> one(d.xs))
+  }
+
+  private val leafGen: Gen[Expression] = {
+    val kLit = Gen.chooseNum(-60L, 60L).map(v => Literal(v))
+    val xLit = Gen.chooseNum(-12.0, 12.0).map(v => Literal(v))
+    Gen.oneOf(
+      kLit.map(l => EqualTo(kAttr, l)), kLit.map(l => EqualTo(l, kAttr)),
+      kLit.map(l => GreaterThan(kAttr, l)),
+      kLit.map(l => GreaterThanOrEqual(l, kAttr)),
+      kLit.map(l => LessThan(kAttr, l)),
+      kLit.map(l => LessThanOrEqual(kAttr, l)),
+      kLit.map(l => EqualNullSafe(kAttr, l)),
+      Gen.listOfN(3, Gen.chooseNum(-60L, 60L)).map(vs =>
+        In(kAttr, vs.map(v => Literal(v)))),
+      Gen.const(IsNull(kAttr)), Gen.const(IsNotNull(kAttr)),
+      xLit.map(l => GreaterThan(xAttr, l)),
+      xLit.map(l => LessThanOrEqual(l, xAttr)),
+      xLit.map(l => EqualTo(xAttr, l)),
+      Gen.const(IsNull(xAttr)), Gen.const(IsNotNull(xAttr)),
+      kLit.map(l => EqualTo(zAttr, l))) // uncovered column: never prunes
+  }
+
+  private def predGen(depth: Int): Gen[Expression] =
+    if (depth == 0) leafGen
+    else Gen.frequency(
+      3 -> leafGen,
+      2 -> (for (a <- predGen(depth - 1); b <- predGen(depth - 1))
+        yield And(a, b)),
+      2 -> (for (a <- predGen(depth - 1); b <- predGen(depth - 1))
+        yield Or(a, b)),
+      1 -> predGen(depth - 1).map(Not))
+
+  /** SQL three-valued truth of `e` over one row (None = NULL). */
+  private def eval(e: Expression, k: Option[Long], x: Option[Double],
+                   z: Long): Option[Boolean] = {
+    def cmp(a: AttributeReference, l: Any,
+            f: (Double, Double) => Boolean): Option[Boolean] = {
+      val av: Option[Double] = a.name match {
+        case "k" => k.map(_.toDouble)
+        case "x" => x
+        case _ => Some(z.toDouble)
+      }
+      val lv = l match {
+        case i: Long => i.toDouble
+        case d: Double => d
+        case other => other.toString.toDouble
+      }
+      av.map(f(_, lv))
+    }
+    e match {
+      case And(l, r) => (eval(l, k, x, z), eval(r, k, x, z)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (eval(l, k, x, z), eval(r, k, x, z)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => eval(c, k, x, z).map(!_)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v, _ == _)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v, _ == _)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+        Some(cmp(a, v, _ == _).getOrElse(false))
+      case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v, _ > _)
+      case GreaterThan(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v, _ < _)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v, _ >= _)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v, _ <= _)
+      case LessThan(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v, _ < _)
+      case LessThan(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v, _ > _)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        cmp(a, v, _ <= _)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        cmp(a, v, _ >= _)
+      case In(a: AttributeReference, list) =>
+        val hits = list.map { case Literal(v, _) => cmp(a, v, _ == _) }
+        if (hits.exists(_.contains(true))) Some(true)
+        else if (hits.forall(_.contains(false))) Some(false)
+        else None
+      case IsNull(a: AttributeReference) => Some(a.name match {
+        case "k" => k.isEmpty
+        case "x" => x.isEmpty
+        case _ => false
+      })
+      case IsNotNull(a: AttributeReference) => Some(a.name match {
+        case "k" => k.nonEmpty
+        case "x" => x.nonEmpty
+        case _ => true
+      })
+      case other => sys.error(s"unhandled: $other")
+    }
+  }
+
+  property("a disqualified dir truly has no matching row") =
+    forAll(dirGen, predGen(2)) { (d, p) =>
+      val st = statsOf(d)
+      if (!StatsPrune.disqualifies(p, st)) true
+      else d.ks.zip(d.xs).zipWithIndex.forall { case ((k, x), i) =>
+        !eval(p, k, x, i.toLong).contains(true)
+      }
+    }
+
+  property("obvious gap probes do prune (the evaluator is not vacuous)") =
+    forAll(dirGen) { d =>
+      val st = statsOf(d)
+      val kVals = d.ks.flatten
+      kVals.isEmpty || {
+        val above = kVals.max + 10
+        StatsPrune.disqualifies(EqualTo(kAttr, Literal(above)), st) &&
+          StatsPrune.disqualifies(GreaterThan(kAttr, Literal(above)), st)
+      }
+    }
+}
