@@ -12,10 +12,12 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException,
   TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier,
-  SupportsDeleteV2, SupportsRead, SupportsRowLevelOperations, SupportsWrite,
-  Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{Identifier, MetadataColumn,
+  SupportsDeleteV2, SupportsMetadataColumns, SupportsRead,
+  SupportsRowLevelOperations, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
@@ -30,7 +32,7 @@ import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions,
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.v2.HadoopConfCarrier
@@ -59,19 +61,25 @@ import graft.sources.v2.HadoopConfCarrier
   *         translates to V2 filters takes the METADATA path —
   *         [[SnapshotLake.delete]]'s directory-granular CoW (directories
   *         with no matching row survive untouched; the 100 TB shape);
-  *      2. [[SupportsRowLevelOperations]] (group-based copy-on-write):
-  *         everything else — UPDATE, MERGE (all ANSI clause forms,
-  *         including NOT MATCHED BY SOURCE, courtesy of Spark's
-  *         rewrite), and non-translatable DELETEs — scans the pinned
-  *         snapshot, computes the replacement rows, and commits ONE
-  *         atomic full-replace snapshot. The group here is the whole
-  *         table: the operation's scan advertises no runtime group
-  *         filtering, so Spark's rewrite feeds the write every surviving
-  *         row and the full-replace commit is exact. (Directory-granular
-  *         SQL UPDATE/MERGE would need file-level runtime filtering —
-  *         the documented scale refinement; the object API
-  *         [[SnapshotLake.update]]/[[SnapshotLake.merge]] already gives
-  *         dir-granular CoW for pipeline use.)
+  *      2. [[SupportsRowLevelOperations]] (group-based copy-on-write,
+  *         DIRECTORY-granular groups since r18): everything else —
+  *         UPDATE, MERGE (all ANSI clause forms, including NOT MATCHED
+  *         BY SOURCE, courtesy of Spark's rewrite), and non-translatable
+  *         DELETEs. The operation declares the `_dir` metadata column as
+  *         a required attribute and its scan implements
+  *         `SupportsRuntimeV2Filtering` on it, so Spark's
+  *         `RowLevelOperationRuntimeGroupFiltering` plans a matched-row
+  *         probe (`SELECT DISTINCT _dir FROM t WHERE <cond>` — normal
+  *         read path: pushdown, stats pruning) and runtime-narrows the
+  *         rewrite to the matched directories; the write then commits
+  *         ONE atomic snapshot replacing EXACTLY the served directories
+  *         — untouched directories survive into the new manifest BY
+  *         IDENTITY, the [[SnapshotLake.update]]/[[SnapshotLake.merge]]
+  *         CoW granularity surfaced through SQL. When the probe can't
+  *         narrow (no condition, filtering disabled, a user `_dir` data
+  *         column shadowing the metadata column) the scan serves the
+  *         full pinned directory list and the commit degrades to the
+  *         exact full replace — conservative, never a lost row.
   *  - `CREATE TABLE` / CTAS / `DROP TABLE`, and `ALTER TABLE ... ADD
   *    COLUMN` / `RENAME COLUMN` routed to the manifest-recorded
   *    evolution directives ([[SnapshotLake.addColumn]]/
@@ -229,7 +237,8 @@ class GraftLakeCatalog extends TableCatalog {
 private[graft] class GraftLakeTable(val tableRoot: String,
                                     val snapshotAtLoad: Long)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsDeleteV2 {
+    with SupportsRowLevelOperations with SupportsDeleteV2
+    with SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -253,6 +262,25 @@ private[graft] class GraftLakeTable(val tableRoot: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** `_dir` — the manifest data directory holding the row. Hidden from
+    * `SELECT *`, projectable on demand, and the group identity the
+    * dir-granular row-level operations (r18) probe and replace on. A
+    * user table that carries its own `_dir` DATA column shadows it
+    * (Spark's standard conflict rule) — [[dirTracking]] then turns the
+    * row-level machinery back to the conservative full replace. */
+  private[graft] def dirTracking: Boolean =
+    !schema.fieldNames.contains(DirLabeledFileIndex.DirColumn)
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    if (!dirTracking) Array.empty
+    else Array(new MetadataColumn {
+      override def name(): String = DirLabeledFileIndex.DirColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest data directory holding the row (graftlake group identity)"
+    })
 
   /** Rename-evolved snapshots scan by column mapping when every dir
     * carries field ids (the V1 provider's r17 discipline, same
@@ -288,12 +316,25 @@ private[graft] class GraftLakeTable(val tableRoot: String,
         Map.empty[String, Map[String, DirColStats]]
       else StatsPrune.parse(
         SnapshotLake.manifestStats(spark, tableRoot, snapshotAtLoad))
-    val index =
-      if (stats.isEmpty)
-        new InMemoryFileIndex(spark, dirs.map(new Path(_)),
-          Map.empty[String, String], Some(reqSchema))
-      else new StatsPrunedFileIndex(spark, dirs, reqSchema, stats)
-    ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+    // dir-labeled index (r18): `_dir` rides as a synthetic partition
+    // column — zero row-width cost unless projected, partition-pruned
+    // when filtered, and the probe column of the dir-granular row-level
+    // operations. A user `_dir` DATA column shadows the synthetic one
+    // entirely (plain index, no partition column) so it stays readable.
+    if (dirTracking) {
+      val index = new DirLabeledFileIndex(spark, dirs, reqSchema, stats)
+      val full = StructType(reqSchema.fields :+ org.apache.spark.sql.types
+        .StructField(DirLabeledFileIndex.DirColumn, StringType,
+          nullable = false))
+      ParquetScanBuilder(spark, index, full, reqSchema, options)
+    } else {
+      val index =
+        if (stats.isEmpty)
+          new InMemoryFileIndex(spark, dirs.map(new Path(_)),
+            Map.empty[String, String], Some(reqSchema))
+        else new StatsPrunedFileIndex(spark, dirs, reqSchema, stats)
+      ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -357,51 +398,61 @@ private[graft] object FilterToColumn {
   }
 }
 
-/** Group-based copy-on-write row-level operation: the scan reads the
-  * pinned snapshot in full (no runtime group filtering — the "group" is
-  * the table), Spark's rewrite computes the replacement rows, and the
-  * write commits ONE atomic full-replace snapshot CAS'd against the
-  * snapshot the statement read. */
+/** Group-based copy-on-write row-level operation with DIRECTORY-granular
+  * groups (r18, VERDICT r17 item 1). The operation requires the `_dir`
+  * metadata column, its scan ([[GraftRowLevelScan]]) implements
+  * `SupportsRuntimeV2Filtering` on it, and Spark's own
+  * `RowLevelOperationRuntimeGroupFiltering` does the rest: it plans a
+  * matched-row probe over the ORIGINAL table (normal read path —
+  * pushdown, manifest-stats pruning, broadcast-friendly source join for
+  * MERGE), feeds the distinct matched `_dir` values to the scan as a
+  * runtime IN filter, and the rewrite then reads ONLY the matched
+  * directories' rows (matched → modified, unmatched → carried over).
+  * The write half replaces exactly the directories the scan served
+  * ([[ServedDirs]] — the single scan↔write contract) in ONE atomic
+  * manifest CAS'd against the snapshot the statement read: untouched
+  * directories survive into the new manifest by identity, the object
+  * API's [[SnapshotLake.update]]/[[SnapshotLake.merge]] granularity.
+  *
+  * Rows reach the write CLEAN: declaring metadata attributes makes
+  * Spark's ReplaceDataExec pick the projecting write task
+  * (DataAndMetadataWritingSparkTask), which applies the row projection
+  * — table columns only, no operation marker — before every
+  * `DataWriter.write`. Without metadata attributes (a user `_dir` data
+  * column shadows ours) Spark writes the raw rewrite rows, whose HEAD
+  * column is the internal operation marker; the writer then strips it
+  * (`stripLeadingMarker`) and the commit degrades to the exact full
+  * replace. */
 private[graft] class GraftLakeRowLevelOperation(table: GraftLakeTable,
                                                 cmd: Command)
     extends RowLevelOperation {
+  private val spark = SparkSession.active
+  private val dirTracking = table.dirTracking
+  private[graft] val served = new ServedDirs(
+    SnapshotLake.manifestDirs(spark, table.tableRoot, table.snapshotAtLoad))
+
   override def command(): Command = cmd
-  // The delegated ParquetScan advertises SupportsRuntimeV2Filtering,
-  // which invites Spark's RowLevelOperationRuntimeGroupFiltering to
-  // narrow the rewrite's query to MATCHED groups and expect a
-  // partial-group replace from the write — but this operation's group is
-  // the whole table and its write is a full replace, so a narrowed query
-  // would DROP every carry-over row of untouched directories
-  // (GraftLakeCatalogSpec's UPDATE case caught exactly that). Wrap the
-  // scan to expose only the bare Scan surface: the rule bails, the query
-  // reads the pinned snapshot in full, and the full-replace commit is
-  // exact. (Pushdown is deliberately absent too — a row-level rewrite
-  // must read every row to carry the unmatched ones over.)
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    if (dirTracking) Array(Expressions.column(DirLabeledFileIndex.DirColumn))
+    else Array.empty
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = {
-    val inner = table.newScanBuilder(options)
-    () => {
-      val scan = inner.build()
-      new org.apache.spark.sql.connector.read.Scan {
-        override def readSchema(): StructType = scan.readSchema()
-        override def toBatch: org.apache.spark.sql.connector.read.Batch =
-          scan.toBatch
-        override def description(): String =
-          s"graftlake row-level scan (${scan.description()})"
-      }
-    }
-  }
+      : ScanBuilder =
+    new GraftRowLevelScanBuilder(table, options, served, dirTracking)
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftLakeBatchWrite(table.tableRoot, info.schema(),
-            GraftLakeBatchWrite.ReplaceAll(table.snapshotAtLoad),
-            stripLeadingMarker = true)
+            GraftLakeBatchWrite.ReplaceDirs(table.snapshotAtLoad, served),
+            stripLeadingMarker = !dirTracking)
       }
     }
   override def description(): String =
-    s"graftlake $cmd (copy-on-write, CAS base ${table.snapshotAtLoad})"
+    s"graftlake $cmd (dir-granular copy-on-write, CAS base " +
+      s"${table.snapshotAtLoad})"
 }
 
 /** `INSERT INTO` (append) / `INSERT OVERWRITE` (truncate → atomic
@@ -425,9 +476,15 @@ private[graft] object GraftLakeBatchWrite {
   case object Append extends Mode
   /** Atomic full replace of whatever is latest (INSERT OVERWRITE). */
   case object Truncate extends Mode
-  /** Full replace CAS'd to exactly `base + 1` — the row-level-operation
-    * commit: any interleaved commit fails the statement loudly. */
-  final case class ReplaceAll(base: Long) extends Mode
+  /** The row-level-operation commit (r18): replace EXACTLY the
+    * directories the operation's scan served — [[ServedDirs]] narrowed
+    * by runtime group filtering, or the full pinned list when it
+    * couldn't narrow — CAS'd to exactly `base + 1`; any interleaved
+    * commit fails the statement loudly. Untouched directories carry
+    * into the new manifest by identity, with the snapshot's evolution
+    * directives (they still need them applied; the directives are
+    * no-ops on the freshly-written evolved-schema directory). */
+  final case class ReplaceDirs(base: Long, served: ServedDirs) extends Mode
 
   case class StagedLakeFile(path: String) extends WriterCommitMessage
 }
@@ -510,10 +567,18 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
         }
         if (!done) throw new IllegalStateException(
           s"INSERT OVERWRITE lost $attempts CAS races at $tableRoot")
-      case ReplaceAll(base) =>
-        if (!(SnapshotLake.latest(spark, tableRoot).contains(base) &&
-              SnapshotLake.tryCommitManifest(spark, tableRoot, base + 1,
-                Seq(dataDir)))) {
+      case ReplaceDirs(base, served) =>
+        val committed =
+          SnapshotLake.latest(spark, tableRoot).contains(base) && {
+            val visible = SnapshotLake.manifestDirs(spark, tableRoot, base)
+            val dirvs =
+              SnapshotLake.manifestDirectives(spark, tableRoot, base)
+            val replaced = served.dirs.toSet
+            val kept = visible.filterNot(replaced)
+            SnapshotLake.tryCommitManifest(spark, tableRoot, base + 1,
+              kept :+ dataDir, dirvs)
+          }
+        if (!committed) {
           fs.delete(new Path(dataDir), true)
           throw new IllegalStateException(
             s"concurrent commit at $tableRoot: this statement read " +

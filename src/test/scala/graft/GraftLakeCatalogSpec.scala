@@ -251,6 +251,111 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
     assert(exT.getMessage.contains("at or before"))
   }
 
+  /** manifest dirs at the latest snapshot, via the package-private API. */
+  private def dirsOf(t: String): Seq[String] =
+    SnapshotLake.manifestDirs(s, t, SnapshotLake.latest(s, t).get)
+
+  /** dir → sorted data files, for identity (not just path) comparison. */
+  private def filesOf(t: String): Map[String, Seq[String]] =
+    dirsOf(t).map { d =>
+      val f = new java.io.File(d)
+      d -> f.listFiles().map(_.getName).toSeq.sorted
+    }.toMap
+
+  test("SQL UPDATE rewrites ONLY matched directories — untouched dirs " +
+       "survive by identity (r18)") {
+    val t = tmpDir("cat-upd-dir")
+    seed(t) // dir A: k=1,2   dir B: k=3,4
+    val before = filesOf(t)
+    assert(before.size == 2)
+    val dirA = dirsOf(t).find(d =>
+      rows(SnapshotLake.readLatest(s, t).filter(col("k") === 1))
+        .nonEmpty && {
+        val got = s.read.parquet(d).select("k")
+        rows(got).contains(Seq[Any](1L))
+      }).get
+    val dirB = dirsOf(t).filterNot(_ == dirA).head
+    // matches rows ONLY in dir B: Spark's runtime group filtering must
+    // narrow the rewrite to dir B and the commit must carry dir A over
+    // BY IDENTITY — same directory path, same files, zero rewrite
+    s.sql(s"UPDATE graftlake.`$t` SET v = upper(v) WHERE k >= 3")
+    val after = filesOf(t)
+    assert(after.contains(dirA),
+      s"untouched dir must survive by identity: $dirA -> ${after.keySet}")
+    assert(after(dirA) == before(dirA),
+      "untouched dir's files must be byte-identical (no rewrite)")
+    assert(!after.contains(dirB),
+      s"matched dir must be replaced: $dirB still visible")
+    assert(rows(SnapshotLake.readLatest(s, t)) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b"), Seq[Any](3L, "C"),
+        Seq[Any](4L, "D")))
+  }
+
+  test("SQL MERGE INTO rewrites ONLY directories the source touches (r18)") {
+    import s.implicits._
+    val t = tmpDir("cat-mrg-dir")
+    seed(t) // dir A: k=1,2   dir B: k=3,4
+    val before = filesOf(t)
+    val dirA = dirsOf(t).find(d =>
+      rows(s.read.parquet(d).select("k")).contains(Seq[Any](1L))).get
+    val dirB = dirsOf(t).filterNot(_ == dirA).head
+    // source keys hit only dir B (k=4) plus a fresh insert (k=9)
+    Seq((4L, "DD"), (9L, "II")).toDF("k", "v")
+      .createOrReplaceTempView("cat_mrg_dir_src")
+    s.sql(
+      s"""MERGE INTO graftlake.`$t` tgt USING cat_mrg_dir_src src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = filesOf(t)
+    assert(after.contains(dirA) && after(dirA) == before(dirA),
+      s"dir untouched by the source must survive by identity: " +
+        s"$dirA -> ${after.keySet}")
+    assert(!after.contains(dirB), "matched dir must be replaced")
+    assert(rows(SnapshotLake.readLatest(s, t)) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b"), Seq[Any](3L, "c"),
+        Seq[Any](4L, "DD"), Seq[Any](9L, "II")))
+  }
+
+  test("non-pushable DELETE narrows to matched dirs through the rewrite (r18)") {
+    import s.implicits._
+    val t = tmpDir("cat-del-dir")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    SnapshotLake.commit(Seq((30L, "c"), (40L, "d")).toDF("k", "v"), t,
+      append = true)
+    val before = filesOf(t)
+    val dirA = dirsOf(t).find(d =>
+      rows(s.read.parquet(d).select("k")).contains(Seq[Any](1L))).get
+    // k % 10 = 0 is not V2-translatable (no metadata path) but only dir B
+    // holds matching rows — the probe narrows the CoW to dir B
+    s.sql(s"DELETE FROM graftlake.`$t` WHERE k % 10 = 0")
+    val after = filesOf(t)
+    assert(after.contains(dirA) && after(dirA) == before(dirA),
+      "dir with no matching row must survive the residual DELETE")
+    assert(rows(SnapshotLake.readLatest(s, t)) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+  }
+
+  test("_dir metadata column: projectable on demand, hidden from SELECT *") {
+    val t = tmpDir("cat-dircol")
+    seed(t)
+    assert(s.sql(s"SELECT * FROM graftlake.`$t`").schema.fieldNames.toSeq
+      == Seq("k", "v"), "_dir must not leak into SELECT *")
+    val got = s.sql(s"SELECT k, _dir FROM graftlake.`$t`")
+    val byDir = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = dirsOf(t).toSet
+    assert(byDir.values.toSet == expect,
+      s"_dir must carry the manifest dir strings: ${byDir.values.toSet}")
+    // rows seeded into the same commit share a dir; different commits differ
+    assert(byDir(1L) == byDir(2L) && byDir(3L) == byDir(4L) &&
+      byDir(1L) != byDir(3L))
+    // and it prunes as a partition filter — no other dir's files read
+    val one = s.sql(
+      s"SELECT k FROM graftlake.`$t` WHERE _dir = '${byDir(1L)}'")
+    assert(one.inputFiles.forall(_.contains(byDir(1L).split('/').last)))
+    assert(rows(one) == Set(Seq[Any](1L), Seq[Any](2L)))
+  }
+
   test("warehouse-relative names resolve and list") {
     import s.implicits._
     val wh = tmpDir("cat-wh")
