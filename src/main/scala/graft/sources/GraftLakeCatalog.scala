@@ -313,7 +313,7 @@ private[graft] class GraftLakeTable(val tableRoot: String,
     // footer reads; statsPruning=false opts out
     val stats =
       if (Option(options.get("statsPruning")).exists(_.trim == "false"))
-        Map.empty[String, Map[String, DirColStats]]
+        Map.empty[String, Map[String, ColStats]]
       else StatsPrune.parse(
         SnapshotLake.manifestStats(spark, tableRoot, snapshotAtLoad))
     // dir-labeled index (r18): `_dir` rides as a synthetic partition

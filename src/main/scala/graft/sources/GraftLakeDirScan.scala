@@ -58,7 +58,7 @@ private[graft] object DirLabeledFileIndex {
 private[graft] class DirLabeledFileIndex(
     spark: SparkSession, dirs: Seq[String],
     schema: StructType,
-    stats: Map[String, Map[String, DirColStats]])
+    stats: Map[String, Map[String, ColStats]])
     extends InMemoryFileIndex(spark, dirs.map(new Path(_)),
       Map.empty[String, String], Some(schema),
       userSpecifiedPartitionSpec =

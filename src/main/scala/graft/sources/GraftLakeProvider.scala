@@ -141,7 +141,7 @@ class GraftLakeProvider extends RelationProvider
     // dirs before any footer read; option statsPruning=false opts out
     val stats =
       if (parameters.get("statsPruning").exists(_.trim == "false"))
-        Map.empty[String, Map[String, DirColStats]]
+        Map.empty[String, Map[String, ColStats]]
       else StatsPrune.parse(SnapshotLake.manifestStats(spark, table, snap))
     val index =
       if (stats.isEmpty)

@@ -4,22 +4,74 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
   EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In,
-  IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+  IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex,
   PartitionDirectory}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One directory's recorded statistics for one column — the parsed form
-  * of a [[SnapshotLake.manifestStats]] line. `min`/`max` are None for an
-  * all-null column. */
+  * of a [[SnapshotLake.manifestStats]] line. */
+private[graft] sealed trait ColStats {
+  def rows: Long
+  def nulls: Long
+  final def allNull: Boolean = nulls == rows
+}
+
+/** Numeric/date/timestamp column stats; `min`/`max` are None for an
+  * all-null column (exact decimal domain, manifest v3 r17). */
 private[graft] case class DirColStats(rows: Long, nulls: Long,
                                       min: Option[BigDecimal],
-                                      max: Option[BigDecimal]) {
-  def allNull: Boolean = nulls == rows
+                                      max: Option[BigDecimal])
+    extends ColStats
+
+/** String column stats (manifest v4, r18): Iceberg-style truncate(16)
+  * bounds in UTF8 BINARY order — `min` is a ≤16-code-point PREFIX of the
+  * true minimum (a prefix never sorts above the original), `max` is the
+  * true maximum when ≤16 code points, else its 16-code-point prefix with
+  * the last code point incremented (strictly above everything sharing
+  * the prefix). Either side may be independently absent: an
+  * all-code-point-max prefix has no finite increment, so `max` drops
+  * while `min` still prunes. Comparisons run on [[UTF8String]] — its
+  * compareTo IS unsigned-byte order, the order parquet records string
+  * stats in (Java String order differs above U+FFFF and would not be
+  * conservative). */
+private[graft] case class DirStrStats(rows: Long, nulls: Long,
+                                      min: Option[UTF8String],
+                                      max: Option[UTF8String])
+    extends ColStats
+
+/** Truncate(16) bound construction for string stats (r18). */
+private[graft] object StrBounds {
+  val TruncateTo = 16 // code points, the Iceberg default
+
+  /** Valid lower bound: the ≤16-code-point prefix. */
+  def lower(min: UTF8String): UTF8String =
+    if (min.numChars <= TruncateTo) min else min.substring(0, TruncateTo)
+
+  /** Valid upper bound: exact when short; else the truncated prefix with
+    * its last code point incremented (skipping the surrogate gap — those
+    * code points never occur in valid strings but U+D7FF+1 would land
+    * there). None when every prefix code point is already U+10FFFF. */
+  def upper(max: UTF8String): Option[UTF8String] = {
+    if (max.numChars <= TruncateTo) return Some(max)
+    val cps = max.substring(0, TruncateTo).toString.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        val next = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+        val kept = cps.take(i) :+ next
+        return Some(UTF8String.fromString(
+          new String(kept, 0, kept.length)))
+      }
+      i -= 1
+    }
+    None
+  }
 }
 
 /** Planning-time directory pruning from manifest-recorded column stats
-  * (r17, VERDICT r16 item 2 — the Iceberg manifest-stats idea): a pushed
+  * (r17 numeric, r18 strings — the Iceberg manifest-stats idea): a pushed
   * predicate that no row of a directory can satisfy removes the whole
   * directory from the file listing BEFORE any parquet footer is opened.
   * Z-order layout ([[SnapshotLake.compactZOrder]]) already guarantees
@@ -31,16 +83,31 @@ private[graft] case class DirColStats(rows: Long, nulls: Long,
   * a `Not` never prunes (its child's stats bound the wrong side). */
 private[graft] object StatsPrune {
 
-  /** Parse `#stats` manifest lines → dir → col → stats (sentinel `-`
-    * lines and malformed lines drop out). */
-  def parse(lines: Seq[String]): Map[String, Map[String, DirColStats]] =
+  /** Parse `#stats` manifest lines → dir → col → stats. Two line arities
+    * coexist: 7 fields = numeric (exact decimal min/max, r17), 8 fields
+    * with a `str` kind tag = string (base64 UTF-8 truncate(16) bounds,
+    * r18 — base64 keeps arbitrary user bytes tab/newline-safe in the
+    * line protocol). Sentinel `-` and malformed lines drop out; an r17
+    * reader sees 8 fields, fails its arity check, and simply does not
+    * prune on strings — forward-compatible by construction. */
+  def parse(lines: Seq[String]): Map[String, Map[String, ColStats]] =
     lines.flatMap { l =>
       val p = l.split("\t", -1)
-      if (p.length != 7 || p(2) == "-")
-        None
-      else scala.util.Try((p(1), p(2), DirColStats(p(3).toLong, p(4).toLong,
-        if (p(5).isEmpty) None else Some(BigDecimal(p(5))),
-        if (p(6).isEmpty) None else Some(BigDecimal(p(6)))))).toOption
+      if (p.length == 7 && p(2) != "-")
+        scala.util.Try((p(1), p(2),
+          DirColStats(p(3).toLong, p(4).toLong,
+            if (p(5).isEmpty) None else Some(BigDecimal(p(5))),
+            if (p(6).isEmpty) None else Some(BigDecimal(p(6))))
+            : ColStats)).toOption
+      else if (p.length == 8 && p(3) == "str")
+        scala.util.Try((p(1), p(2),
+          DirStrStats(p(4).toLong, p(5).toLong,
+            if (p(6).isEmpty) None else Some(UTF8String.fromBytes(
+              java.util.Base64.getDecoder.decode(p(6)))),
+            if (p(7).isEmpty) None else Some(UTF8String.fromBytes(
+              java.util.Base64.getDecoder.decode(p(7)))))
+            : ColStats)).toOption
+      else None
     }.groupBy(_._1)
       .map { case (d, xs) => d -> xs.map(x => x._2 -> x._3).toMap }
 
@@ -61,30 +128,40 @@ private[graft] object StatsPrune {
       case _ => None
     }
 
-  /** True iff NO row with the given stats can satisfy `attr op lit`. */
-  private def cmpPrunes(op: String, st: DirColStats,
-                        lit: BigDecimal): Boolean =
+  /** True iff NO row with the given stats can satisfy `attr op lit`.
+    * Each comparison needs only the bound it tests against, so a string
+    * column with a dropped upper bound still prunes `<`/`<=`/half of
+    * `=`. */
+  private def cmpPrunes(op: String, st: ColStats, v: Any,
+                        dt: DataType): Boolean =
     if (st.allNull) true // comparisons are never true on NULL
-    else (st.min, st.max) match {
-      case (Some(mn), Some(mx)) => op match {
-        case "="  => lit < mn || lit > mx
-        case ">"  => mx <= lit
-        case ">=" => mx < lit
-        case "<"  => mn >= lit
-        case "<=" => mn > lit
+    else (st, v, dt) match {
+      case (cs: DirColStats, _, _) =>
+        litBD(v, dt).exists { lit =>
+          op match {
+            case "="  => cs.min.exists(lit < _) || cs.max.exists(lit > _)
+            case ">"  => cs.max.exists(_ <= lit)
+            case ">=" => cs.max.exists(_ < lit)
+            case "<"  => cs.min.exists(_ >= lit)
+            case "<=" => cs.min.exists(_ > lit)
+            case _ => false
+          }
+        }
+      case (ss: DirStrStats, u: UTF8String, StringType) => op match {
+        case "="  => ss.min.exists(u.compareTo(_) < 0) ||
+                     ss.max.exists(u.compareTo(_) > 0)
+        case ">"  => ss.max.exists(_.compareTo(u) <= 0)
+        case ">=" => ss.max.exists(_.compareTo(u) < 0)
+        case "<"  => ss.min.exists(_.compareTo(u) >= 0)
+        case "<=" => ss.min.exists(_.compareTo(u) > 0)
         case _ => false
       }
       case _ => false
     }
 
-  private def flip(op: String): String = op match {
-    case ">" => "<"; case ">=" => "<="; case "<" => ">"; case "<=" => ">="
-    case other => other
-  }
-
   /** True iff `e` proves the directory has no matching row. */
   def disqualifies(e: Expression,
-                   st: Map[String, DirColStats]): Boolean = e match {
+                   st: Map[String, ColStats]): Boolean = e match {
     case And(l, r) => disqualifies(l, st) || disqualifies(r, st)
     case Or(l, r) => disqualifies(l, st) && disqualifies(r, st)
     case _: Not => false
@@ -118,22 +195,47 @@ private[graft] object StatsPrune {
       prune("<=", a, v, dt, st)
     case LessThanOrEqual(Literal(v, dt), a: AttributeReference) =>
       prune(">=", a, v, dt, st)
+    // p-prefixed strings occupy exactly [p, pIncr) in byte order (pIncr
+    // = p with its last code point incremented), so a StartsWith prunes
+    // when the dir's [min, max] envelope misses that interval: max < p,
+    // or min ≥ pIncr. The commonest string filter on id-prefixed tables
+    // (r18).
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String,
+        StringType)) =>
+      st.get(a.name).exists {
+        case ss: DirStrStats =>
+          ss.allNull ||
+            ss.max.exists(_.compareTo(p) < 0) ||
+            incLast(p).exists(pi => ss.min.exists(_.compareTo(pi) >= 0))
+        case _ => false
+      }
     case In(a: AttributeReference, list) if list.nonEmpty &&
         list.forall(_.isInstanceOf[Literal]) =>
       st.get(a.name).exists { cs =>
         list.forall {
-          case Literal(v, dt) =>
-            litBD(v, dt).exists(b => cmpPrunes("=", cs, b))
+          case Literal(v, dt) => cmpPrunes("=", cs, v, dt)
           case _ => false
         }
       }
     case _ => false
   }
 
+  /** `p` with its last code point incremented — the least string above
+    * EVERY p-prefixed string; None if the last code point is U+10FFFF
+    * (then nothing above the prefix family is expressible this way). */
+  private def incLast(p: UTF8String): Option[UTF8String] = {
+    val cps = p.toString.codePoints().toArray
+    if (cps.isEmpty || cps(cps.length - 1) >= 0x10FFFF) None
+    else {
+      val last = cps(cps.length - 1)
+      cps(cps.length - 1) = if (last == 0xD7FF) 0xE000 else last + 1
+      Some(UTF8String.fromString(new String(cps, 0, cps.length)))
+    }
+  }
+
   private def prune(op: String, a: AttributeReference, v: Any,
-                    dt: DataType, st: Map[String, DirColStats]): Boolean =
-    st.get(a.name).exists(cs =>
-      litBD(v, dt).exists(b => cmpPrunes(op, cs, b)))
+                    dt: DataType, st: Map[String, ColStats]): Boolean =
+    st.get(a.name).exists(cs => cmpPrunes(op, cs, v, dt))
 }
 
 /** An [[InMemoryFileIndex]] rooted at exactly the manifest's directories
@@ -144,7 +246,7 @@ private[graft] object StatsPrune {
 private[graft] class StatsPrunedFileIndex(
     spark: SparkSession, dirs: Seq[String],
     schema: StructType,
-    stats: Map[String, Map[String, DirColStats]])
+    stats: Map[String, Map[String, ColStats]])
     extends InMemoryFileIndex(spark, dirs.map(new Path(_)),
       Map.empty[String, String], Some(schema)) {
 

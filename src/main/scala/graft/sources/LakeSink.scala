@@ -341,6 +341,12 @@ object SnapshotLake {
       val acc = scala.collection.mutable.LinkedHashMap
         .empty[String, (Long, Long, Option[BigDecimal], Option[BigDecimal])]
       val banned = scala.collection.mutable.Set.empty[String]
+      // string columns accumulate EXACT byte-order endpoints across
+      // blocks; truncate(16) applies once at emit (r18)
+      val sacc = scala.collection.mutable.LinkedHashMap.empty[String,
+        (Long, Long, Option[org.apache.spark.unsafe.types.UTF8String],
+         Option[org.apache.spark.unsafe.types.UTF8String])]
+      val sbanned = scala.collection.mutable.Set.empty[String]
       def bdOf(v: AnyRef): Option[BigDecimal] = v match {
         case i: java.lang.Integer => Some(BigDecimal(i.intValue))
         case l: java.lang.Long    => Some(BigDecimal(l.longValue))
@@ -410,14 +416,65 @@ object SnapshotLake {
                 }
               }
             }
+            // string stats (manifest v4, r18): BINARY/UTF8 chunks merge
+            // exact unsigned-byte-order endpoints; a chunk whose stats
+            // were omitted (parquet drops oversized binary stats) bans
+            // the column — same trust discipline as the numeric path
+            val strEligible = !name.contains(".") && !name.contains("\t") &&
+              pt.getPrimitiveTypeName == BINARY &&
+              ann.isInstanceOf[LogicalTypeAnnotation
+                .StringLogicalTypeAnnotation]
+            if (strEligible && !sbanned(name)) {
+              import org.apache.spark.unsafe.types.UTF8String
+              val s0 = chunk.getStatistics
+              if (s0 == null || !s0.isNumNullsSet) {
+                sbanned += name; sacc.remove(name)
+              } else {
+                val (mn, mx) =
+                  if (!s0.hasNonNullValue) (None, None)
+                  else (Option(s0.getMinBytes).map(UTF8String.fromBytes),
+                        Option(s0.getMaxBytes).map(UTF8String.fromBytes))
+                val hasValues = block.getRowCount > s0.getNumNulls
+                if (hasValues && (mn.isEmpty || mx.isEmpty)) {
+                  sbanned += name; sacc.remove(name)
+                } else {
+                  val (r0, n0, pmn, pmx) = sacc.getOrElse(name,
+                    (0L, 0L, None: Option[UTF8String],
+                     None: Option[UTF8String]))
+                  def smerge(a: Option[UTF8String], b: Option[UTF8String],
+                             f: (UTF8String, UTF8String) => UTF8String) =
+                    (a, b) match {
+                      case (Some(x), Some(y)) => Some(f(x, y))
+                      case (x, None) => x
+                      case (None, y) => y
+                    }
+                  sacc(name) = (r0 + block.getRowCount,
+                    n0 + s0.getNumNulls,
+                    smerge(pmn, mn, (x, y) =>
+                      if (x.compareTo(y) <= 0) x else y),
+                    smerge(pmx, mx, (x, y) =>
+                      if (x.compareTo(y) >= 0) x else y))
+                }
+              }
+            }
           }
         }
       }
-      val lines = acc.toSeq.map { case (c, (rows, nulls, mn, mx)) =>
+      val numLines = acc.toSeq.map { case (c, (rows, nulls, mn, mx)) =>
         s"#stats\t$dir\t$c\t$rows\t$nulls\t" +
           s"${mn.map(_.toString).getOrElse("")}\t" +
           s"${mx.map(_.toString).getOrElse("")}"
       }
+      val b64 = java.util.Base64.getEncoder
+      val strLines = sacc.toSeq.map { case (c, (rows, nulls, mn, mx)) =>
+        val lo = mn.map(v =>
+          b64.encodeToString(StrBounds.lower(v).getBytes))
+        val hi = mx.flatMap(StrBounds.upper).map(v =>
+          b64.encodeToString(v.getBytes))
+        s"#stats\t$dir\t$c\tstr\t$rows\t$nulls\t" +
+          s"${lo.getOrElse("")}\t${hi.getOrElse("")}"
+      }
+      val lines = numLines ++ strLines
       if (lines.isEmpty) sentinel else lines
     } catch {
       case scala.util.control.NonFatal(_) => sentinel

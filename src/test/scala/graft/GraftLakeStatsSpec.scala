@@ -56,9 +56,19 @@ class GraftLakeStatsSpec extends AnyFunSuite {
     seedRanged(t)
     val lines1 = SnapshotLake.manifestStats(s, t, 1L)
     val lines2 = SnapshotLake.manifestStats(s, t, 2L)
-    // snapshot 1's dir has k/score stats; strings never recorded
+    // snapshot 1's dir has k/score stats; strings record as `str` lines
+    // with base64 truncate(16) bounds (r18)
     assert(lines1.exists(_.contains("\tk\t")), s"no k stats in $lines1")
-    assert(!lines1.exists(_.contains("\tv\t")), "string stats must not record")
+    val vLine = lines1.find(_.contains("\tv\tstr\t")).getOrElse(
+      fail(s"string stats must record (r18): $lines1")).split("\t", -1)
+    assert(vLine.length == 8 && vLine(4) == "100" && vLine(5) == "50",
+      s"v stats wrong: ${vLine.toSeq}")
+    val vMin = new String(java.util.Base64.getDecoder.decode(vLine(6)),
+      "UTF-8")
+    val vMax = new String(java.util.Base64.getDecoder.decode(vLine(7)),
+      "UTF-8")
+    // dir1 strings are v1..v99 (odd only): byte-order min "v1", max "v99"
+    assert(vMin == "v1" && vMax == "v99", s"v bounds: $vMin / $vMax")
     val kLine = lines1.find(_.contains("\tk\t")).get.split("\t", -1)
     assert(kLine(3) == "100" && kLine(4) == "0" &&
       kLine(5) == "1" && kLine(6) == "100", s"k stats wrong: ${kLine.toSeq}")
@@ -102,7 +112,13 @@ class GraftLakeStatsSpec extends AnyFunSuite {
       col("score") > 49.9, col("score") <=> 1.0,
       (col("k") < 5L) || (col("k") > 295L),
       (col("k") < 5L) && col("v").isNotNull,
-      !(col("k") < 5L))
+      !(col("k") < 5L),
+      // string predicates over the truncated bounds (r18)
+      col("v") === "v50", col("v") === "w0", col("v") === "u9",
+      col("v") < "v1", col("v") <= "v1", col("v") > "v99", col("v") >= "v99",
+      col("v").startsWith("v2"), col("v").startsWith("x"),
+      col("v").isin("v3", "v297"), col("v").isin("a", "z"),
+      col("v") <=> "v11", lit("v50") === col("v"))
     preds.zipWithIndex.foreach { case (p, i) =>
       val a = rows(s.read.format("graftlake").load(t).filter(p))
       val b = rows(s.read.format("graftlake")
@@ -167,6 +183,112 @@ class GraftLakeStatsSpec extends AnyFunSuite {
     val dir1 = SnapshotLake.manifestDirs(s, t, 1L).head
     assert(files.nonEmpty && !files.exists(_.contains(dir1)),
       s"dir1 must be pruned from the V2 scan: ${files.toSeq}")
+  }
+
+  test("string point probe reads strictly fewer files; rows identical (r18)") {
+    import s.implicits._
+    val t = tmpDir("stats-str")
+    // disjoint id prefixes per dir: a… vs m…
+    SnapshotLake.commit((1 to 50).map(i => (f"acct-$i%04d", i))
+      .toDF("id", "n"), t)
+    SnapshotLake.commit((1 to 50).map(i => (f"merch-$i%04d", i))
+      .toDF("id", "n"), t, append = true)
+    def read(pruning: Boolean) = s.read.format("graftlake")
+      .option("statsPruning", pruning.toString).load(t)
+      .filter(col("id") === "merch-0007")
+    assert(filesRead(read(true)) < filesRead(read(false)),
+      "string stats must prune the acct dir")
+    assert(rows(read(true)) == rows(read(false)))
+    // prefix probe prunes the same way
+    def pre(pruning: Boolean) = s.read.format("graftlake")
+      .option("statsPruning", pruning.toString).load(t)
+      .filter(col("id").startsWith("acct-00"))
+    assert(filesRead(pre(true)) < filesRead(pre(false)))
+    assert(rows(pre(true)) == rows(pre(false)))
+  }
+
+  test("unicode + long-string bounds stay conservative across truncation (r18)") {
+    import s.implicits._
+    val t = tmpDir("stats-uni")
+    // >16-code-point strings forcing truncation, incl. multi-byte and a
+    // supplementary code point (U+1F600) where UTF-8 byte order and Java
+    // String order diverge — the prune must still be exact-conservative
+    val d1 = Seq("aaaaaaaaaaaaaaaaaa-1", "aaaaaaaaaaaaaaaaaa-2",
+      "éclair-éclair-éclair")
+    val d2 = Seq("z" + "😀" * 20, "zzzzzzzzzzzzzzzzzzzz",
+      "交交交交交交交交交交交交交交交交交交")
+    SnapshotLake.commit(d1.toDF("v"), t)
+    SnapshotLake.commit(d2.toDF("v"), t, append = true)
+    val preds = Seq(
+      col("v") === "aaaaaaaaaaaaaaaaaa-2", col("v") === "zzzz",
+      col("v") === "交交", col("v") === "😀",
+      col("v") < "b", col("v") > "zz", col("v") >= "é",
+      col("v").startsWith("aaaaaaaaaaaaaaaa"), // exactly the 16-cp prefix
+      col("v").startsWith("z😀"),
+      col("v").startsWith("交"))
+    preds.zipWithIndex.foreach { case (p, i) =>
+      val a = rows(s.read.format("graftlake").load(t).filter(p))
+      val b = rows(s.read.format("graftlake")
+        .option("statsPruning", "false").load(t).filter(p))
+      assert(a == b, s"unicode predicate #$i diverged: $p")
+    }
+    // and the probe that CAN prune does: nothing below "a…" lives in d2
+    assert(filesRead(s.read.format("graftlake").load(t)
+        .filter(col("v") < "b")) <
+      filesRead(s.read.format("graftlake").option("statsPruning", "false")
+        .load(t).filter(col("v") < "b")))
+  }
+
+  test("StrBounds unit: truncate(16) lower/upper laws") {
+    import graft.sources.StrBounds
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // short strings pass through exact
+    assert(StrBounds.lower(u("abc")) == u("abc"))
+    assert(StrBounds.upper(u("abc")).contains(u("abc")))
+    // long: lower = prefix (≤ original), upper = prefix w/ last cp +1 (>)
+    val long = u("abcdefghijklmnopqrstuvwxyz")
+    val lo = StrBounds.lower(long)
+    val hi = StrBounds.upper(long).get
+    assert(lo.numChars == 16 && lo.compareTo(long) <= 0)
+    assert(hi.numChars == 16 && hi.compareTo(long) > 0)
+    assert(hi == u("abcdefghijklmnoq"))
+    // surrogate-gap skip: U+D7FF increments to U+E000, never a surrogate
+    val edge = u("a" * 15 + "퟿" + "tail")
+    assert(StrBounds.upper(edge).contains(u("a" * 15 + "")))
+    // all-U+10FFFF prefix has no finite upper bound
+    val maxed = u(new String(Array.fill(17)(0x10FFFF), 0, 17))
+    assert(StrBounds.upper(maxed).isEmpty)
+    // …but still a usable lower bound
+    assert(StrBounds.lower(maxed).compareTo(maxed) <= 0)
+  }
+
+  test("DirStrStats unit: one-sided bounds still prune their side") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val attr = AttributeReference("v",
+      org.apache.spark.sql.types.StringType)()
+    def lt(v: String) = Literal(u(v), org.apache.spark.sql.types.StringType)
+    val both = Map[String, graft.sources.ColStats](
+      "v" -> graft.sources.DirStrStats(10L, 0L, Some(u("f")), Some(u("m"))))
+    assert(StatsPrune.disqualifies(EqualTo(attr, lt("a")), both))
+    assert(StatsPrune.disqualifies(EqualTo(attr, lt("z")), both))
+    assert(!StatsPrune.disqualifies(EqualTo(attr, lt("g")), both))
+    assert(StatsPrune.disqualifies(GreaterThan(attr, lt("m")), both))
+    assert(!StatsPrune.disqualifies(GreaterThanOrEqual(attr, lt("m")), both))
+    assert(StatsPrune.disqualifies(LessThan(attr, lt("f")), both))
+    // dropped upper bound: > cannot prune, < still can, = prunes low side
+    val noMax = Map[String, graft.sources.ColStats](
+      "v" -> graft.sources.DirStrStats(10L, 0L, Some(u("f")), None))
+    assert(!StatsPrune.disqualifies(GreaterThan(attr, lt("zzz")), noMax))
+    assert(StatsPrune.disqualifies(LessThan(attr, lt("f")), noMax))
+    assert(StatsPrune.disqualifies(EqualTo(attr, lt("a")), noMax))
+    assert(!StatsPrune.disqualifies(EqualTo(attr, lt("z")), noMax))
+    // StartsWith: window [p, pIncr) vs envelope
+    assert(StatsPrune.disqualifies(
+      StartsWith(attr, lt("a")), both)) // max-below impossible: min "f" ≥ "b"
+    assert(StatsPrune.disqualifies(StartsWith(attr, lt("n")), both))
+    assert(!StatsPrune.disqualifies(StartsWith(attr, lt("f")), both))
+    assert(!StatsPrune.disqualifies(StartsWith(attr, lt("")), both))
   }
 
   test("StatsPrune unit: gap probes prune, boundary probes keep") {

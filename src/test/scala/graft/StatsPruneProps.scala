@@ -163,4 +163,127 @@ object StatsPruneProps extends Properties("StatsPrune") {
           StatsPrune.disqualifies(GreaterThan(kAttr, Literal(above)), st)
       }
     }
+
+  // ---- string arm (r18): truncate(16) bounds, UTF-8 byte order --------
+
+  private val sAttr = AttributeReference("s",
+    org.apache.spark.sql.types.StringType)()
+
+  /** Strings over an adversarial alphabet: ASCII straddlers, multi-byte,
+    * a supplementary code point (UTF-8 vs UTF-16 order divergence), and
+    * lengths crossing the 16-code-point truncation boundary. */
+  private val strGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 20)
+    cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "z", "é", "交", "😀", "~"))
+  } yield cs.mkString
+
+  private def u8(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  private def strStats(vs: Seq[Option[String]])
+      : Map[String, graft.sources.ColStats] = {
+    val nn = vs.flatten.map(u8)
+    val mn = nn.sorted(Ordering.fromLessThan[
+      org.apache.spark.unsafe.types.UTF8String](_.compareTo(_) < 0))
+      .headOption
+    val mx = nn.sorted(Ordering.fromLessThan[
+      org.apache.spark.unsafe.types.UTF8String](_.compareTo(_) < 0))
+      .lastOption
+    Map("s" -> graft.sources.DirStrStats(vs.size.toLong,
+      (vs.size - nn.size).toLong,
+      mn.map(graft.sources.StrBounds.lower),
+      mx.flatMap(graft.sources.StrBounds.upper)))
+  }
+
+  private val strLit: Gen[Literal] =
+    strGen.map(v => Literal(u8(v), org.apache.spark.sql.types.StringType))
+
+  private val strLeafGen: Gen[Expression] = Gen.oneOf(
+    strLit.map(l => EqualTo(sAttr, l)), strLit.map(l => EqualTo(l, sAttr)),
+    strLit.map(l => GreaterThan(sAttr, l)),
+    strLit.map(l => LessThan(sAttr, l)),
+    strLit.map(l => GreaterThanOrEqual(sAttr, l)),
+    strLit.map(l => LessThanOrEqual(sAttr, l)),
+    strLit.map(l => EqualNullSafe(sAttr, l)),
+    strLit.map(l => StartsWith(sAttr, l)),
+    Gen.listOfN(3, strLit).map(ls => In(sAttr, ls)),
+    Gen.const(IsNull(sAttr)), Gen.const(IsNotNull(sAttr)))
+
+  private def strPredGen(depth: Int): Gen[Expression] =
+    if (depth == 0) strLeafGen
+    else Gen.frequency(
+      3 -> strLeafGen,
+      2 -> (for (a <- strPredGen(depth - 1); b <- strPredGen(depth - 1))
+        yield And(a, b)),
+      2 -> (for (a <- strPredGen(depth - 1); b <- strPredGen(depth - 1))
+        yield Or(a, b)),
+      1 -> strPredGen(depth - 1).map(Not))
+
+  /** Three-valued truth over one string row, comparisons in UTF-8 byte
+    * order (UTF8String.compareTo) — the order the stats live in. */
+  private def strEval(e: Expression, s: Option[String]): Option[Boolean] = {
+    def cmp(l: Any, f: Int => Boolean): Option[Boolean] =
+      s.map(v => f(u8(v).compareTo(
+        l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])))
+    e match {
+      case And(l, r) => (strEval(l, s), strEval(r, s)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (strEval(l, s), strEval(r, s)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => strEval(c, s).map(!_)
+      case EqualTo(_: AttributeReference, Literal(v, _)) => cmp(v, _ == 0)
+      case EqualTo(Literal(v, _), _: AttributeReference) => cmp(v, _ == 0)
+      case EqualNullSafe(_: AttributeReference, Literal(v, _)) =>
+        Some(cmp(v, _ == 0).getOrElse(false))
+      case GreaterThan(_: AttributeReference, Literal(v, _)) => cmp(v, _ > 0)
+      case GreaterThanOrEqual(_: AttributeReference, Literal(v, _)) =>
+        cmp(v, _ >= 0)
+      case LessThan(_: AttributeReference, Literal(v, _)) => cmp(v, _ < 0)
+      case LessThanOrEqual(_: AttributeReference, Literal(v, _)) =>
+        cmp(v, _ <= 0)
+      case StartsWith(_: AttributeReference, Literal(v, _)) =>
+        s.map(x => x.startsWith(v.toString))
+      case IsNull(_: AttributeReference) => Some(s.isEmpty)
+      case IsNotNull(_: AttributeReference) => Some(s.nonEmpty)
+      case In(_: AttributeReference, list) =>
+        val hits = list.map { case Literal(v, _) => cmp(v, _ == 0) }
+        if (hits.exists(_.contains(true))) Some(true)
+        else if (hits.forall(_.contains(false))) Some(false)
+        else None
+      case other => sys.error(s"unhandled: $other")
+    }
+  }
+
+  private val strDirGen: Gen[Seq[Option[String]]] = for {
+    n <- Gen.chooseNum(1, 30)
+    vs <- Gen.listOfN(n, Gen.oneOf(Gen.const(None), strGen.map(Some(_))))
+  } yield vs
+
+  property("a string-disqualified dir truly has no matching row") =
+    forAll(strDirGen, strPredGen(2)) { (vs, p) =>
+      val st = strStats(vs)
+      if (!StatsPrune.disqualifies(p, st)) true
+      else vs.forall(v => !strEval(p, v).contains(true))
+    }
+
+  property("string gap probes do prune through truncated bounds") =
+    forAll(strDirGen) { vs =>
+      val nn = vs.flatten
+      nn.isEmpty || {
+        val st = strStats(vs)
+        // "🿿" (U+1FFFF) sorts above every generated code point, so an
+        // equality above a 21-cp ceiling must prune even though max was
+        // truncated at 16 — the incremented prefix still bounds it
+        val above = "🿿" * 21
+        StatsPrune.disqualifies(
+          EqualTo(sAttr, Literal(u8(above),
+            org.apache.spark.sql.types.StringType)), st)
+      }
+    }
 }
