@@ -81,9 +81,10 @@ import graft.sources.v2.HadoopConfCarrier
   *         full pinned directory list and the commit degrades to the
   *         exact full replace — conservative, never a lost row.
   *  - `CREATE TABLE` / CTAS / `DROP TABLE`, and `ALTER TABLE ... ADD
-  *    COLUMN` / `RENAME COLUMN` routed to the manifest-recorded
-  *    evolution directives ([[SnapshotLake.addColumn]]/
-  *    [[SnapshotLake.renameColumn]]) — ALTER without data rewrite.
+  *    COLUMN` / `RENAME COLUMN` / `DROP COLUMN` (r18) routed to the
+  *    manifest-recorded evolution directives ([[SnapshotLake.addColumn]]/
+  *    [[SnapshotLake.renameColumn]]/[[SnapshotLake.dropColumn]]) —
+  *    ALTER without data rewrite.
   *
   * Concurrency: every statement pins the latest committed snapshot at
   * table-load time; mutation commits CAS exactly `base + 1` and FAIL
@@ -207,9 +208,13 @@ class GraftLakeCatalog extends TableCatalog {
           "graftlake ALTER supports only top-level columns")
         SnapshotLake.renameColumn(spark, path, ren.fieldNames()(0),
           ren.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graftlake ALTER supports only top-level columns")
+        SnapshotLake.dropColumn(spark, path, del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"graftlake ALTER does not support $other — the manifest records " +
-        "add/rename directives only (no data rewrite)")
+        "add/rename/drop directives only (no data rewrite)")
     }
     loadTable(ident)
   }

@@ -181,6 +181,9 @@ object SnapshotLake {
     *    the old name, post-rename writes store the new one, so a merged
     *    read can surface BOTH columns — the mapping coalesces old into
     *    new and drops old, giving one logical column across history.
+    *  - `drop` (r18): drop-by-mapping — the column stays in the files,
+    *    reads mask it out; [[compact]] materializes the removal (and,
+    *    by dropping directives, lifts the name-reuse refusal).
     * Directives apply in recorded order, so chained renames compose. */
   private[graft] def applyDirectives(df: DataFrame,
                                      directives: Seq[String]): DataFrame =
@@ -196,10 +199,22 @@ object SnapshotLake {
             case (true, false) => d.withColumnRenamed(from, to)
             case _             => d
           }
+        case Array("#schema", "drop", name) =>
+          if (d.columns.contains(name)) d.drop(name) else d
         case _ => throw new IllegalArgumentException(
           s"unknown manifest directive: $line")
       }
     }
+
+  /** Names retired by a `drop` directive in the chain — refused for
+    * re-add/re-rename/append until [[compact]] materializes the removal
+    * (a reused name would collide with the masked physical column in
+    * every pre-drop directory). */
+  private[graft] def droppedNames(directives: Seq[String]): Set[String] =
+    directives.flatMap(_.split("\t") match {
+      case Array("#schema", "drop", n) => Some(n)
+      case _ => None
+    }).toSet
 
   // ------------------------------------------------------------------
   // Column mapping by parquet field id (r17, VERDICT r16 item 3 — the
@@ -563,6 +578,14 @@ object SnapshotLake {
                          manifestDirectives(spark, table, b)))
             .getOrElse((Nil, Nil))
         else (Nil, Nil)
+      // a dropped name is reserved until compact materializes the drop —
+      // an append carrying it would silently write rows whose column
+      // every read masks out (r18)
+      val retired = droppedNames(dirvs).intersect(df.columns.toSet)
+      require(retired.isEmpty,
+        s"append to $table carries dropped column(s) $retired — reads " +
+        "mask them out; drop them from the frame, or compact the table " +
+        "and re-add the column first")
       val id = base.getOrElse(0L) + 1
       if (tryCommitManifest(spark, table, id, visible :+ dir, dirvs)) return id
       attempts += 1
@@ -605,9 +628,13 @@ object SnapshotLake {
       !name.contains("\t") && !typeDdl.contains("\t") &&
       !name.contains("\n") && !typeDdl.contains("\n"),
       "column name/type must be non-empty and tab/newline-free")
-    evolve(spark, table, s"#schema\tadd\t$name\t$typeDdl", schema =>
+    evolve(spark, table, s"#schema\tadd\t$name\t$typeDdl", (schema, dirvs) => {
       require(!schema.fieldNames.contains(name),
-        s"column $name already exists at $table"))
+        s"column $name already exists at $table")
+      require(!droppedNames(dirvs).contains(name),
+        s"column $name was dropped at $table — run SnapshotLake.compact " +
+        "to materialize the removal before reusing the name")
+    })
   }
 
   /** ALTER TABLE ... RENAME COLUMN — rename-by-mapping (r15): pre-rename
@@ -621,23 +648,49 @@ object SnapshotLake {
       !from.contains("\t") && !to.contains("\t") &&
       !from.contains("\n") && !to.contains("\n"),
       "column names must be distinct, non-empty and tab/newline-free")
-    evolve(spark, table, s"#schema\trename\t$from\t$to", schema => {
+    evolve(spark, table, s"#schema\trename\t$from\t$to", (schema, dirvs) => {
       require(schema.fieldNames.contains(from),
         s"no column $from at $table")
       require(!schema.fieldNames.contains(to),
         s"column $to already exists at $table")
+      require(!droppedNames(dirvs).contains(to),
+        s"column $to was dropped at $table — run SnapshotLake.compact " +
+        "to materialize the removal before reusing the name")
+    })
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — drop-by-mapping (r18, VERDICT r17
+    * item 3): one new manifest whose data dirs are unchanged and whose
+    * directive list grows by a `drop` line; reads mask the column out
+    * from every directory (history before the ALTER stays readAt-
+    * byte-stable), appends carrying the column refuse loudly, and the
+    * name stays RESERVED — re-add/re-rename-to it is refused until
+    * [[compact]] rewrites the data without the column and clears the
+    * directive chain (reusing the name earlier would collide with the
+    * masked physical column in pre-drop directories at merged read).
+    * Same CAS discipline as [[commit]]. Returns the ALTER's snapshot
+    * id. */
+  def dropColumn(spark: SparkSession, table: String, name: String): Long = {
+    require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
+      "column name must be non-empty and tab/newline-free")
+    evolve(spark, table, s"#schema\tdrop\t$name", (schema, _) => {
+      require(schema.fieldNames.contains(name),
+        s"no column $name at $table")
+      require(schema.fieldNames.length > 1,
+        s"cannot drop the only column of $table")
     })
   }
 
   private def evolve(spark: SparkSession, table: String, directive: String,
-                     validate: org.apache.spark.sql.types.StructType => Unit): Long = {
+                     validate: (org.apache.spark.sql.types.StructType,
+                                Seq[String]) => Unit): Long = {
     var attempts = 0
     while (attempts < 64) {
       val base = latest(spark, table).getOrElse(
         throw new IllegalArgumentException(s"no committed snapshot at $table"))
       val dirs = manifestDirs(spark, table, base)
       val dirvs = manifestDirectives(spark, table, base)
-      validate(evolvedSchema(spark, dirs, dirvs))
+      validate(evolvedSchema(spark, dirs, dirvs), dirvs)
       if (tryCommitManifest(spark, table, base + 1, dirs, dirvs :+ directive))
         return base + 1
       attempts += 1

@@ -174,6 +174,37 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
     intercept[Exception] { s.sql(s"SELECT * FROM graftlake.`$t`").collect() }
   }
 
+  test("ALTER TABLE DROP COLUMN through SQL: masked read, refused reuse, " +
+       "mutations on the narrowed schema (r18)") {
+    import s.implicits._
+    val t = tmpDir("cat-dropcol")
+    SnapshotLake.commit(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "v", "score"), t)
+    val pre = SnapshotLake.latest(s, t).get
+    s.sql(s"ALTER TABLE graftlake.`$t` DROP COLUMN score")
+    assert(s.sql(s"SELECT * FROM graftlake.`$t`").schema.fieldNames.toSeq
+      == Seq("k", "v"))
+    // time travel before the ALTER still serves the column
+    assert(rows(s.sql(
+      s"SELECT * FROM graftlake.`$t` VERSION AS OF $pre")) ==
+      Set(Seq[Any](1L, "a", 1.0), Seq[Any](2L, "b", 2.0)))
+    // INSERT resolves against the narrowed schema; a 3-col insert refuses
+    intercept[Exception](
+      s.sql(s"INSERT INTO graftlake.`$t` VALUES (3L, 'c', 9.0)"))
+    s.sql(s"INSERT INTO graftlake.`$t` VALUES (3L, 'c')")
+    // UPDATE runs on the narrowed schema (dir-granular machinery intact)
+    s.sql(s"UPDATE graftlake.`$t` SET v = 'B' WHERE k = 2")
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t`")) ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "B"), Seq[Any](3L, "c")))
+    // re-adding the dropped name refuses until compact materializes
+    intercept[Exception](
+      s.sql(s"ALTER TABLE graftlake.`$t` ADD COLUMN score DOUBLE"))
+    SnapshotLake.compact(s, t)
+    s.sql(s"ALTER TABLE graftlake.`$t` ADD COLUMN score DOUBLE")
+    assert(s.sql(s"SELECT * FROM graftlake.`$t`").schema.fieldNames.toSeq
+      == Seq("k", "v", "score"))
+  }
+
   test("row-level commit CAS races fail loudly, table state untouched") {
     import s.implicits._
     val t = tmpDir("cat-race")

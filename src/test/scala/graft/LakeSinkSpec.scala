@@ -524,6 +524,60 @@ class LakeSinkSpec extends AnyFunSuite {
       Seq("k", "price"))
   }
 
+  test("dropColumn: drop-by-mapping — history byte-stable, appends refuse, " +
+       "mutations run on the narrowed schema, compact materializes (r18)") {
+    import s.implicits._
+    val table = tmpDir("snap-alter-drop")
+    SnapshotLake.commit(Seq((1L, "a", 10.0), (2L, "b", 99.0))
+      .toDF("k", "v", "score"), table)
+    val alterId = SnapshotLake.dropColumn(s, table, "score")
+    // time travel BEFORE the drop still serves the column byte-stable
+    assert(SnapshotLake.readAt(s, table, 1L).columns.toSeq ==
+      Seq("k", "v", "score"))
+    assert(SnapshotLake.readAt(s, table, 1L).collect().length == 2)
+    // evolved read masks it out of every directory
+    val cur = SnapshotLake.readAt(s, table, alterId)
+    assert(cur.columns.toSeq == Seq("k", "v"))
+    // invalid drops refuse
+    intercept[IllegalArgumentException](
+      SnapshotLake.dropColumn(s, table, "nope"))
+    // appends carrying the dropped column refuse loudly
+    val ex = intercept[IllegalArgumentException](SnapshotLake.commit(
+      Seq((3L, "c", 1.0)).toDF("k", "v", "score"), table, append = true))
+    assert(ex.getMessage.contains("dropped column"))
+    // the name stays reserved until compact materializes the removal
+    intercept[IllegalArgumentException](
+      SnapshotLake.addColumn(s, table, "score", "double"))
+    intercept[IllegalArgumentException](
+      SnapshotLake.renameColumn(s, table, "v", "score"))
+    // narrowed-schema appends and mutations work
+    SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), table, append = true)
+    assert(SnapshotLake.update(s, table, col("k") === 2L,
+      Map("v" -> lit("B"))).isDefined)
+    assert(SnapshotLake.readLatest(s, table).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // compact materializes: files physically lose the column, directives
+    // clear, and the name is reusable again
+    val cid = SnapshotLake.compact(s, table).get
+    assert(SnapshotLake.manifestDirectives(s, table, cid).isEmpty)
+    val raw = s.read.parquet(SnapshotLake.manifestDirs(s, table, cid): _*)
+    assert(raw.columns.toSeq == Seq("k", "v"),
+      "compact must physically remove the dropped column")
+    SnapshotLake.addColumn(s, table, "score", "double")
+    assert(SnapshotLake.readLatest(s, table).columns.toSeq ==
+      Seq("k", "v", "score"))
+    // drop composes with rename in recorded order
+    val t2 = tmpDir("snap-alter-drop2")
+    SnapshotLake.commit(Seq((1L, 10.0)).toDF("k", "amount"), t2)
+    SnapshotLake.renameColumn(s, t2, "amount", "value")
+    SnapshotLake.dropColumn(s, t2, "value")
+    assert(SnapshotLake.readLatest(s, t2).columns.toSeq == Seq("k"))
+    // the only remaining column cannot be dropped
+    intercept[IllegalArgumentException](
+      SnapshotLake.dropColumn(s, t2, "k"))
+  }
+
   test("compact materializes evolution into files and drops the directives") {
     import s.implicits._
     val table = tmpDir("snap-alter-compact")
