@@ -343,6 +343,52 @@ object AnnIndex {
     Some(base + 1)
   }
 
+  /** Vector deletion (r18, VERDICT r17 item 4): remove `ids`' vectors
+    * from the index so a dedup pipeline that drops documents can drop
+    * their vectors without a full [[rebuild]]. Copy-on-write at the
+    * lake's directory granularity ([[SnapshotLake.deleteMatching]]):
+    * only the data directories actually holding doomed vectors rewrite
+    * (broadcast semi-join probe; the doomed set is the small side by
+    * construction), every other directory survives into the new manifest
+    * untouched, and history stays byte-stable — a reader pinned at the
+    * pre-delete snapshot still sees every vector.
+    *
+    * Single-CAS like [[rebuild]]/[[rebalance]]: the lists commit targets
+    * exactly base+1 and returns None on a lost race, so a racing
+    * [[append]] is never dropped — the caller re-invokes on the new
+    * base. Centroids are untouched (an emptied list simply serves
+    * nothing). The PQ layer, when present, drops the same ids AFTER the
+    * lists CAS lands (the standard follow-the-authority discipline of
+    * this file; the one-commit window where a stale code survives can
+    * only waste a shortlist slot — the exact re-rank joins the lists
+    * table, where the vector is already gone). Returns Some(new lists
+    * snapshot id), Some(base) when no id is present. */
+  def delete(spark: SparkSession, root: String,
+             ids: DataFrame): Option[Long] = {
+    val listsT = s"$root/lists"
+    val keys = ids.select(col("vec_id"))
+    SnapshotLake.deleteMatching(spark, listsT, keys, Seq("vec_id")) match {
+      case None => None
+      case some =>
+        val codesT = s"$root/pq/codes"
+        if (SnapshotLake.latest(spark, codesT).isDefined) {
+          // codes maintenance is single-writer by the same assumption
+          // appendPq makes; a bounded retry absorbs its own CAS noise
+          var attempts = 0
+          var done = false
+          while (!done && attempts < 8) {
+            done = SnapshotLake.deleteMatching(spark, codesT, keys,
+              Seq("vec_id")).isDefined
+            attempts += 1
+          }
+          require(done,
+            s"PQ code removal lost $attempts CAS races at $codesT — " +
+            "a concurrent codes writer is live; re-run delete")
+        }
+        some
+    }
+  }
+
   // ------------------------------------------------------------------
   // Product quantization (r16): compressed-domain serving. At corpus
   // scale the lists table is the cost — d doubles + norm per vector

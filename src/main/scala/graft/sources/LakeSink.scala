@@ -1120,6 +1120,58 @@ object SnapshotLake {
     else None
   }
 
+  /** Keyed row DELETE — [[merge]] without the insert half (r18): every
+    * target row whose `keys` match a row of `doomed` is removed, at the
+    * same directory granularity (broadcast semi-join probe per dir — the
+    * doomed set is the small side by construction; unaffected dirs
+    * survive into the new manifest untouched; affected ones rewrite via
+    * an anti join). The API [[delete]] cannot give when the doomed set
+    * is a FRAME rather than a predicate (an `isin` over a collected list
+    * stops being a plan at scale). Same single-CAS discipline: targets
+    * exactly base+1, None on a lost race (a racing append is never
+    * dropped), Some(base) untouched when nothing matches. */
+  def deleteMatching(spark: SparkSession, table: String, doomed: DataFrame,
+                     keys: Seq[String],
+                     maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    deleteMatchingFrom(spark, table, base, doomed, keys, maxRecordsPerFile)
+  }
+
+  private[graft] def deleteMatchingFrom(spark: SparkSession, table: String,
+                                        base: Long, doomed: DataFrame,
+                                        keys: Seq[String],
+                                        maxRecordsPerFile: Long)
+      : Option[Long] = {
+    require(keys.nonEmpty, "deleteMatching needs at least one key column")
+    val k = doomed.select(keys.map(col): _*).distinct()
+      .localCheckpoint(false) // one evaluation feeds every dir probe
+    if (k.isEmpty) return Some(base)
+    val bk = broadcast(k)
+    val dirs = manifestDirs(spark, table, base)
+    val dirvs = manifestDirectives(spark, table, base)
+    val full = evolvedSchema(spark, dirs, dirvs)
+    val affected = dirs.filter { d =>
+      !readAligned(spark, Seq(d), dirvs, full)
+        .join(bk, keys, "left_semi").isEmpty
+    }
+    if (affected.isEmpty) return Some(base)
+    val kept = dirs.diff(affected)
+    val surviving = readAligned(spark, affected, dirvs, full)
+      .join(bk, keys, "left_anti")
+    // same empty-rewrite discipline as [[deleteFrom]]: keep the table
+    // schema-readable even when the delete empties it
+    val newDirs =
+      if (!surviving.isEmpty)
+        kept :+ writeData(surviving, table, maxRecordsPerFile)
+      else if (kept.nonEmpty) kept
+      else Seq(writeData(surviving.repartition(1), table, maxRecordsPerFile))
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
+      Some(base + 1)
+    else None
+  }
+
   /** VACUUM: retain only the last `keepLast` snapshots, then delete every
     * data directory no retained manifest references (compacted-away
     * originals, crashed half-writes, aborted compactions).

@@ -267,4 +267,70 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.topK(s, root, okProbe, nProbe = NLists, k = 3)
       .count() == 9)
   }
+
+  test("delete: conservation minus exactly the doomed ids, untouched dirs " +
+       "survive by identity, history byte-stable, race never drops an " +
+       "append (r18)") {
+    import s.implicits._
+    val root = tmpDir("ann_del")
+    AnnIndex.build(emb, root, NLists)
+    // a second data dir via append (shifted ids) so dir granularity is
+    // observable: the doomed ids live ONLY in the appended dir
+    val appended = emb.select((col("vec_id") + 100000L).as("vec_id"),
+      col("embedding"))
+    AnnIndex.append(s, appended, root)
+    val listsT = s"$root/lists"
+    val preDelete = SnapshotLake.latest(s, listsT).get
+    val dirsBefore = SnapshotLake.manifestDirs(s, listsT, preDelete)
+    val buildDir = SnapshotLake.manifestDirs(s, listsT, preDelete - 1).head
+    val allIds = SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    val doomed = Seq(100003L, 100017L, 100042L)
+    assert(doomed.forall(allIds.contains))
+
+    assert(AnnIndex.delete(s, root,
+      doomed.toDF("vec_id")).contains(preDelete + 1))
+    // conservation: survivors = all minus exactly the doomed ids
+    val after = SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == allIds -- doomed)
+    // dir granularity: the build dir (no doomed id) survives BY IDENTITY
+    val dirsAfter = SnapshotLake.manifestDirs(s, listsT,
+      SnapshotLake.latest(s, listsT).get)
+    assert(dirsAfter.contains(buildDir),
+      s"untouched dir must survive: $buildDir -> $dirsAfter")
+    assert(dirsBefore.exists(!dirsAfter.contains(_)),
+      "the doomed ids' dir must have been rewritten")
+    // history byte-stable: the pre-delete snapshot still has every id
+    assert(SnapshotLake.readAt(s, listsT, preDelete)
+      .select("vec_id").as[Long].collect().toSet == allIds)
+    // recall unchanged on survivors: full-probe serving == brute force
+    // over the surviving corpus (the degradation identity, post-delete)
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        transform(col("embedding"), v => v.cast("double")).as("pe"))
+    val got = AnnIndex.topK(s, root, probes, nProbe = NLists, k = 5)
+    assert(got.filter(col("vec_id").isin(doomed: _*)).isEmpty,
+      "a deleted id must never serve")
+    assert(got.groupBy("probe_id").count().collect()
+      .forall(_.getLong(1) == 5))
+    // deleting absent ids is a committed no-op returning the same base
+    val base2 = SnapshotLake.latest(s, listsT).get
+    assert(AnnIndex.delete(s, root,
+      Seq(999999L).toDF("vec_id")).contains(base2))
+    // racing append never dropped: a delete pinned at a stale base loses
+    // the CAS loudly (None) and the racing append's vectors all survive
+    val stale = SnapshotLake.latest(s, listsT).get
+    AnnIndex.append(s, emb.select((col("vec_id") + 200000L).as("vec_id"),
+      col("embedding")).filter(col("vec_id") < 200005L), root)
+    assert(SnapshotLake.deleteMatchingFrom(s, listsT, stale,
+      Seq(100001L).toDF("vec_id"), Seq("vec_id"), 1000000L).isEmpty,
+      "a stale-base delete must lose the CAS, not clobber the append")
+    val finalIds = SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    assert((200000L until 200005L).forall(finalIds.contains),
+      "the racing append's vectors must all survive the lost delete")
+    assert(finalIds.contains(100001L),
+      "the lost delete must not have removed its target")
+  }
 }

@@ -268,4 +268,32 @@ class AnnPqSpec extends AnyFunSuite {
     assert(exP.getMessage.contains("does not match index dim"),
       s"wrong failure: ${exP.getMessage}")
   }
+
+  test("delete removes the PQ codes too; compressed serving never returns " +
+       "a deleted id and the degradation identity holds on survivors (r18)") {
+    import s.implicits._
+    val root = tmpDir("ann_pq_del")
+    AnnIndex.build(emb, root, NLists)
+    AnnIndex.buildPq(s, root, M, NCodes)
+    val codesT = s"$root/pq/codes"
+    val allCodes = SnapshotLake.readLatest(s, codesT)
+      .select("vec_id").as[Long].collect().toSet
+    val doomed = Seq(11L, 23L, 47L, 101L)
+    assert(AnnIndex.delete(s, root, doomed.toDF("vec_id")).isDefined)
+    // codebook untouched; codes lose exactly the doomed ids
+    val codesAfter = SnapshotLake.readLatest(s, codesT)
+      .select("vec_id").as[Long].collect().toSet
+    assert(codesAfter == allCodes -- doomed)
+    // compressed serving: no deleted id, and the nProbe=NLists +
+    // corpus-covering refine identity still equals brute force over the
+    // SURVIVING corpus
+    val probes = probesOf(emb).filter(col("probe_id") < 20)
+    val pq = AnnIndex.topKPq(s, root, probes, nProbe = NLists, k = 5,
+      refine = 200)
+    assert(pq.filter(col("vec_id").isin(doomed: _*)).isEmpty)
+    val exact = AnnIndex.topK(s, root, probes, nProbe = NLists, k = 5)
+    assert(pq.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet,
+      "post-delete degradation identity must hold on survivors")
+  }
 }

@@ -150,6 +150,38 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(s3.count() == 0L, "replayed batch should be fully canon-known")
   }
 
+  test("dedupCycleWithIndex: removed docs' vectors leave the ANN index, " +
+       "survivors' stay (r18)") {
+    import s.implicits._
+    val canon = java.nio.file.Files.createTempDirectory("canon-ann").toString
+    val annRoot = java.nio.file.Files.createTempDirectory("ann-hyg").toString
+    // index over the embeddings fixture (vec_id = doc_id convention)
+    val emb = Tables.embeddings(s, TestSpark.Sf0001)
+    graft.ops.AnnIndex.build(emb, annRoot, 8)
+    val listsT = s"$annRoot/lists"
+    val before = graft.sources.SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    // batch: docs 1 and 2 are exact dups (2 drops), 3 unique (keeps)
+    val batch = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "completely different text here")).toDF("doc_id", "text")
+    val (survivors, id1) =
+      TrainingPipeline.dedupCycleWithIndex(batch, canon, annRoot)
+    assert(id1 == 1L)
+    assert(survivors.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    val after = graft.sources.SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after == before - 2L,
+      "exactly the dedup-removed doc's vector must leave the index")
+    // replaying the batch drops everything — all three vectors leave
+    TrainingPipeline.dedupCycleWithIndex(batch, canon, annRoot)
+    val replayed = graft.sources.SnapshotLake.readLatest(s, listsT)
+      .select("vec_id").as[Long].collect().toSet
+    assert(replayed == before -- Seq(1L, 2L, 3L))
+  }
+
   test("sampleTokens fills each lang's budget and never overshoots before the crossing doc") {
     val budget = 500L
     val out = TrainingPipeline.sampleTokens(docs, budget)
