@@ -137,6 +137,44 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Auto-gated embedding dedup across three decades (r18, VERDICT r17
+    * item 5): the fixed-gate q_dedup_embed decade row measured 99.8×
+    * pairs at 10× (the background-tail quadratic); this mode runs
+    * [[graft.ops.PipelineOps.embedNearDupAuto]] — signBits/minCos sized
+    * from the corpus itself — at sf0.1, sf1, and sf10 and prints the
+    * chosen gates, pair counts, and seconds. PASS shape: pair growth
+    * ≈ linear in corpus size (the gate outruns the tail).
+    * Run with `runMain graft.ScaleSmoke embedAuto`. */
+  private def embedAutoMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    println("\nscale | n | signBits | minCos | pairs | s")
+    for ((label, dir) <- Seq("sf0.1" -> src, "sf1" -> "target/sf1",
+        "sf10" -> "target/sf10")) {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val (bits, cosGate) = graft.ops.PipelineOps.sizeEmbedGate(emb)
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.PipelineOps
+        .embedNearDup(emb, bits, cosGate).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label | $n | $bits | $cosGate%.4f | $pairs | $secs%.1f")
+    }
+    spark.stop()
+  }
+
   /** N-copy synthesis with the [[buildSf1]] rules generalized (only the
     * tables the sf10 keys read are scaled; dims pass through). */
   private def buildSfN(spark: SparkSession, src: String, out: String,
@@ -194,6 +232,7 @@ object ScaleSmoke {
 
   def main(args: Array[String]): Unit = {
     if (args.toSeq == Seq("sf10")) return sf10Main()
+    if (args.toSeq == Seq("embedAuto")) return embedAutoMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares

@@ -1167,6 +1167,118 @@ object PipelineOps extends QueryPack {
       .orderBy(col("v1"), col("v2"))
   }
 
+  /** Inverse standard-normal CDF (Acklam's rational approximation,
+    * relative error < 1.15e-9 — driver-side scalar math for the gate
+    * sizing below). */
+  private def invNorm(p: Double): Double = {
+    require(p > 0.0 && p < 1.0, s"invNorm domain: $p")
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      4.374664141464968e+00, 2.938163982698783e+00)
+    val dd = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) *
+        q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else {
+      val q = math.sqrt(-2 * math.log(1 - p))
+      -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((dd(0) * q + dd(1)) * q + dd(2)) * q + dd(3)) * q + 1)
+    }
+  }
+
+  /** Self-sizing gate for [[embedNearDup]] (r18, VERDICT r17 item 5 —
+    * the SCALE.md rule made executable). The r17 sf10 decade measured
+    * the failure mode empirically: at FIXED (signBits, minCos) the
+    * background cosine tail crosses the gate quadratically with corpus
+    * size (99.8× pairs at 10×), so fixture-calibrated defaults must
+    * never run at corpus scale. This sizes both knobs from the corpus
+    * itself:
+    *
+    *  - `signBits = clamp(ceil(log2(n / targetRowsPerBucket)), 1, min(62, d))`
+    *    — the operator doc's bucket rule: per-bucket membership stays
+    *    ~targetRowsPerBucket, so candidate volume is
+    *    C ≈ n²/2^(signBits+1) ≈ n·targetRowsPerBucket/2, linear in n;
+    *  - the BACKGROUND tail is measured, not assumed: a deterministic
+    *    `vec_id % step == 0` sample (RNG-free, partitioning-invariant),
+    *    paired first-half-to-second-half (sorted by vec_id, so the two
+    *    halves are id-distant — unrelated by construction), gives the
+    *    random-pair cosine mean μ and sd σ;
+    *  - `minCos = max(floor, μ + z·σ)` with
+    *    `z = Φ⁻¹(1 − pairsPerDoc·n/C)` — the smallest gate at which the
+    *    EXPECTED background crossings stay ≤ pairsPerDoc·n (linear);
+    *    genuine near-dups add their own linear mass on top. Rounded UP
+    *    to the 4-dp grain pair cosines round to (conservative).
+    *
+    * Driver-side cost: one count, one `sampleSize`-row collect. The
+    * contract key `q_dedup_embed` keeps its fixture parameters (the
+    * oracle pins them); this is the deployment path. Returns
+    * (signBits, minCos). */
+  def sizeEmbedGate(emb: DataFrame, targetRowsPerBucket: Long = 2048L,
+                    pairsPerDoc: Double = 1.0, minCosFloor: Double = 0.35,
+                    sampleSize: Int = 2000): (Int, Double) = {
+    require(targetRowsPerBucket >= 1, "targetRowsPerBucket must be >= 1")
+    require(pairsPerDoc > 0.0, "pairsPerDoc must be positive")
+    require(sampleSize >= 16, s"sampleSize too small to estimate a tail: " +
+      s"$sampleSize")
+    require(minCosFloor >= -1.0 && minCosFloor < 1.0,
+      s"minCosFloor out of range: $minCosFloor")
+    val n = emb.count()
+    require(n >= 2, s"corpus too small to gate: $n rows")
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    val signBits = math.max(1, math.min(math.min(62, d),
+      math.ceil(math.log(n.toDouble / targetRowsPerBucket) /
+        math.log(2.0)).toInt))
+    val step = math.max(1L, n / sampleSize)
+    val vs = emb.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).limit(sampleSize)
+      .select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val half = vs.length / 2
+    val coss = (0 until half).map(i => cos(vs(i), vs(i + half)))
+    val mu = coss.sum / coss.length
+    val sd = math.sqrt(coss.map(x => (x - mu) * (x - mu)).sum /
+      math.max(1, coss.length - 1))
+    val cand = n.toDouble * n / math.pow(2.0, signBits + 1.0)
+    val allowedP = pairsPerDoc * n / math.max(cand, 1.0)
+    val gate =
+      if (allowedP >= 1.0 || sd == 0.0) minCosFloor
+      else math.max(minCosFloor, mu + invNorm(1.0 - allowedP) * sd)
+    (signBits, math.min(0.9999, math.ceil(gate * 10000.0) / 10000.0))
+  }
+
+  /** [[embedNearDup]] with the gate sized by [[sizeEmbedGate]] — the
+    * parameter-free deployment form: no corpus can run the fixture
+    * defaults at a scale where the background tail goes quadratic. */
+  def embedNearDupAuto(emb: DataFrame, targetRowsPerBucket: Long = 2048L,
+                       pairsPerDoc: Double = 1.0,
+                       minCosFloor: Double = 0.35,
+                       sampleSize: Int = 2000): DataFrame = {
+    val (signBits, minCos) = sizeEmbedGate(emb, targetRowsPerBucket,
+      pairsPerDoc, minCosFloor, sampleSize)
+    embedNearDup(emb, signBits, minCos)
+  }
+
   /** IVF-style approximate nearest neighbour: assign every vector to its
     * nearest of `nLists` "centroids" (deterministically vectors
     * 0..nLists-1 — a k-means stand-in that keeps the op oracle-able), then
