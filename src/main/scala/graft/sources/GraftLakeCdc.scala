@@ -28,15 +28,29 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Change sets are COMMIT-sized, not corpus-sized: net-delete keys ride
   * the driver as an isin predicate, bounded by `maxDeleteKeysPerStep`
   * (loud failure beyond — a mutation deleting more than that per commit
-  * should be re-expressed as a full-replace rebuild of the view). */
+  * should be re-expressed as a full-replace rebuild of the view).
+  *
+  * Efficiency (r18, VERDICT r17 item 6): a VALUE-NEUTRAL version — one
+  * whose delete rows and insert rows are the same multiset, which is
+  * exactly what compaction / z-order emit — applies ZERO mutations (no
+  * dst commit, no rewrite; the two exceptAll probes are commit-sized).
+  * And a consumer that needs only some columns passes `columns`: the
+  * feed projects to keys ++ columns INSIDE the stream graph, so
+  * Catalyst prunes the per-batch scan to the requested width — a
+  * wide-table MV moves only what it asked for. */
 object GraftLakeCdc {
 
   def materialize(spark: SparkSession, src: String, dst: String,
                   keys: Seq[String], checkpoint: String,
-                  maxDeleteKeysPerStep: Int = 1000000): StreamingQuery = {
+                  maxDeleteKeysPerStep: Int = 1000000,
+                  columns: Seq[String] = Nil): StreamingQuery = {
     require(keys.nonEmpty, "materialize needs at least one key column")
-    val feed = spark.readStream.format("graftlake")
+    val feed0 = spark.readStream.format("graftlake")
       .option("changeFeed", "true").load(src)
+    val feed =
+      if (columns.isEmpty) feed0
+      else feed0.select(((keys ++ columns).distinct ++
+        Seq("_change_type", "_commit_version")).map(col): _*)
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -57,7 +71,23 @@ object GraftLakeCdc {
       val step = b.filter(col("_commit_version") === v)
       val inserts = step.filter(col("_change_type") === "insert")
         .drop("_change_type", "_commit_version")
-      val netDeleteKeys = step.filter(col("_change_type") === "delete")
+      val deletes = step.filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version")
+      // value-neutral version (compaction, z-order, any rewrite that
+      // changed no values): the delete and insert multisets coincide —
+      // applying would be a value-identical replace of every carried
+      // row, so skip the version outright (r18)
+      if (deletes.exceptAll(inserts).isEmpty &&
+          inserts.exceptAll(deletes).isEmpty) {
+        // zero mutations, zero dst commits
+      } else applyStep(spark, v, inserts, deletes, dst, keys, maxDeleteKeys)
+    }
+  }
+
+  private def applyStep(spark: SparkSession, v: Long, inserts: DataFrame,
+                        deletes: DataFrame, dst: String, keys: Seq[String],
+                        maxDeleteKeys: Int): Unit = {
+      val netDeleteKeys = deletes
         .select(keys.map(col): _*)
         .except(inserts.select(keys.map(col): _*))
       val delRows = netDeleteKeys.limit(maxDeleteKeys + 1).collect()
@@ -83,6 +113,5 @@ object GraftLakeCdc {
               s"concurrent writer on MV $dst (merge step $v) — the " +
               "materializer must be the view's only writer"))
       }
-    }
   }
 }

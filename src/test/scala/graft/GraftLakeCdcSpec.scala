@@ -118,11 +118,39 @@ class GraftLakeCdcSpec extends AnyFunSuite {
       tmpDir("cdc-compact-cp"))
     try {
       q.processAllAvailable()
+      val dstSnapBefore = SnapshotLake.latest(s, dst).get
       assert(SnapshotLake.compact(s, src).isDefined)
       q.processAllAvailable()
       assert(rows(SnapshotLake.readLatest(s, dst)) ==
         rows(SnapshotLake.readLatest(s, src)),
         "compaction must be value-neutral downstream")
+      // r18: value-neutral versions apply ZERO mutations — no dst commit
+      assert(SnapshotLake.latest(s, dst).contains(dstSnapBefore),
+        "a compaction version must not commit anything to the MV")
+    } finally q.stop()
+  }
+
+  test("pruned MV: a wide table moves only the requested columns (r18)") {
+    import s.implicits._
+    val src = tmpDir("cdc-wide"); val dst = tmpDir("cdc-wide-dst")
+    SnapshotLake.commit(Seq(
+      (1L, "a", 1.0, "pad1", "pad2", "pad3"),
+      (2L, "b", 2.0, "pad1", "pad2", "pad3"))
+      .toDF("k", "v", "score", "w1", "w2", "w3"), src)
+    val q = GraftLakeCdc.materialize(s, src, dst, Seq("k"),
+      tmpDir("cdc-wide-cp"), columns = Seq("v"))
+    try {
+      q.processAllAvailable()
+      // the MV carries ONLY keys ++ requested columns
+      assert(SnapshotLake.readLatest(s, dst).columns.toSeq == Seq("k", "v"))
+      assert(rows(SnapshotLake.readLatest(s, dst)) ==
+        Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+      // mutations keep flowing at the pruned width
+      SnapshotLake.update(s, src, col("k") === 2L, Map("v" -> lit("B")))
+      SnapshotLake.delete(s, src, col("k") === 1L)
+      q.processAllAvailable()
+      assert(rows(SnapshotLake.readLatest(s, dst)) ==
+        Set(Seq[Any](2L, "B")))
     } finally q.stop()
   }
 
