@@ -99,9 +99,30 @@ import graft.sources.v2.HadoopConfCarrier
   * — see GraftLakeProvider's scaladoc; `readAt` stays the full-fidelity
   * reader until column mapping lands.
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = "graftlake"
   private var warehouse: Option[String] = None
+
+  /** `CALL graftlake.system.<proc>(...)` — the maintenance procedures
+    * (r18): compact / expire / zorder / rebalance, each ≡ its object-API
+    * twin under the same CAS discipline (see [[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = GraftProcedures.names.mkString(", ")
+    require(ident.namespace().toSeq == Seq("system"),
+      s"graftlake procedures live under the system namespace: " +
+      s"CALL $catName.system.<$known>")
+    GraftProcedures.load(ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown graftlake procedure '${ident.name()}' — known: $known"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+        .toArray
+    else Array.empty
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {

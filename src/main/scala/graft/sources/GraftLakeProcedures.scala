@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType,
+  IntegerType, LongType, StringType, StructField, StructType}
+
+/** SQL maintenance procedures (r18, VERDICT r17 item 7) — the
+  * `CALL`-style entry points a Delta/Iceberg operator expects, served
+  * through Spark 4's DSv2 `ProcedureCatalog`:
+  *
+  * {{{
+  *   CALL graftlake.system.compact(table => '/t')
+  *   CALL graftlake.system.expire(table => '/t', keep_last => 3)
+  *   CALL graftlake.system.zorder(table => '/t', cols => 'k,v', bits => 8)
+  *   CALL graftlake.system.rebalance(index_root => '/idx', max_skew => 2.0)
+  * }}}
+  *
+  * Each procedure IS its object-API twin ([[SnapshotLake.compact]],
+  * [[SnapshotLake.expire]], [[SnapshotLake.compactZOrder]],
+  * [[graft.ops.AnnIndex.rebalance]]) — same CAS discipline, surfaced in
+  * the result row instead of an Option: `(committed BOOLEAN,
+  * snapshot_id BIGINT)` where a lost optimistic-concurrency race reads
+  * `(false, NULL)` and the statement is safe to re-run (the losing
+  * rewrite is an invisible orphan, GC'd by expire — exactly the object
+  * API's contract). `expire` returns the retained snapshot count. */
+private[graft] object GraftProcedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** One procedure = one object: unbound and bound are the same thing
+    * (binding validates nothing the parameter declarations don't). */
+  private abstract class Proc(procName: String, desc: String,
+                              params: Seq[ProcedureParameter],
+                              out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(args: InternalRow): Array[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val result = run(input)
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def inDefault(name: String, dt: DataType,
+                        default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private val casResult = StructType(Seq(
+    StructField("committed", BooleanType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = true)))
+
+  private def casRow(r: Option[Long]): Array[InternalRow] = Array(
+    new GenericInternalRow(Array[Any](r.isDefined,
+      r.map(Long.box).orNull)))
+
+  private object Compact extends Proc("compact",
+    "bin-pack the table into one fresh snapshot (SnapshotLake.compact)",
+    Seq(in("table", StringType),
+      inDefault("max_records_per_file", LongType, "1000000")),
+    casResult) {
+    override protected def run(args: InternalRow): Array[InternalRow] =
+      casRow(SnapshotLake.compact(spark, args.getUTF8String(0).toString,
+        args.getLong(1)))
+  }
+
+  private object Expire extends Proc("expire",
+    "retain the last keep_last snapshots and GC unreferenced data " +
+      "(SnapshotLake.expire)",
+    Seq(in("table", StringType), in("keep_last", IntegerType)),
+    StructType(Seq(
+      StructField("snapshots_retained", IntegerType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val table = args.getUTF8String(0).toString
+      SnapshotLake.expire(spark, table, args.getInt(1))
+      Array(new GenericInternalRow(Array[Any](
+        SnapshotLake.snapshots(spark, table).length)))
+    }
+  }
+
+  private object ZOrder extends Proc("zorder",
+    "rewrite the table z-curve-clustered on cols " +
+      "(SnapshotLake.compactZOrder; cols is comma-separated)",
+    Seq(in("table", StringType), in("cols", StringType),
+      inDefault("bits", IntegerType, "8"),
+      inDefault("target_files", IntegerType, "0"),
+      inDefault("max_records_per_file", LongType, "1000000")),
+    casResult) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val cols = args.getUTF8String(1).toString.split(",")
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      casRow(SnapshotLake.compactZOrder(spark,
+        args.getUTF8String(0).toString, cols, args.getInt(2),
+        args.getInt(3), args.getLong(4)))
+    }
+  }
+
+  private object Rebalance extends Proc("rebalance",
+    "split hot ANN inverted lists past max_skew x mean residency " +
+      "(AnnIndex.rebalance)",
+    Seq(in("index_root", StringType),
+      inDefault("max_skew", DoubleType, "2.0")),
+    casResult) {
+    override protected def run(args: InternalRow): Array[InternalRow] =
+      casRow(graft.ops.AnnIndex.rebalance(spark,
+        args.getUTF8String(0).toString, args.getDouble(1)))
+  }
+
+  private val all: Seq[Proc] = Seq(Compact, Expire, ZOrder, Rebalance)
+
+  def names: Seq[String] = all.map(_.name())
+
+  def load(name: String): Option[UnboundProcedure] =
+    all.find(_.name() == name.toLowerCase(java.util.Locale.ROOT))
+}

@@ -387,6 +387,61 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
     assert(rows(one) == Set(Seq[Any](1L), Seq[Any](2L)))
   }
 
+  test("CALL graftlake.system.* maintenance procedures ≡ object API (r18)") {
+    import s.implicits._
+    val t = tmpDir("cat-proc"); val twin = tmpDir("cat-proc-twin")
+    for (x <- Seq(t, twin)) {
+      SnapshotLake.commit(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), x)
+      SnapshotLake.commit(Seq((3L, 30L), (4L, 40L)).toDF("k", "v"), x,
+        append = true)
+    }
+    // compact: one CALL == one object compact; committed flag + id ride out
+    val c = s.sql(s"CALL graftlake.system.compact(table => '$t')").collect()
+    SnapshotLake.compact(s, twin)
+    assert(c.length == 1 && c(0).getBoolean(0) &&
+      c(0).getLong(1) == SnapshotLake.latest(s, t).get)
+    assert(SnapshotLake.manifestDirs(s, t,
+      SnapshotLake.latest(s, t).get).size == 1, "compact must bin-pack")
+    assert(rows(SnapshotLake.readLatest(s, t)) ==
+      rows(SnapshotLake.readLatest(s, twin)))
+    // zorder: clustered rewrite, same rows
+    val z = s.sql(
+      s"CALL graftlake.system.zorder(table => '$t', cols => 'k,v')")
+      .collect()
+    SnapshotLake.compactZOrder(s, twin, Seq("k", "v"))
+    assert(z(0).getBoolean(0))
+    assert(rows(SnapshotLake.readLatest(s, t)) ==
+      rows(SnapshotLake.readLatest(s, twin)))
+    // expire: retain the latest snapshot only, GC the rest
+    val e = s.sql(
+      s"CALL graftlake.system.expire(table => '$t', keep_last => 1)")
+      .collect()
+    SnapshotLake.expire(s, twin, 1)
+    assert(e(0).getInt(0) == 1 &&
+      SnapshotLake.snapshots(s, t) == SnapshotLake.snapshots(s, twin)
+        .map(_ => SnapshotLake.snapshots(s, t).head))
+    assert(SnapshotLake.snapshots(s, t).length == 1)
+    // rebalance: a cold index is a committed no-op at the same base
+    val idx = tmpDir("cat-proc-idx")
+    graft.ops.AnnIndex.build(Tables.embeddings(s, TestSpark.Sf0001),
+      idx, 8)
+    val base = SnapshotLake.latest(s, s"$idx/lists").get
+    val r = s.sql(
+      s"CALL graftlake.system.rebalance(index_root => '$idx')").collect()
+    assert(r(0).getBoolean(0) && r(0).getLong(1) == base,
+      "a balanced index must be a committed no-op at the same base")
+    // unknown procedures refuse with the known list
+    val ex = intercept[Exception] {
+      s.sql(s"CALL graftlake.system.nonsense(table => '$t')").collect()
+    }
+    // Spark wraps the catalog's refusal in FAILED_TO_LOAD_ROUTINE; the
+    // known-procedure list rides the cause
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("FAILED_TO_LOAD_ROUTINE") ||
+      msgs.contains("compact"), msgs)
+  }
+
   test("warehouse-relative names resolve and list") {
     import s.implicits._
     val wh = tmpDir("cat-wh")
