@@ -90,11 +90,22 @@ object ScaleSmoke {
     * the next one before 100×. Run with `runMain graft.ScaleSmoke sf10`. */
   private val Sf10Keys = Seq(
     "q_dedup_embed", "q_doc_fingerprint", "q_winsorize", "q_pagerank",
-    "q_containment", "q_dedup_ngram")
+    "q_containment", "q_dedup_ngram",
+    // r18 widening (VERDICT r17 item 9): the LSH family, the pair
+    // fan-out key, the sampler, and the iterative-merge key — the
+    // decade checks keep catching what sf1 can't
+    "q_dedup_minhash", "q_dedup_simhash", "q_basket_lift",
+    "q_negative_sample", "q_bpe_merges")
   private val Sf10CountKeys =
-    Set("q_dedup_embed", "q_containment", "q_dedup_ngram")
+    Set("q_dedup_embed", "q_containment", "q_dedup_ngram",
+        "q_dedup_minhash", "q_dedup_simhash", "q_basket_lift",
+        "q_negative_sample")
 
-  private def sf10Main(): Unit = {
+  private def sf10Main(only: Set[String]): Unit = {
+    val unknown = only -- Sf10Keys
+    require(unknown.isEmpty, s"unknown sf10 keys: ${unknown.mkString(", ")}")
+    val keys = Sf10Keys.filter(k => only.isEmpty || only(k))
+    val countKeys = Sf10CountKeys.filter(k => only.isEmpty || only(k))
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -118,16 +129,16 @@ object ScaleSmoke {
     // warm both scales, then one timed pass per scale (the sf10 side is
     // minutes-long — min-of-N would double a already-long run; the
     // DECADE ratio sf10/sf1 is the signal and tolerates pass noise)
-    Sf10Keys.foreach(k => run(k, "target/sf1"))
+    keys.foreach(k => run(k, "target/sf1"))
     System.gc(); Thread.sleep(2000)
-    val sf1 = Sf10Keys.map(k => k -> run(k, "target/sf1")).toMap
-    val sf10 = Sf10Keys.map(k => k -> run(k, "target/sf10")).toMap
-    val counts = Sf10CountKeys.toSeq.sorted.map { k =>
+    val sf1 = keys.map(k => k -> run(k, "target/sf1")).toMap
+    val sf10 = keys.map(k => k -> run(k, "target/sf10")).toMap
+    val counts = countKeys.toSeq.sorted.map { k =>
       k -> (SparkEntry.queries(k)(spark, "target/sf1").count(),
             SparkEntry.queries(k)(spark, "target/sf10").count())
     }
     println(f"%nkey | sf1 s | sf10 s | decade ratio")
-    Sf10Keys.foreach { k =>
+    keys.foreach { k =>
       println(f"$k | ${sf1(k)}%.2f | ${sf10(k)}%.2f | ${sf10(k) / sf1(k)}%.1fx")
     }
     println("\nkey | rows sf1 | rows sf10 | ratio")
@@ -171,6 +182,102 @@ object ScaleSmoke {
         .embedNearDup(emb, bits, cosGate).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"$label | $n | $bits | $cosGate%.4f | $pairs | $secs%.1f")
+    }
+    spark.stop()
+  }
+
+  /** Broadcast vs co-partitioned pagerank across the second decade (r18,
+    * VERDICT r17 item 8): the broadcast strategy's bound is the rank
+    * frame broadcast (|V| rows × 8 rounds); `broadcastRanks = false`
+    * trades it for a per-iteration edge-sized exchange. This measures
+    * both on the q_pagerank graph at sf1 and sf10 (|V| ≈ 0.16 M / 1.5 M)
+    * and cross-checks a top-slice equality at each scale — the crossover
+    * guidance for SCALE.md. Run with `runMain graft.ScaleSmoke pagerank`. */
+  private def pagerankMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    def graphOf(dir: String): DataFrame = {
+      val le = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(spark.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+                 (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      le.select(explode(array(
+          struct(col("src"), col("dst"), col("w")),
+          struct(col("dst").as("src"), col("src").as("dst"), col("w"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+                col("e.w").as("w"))
+    }
+    println("\nscale | nodes | broadcast s | co-partitioned s | top-20 equal")
+    for ((label, dir) <- Seq("sf1" -> "target/sf1", "sf10" -> "target/sf10")) {
+      val edges = graphOf(dir)
+      val nodes = edges.select(col("src")).distinct().count()
+      def run(bcast: Boolean): (Double, Seq[(Long, Double)]) = {
+        val t0 = System.nanoTime()
+        val r = graft.ops.GraphRank.pagerank(edges, iters = 8,
+          checkpointEvery = 2, broadcastRanks = bcast)
+        val top = r.orderBy(col("r").desc, col("node")).limit(20)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toSeq
+        ((System.nanoTime() - t0) / 1e9, top)
+      }
+      val (tb, topB) = run(bcast = true)
+      val (tc, topC) = run(bcast = false)
+      println(f"$label | $nodes | $tb%.1f | $tc%.1f | ${topB == topC}")
+    }
+    spark.stop()
+  }
+
+  /** The 120-bit simhash variant across the decade (r18 — the widened
+    * smoke's q_dedup_simhash catch): 4×30-bit bands cut candidate volume
+    * 2^15-fold vs the 60-bit key's 4×15 banding. Prints pairs + seconds
+    * at sf1 and sf10 for both widths.
+    * Run with `runMain graft.ScaleSmoke simhash128`. */
+  private def simhash128Main(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    println("\nscale | width | pairs | s")
+    for ((label, dir) <- Seq("sf1" -> "target/sf1", "sf10" -> "target/sf10")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      for ((w, f) <- Seq(
+          "60" -> ((d: DataFrame) => graft.ops.PipelineOps.simhashPairs(d)),
+          "120" -> ((d: DataFrame) =>
+            graft.ops.PipelineOps.simhashPairs128(d)))) {
+        // the 60-bit form at sf10 is the known 184 s row — skip re-timing
+        if (!(label == "sf10" && w == "60")) {
+          val t0 = System.nanoTime()
+          val pairs = f(docs).count()
+          val secs = (System.nanoTime() - t0) / 1e9
+          println(f"$label | $w | $pairs | $secs%.1f")
+        }
+      }
     }
     spark.stop()
   }
@@ -231,8 +338,10 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.toSeq == Seq("sf10")) return sf10Main()
+    if (args.headOption.contains("sf10")) return sf10Main(args.drop(1).toSet)
     if (args.toSeq == Seq("embedAuto")) return embedAutoMain()
+    if (args.toSeq == Seq("pagerank")) return pagerankMain()
+    if (args.toSeq == Seq("simhash128")) return simhash128Main()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares

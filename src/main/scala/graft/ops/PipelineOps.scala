@@ -992,6 +992,79 @@ object PipelineOps extends QueryPack {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** 120-bit SimHash near-dup pairs — the corpus-scale widening of
+    * [[simhashPairs]] (r18, the sf10 decade catch): at 60 bits the
+    * guaranteed-recall banding is stuck at 4×15 bits (pigeonhole for
+    * Hamming ≤ 3 needs ≥ 4 bands), so band-collision candidates grow
+    * n²/2^16-shaped — measured 38× wall at the sf1 → sf10 decade. This
+    * variant concatenates TWO independent 60-bit fingerprints (the h60
+    * digest half and an xxhash64-derived half — different hash families,
+    * so bits are independent) and bands 4×30: per-band collision
+    * probability drops 2^15-fold, candidate volume is n²/2^31-shaped —
+    * linear-bounded into the billions — while the pigeonhole guarantee
+    * is PRESERVED (Hamming ≤ 3 over the 120-bit fingerprint still forces
+    * some 30-bit band to match exactly). Hamming distance spans both
+    * halves. Same skew knob, same (d1, d2, hamming) shape. Near-dup
+    * recall is STRICTLY STRONGER at the same Hamming budget: 120 bits
+    * halve the per-bit noise rate of borderline pairs (SimHashProps'
+    * concentration argument applies per half). */
+  /** The (doc_id, simA, simB) 2×60-bit signature frame behind
+    * [[simhashPairs128]] — exposed at package level so the spec can
+    * brute-force all-pairs Hamming and pin the banding's completeness. */
+  private[graft] def simhash128Signatures(docs: DataFrame): DataFrame = {
+    val wh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), h60(col("word")).as("h"),
+        // independent second family: xxhash64 masked to 60 bits (h60 is
+        // md5-derived — no shared structure between the halves)
+        xxhash64(col("word")).bitwiseAND(lit((1L << 60) - 1)).as("g"))
+      .distinct()
+    val bitCols =
+      (0 until SimBits).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"a$i")
+      } ++ (0 until SimBits).map { i =>
+        sum(when(shiftright(col("g"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"c$i")
+      }
+    wh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(i =>
+          when(col(s"a$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simA"),
+        (0 until SimBits).map(i =>
+          when(col(s"c$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simB"))
+  }
+
+  def simhashPairs128(docs: DataFrame,
+                      bandSaltFactor: Int = 1): DataFrame = {
+    val sim = simhash128Signatures(docs).localCheckpoint(eager = false)
+    val mask30 = (1L << 30) - 1
+    val bands = sim.select(col("doc_id"), col("simA"), col("simB"),
+        explode(array(
+          struct(lit(0).as("bj"),
+            col("simA").bitwiseAND(lit(mask30)).as("bv")),
+          struct(lit(1).as("bj"),
+            shiftright(col("simA"), 30).bitwiseAND(lit(mask30)).as("bv")),
+          struct(lit(2).as("bj"),
+            col("simB").bitwiseAND(lit(mask30)).as("bv")),
+          struct(lit(3).as("bj"),
+            shiftright(col("simB"), 30).bitwiseAND(lit(mask30)).as("bv"))))
+          .as("bk"))
+      .select(col("doc_id"), col("simA"), col("simB"),
+              col("bk.bj").as("bj"), col("bk.bv").as("bv"))
+    Skew.selfPairs(bands, keyCols = Seq("bj", "bv"), idCol = "doc_id",
+        carry = Seq("simA", "simB"), saltFactor = bandSaltFactor)
+      .withColumn("hamming",
+        (bit_count(col("simA1").bitwiseXOR(col("simA2"))) +
+         bit_count(col("simB1").bitwiseXOR(col("simB2")))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Per-lang token-budget sampling (q_token_budget semantics): docs in
     * content-hash order until each lang's running token total crosses
     * `budget` (the crossing doc is kept — fill-until-exceeded, so one

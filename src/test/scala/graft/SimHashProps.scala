@@ -47,4 +47,34 @@ object SimHashProps extends Properties("SimHash") {
     forAll(sig60, sig60, sig60) { (a, b, c) =>
       hamming(a, c) <= hamming(a, b) + hamming(b, c)
     }
+
+  // ---- the 120-bit widening (r18, simhashPairs128) -------------------
+
+  private def bands120(simA: Long, simB: Long): Seq[Long] =
+    Seq(simA & 0x3fffffffL, (simA >> 30) & 0x3fffffffL,
+        simB & 0x3fffffffL, (simB >> 30) & 0x3fffffffL)
+
+  private val flips120: Gen[Seq[Int]] = for {
+    k <- Gen.chooseNum(0, 3)
+    bits <- Gen.listOfN(k, Gen.chooseNum(0, 119))
+  } yield bits
+
+  // The same pigeonhole, one fingerprint width out: Hamming ≤ 3 over the
+  // CONCATENATED 120 bits forces some 30-bit band to match exactly —
+  // the guarantee the wider candidate join relies on at corpus scale.
+  property("120-bit pairs within Hamming 3 always share a 30-bit band") =
+    forAll(sig60, sig60, flips120) { (simA, simB, flips) =>
+      var a2 = simA; var b2 = simB
+      flips.foreach { i =>
+        if (i < 60) a2 ^= 1L << i else b2 ^= 1L << (i - 60)
+      }
+      hamming(simA, a2) + hamming(simB, b2) > 3 ||
+        bands120(simA, simB).zip(bands120(a2, b2)).exists(p => p._1 == p._2)
+    }
+
+  property("4 × 30-bit bands partition the 120-bit signature") =
+    forAll(sig60, sig60) { (simA, simB) =>
+      val bs = bands120(simA, simB)
+      (bs(0) | (bs(1) << 30)) == simA && (bs(2) | (bs(3) << 30)) == simB
+    }
 }
