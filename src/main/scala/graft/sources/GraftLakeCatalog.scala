@@ -313,9 +313,9 @@ private[graft] class GraftLakeTable(val tableRoot: String,
     * requirements); otherwise refuse loudly with the compact-to-upgrade
     * path. The id-bearing schema itself lives on [[schema]]. */
   private[graft] def scanSchema(dirs: Seq[String]): StructType = {
-    val renames = SnapshotLake
+    val directives = SnapshotLake
       .manifestDirectives(spark, tableRoot, snapshotAtLoad)
-      .filter(_.split("\t")(1) == "rename")
+    val renames = directives.filter(_.split("\t")(1) == "rename")
     if (renames.nonEmpty) {
       require(spark.conf.get("spark.sql.parquet.fieldId.read.enabled",
           "false").toBoolean,
@@ -326,6 +326,16 @@ private[graft] class GraftLakeTable(val tableRoot: String,
         s"a directory of $tableRoot predates field-id writes (r17) — run " +
         "SnapshotLake.compact to rewrite it with ids, or read via " +
         "SnapshotLake.readAt")
+      // a swapped/recycled rename chain defeats parquet's BY-NAME
+      // predicate pushdown (silent row loss — the r18 repro); the V1
+      // relation falls back to the aligned readAt plan, this V2 scan
+      // refuses loudly until compact materializes the chain
+      require(!SnapshotLake.renameReusesName(directives,
+          schema.fieldNames.toSeq),
+        s"the rename chain of $tableRoot reuses a live physical name — " +
+        "parquet pushdown binds by name and would prune on the wrong " +
+        "column; run SnapshotLake.compact to materialize the chain, or " +
+        "read via spark.read.format(\"graftlake\") / SnapshotLake.readAt")
     }
     schema
   }
@@ -542,10 +552,18 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
     // prepareWrite mutates the job conf with the parquet write-support
     // keys (schema, legacy-format flag, timestamp type, codec) — capture
     // THAT conf for the executors. Field ids (column mapping, r17) ride
-    // the schema metadata, same as SnapshotLake.writeData.
-    val dirvs = SnapshotLake.latest(spark, tableRoot)
-      .map(SnapshotLake.manifestDirectives(spark, tableRoot, _))
-      .getOrElse(Nil)
+    // the schema metadata — computed against the directive chain the
+    // COMMIT will record (r18, the rename→OVERWRITE→rename repro):
+    // Truncate RESETS directives, so its files must carry
+    // current-name-hash ids (a later rename then walks back to exactly
+    // these names); Append and ReplaceDirs carry the chain forward, so
+    // origin-hash ids stay consistent with it.
+    val dirvs = mode match {
+      case GraftLakeBatchWrite.Truncate => Nil
+      case _ => SnapshotLake.latest(spark, tableRoot)
+        .map(SnapshotLake.manifestDirectives(spark, tableRoot, _))
+        .getOrElse(Nil)
+    }
     val idSchema = SnapshotLake.withFieldIds(schema, dirvs)
     val job = Job.getInstance(hadoopConf)
     val factory = ParquetUtils.prepareWrite(spark.sessionState.conf, job,

@@ -120,6 +120,26 @@ class GraftLakeProvider extends RelationProvider
     // logical column. Needs the session's field-id read switch and every
     // visible dir written with ids (compact rewrites legacy dirs and
     // lifts the refusal); readAt stays the always-works fallback.
+    if (renames.nonEmpty &&
+        SnapshotLake.renameReusesName(directives, schema0.fieldNames)) {
+      // swapped/recycled rename chain (r18): field ids resolve the READ
+      // correctly, but parquet predicate pushdown binds by NAME inside
+      // each file and would row-group-prune against the wrong physical
+      // column — silent row loss. Serve the aligned readAt plan instead:
+      // unpushed (Spark evaluates every filter post-scan) and exact;
+      // compact materializes the chain and restores the native path.
+      require(parameters.get("sinceSnapshotId").isEmpty,
+        "graftlake incremental reads of a rename-evolved snapshot are " +
+        "raw-physical-grain; use SnapshotLake.readIncremental")
+      val outer = sqlContext
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = outer
+        override def schema: StructType = schema0
+        override def buildScan(): org.apache.spark.rdd.RDD[
+            org.apache.spark.sql.Row] =
+          SnapshotLake.readAt(spark, table, snap).rdd
+      }
+    }
     val schema =
       if (renames.isEmpty) schema0
       else {

@@ -248,6 +248,23 @@ object SnapshotLake {
   private[graft] def fieldIdFor(origin: String): Int =
     math.max(1, origin.hashCode & 0x7fffffff)
 
+  /** True when the rename chain REUSES a live physical name (r18, the
+    * swapped-renames repro): some current logical column `n` is also the
+    * ORIGIN — the physical name pre-rename files still store — of a
+    * DIFFERENT column. Field-id matching reads such tables correctly,
+    * but parquet PREDICATE pushdown binds by NAME inside each file, so a
+    * filter on logical `n` can row-group-prune against the other
+    * column's values and silently lose rows. The native scans therefore
+    * step off the pushdown path under reuse: the V1 relation serves the
+    * aligned [[readAt]] plan (exact, unpushed), the V2 catalog scan
+    * refuses loudly. [[compact]] materializes the chain and restores the
+    * native fast path. */
+  private[graft] def renameReusesName(directives: Seq[String],
+                                      names: Seq[String]): Boolean = {
+    val origin = names.map(n => n -> originOf(n, directives)).toMap
+    names.exists(n => origin.exists { case (m, om) => m != n && om == n })
+  }
+
   /** The schema with `parquet.field.id` metadata attached to every
     * top-level field (renames are top-level, so nested fields resolve by
     * name inside their matched struct). Fails loudly on an id collision
@@ -315,11 +332,18 @@ object SnapshotLake {
     * Writes attach origin-hash parquet field ids (column mapping, r17)
     * derived from the latest committed directive chain. */
   private[graft] def writeData(df: DataFrame, table: String,
-                                 maxRecordsPerFile: Long): String = {
+                                 maxRecordsPerFile: Long,
+                                 idDirectives: Option[Seq[String]] = None)
+      : String = {
     val dir = s"$table/data/${java.util.UUID.randomUUID()}"
     val spark = df.sparkSession
-    val dirvs = latest(spark, table)
-      .map(manifestDirectives(spark, table, _)).getOrElse(Nil)
+    // field ids hash the ORIGIN name under the directive chain the commit
+    // will RECORD (r18): a full replace / compact resets directives, so
+    // its files must carry current-name-hash ids — stamping them from the
+    // pre-replace chain would desynchronize ids from any post-replace
+    // rename (the rename→overwrite→rename repro)
+    val dirvs = idDirectives.getOrElse(latest(spark, table)
+      .map(manifestDirectives(spark, table, _)).getOrElse(Nil))
     val withIds = withFieldIds(df.schema, dirvs)
     val tagged = df.select(df.columns.zipWithIndex.map { case (c, i) =>
       org.apache.spark.sql.functions.col(s"`$c`")
@@ -565,7 +589,10 @@ object SnapshotLake {
   def commit(df: DataFrame, table: String, append: Boolean = true,
              maxRecordsPerFile: Long = 1000000L): Long = {
     val spark = df.sparkSession
-    val dir = writeData(df, table, maxRecordsPerFile)
+    // full replace resets directives, so its files carry
+    // current-name-hash ids (see writeData's idDirectives note)
+    val dir = writeData(df, table, maxRecordsPerFile,
+      idDirectives = if (append) None else Some(Nil))
     var attempts = 0
     while (attempts < 64) { // CAS loop: each retry observes a NEWER latest
       val base = latest(spark, table)
@@ -856,7 +883,10 @@ object SnapshotLake {
   private[graft] def compactFrom(spark: SparkSession, table: String,
                                  base: Long,
                                  maxRecordsPerFile: Long): Option[Long] = {
-    val dir = writeData(readAt(spark, table, base), table, maxRecordsPerFile)
+    // compact materializes directives and DROPS them — ids must hash the
+    // post-compact (current) names, not the dropped chain's origins
+    val dir = writeData(readAt(spark, table, base), table,
+      maxRecordsPerFile, idDirectives = Some(Nil))
     // single CAS attempt at exactly base+1 — anything else means the
     // rewrite's input is no longer the table. Evolution directives are
     // deliberately DROPPED: readAt already materialized them into the
@@ -919,7 +949,9 @@ object SnapshotLake {
       if (targetFiles > 0) withZ.repartitionByRange(targetFiles, col("__z"))
       else withZ.repartitionByRange(col("__z"))
     val laid = ranged.sortWithinPartitions(col("__z")).drop("__z")
-    val dir = writeData(laid, table, maxRecordsPerFile)
+    // materializes directives like compact — current-name-hash ids
+    val dir = writeData(laid, table, maxRecordsPerFile,
+      idDirectives = Some(Nil))
     if (latest(spark, table).contains(base) &&
         tryCommitManifest(spark, table, base + 1, Seq(dir)))
       Some(base + 1)
