@@ -119,7 +119,29 @@ private[graft] object GraftProcedures {
         args.getUTF8String(0).toString, args.getDouble(1)))
   }
 
-  private val all: Seq[Proc] = Seq(Compact, Expire, ZOrder, Rebalance)
+  private object History extends Proc("history",
+    "snapshot history: one row per committed snapshot (the DESCRIBE " +
+      "HISTORY analog) — id, commit time, dir/directive counts",
+    Seq(in("table", StringType)),
+    StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at",
+        org.apache.spark.sql.types.TimestampType, nullable = false),
+      StructField("n_dirs", IntegerType, nullable = false),
+      StructField("n_directives", IntegerType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val table = args.getUTF8String(0).toString
+      SnapshotLake.snapshotTimes(spark, table).map { case (id, millis) =>
+        new GenericInternalRow(Array[Any](id, millis * 1000L,
+          SnapshotLake.manifestDirs(spark, table, id).length,
+          SnapshotLake.manifestDirectives(spark, table, id).length))
+          : InternalRow
+      }.toArray
+    }
+  }
+
+  private val all: Seq[Proc] =
+    Seq(Compact, Expire, ZOrder, Rebalance, History)
 
   def names: Seq[String] = all.map(_.name())
 

@@ -430,6 +430,12 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       s"CALL graftlake.system.rebalance(index_root => '$idx')").collect()
     assert(r(0).getBoolean(0) && r(0).getLong(1) == base,
       "a balanced index must be a committed no-op at the same base")
+    // history: one row per snapshot, ids and counts off the manifests
+    val h = s.sql(s"CALL graftlake.system.history(table => '$twin')")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq ==
+      SnapshotLake.snapshots(s, twin))
+    assert(h.forall(r => r.getInt(2) >= 1 && !r.isNullAt(1)))
     // unknown procedures refuse with the known list
     val ex = intercept[Exception] {
       s.sql(s"CALL graftlake.system.nonsense(table => '$t')").collect()
