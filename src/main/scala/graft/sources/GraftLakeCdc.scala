@@ -35,9 +35,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * exactly what compaction / z-order emit — applies ZERO mutations (no
   * dst commit, no rewrite; the two exceptAll probes are commit-sized).
   * And a consumer that needs only some columns passes `columns`: the
-  * feed projects to keys ++ columns INSIDE the stream graph, so
-  * Catalyst prunes the per-batch scan to the requested width — a
-  * wide-table MV moves only what it asked for. */
+  * feed's SOURCE schema prunes to keys ++ columns (`feedColumns`), so
+  * the projection lands inside each batch plan BEFORE the physical-RDD
+  * wrap and the parquet scan itself reads only the requested width —
+  * a wide-table MV moves only what it asked for, at the scan. */
 object GraftLakeCdc {
 
   def materialize(spark: SparkSession, src: String, dst: String,
@@ -45,12 +46,12 @@ object GraftLakeCdc {
                   maxDeleteKeysPerStep: Int = 1000000,
                   columns: Seq[String] = Nil): StreamingQuery = {
     require(keys.nonEmpty, "materialize needs at least one key column")
-    val feed0 = spark.readStream.format("graftlake")
-      .option("changeFeed", "true").load(src)
+    val reader = spark.readStream.format("graftlake")
+      .option("changeFeed", "true")
     val feed =
-      if (columns.isEmpty) feed0
-      else feed0.select(((keys ++ columns).distinct ++
-        Seq("_change_type", "_commit_version")).map(col): _*)
+      if (columns.isEmpty) reader.load(src)
+      else reader.option("feedColumns",
+        (keys ++ columns).distinct.mkString(",")).load(src)
     feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>

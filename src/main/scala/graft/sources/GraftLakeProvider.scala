@@ -273,7 +273,22 @@ class GraftLakeProvider extends RelationProvider
         "graftlake streams cannot tail a rename-evolved table " +
         s"(directives: ${renames.mkString("; ")}) — the delta dirs are " +
         "raw physical names; use SnapshotLake.readAt for renamed tables")
-      val base = SnapshotLake.readAt(spark, table, latest).schema
+      val base0 = SnapshotLake.readAt(spark, table, latest).schema
+      // feedColumns (r18): prune the SOURCE schema — the per-batch
+      // frames project to it BEFORE the physical-RDD wrap, so the
+      // pruning lands inside the batch plan and reaches the parquet
+      // scan (a consumer-side select on the wrapped stream cannot:
+      // the wrap is an opaque LogicalRDD)
+      val base = parameters.get("feedColumns").map(_.trim) match {
+        case None | Some("") => base0
+        case Some(csv) =>
+          val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+          val missing = want.filterNot(base0.fieldNames.contains)
+          require(missing.isEmpty,
+            s"feedColumns name columns $table does not have: " +
+            s"${missing.mkString(", ")}")
+          StructType(base0.fields.filter(f => want.contains(f.name)))
+      }
       if (parameters.get("changeFeed").exists(_.trim == "true"))
         StructType(base.fields.toSeq :+
           org.apache.spark.sql.types.StructField("_change_type",

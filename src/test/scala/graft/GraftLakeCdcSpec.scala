@@ -137,6 +137,19 @@ class GraftLakeCdcSpec extends AnyFunSuite {
       (1L, "a", 1.0, "pad1", "pad2", "pad3"),
       (2L, "b", 2.0, "pad1", "pad2", "pad3"))
       .toDF("k", "v", "score", "w1", "w2", "w3"), src)
+    // the SOURCE schema itself prunes (feedColumns) — the projection
+    // lands inside each batch plan, so the parquet scan reads only the
+    // requested width (a post-wrap select could not reach it)
+    val rawFeed = s.readStream.format("graftlake")
+      .option("changeFeed", "true").option("feedColumns", "k,v").load(src)
+    assert(rawFeed.schema.fieldNames.toSeq ==
+      Seq("k", "v", "_change_type", "_commit_version"))
+    // unknown feed columns refuse at query definition
+    val exCols = intercept[Exception] {
+      s.readStream.format("graftlake").option("changeFeed", "true")
+        .option("feedColumns", "k,nope").load(src)
+    }
+    assert(exCols.getMessage.contains("nope"))
     val q = GraftLakeCdc.materialize(s, src, dst, Seq("k"),
       tmpDir("cdc-wide-cp"), columns = Seq("v"))
     try {
