@@ -168,11 +168,27 @@ class GraftLakeProvider extends RelationProvider
         new InMemoryFileIndex(spark, dirs.map(new Path(_)),
           Map.empty[String, String], Some(schema))
       else new StatsPrunedFileIndex(spark, dirs, schema, stats)
+    // bucket layout (r18): a #bucket manifest line means EVERY visible
+    // dir was written by commitBucketed (bucket-id-routed rows, _%05d
+    // file tags — the line is dropped by any other committer), so the
+    // relation declares the BucketSpec and Spark plans joins/aggs on the
+    // bucket columns WITHOUT an exchange. Declared only for plain reads
+    // of an unevolved snapshot (directives can rename the bucket columns
+    // out from under the recorded names; incremental deltas are
+    // partial-table grain).
+    val bucketSpec =
+      if (directives.nonEmpty || parameters.contains("sinceSnapshotId"))
+        None
+      else SnapshotLake.manifestBucket(spark, table, snap).map {
+        case (n, cols, sortCols) =>
+          org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols,
+            sortCols)
+      }
     HadoopFsRelation(
       location = index,
       partitionSchema = StructType(Nil),
       dataSchema = schema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = new ParquetFileFormat,
       options = Map.empty[String, String])(spark)
   }

@@ -157,6 +157,29 @@ object SnapshotLake {
                                         id: Long): Seq[String] =
     manifestLines(spark, table, id).filter(_.startsWith("#schema"))
 
+  /** Bucket layout property (r18, manifest v4): one `#bucket` line —
+    * `#bucket<TAB><n><TAB><cols csv><TAB><sortCols csv>` — declares that
+    * EVERY visible data directory was written by [[commitBucketed]]:
+    * rows routed to pmod(murmur3(bucketCols), n) (exactly Spark's
+    * HashPartitioning bucket function) and files named with Spark's
+    * `_%05d` bucket tag. The V1 relation then declares the BucketSpec to
+    * Spark, and joins / aggregations on the bucket columns across two
+    * such tables run WITHOUT a shuffle — the co-located-join shape that
+    * kills the dominant exchange at 100 TB. The line is maintained only
+    * by [[commitBucketed]]; every other committer (mutations, compact,
+    * plain commit refuses loudly / V2 writes) drops it, so its presence
+    * IS the invariant that all dirs carry bucket-tagged files. */
+  private[graft] def manifestBucket(spark: SparkSession, table: String,
+                                    id: Long)
+      : Option[(Int, Seq[String], Seq[String])] =
+    manifestLines(spark, table, id).find(_.startsWith("#bucket"))
+      .map { l =>
+        val p = l.split("\t", -1)
+        (p(1).toInt,
+         p(2).split(",").filter(_.nonEmpty).toSeq,
+         p(3).split(",").filter(_.nonEmpty).toSeq)
+      }
+
   /** Manifest v3 (r17): per-directory column statistics recorded at
     * commit, one line per (dir, atomic numeric/date/timestamp column):
     * `#stats<TAB><dir><TAB><col><TAB><rows><TAB><nulls><TAB><min><TAB><max>`
@@ -525,7 +548,9 @@ object SnapshotLake {
     * latest id and retries); throws only on real FS failure. */
   private[graft] def tryCommitManifest(spark: SparkSession, table: String,
                                          id: Long, dirs: Seq[String],
-                                         directives: Seq[String] = Nil): Boolean = {
+                                         directives: Seq[String] = Nil,
+                                         bucketLine: Option[String] = None)
+      : Boolean = {
     val fs = fsFor(spark, table)
     fs.mkdirs(manifestDir(table))
     val dst = manifestPath(table, id)
@@ -548,8 +573,8 @@ object SnapshotLake {
     // dirs sorted for determinism; directives keep their RECORDED order
     // (renames chain) and sit after the dirs; stats last
     try out.write(
-      ((dirs.sorted ++ directives ++ statsLines).mkString("\n") + "\n")
-        .getBytes("UTF-8"))
+      ((dirs.sorted ++ directives ++ bucketLine.toSeq ++ statsLines)
+        .mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     // Rename with EXPLICIT no-overwrite semantics (Options.Rename.NONE):
     // FileSystem.rename on a POSIX-backed store (RawLocalFileSystem, NFS)
@@ -589,6 +614,14 @@ object SnapshotLake {
   def commit(df: DataFrame, table: String, append: Boolean = true,
              maxRecordsPerFile: Long = 1000000L): Long = {
     val spark = df.sparkSession
+    // bucketed tables only grow through commitBucketed: a plain append
+    // would break the all-dirs-bucket-tagged invariant the BucketSpec
+    // declaration rests on (r18); a full replace is fine — it clears
+    // the property with the data
+    require(!append || latest(spark, table)
+        .flatMap(manifestBucket(spark, table, _)).isEmpty,
+      s"$table is bucket-laid-out — append with commitBucketed (same " +
+      "columns and bucket count), or overwrite to drop the layout")
     // full replace resets directives, so its files carry
     // current-name-hash ids (see writeData's idDirectives note)
     val dir = writeData(df, table, maxRecordsPerFile,
@@ -619,6 +652,107 @@ object SnapshotLake {
     }
     throw new IllegalStateException(
       s"snapshot commit lost ${attempts} CAS races at $table — livelock?")
+  }
+
+  /** Bucket-laid-out commit (r18) — the co-located-join layout: rows
+    * route to bucket `pmod(murmur3(bucketCols), nBuckets)` (exactly
+    * Spark's HashPartitioning bucket function — `repartition(n, cols)`
+    * IS that routing, so each output partition index equals its bucket
+    * id), sort within buckets by `bucketCols ++ sortCols`, and every
+    * written file carries Spark's `_%05d` bucket-id tag. With the
+    * `#bucket` manifest line recorded, the V1 relation declares the
+    * BucketSpec and Spark plans joins/aggregations on the bucket columns
+    * across two same-(cols, n) tables WITHOUT an exchange — at 100 TB
+    * this deletes the dominant shuffle of every fact-to-fact join; pick
+    * `nBuckets` ≈ the cluster's target parallelism for the table's size
+    * (buckets are the join's parallelism unit).
+    *
+    * Appends validate the recorded (cols, n) exactly; a first commit (or
+    * `append = false`) establishes it. Every OTHER committer drops the
+    * line — plain [[commit]] appends refuse loudly, mutations/compact
+    * rewrite unbucketed and clear the property (correct reads, shuffles
+    * return; re-establish with a fresh `commitBucketed(append=false)`).
+    * Same CAS discipline as [[commit]]. */
+  def commitBucketed(df: DataFrame, table: String,
+                     bucketCols: Seq[String], nBuckets: Int,
+                     sortCols: Seq[String] = Nil,
+                     append: Boolean = true,
+                     maxRecordsPerFile: Long = 1000000L): Long = {
+    require(bucketCols.nonEmpty && nBuckets >= 1,
+      s"need bucket columns and nBuckets >= 1, got $bucketCols / $nBuckets")
+    require((bucketCols ++ sortCols).forall(c =>
+        !c.contains(",") && !c.contains("\t") && df.columns.contains(c)),
+      s"bucket/sort columns must exist in the frame and be separator-" +
+      s"free: ${bucketCols ++ sortCols} vs ${df.columns.toSeq}")
+    val spark = df.sparkSession
+    val line = s"#bucket\t$nBuckets\t${bucketCols.mkString(",")}\t" +
+      sortCols.mkString(",")
+    val dir = writeDataBucketed(df, table, bucketCols, nBuckets, sortCols,
+      maxRecordsPerFile)
+    var attempts = 0
+    while (attempts < 64) {
+      val base = latest(spark, table)
+      if (append) {
+        base.foreach { b =>
+          val existing = manifestBucket(spark, table, b)
+          require(manifestDirs(spark, table, b).isEmpty ||
+              existing.exists(e => e._1 == nBuckets && e._2 == bucketCols),
+            s"$table is not bucket-laid-out as ($bucketCols, $nBuckets) — " +
+            s"recorded: $existing; matching appends only, or overwrite")
+        }
+        val (visible, dirvs) = base.map(b =>
+          (manifestDirs(spark, table, b),
+           manifestDirectives(spark, table, b))).getOrElse((Nil, Nil))
+        if (tryCommitManifest(spark, table, base.getOrElse(0L) + 1,
+            visible :+ dir, dirvs, Some(line)))
+          return base.getOrElse(0L) + 1
+      } else {
+        if (tryCommitManifest(spark, table, base.getOrElse(0L) + 1,
+            Seq(dir), Nil, Some(line)))
+          return base.getOrElse(0L) + 1
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"bucketed commit lost $attempts CAS races at $table — livelock?")
+  }
+
+  /** The write half of [[commitBucketed]]: partition-index = bucket-id
+    * routing, within-bucket sort, then every part file renamed to carry
+    * the `_%05d` tag Spark's BucketingUtils parses (inserted before the
+    * first extension dot, the last underscore group in the name). */
+  private def writeDataBucketed(df: DataFrame, table: String,
+                                bucketCols: Seq[String], nBuckets: Int,
+                                sortCols: Seq[String],
+                                maxRecordsPerFile: Long): String = {
+    val spark = df.sparkSession
+    val dirvs = latest(spark, table)
+      .map(manifestDirectives(spark, table, _)).getOrElse(Nil)
+    val withIds = withFieldIds(df.schema, dirvs)
+    val tagged = df.select(df.columns.zipWithIndex.map { case (c, i) =>
+      col(s"`$c`").as(c, withIds.fields(i).metadata)
+    }.toIndexedSeq: _*)
+    val dir = s"$table/data/${java.util.UUID.randomUUID()}"
+    tagged.repartition(nBuckets, bucketCols.map(col): _*)
+      .sortWithinPartitions((bucketCols ++ sortCols).map(col): _*)
+      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("errorifexists").parquet(dir)
+    val fs = fsFor(spark, dir)
+    val PartIdx = "part-(\\d+)-.*".r
+    fs.listStatus(new HPath(dir)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+        val tag = n match {
+          case PartIdx(idx) => f"_${idx.toInt}%05d"
+          case _ => throw new IllegalStateException(
+            s"unexpected part-file name in bucketed write: $n")
+        }
+        val renamed = n.replaceFirst("\\.", s"$tag.")
+        require(fs.rename(st.getPath, new HPath(dir, renamed)),
+          s"bucket-tag rename failed: $n -> $renamed")
+      }
+    }
+    dir
   }
 
   /** Time-travel read: the table exactly as of committed snapshot `id`,

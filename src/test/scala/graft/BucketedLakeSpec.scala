@@ -1,0 +1,147 @@
+package graft
+
+import graft.sources.SnapshotLake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketed snapshot tables (r18): `SnapshotLake.commitBucketed` routes
+  * rows to `pmod(murmur3(bucketCols), n)` buckets (Spark's own bucket
+  * function), tags every file with the `_%05d` bucket id, and records a
+  * `#bucket` manifest line; the V1 relation then declares the BucketSpec
+  * and Spark plans joins / aggregations on the bucket columns across two
+  * same-layout tables WITHOUT a shuffle — the co-located-join shape that
+  * deletes the dominant exchange of a 100 TB fact-to-fact join. Pins:
+  *  1. values: bucketed read ≡ the plain frame, at every scale knob;
+  *  2. THE plan claim: join of two bucketed tables on the bucket columns
+  *     carries ZERO ShuffleExchange; groupBy on them likewise;
+  *  3. the layout invariant: plain appends refuse, mismatched bucketed
+  *     appends refuse, matching bucketed appends extend the layout;
+  *  4. mutations drop the property (reads stay correct, shuffles
+  *     return) — re-establishing is one fresh commitBucketed. */
+class BucketedLakeSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def rows(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    // AQE nests exchanges inside materialized query stages, which plain
+    // collect() does not traverse — count them in the FINAL plan string
+    val plan = df.queryExecution.executedPlan.toString
+    "Exchange (hash|range|single)".r.findAllIn(plan).length
+  }
+
+  private def frame(nRows: Int, tag: String): DataFrame = {
+    import s.implicits._
+    (1 to nRows).map(i => (i.toLong, s"$tag$i", i * 2.0))
+      .toDF("k", "v", "x")
+  }
+
+  test("bucketed read ≡ plain values; join + groupBy on bucket cols run " +
+       "with ZERO shuffles; unbucketed twin pays them") {
+    val a = tmpDir("blk-a"); val b = tmpDir("blk-b")
+    val ua = tmpDir("blk-ua"); val ub = tmpDir("blk-ub")
+    SnapshotLake.commitBucketed(frame(500, "a"), a, Seq("k"), 8)
+    SnapshotLake.commitBucketed(frame(300, "b"), b, Seq("k"), 8)
+    SnapshotLake.commit(frame(500, "a"), ua)
+    SnapshotLake.commit(frame(300, "b"), ub)
+    def lake(t: String) = s.read.format("graftlake").load(t)
+    // values identical to the plain layout
+    assert(rows(lake(a)) == rows(frame(500, "a")))
+    // the co-located join: zero exchanges under the bucketed pair
+    val bj = lake(a).join(lake(b).select(col("k"), col("v").as("bv")), "k")
+    val pj = lake(ua).join(lake(ub).select(col("k"), col("v").as("bv")), "k")
+    assert(rows(bj) == rows(pj), "bucketed join changed values")
+    // disable broadcast so the join shape is the fact-to-fact one
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bj2 = lake(a).join(lake(b).select(col("k"), col("v").as("bv")),
+        "k")
+      val pj2 = lake(ua).join(lake(ub).select(col("k"), col("v").as("bv")),
+        "k")
+      assert(shuffles(bj2) == 0,
+        s"bucketed join must not shuffle:\n${bj2.queryExecution.executedPlan}")
+      assert(shuffles(pj2) > 0, "the unbucketed twin should pay exchanges")
+      // aggregation on the bucket column: partial+final without exchange
+      val bAgg = lake(a).groupBy("k").agg(sum("x").as("sx"))
+      assert(shuffles(bAgg) == 0,
+        s"bucketed groupBy must not shuffle:\n${bAgg.queryExecution.executedPlan}")
+      assert(rows(bAgg) == rows(lake(ua).groupBy("k")
+        .agg(sum("x").as("sx"))))
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("layout invariant: plain appends refuse, mismatched bucketed " +
+       "appends refuse, matching appends extend; mutations drop the " +
+       "property with reads intact") {
+    import s.implicits._
+    val t = tmpDir("blk-inv")
+    SnapshotLake.commitBucketed(frame(100, "a"), t, Seq("k"), 4)
+    // plain append refuses loudly
+    val ex1 = intercept[IllegalArgumentException](
+      SnapshotLake.commit(Seq((9000L, "z", 1.0)).toDF("k", "v", "x"), t))
+    assert(ex1.getMessage.contains("bucket"))
+    // mismatched layout refuses
+    val ex2 = intercept[IllegalArgumentException](
+      SnapshotLake.commitBucketed(frame(10, "m"), t, Seq("k"), 8))
+    assert(ex2.getMessage.contains("bucket"))
+    val ex3 = intercept[IllegalArgumentException](
+      SnapshotLake.commitBucketed(frame(10, "m"), t, Seq("v"), 4))
+    assert(ex3.getMessage.contains("bucket"))
+    // matching append extends the layout; the join stays shuffle-free
+    SnapshotLake.commitBucketed(
+      (501 to 600).map(i => (i.toLong, s"a$i", i * 2.0))
+        .toDF("k", "v", "x"), t, Seq("k"), 4)
+    assert(s.read.format("graftlake").load(t).count() == 200)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val self = s.read.format("graftlake").load(t)
+      val j = self.join(
+        s.read.format("graftlake").load(t).select(col("k"),
+          col("x").as("x2")), "k")
+      assert(shuffles(j) == 0, "two-dir bucketed self-join must co-locate")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // a mutation rewrites unbucketed and DROPS the property — values
+    // right, the BucketSpec gone (shuffles return), re-establishable
+    assert(SnapshotLake.delete(s, t, col("k") === 1L).isDefined)
+    val post = SnapshotLake.latest(s, t).get
+    assert(SnapshotLake.manifestBucket(s, t, post).isEmpty,
+      "a CoW mutation must drop the bucket property")
+    assert(s.read.format("graftlake").load(t).count() == 199)
+    SnapshotLake.commitBucketed(
+      s.read.format("graftlake").load(t), t, Seq("k"), 4, append = false)
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isDefined)
+    assert(s.read.format("graftlake").load(t).count() == 199)
+  }
+
+  test("bucket routing matches Spark's bucket function file by file") {
+    import s.implicits._
+    val t = tmpDir("blk-route")
+    SnapshotLake.commitBucketed(frame(200, "r"), t, Seq("k"), 8)
+    val dir = SnapshotLake.manifestDirs(s, t,
+      SnapshotLake.latest(s, t).get).head
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_")
+        && !f.getName.startsWith("."))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bucketId = org.apache.spark.sql.execution.datasources
+        .BucketingUtils.getBucketId(f.getName).getOrElse(
+          fail(s"no bucket tag on ${f.getName}"))
+      // every row in the file must hash to exactly that bucket under
+      // Spark's own function (pmod(hash(cols), n) — hash() IS murmur3-42)
+      val bad = s.read.parquet(f.getAbsolutePath)
+        .filter(pmod(hash(col("k")), lit(8)) =!= bucketId).count()
+      assert(bad == 0, s"${f.getName}: $bad rows off-bucket")
+    }
+  }
+}
