@@ -200,16 +200,42 @@ class GraftLakeCatalog extends TableCatalog
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graftlake does not lay data out by partition transforms; " +
-      "use SnapshotLake.compactZOrder for layout")
+    // the ONE transform graftlake lays data out by is bucket(n, cols)
+    // (r18 — `CLUSTERED BY (cols) INTO n BUCKETS`): the table then
+    // carries the #bucket manifest line and every INSERT routes +
+    // bucket-tags through RequiresDistributionAndOrdering
+    val bucket = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val n = t.arguments.head match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"bucket transform needs a literal count, got $other")
+        }
+        val cols = t.arguments.tail.map {
+          case r: NamedReference => r.fieldNames.mkString(".")
+          case other => throw new IllegalArgumentException(
+            s"bucket transform needs column references, got $other")
+        }.toSeq
+        Some((n, cols))
+      case other => throw new UnsupportedOperationException(
+        s"graftlake lays data out by bucket(n, cols) only, got " +
+        s"${other.mkString(", ")} — use SnapshotLake.compactZOrder for " +
+        "other layouts")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val path = pathOf(ident)
     // a schema-bearing empty first snapshot (the delete()-path idiom):
     // CTAS appends the query's rows as snapshot 2
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema).repartition(1)
-    SnapshotLake.commit(empty, path, append = true)
+      spark.sparkContext.emptyRDD[Row], schema)
+    bucket match {
+      case None =>
+        SnapshotLake.commit(empty.repartition(1), path, append = true)
+      case Some((n, cols)) =>
+        SnapshotLake.commitBucketed(empty, path, cols, n, append = false)
+    }
     new GraftLakeTable(path, SnapshotLake.latest(spark, path).get)
   }
 
@@ -374,7 +400,17 @@ private[graft] class GraftLakeTable(val tableRoot: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftLakeWriteBuilder(tableRoot, info.schema())
+    new GraftLakeWriteBuilder(tableRoot, info.schema(),
+      SnapshotLake.manifestBucket(spark, tableRoot, snapshotAtLoad))
+
+  /** Reported layout: the bucket transform when the manifest records one
+    * (DESCRIBE shows it; createTable round-trips it). */
+  override def partitioning(): Array[Transform] =
+    SnapshotLake.manifestBucket(spark, tableRoot, snapshotAtLoad) match {
+      case Some((n, cols, _)) =>
+        Array(Expressions.bucket(n, cols: _*))
+      case None => Array.empty
+    }
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo)
       : RowLevelOperationBuilder =
@@ -492,17 +528,51 @@ private[graft] class GraftLakeRowLevelOperation(table: GraftLakeTable,
 }
 
 /** `INSERT INTO` (append) / `INSERT OVERWRITE` (truncate → atomic
-  * full-replace) builder. */
+  * full-replace) builder. On a bucket-laid-out table (r18) the write
+  * demands Spark's clustered distribution on the bucket columns with
+  * EXACTLY nBuckets partitions — `clustered + requiredNumPartitions` IS
+  * HashPartitioning(cols, n), so each task's partition id is its bucket
+  * id — the writers tag files `_%05d`, and the commit carries the
+  * `#bucket` line forward: SQL INSERT INTO / OVERWRITE preserve the
+  * co-located layout instead of silently degrading it. */
 private[graft] class GraftLakeWriteBuilder(tableRoot: String,
-                                           schema: StructType)
+                                           schema: StructType,
+                                           bucket: Option[(Int, Seq[String],
+                                             Seq[String])] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftLakeBatchWrite(tableRoot, schema,
-        if (doTruncate) GraftLakeBatchWrite.Truncate
-        else GraftLakeBatchWrite.Append)
+  override def build(): Write = {
+    def mode =
+      if (doTruncate) GraftLakeBatchWrite.Truncate
+      else GraftLakeBatchWrite.Append
+    bucket match {
+      case None => new Write {
+        override def toBatch: BatchWrite =
+          new GraftLakeBatchWrite(tableRoot, schema, mode)
+      }
+      case Some((n, cols, sortCols)) => new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(cols.map(c =>
+              Expressions.column(c): org.apache.spark.sql.connector
+                .expressions.Expression).toArray)
+        override def requiredNumPartitions(): Int = n
+        override def distributionStrictlyRequired(): Boolean = true
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          (cols ++ sortCols).map(c => Expressions.sort(
+            Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)).toArray
+        override def toBatch: BatchWrite =
+          new GraftLakeBatchWrite(tableRoot, schema, mode,
+            bucketSpec = bucket)
+      }
+    }
   }
 }
 
@@ -536,9 +606,16 @@ private[graft] object GraftLakeBatchWrite {
 private[graft] class GraftLakeBatchWrite(tableRoot: String,
                                          schema: StructType,
                                          mode: GraftLakeBatchWrite.Mode,
-                                         stripLeadingMarker: Boolean = false)
+                                         stripLeadingMarker: Boolean = false,
+                                         bucketSpec: Option[(Int,
+                                           Seq[String], Seq[String])] = None)
     extends BatchWrite {
   import GraftLakeBatchWrite._
+
+  private def bucketLine: Option[String] = bucketSpec.map {
+    case (n, cols, sortCols) =>
+      s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
+  }
 
   private val jobId = UUID.randomUUID().toString
   private def stagingDir = s"$tableRoot/data/$jobId-staging"
@@ -570,7 +647,8 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
       idSchema, new ParquetOptions(Map.empty[String, String],
         spark.sessionState.conf))
     new GraftLakeWriterFactory(stagingDir, idSchema, factory,
-      HadoopConfCarrier.capture(job.getConfiguration), stripLeadingMarker)
+      HadoopConfCarrier.capture(job.getConfiguration), stripLeadingMarker,
+      bucketTagged = bucketSpec.isDefined)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -594,7 +672,7 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
              SnapshotLake.manifestDirectives(spark, tableRoot, b)))
             .getOrElse((Nil, Nil))
           done = SnapshotLake.tryCommitManifest(spark, tableRoot,
-            base.getOrElse(0L) + 1, visible :+ dataDir, dirvs)
+            base.getOrElse(0L) + 1, visible :+ dataDir, dirvs, bucketLine)
           attempts += 1
         }
         if (!done) throw new IllegalStateException(
@@ -606,7 +684,7 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
           val base = SnapshotLake.latest(spark, tableRoot).getOrElse(0L)
           // full replace resets directives: the table IS the new frame
           done = SnapshotLake.tryCommitManifest(spark, tableRoot,
-            base + 1, Seq(dataDir))
+            base + 1, Seq(dataDir), Nil, bucketLine)
           attempts += 1
         }
         if (!done) throw new IllegalStateException(
@@ -643,12 +721,14 @@ private[graft] class GraftLakeWriterFactory(stagingDir: String,
                                             schema: StructType,
                                             factory: OutputWriterFactory,
                                             conf: Array[(String, String)],
-                                            stripLeadingMarker: Boolean)
+                                            stripLeadingMarker: Boolean,
+                                            bucketTagged: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new GraftLakeDataWriter(stagingDir, schema, factory, partitionId,
-      taskId, HadoopConfCarrier.restore(conf), stripLeadingMarker)
+      taskId, HadoopConfCarrier.restore(conf), stripLeadingMarker,
+      bucketTagged)
 }
 
 private[graft] class GraftLakeDataWriter(stagingDir: String,
@@ -656,7 +736,8 @@ private[graft] class GraftLakeDataWriter(stagingDir: String,
                                          factory: OutputWriterFactory,
                                          partitionId: Int, taskId: Long,
                                          conf: Configuration,
-                                         stripLeadingMarker: Boolean)
+                                         stripLeadingMarker: Boolean,
+                                         bucketTagged: Boolean = false)
     extends DataWriter[InternalRow] {
   import GraftLakeBatchWrite.StagedLakeFile
 
@@ -666,8 +747,14 @@ private[graft] class GraftLakeDataWriter(stagingDir: String,
   // task ids restart at 0 per application: the file name alone must be
   // collision-free across jobs, so the staging dir (job UUID) carries
   // the uniqueness and the landed name keeps partition+task for debug
+  // bucketed tables (r18): the write demanded exactly-nBuckets clustered
+  // partitions, so partitionId IS the bucket id — tag it in the _%05d
+  // form BucketingUtils parses (last underscore group before the dots)
+  private val bucketTag =
+    if (bucketTagged) f"_$partitionId%05d" else ""
   private val staged =
-    s"$stagingDir/part-$partitionId-$taskId${factory.getFileExtension(attempt)}"
+    s"$stagingDir/part-$partitionId-$taskId$bucketTag" +
+      factory.getFileExtension(attempt)
   // created EAGERLY so even a zero-row task emits a schema-bearing file
   // (an empty table must still read with its schema)
   private val out: OutputWriter = factory.newInstance(staged, schema, attempt)

@@ -733,9 +733,16 @@ object SnapshotLake {
       col(s"`$c`").as(c, withIds.fields(i).metadata)
     }.toIndexedSeq: _*)
     val dir = s"$table/data/${java.util.UUID.randomUUID()}"
-    tagged.repartition(nBuckets, bucketCols.map(col): _*)
-      .sortWithinPartitions((bucketCols ++ sortCols).map(col): _*)
-      .write.option("maxRecordsPerFile", maxRecordsPerFile)
+    // an EMPTY frame must still land one schema-bearing file (an empty
+    // bucketed CREATE TABLE) — n empty shuffle partitions may write
+    // none, so route the empty case through a single partition; the
+    // rename below tags it bucket 0 (an empty bucket 0 is vacuously
+    // correctly routed)
+    val routed =
+      if (tagged.isEmpty) tagged.repartition(1)
+      else tagged.repartition(nBuckets, bucketCols.map(col): _*)
+        .sortWithinPartitions((bucketCols ++ sortCols).map(col): _*)
+    routed.write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("errorifexists").parquet(dir)
     val fs = fsFor(spark, dir)
     val PartIdx = "part-(\\d+)-.*".r

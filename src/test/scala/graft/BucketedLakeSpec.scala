@@ -123,6 +123,65 @@ class BucketedLakeSpec extends AnyFunSuite {
     assert(s.read.format("graftlake").load(t).count() == 199)
   }
 
+  test("SQL lifecycle: CREATE TABLE CLUSTERED BY + INSERT INTO/OVERWRITE " +
+       "preserve the layout; the V1 read joins shuffle-free (r18)") {
+    val root = tmpDir("blk-sql")
+    val t = s"$root/bt"
+    s.sql(s"CREATE TABLE graftlake.`$t` (k BIGINT, v STRING) " +
+      "CLUSTERED BY (k) INTO 4 BUCKETS")
+    // the layout is recorded and reported from the very first snapshot
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).contains((4, Seq("k"), Seq())))
+    assert(s.sql(s"DESCRIBE EXTENDED graftlake.`$t`").collect()
+      .map(_.toSeq.mkString(" ")).exists(_.contains("bucket")))
+    // INSERT INTO routes through the demanded clustered distribution
+    // and KEEPS the line (plain V1 appends would refuse; V2 routes)
+    s.sql(s"INSERT INTO graftlake.`$t` " +
+      "SELECT id AS k, concat('v', id) AS v FROM range(1, 301)")
+    s.sql(s"INSERT INTO graftlake.`$t` " +
+      "SELECT id AS k, concat('w', id) AS v FROM range(301, 401)")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isDefined,
+      "INSERT INTO must preserve the bucket layout")
+    assert(s.read.format("graftlake").load(t).count() == 400)
+    // every landed file carries a valid bucket tag and routes exactly
+    SnapshotLake.manifestDirs(s, t, SnapshotLake.latest(s, t).get)
+      .foreach { dir =>
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")).foreach { f =>
+            val b = org.apache.spark.sql.execution.datasources
+              .BucketingUtils.getBucketId(f.getName).getOrElse(
+                fail(s"untagged file from SQL insert: ${f.getName}"))
+            val bad = s.read.parquet(f.getAbsolutePath)
+              .filter(pmod(hash(col("k")), lit(4)) =!= b).count()
+            assert(bad == 0, s"${f.getName}: $bad rows off-bucket")
+          }
+      }
+    // the co-located join through the V1 read, across the SQL-written dirs
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = s.read.format("graftlake").load(t)
+      val j = l.join(s.read.format("graftlake").load(t)
+        .select(col("k"), col("v").as("v2")), "k")
+      assert(shuffles(j) == 0,
+        s"SQL-written buckets must co-locate:\n${j.queryExecution.executedPlan}")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // INSERT OVERWRITE replaces the data and keeps the layout
+    s.sql(s"INSERT OVERWRITE graftlake.`$t` " +
+      "SELECT id AS k, concat('o', id) AS v FROM range(1, 51)")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isDefined)
+    assert(s.read.format("graftlake").load(t).count() == 50)
+    // a row-level mutation still drops the property (documented): the
+    // rewrite is unbucketed, values stay right
+    s.sql(s"UPDATE graftlake.`$t` SET v = 'X' WHERE k = 5")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isEmpty)
+    assert(rows(s.read.format("graftlake").load(t)
+      .filter(col("k") === 5L)) == Set(Seq[Any](5L, "X")))
+  }
+
   test("bucket routing matches Spark's bucket function file by file") {
     import s.implicits._
     val t = tmpDir("blk-route")
