@@ -282,6 +282,71 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** Bucketed vs plain fact-to-fact join at sf1 (r18): lineitem ⋈ orders
+    * on the order key — the canonical shuffle-dominated join — with both
+    * sides as graftlake tables, once plain and once bucket-laid-out on
+    * the key. Measures the per-query wall with broadcast disabled (the
+    * fact-to-fact shape) and prints the exchange counts; the bucketed
+    * pair must plan ZERO. Run with `runMain graft.ScaleSmoke bucketJoin`. */
+  private def bucketJoinMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    import graft.sources.SnapshotLake
+    val root = "target/bucket_join_sf1"
+    val li = spark.read.parquet("target/sf1/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"))
+    val ord = spark.read.parquet("target/sf1/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    if (!Files.exists(Paths.get(s"$root/_built_v1"))) {
+      SnapshotLake.commit(li, s"$root/li_plain", append = false)
+      SnapshotLake.commit(ord, s"$root/ord_plain", append = false)
+      SnapshotLake.commitBucketed(li.withColumnRenamed("l_orderkey", "k"),
+        s"$root/li_bucket", Seq("k"), cpus.toInt, append = false)
+      SnapshotLake.commitBucketed(ord.withColumnRenamed("o_orderkey", "k"),
+        s"$root/ord_bucket", Seq("k"), cpus.toInt, append = false)
+      Files.createFile(Paths.get(s"$root/_built_v1"))
+    }
+    def lake(t: String) = spark.read.format("graftlake").load(s"$root/$t")
+    def time(df: DataFrame): (Double, Int) = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      (secs, "Exchange (hash|range|single)".r.findAllIn(plan).length)
+    }
+    def plainJoin = lake("li_plain")
+      .join(lake("ord_plain"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_quantity")).as("q"), sum(col("o_totalprice")).as("t"))
+    def bucketJoin = lake("li_bucket")
+      .join(lake("ord_bucket").withColumnRenamed("k", "k2"),
+        col("k") === col("k2"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("l_quantity")).as("q"), sum(col("o_totalprice")).as("t"))
+    // warm, then two timed passes each, min
+    time(plainJoin); time(bucketJoin)
+    val p = Seq(time(plainJoin), time(plainJoin))
+    val b = Seq(time(bucketJoin), time(bucketJoin))
+    println("\nlayout | s (min of 2) | exchanges")
+    println(f"plain | ${p.map(_._1).min}%.2f | ${p.head._2}")
+    println(f"bucketed | ${b.map(_._1).min}%.2f | ${b.head._2}")
+    spark.stop()
+  }
+
   /** N-copy synthesis with the [[buildSf1]] rules generalized (only the
     * tables the sf10 keys read are scaled; dims pass through). */
   private def buildSfN(spark: SparkSession, src: String, out: String,
@@ -342,6 +407,7 @@ object ScaleSmoke {
     if (args.toSeq == Seq("embedAuto")) return embedAutoMain()
     if (args.toSeq == Seq("pagerank")) return pagerankMain()
     if (args.toSeq == Seq("simhash128")) return simhash128Main()
+    if (args.toSeq == Seq("bucketJoin")) return bucketJoinMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares

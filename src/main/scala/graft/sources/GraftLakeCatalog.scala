@@ -94,10 +94,11 @@ import graft.sources.v2.HadoopConfCarrier
   * snapshots stay time-travel-readable (`snapshotId` read option /
   * [[SnapshotLake.readAt]]).
   *
-  * Rename-evolved tables refuse to SCAN here for the same reason as the
-  * V1 provider (rename-by-mapping needs the readAt coalesce projection)
-  * — see GraftLakeProvider's scaladoc; `readAt` stays the full-fidelity
-  * reader until column mapping lands.
+  * Rename-evolved tables scan natively by column mapping (r17,
+  * origin-hash parquet field ids) — except a rename chain that REUSES a
+  * live physical name, which refuses loudly here (parquet pushdown
+  * binds by name; see [[SnapshotLake.renameReusesName]]) with the
+  * compact escape; `readAt` stays the always-works fallback.
   */
 class GraftLakeCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
