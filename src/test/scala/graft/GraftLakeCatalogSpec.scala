@@ -205,6 +205,20 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       == Seq("k", "v", "score"))
   }
 
+  test("TRUNCATE TABLE empties through the delete path; history intact (r18)") {
+    val t = tmpDir("cat-trunc")
+    seed(t)
+    val pre = SnapshotLake.latest(s, t).get
+    s.sql(s"TRUNCATE TABLE graftlake.`$t`")
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t`")).isEmpty)
+    assert(s.sql(s"SELECT * FROM graftlake.`$t`").schema.fieldNames.toSeq
+      == Seq("k", "v"), "an emptied table must stay schema-readable")
+    assert(rows(SnapshotLake.readAt(s, t, pre)).size == 4,
+      "pre-truncate history must stay time-travel readable")
+    s.sql(s"INSERT INTO graftlake.`$t` VALUES (7L, 'g')")
+    assert(rows(SnapshotLake.readLatest(s, t)) == Set(Seq[Any](7L, "g")))
+  }
+
   test("row-level commit CAS races fail loudly, table state untouched") {
     import s.implicits._
     val t = tmpDir("cat-race")
