@@ -724,10 +724,12 @@ object SnapshotLake {
   private def writeDataBucketed(df: DataFrame, table: String,
                                 bucketCols: Seq[String], nBuckets: Int,
                                 sortCols: Seq[String],
-                                maxRecordsPerFile: Long): String = {
+                                maxRecordsPerFile: Long,
+                                idDirectives: Option[Seq[String]] = None)
+      : String = {
     val spark = df.sparkSession
-    val dirvs = latest(spark, table)
-      .map(manifestDirectives(spark, table, _)).getOrElse(Nil)
+    val dirvs = idDirectives.getOrElse(latest(spark, table)
+      .map(manifestDirectives(spark, table, _)).getOrElse(Nil))
     val withIds = withFieldIds(df.schema, dirvs)
     val tagged = df.select(df.columns.zipWithIndex.map { case (c, i) =>
       col(s"`$c`").as(c, withIds.fields(i).metadata)
@@ -816,6 +818,12 @@ object SnapshotLake {
       !from.contains("\t") && !to.contains("\t") &&
       !from.contains("\n") && !to.contains("\n"),
       "column names must be distinct, non-empty and tab/newline-free")
+    latest(spark, table).flatMap(manifestBucket(spark, table, _))
+      .foreach { case (_, cols, sortCols) =>
+        require(!(cols ++ sortCols).contains(from),
+          s"column $from is part of $table's bucket layout — compact " +
+          "away the layout (overwrite unbucketed) before renaming it")
+      }
     evolve(spark, table, s"#schema\trename\t$from\t$to", (schema, dirvs) => {
       require(schema.fieldNames.contains(from),
         s"no column $from at $table")
@@ -841,6 +849,12 @@ object SnapshotLake {
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     require(name.nonEmpty && !name.contains("\t") && !name.contains("\n"),
       "column name must be non-empty and tab/newline-free")
+    latest(spark, table).flatMap(manifestBucket(spark, table, _))
+      .foreach { case (_, cols, sortCols) =>
+        require(!(cols ++ sortCols).contains(name),
+          s"column $name is part of $table's bucket layout — compact " +
+          "away the layout (overwrite unbucketed) before dropping it")
+      }
     evolve(spark, table, s"#schema\tdrop\t$name", (schema, _) => {
       require(schema.fieldNames.contains(name),
         s"no column $name at $table")
@@ -859,7 +873,15 @@ object SnapshotLake {
       val dirs = manifestDirs(spark, table, base)
       val dirvs = manifestDirectives(spark, table, base)
       validate(evolvedSchema(spark, dirs, dirvs), dirvs)
-      if (tryCommitManifest(spark, table, base + 1, dirs, dirvs :+ directive))
+      // an ALTER rewrites no data, so a recorded bucket layout survives
+      // verbatim (r18); renaming/dropping a BUCKET column is refused in
+      // the respective entry points — the recorded names must stay live
+      val line = manifestBucket(spark, table, base).map {
+        case (n, cols, sortCols) =>
+          s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
+      }
+      if (tryCommitManifest(spark, table, base + 1, dirs,
+          dirvs :+ directive, line))
         return base + 1
       attempts += 1
     }
@@ -1024,17 +1046,31 @@ object SnapshotLake {
   private[graft] def compactFrom(spark: SparkSession, table: String,
                                  base: Long,
                                  maxRecordsPerFile: Long): Option[Long] = {
+    // a bucket-laid-out table compacts PER the recorded layout (r18, the
+    // Delta-OPTIMIZE-keeps-clustering rule): appends accumulate one dir
+    // per commit — n files per bucket per dir — and this bin-packs them
+    // back to one dir without losing the co-located-join property
+    val bucket = manifestBucket(spark, table, base)
     // compact materializes directives and DROPS them — ids must hash the
     // post-compact (current) names, not the dropped chain's origins
-    val dir = writeData(readAt(spark, table, base), table,
-      maxRecordsPerFile, idDirectives = Some(Nil))
+    val dir = bucket match {
+      case Some((n, cols, sortCols)) =>
+        writeDataBucketed(readAt(spark, table, base), table, cols, n,
+          sortCols, maxRecordsPerFile, idDirectives = Some(Nil))
+      case None =>
+        writeData(readAt(spark, table, base), table,
+          maxRecordsPerFile, idDirectives = Some(Nil))
+    }
+    val line = bucket.map { case (n, cols, sortCols) =>
+      s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
+    }
     // single CAS attempt at exactly base+1 — anything else means the
     // rewrite's input is no longer the table. Evolution directives are
     // deliberately DROPPED: readAt already materialized them into the
     // rewritten files, so carrying them forward would be a no-op at best
     // and a re-rename hazard at worst.
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, Seq(dir)))
+        tryCommitManifest(spark, table, base + 1, Seq(dir), Nil, line))
       Some(base + 1)
     else None
   }

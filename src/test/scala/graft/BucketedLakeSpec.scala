@@ -182,6 +182,55 @@ class BucketedLakeSpec extends AnyFunSuite {
       .filter(col("k") === 5L)) == Set(Seq[Any](5L, "X")))
   }
 
+  test("compact preserves the layout and bin-packs; ALTER carries it; " +
+       "bucket-column rename/drop refuse (r18)") {
+    import s.implicits._
+    val t = tmpDir("blk-compact")
+    SnapshotLake.commitBucketed(frame(100, "a"), t, Seq("k"), 4)
+    SnapshotLake.commitBucketed(
+      (101 to 200).map(i => (i.toLong, s"a$i", i * 2.0))
+        .toDF("k", "v", "x"), t, Seq("k"), 4)
+    assert(SnapshotLake.manifestDirs(s, t,
+      SnapshotLake.latest(s, t).get).size == 2)
+    // compact: one dir, layout KEPT, join still shuffle-free
+    val cid = SnapshotLake.compact(s, t).get
+    assert(SnapshotLake.manifestDirs(s, t, cid).size == 1,
+      "compact must bin-pack the bucketed dirs")
+    assert(SnapshotLake.manifestBucket(s, t, cid)
+      .contains((4, Seq("k"), Seq())),
+      "compact must preserve the bucket layout")
+    assert(s.read.format("graftlake").load(t).count() == 200)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val l = s.read.format("graftlake").load(t)
+      val j = l.join(s.read.format("graftlake").load(t)
+        .select(col("k"), col("x").as("x2")), "k")
+      assert(shuffles(j) == 0, "post-compact join must stay co-located")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // ALTER ADD carries the layout (no data rewrite); while directives
+    // exist the relation declares no BucketSpec (conservative), and
+    // compact materializes the ALTER and RESTORES the declaration
+    SnapshotLake.addColumn(s, t, "note", "string")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isDefined,
+      "ALTER must not drop the bucket layout")
+    assert(s.read.format("graftlake").load(t).columns.contains("note"))
+    val cid2 = SnapshotLake.compact(s, t).get
+    assert(SnapshotLake.manifestDirectives(s, t, cid2).isEmpty &&
+      SnapshotLake.manifestBucket(s, t, cid2).isDefined)
+    // renaming or dropping a BUCKET column refuses while the layout lives
+    val exR = intercept[IllegalArgumentException](
+      SnapshotLake.renameColumn(s, t, "k", "kk"))
+    assert(exR.getMessage.contains("bucket layout"))
+    val exD = intercept[IllegalArgumentException](
+      SnapshotLake.dropColumn(s, t, "k"))
+    assert(exD.getMessage.contains("bucket layout"))
+    // non-bucket columns evolve freely
+    SnapshotLake.renameColumn(s, t, "note", "memo")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).isDefined)
+  }
+
   test("bucket routing matches Spark's bucket function file by file") {
     import s.implicits._
     val t = tmpDir("blk-route")
