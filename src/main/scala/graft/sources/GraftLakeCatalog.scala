@@ -668,6 +668,18 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
         var done = false
         while (!done && attempts < 64) {
           val base = SnapshotLake.latest(spark, tableRoot)
+          // layout race guard (r18): this write routed rows for the
+          // layout the statement LOADED; if a concurrent writer changed
+          // the table's bucket line meanwhile, appending our dir would
+          // mix layouts under one declaration — fail loudly instead
+          base.foreach { b =>
+            val current = SnapshotLake.manifestBucket(spark, tableRoot, b)
+              .map { case (n, cols, _) => (n, cols) }
+            val ours = bucketSpec.map { case (n, cols, _) => (n, cols) }
+            require(current == ours,
+              s"bucket layout of $tableRoot changed while this INSERT " +
+              s"ran (loaded: $ours, now: $current) — re-run the statement")
+          }
           val (visible, dirvs) = base.map(b =>
             (SnapshotLake.manifestDirs(spark, tableRoot, b),
              SnapshotLake.manifestDirectives(spark, tableRoot, b)))
