@@ -57,6 +57,7 @@ object Bench {
         "graft.sources.GraftLakeCatalog")
       // column-mapped (rename-evolved) graftlake scans match by field id
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,9 +101,27 @@ import graft.sources.v2.HadoopConfCarrier
   * compact escape; `readAt` stays the always-works fallback.
   */
 class GraftLakeCatalog extends TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = "graftlake"
   private var warehouse: Option[String] = None
+
+  /** `FunctionCatalog` (r19): serves the `bucket` routing function so
+    * Catalyst can resolve the `KeyGroupedPartitioning` a bucket-laid-out
+    * table's scan reports — the storage-partitioned-join contract
+    * (`V2ExpressionUtils` loads the transform's function by name with an
+    * empty namespace from the RELATION's catalog). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty[String], "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** `CALL graftlake.system.<proc>(...)` — the maintenance procedures
     * (r18): compact / expire / zorder / rebalance, each ≡ its object-API
@@ -384,19 +402,37 @@ private[graft] class GraftLakeTable(val tableRoot: String,
     // when filtered, and the probe column of the dir-granular row-level
     // operations. A user `_dir` DATA column shadows the synthetic one
     // entirely (plain index, no partition column) so it stays readable.
+    // bucket-laid-out tables (r19): the scan reports the layout as
+    // KeyGroupedPartitioning so SQL joins on the bucket columns plan
+    // exchange-free (storage-partitioned joins; needs
+    // spark.sql.sources.v2.bucketing.enabled=true)
+    val bucket = SnapshotLake.manifestBucket(spark, tableRoot,
+      snapshotAtLoad)
     if (dirTracking) {
       val index = new DirLabeledFileIndex(spark, dirs, reqSchema, stats)
       val full = StructType(reqSchema.fields :+ org.apache.spark.sql.types
         .StructField(DirLabeledFileIndex.DirColumn, StringType,
           nullable = false))
-      ParquetScanBuilder(spark, index, full, reqSchema, options)
+      bucket match {
+        case Some((n, cols, _)) =>
+          new BucketedParquetScanBuilder(spark, index, full, reqSchema,
+            options, n, cols)
+        case None => ParquetScanBuilder(spark, index, full, reqSchema,
+          options)
+      }
     } else {
       val index =
         if (stats.isEmpty)
           new InMemoryFileIndex(spark, dirs.map(new Path(_)),
             Map.empty[String, String], Some(reqSchema))
         else new StatsPrunedFileIndex(spark, dirs, reqSchema, stats)
-      ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+      bucket match {
+        case Some((n, cols, _)) =>
+          new BucketedParquetScanBuilder(spark, index, reqSchema,
+            reqSchema, options, n, cols)
+        case None =>
+          ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+      }
     }
   }
 

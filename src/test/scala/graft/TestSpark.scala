@@ -21,6 +21,9 @@ object TestSpark {
         "graft.sources.GraftLakeCatalog")
       // column-mapped (rename-evolved) graftlake scans match by field id
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
+      // storage-partitioned joins (r19): lets bucket-laid-out graftlake
+      // catalog tables plan co-located SQL joins exchange-free
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   lazy val spark: SparkSession = {
