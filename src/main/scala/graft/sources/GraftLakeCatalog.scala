@@ -225,6 +225,12 @@ class GraftLakeCatalog extends TableCatalog
     // bucket-tags through RequiresDistributionAndOrdering
     val bucket = partitions.toSeq match {
       case Seq() => None
+      // CLUSTERED BY ... SORTED BY ... INTO n BUCKETS (r19, advice):
+      // Spark parses that as the sorted_bucket transform — carry the
+      // sort columns into the #bucket line (within-bucket sort order)
+      case Seq(t) if t.name == "sorted_bucket" &&
+          org.apache.spark.sql.GraftShim.parseSortedBucket(t).isDefined =>
+        org.apache.spark.sql.GraftShim.parseSortedBucket(t)
       case Seq(t) if t.name == "bucket" =>
         val n = t.arguments.head match {
           case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -237,10 +243,11 @@ class GraftLakeCatalog extends TableCatalog
           case other => throw new IllegalArgumentException(
             s"bucket transform needs column references, got $other")
         }.toSeq
-        Some((n, cols))
+        Some((n, cols, Seq.empty[String]))
       case other => throw new UnsupportedOperationException(
-        s"graftlake lays data out by bucket(n, cols) only, got " +
-        s"${other.mkString(", ")} — use SnapshotLake.compactZOrder for " +
+        s"graftlake lays data out by bucketing only — CLUSTERED BY " +
+        s"(cols) [SORTED BY (cols)] INTO n BUCKETS — got " +
+        s"${other.mkString(", ")}; use SnapshotLake.compactZOrder for " +
         "other layouts")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -252,8 +259,9 @@ class GraftLakeCatalog extends TableCatalog
     bucket match {
       case None =>
         SnapshotLake.commit(empty.repartition(1), path, append = true)
-      case Some((n, cols)) =>
-        SnapshotLake.commitBucketed(empty, path, cols, n, append = false)
+      case Some((n, cols, sortCols)) =>
+        SnapshotLake.commitBucketed(empty, path, cols, n, sortCols,
+          append = false)
     }
     new GraftLakeTable(path, SnapshotLake.latest(spark, path).get)
   }
@@ -441,9 +449,14 @@ private[graft] class GraftLakeTable(val tableRoot: String,
       SnapshotLake.manifestBucket(spark, tableRoot, snapshotAtLoad))
 
   /** Reported layout: the bucket transform when the manifest records one
-    * (DESCRIBE shows it; createTable round-trips it). */
+    * (DESCRIBE shows it; createTable round-trips it) — sorted_bucket
+    * when the layout carries within-bucket sort columns (r19, advice:
+    * DESCRIBE and round-trips no longer lose the SORTED BY half). */
   override def partitioning(): Array[Transform] =
     SnapshotLake.manifestBucket(spark, tableRoot, snapshotAtLoad) match {
+      case Some((n, cols, sortCols)) if sortCols.nonEmpty =>
+        Array(org.apache.spark.sql.GraftShim.sortedBucket(n, cols,
+          sortCols))
       case Some((n, cols, _)) =>
         Array(Expressions.bucket(n, cols: _*))
       case None => Array.empty
@@ -552,16 +565,59 @@ private[graft] class GraftLakeRowLevelOperation(table: GraftLakeTable,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+      override def build(): Write = {
+        // a recorded bucket layout survives SQL UPDATE/MERGE/DELETE
+        // (r19): the rewrite demands the clustered distribution on the
+        // bucket columns (partition id = bucket id), writers tag, and
+        // the commit carries the #bucket line forward — co-located
+        // joins keep working after row-level mutations
+        val bucket = SnapshotLake.manifestBucket(spark, table.tableRoot,
+          table.snapshotAtLoad)
+        GraftLakeWrites.layoutWrite(bucket,
           new GraftLakeBatchWrite(table.tableRoot, info.schema(),
             GraftLakeBatchWrite.ReplaceDirs(table.snapshotAtLoad, served),
-            stripLeadingMarker = !dirTracking)
+            stripLeadingMarker = !dirTracking, bucketSpec = bucket))
       }
     }
   override def description(): String =
     s"graftlake $cmd (dir-granular copy-on-write, CAS base " +
       s"${table.snapshotAtLoad})"
+}
+
+/** Shared write-shape helper (r19): wraps a [[GraftLakeBatchWrite]] in a
+  * `Write` that — when the table records a bucket layout — demands
+  * Spark's clustered distribution on the bucket columns with EXACTLY
+  * nBuckets partitions (`clustered + requiredNumPartitions` IS
+  * `HashPartitioning(cols, n)`, so each task's partition id is its
+  * bucket id) plus the within-bucket sort; the writers then tag files
+  * `_%05d` and the commit keeps the `#bucket` line. Used by both the
+  * INSERT builder and the row-level (UPDATE/MERGE/DELETE) write. */
+private[graft] object GraftLakeWrites {
+  def layoutWrite(bucket: Option[(Int, Seq[String], Seq[String])],
+                  batch: => BatchWrite): Write = bucket match {
+    case None => new Write {
+      override def toBatch: BatchWrite = batch
+    }
+    case Some((n, cols, sortCols)) => new Write
+        with org.apache.spark.sql.connector.write
+          .RequiresDistributionAndOrdering {
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(cols.map(c =>
+            Expressions.column(c): org.apache.spark.sql.connector
+              .expressions.Expression).toArray)
+      override def requiredNumPartitions(): Int = n
+      override def distributionStrictlyRequired(): Boolean = true
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        (cols ++ sortCols).map(c => Expressions.sort(
+          Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING)).toArray
+      override def toBatch: BatchWrite = batch
+    }
+  }
 }
 
 /** `INSERT INTO` (append) / `INSERT OVERWRITE` (truncate → atomic
@@ -583,33 +639,8 @@ private[graft] class GraftLakeWriteBuilder(tableRoot: String,
     def mode =
       if (doTruncate) GraftLakeBatchWrite.Truncate
       else GraftLakeBatchWrite.Append
-    bucket match {
-      case None => new Write {
-        override def toBatch: BatchWrite =
-          new GraftLakeBatchWrite(tableRoot, schema, mode)
-      }
-      case Some((n, cols, sortCols)) => new Write
-          with org.apache.spark.sql.connector.write
-            .RequiresDistributionAndOrdering {
-        override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(cols.map(c =>
-              Expressions.column(c): org.apache.spark.sql.connector
-                .expressions.Expression).toArray)
-        override def requiredNumPartitions(): Int = n
-        override def distributionStrictlyRequired(): Boolean = true
-        override def requiredOrdering()
-            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-          (cols ++ sortCols).map(c => Expressions.sort(
-            Expressions.column(c),
-            org.apache.spark.sql.connector.expressions.SortDirection
-              .ASCENDING)).toArray
-        override def toBatch: BatchWrite =
-          new GraftLakeBatchWrite(tableRoot, schema, mode,
-            bucketSpec = bucket)
-      }
-    }
+    GraftLakeWrites.layoutWrite(bucket,
+      new GraftLakeBatchWrite(tableRoot, schema, mode, bucketSpec = bucket))
   }
 }
 
@@ -720,6 +751,16 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
             (SnapshotLake.manifestDirs(spark, tableRoot, b),
              SnapshotLake.manifestDirectives(spark, tableRoot, b)))
             .getOrElse((Nil, Nil))
+          // dropped-name guard (r19, advice): an INSERT racing a
+          // concurrent ALTER TABLE DROP COLUMN would land a directory
+          // still carrying the retired physical column — refuse loudly,
+          // matching the object API's append guard
+          val retired = SnapshotLake.droppedNames(dirvs)
+            .intersect(schema.fieldNames.toSet)
+          require(retired.isEmpty,
+            s"INSERT INTO $tableRoot carries dropped column(s) $retired " +
+            "— reads mask them out; drop them from the insert, or " +
+            "compact the table and re-add the column first")
           done = SnapshotLake.tryCommitManifest(spark, tableRoot,
             base.getOrElse(0L) + 1, visible :+ dataDir, dirvs, bucketLine)
           attempts += 1
@@ -739,6 +780,23 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
         if (!done) throw new IllegalStateException(
           s"INSERT OVERWRITE lost $attempts CAS races at $tableRoot")
       case ReplaceDirs(base, served) =>
+        // no-op statement guard (r19, advice): a row-level statement
+        // whose runtime probe matched ZERO directories replaces nothing;
+        // if its write also produced no rows (a DELETE/UPDATE matching
+        // no rows — a MERGE may still insert), committing would bloat
+        // the history with an empty directory (and, pre-r19, drop a
+        // bucket layout). Leave the table at the pinned snapshot.
+        if (served.dirs.isEmpty) {
+          val dd = new Path(dataDir)
+          val hasParts = fs.exists(dd) && fs.listStatus(dd).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (!hasParts || spark.read.parquet(dataDir).isEmpty) {
+            fs.delete(dd, true)
+            return
+          }
+        }
         val committed =
           SnapshotLake.latest(spark, tableRoot).contains(base) && {
             val visible = SnapshotLake.manifestDirs(spark, tableRoot, base)
@@ -747,7 +805,7 @@ private[graft] class GraftLakeBatchWrite(tableRoot: String,
             val replaced = served.dirs.toSet
             val kept = visible.filterNot(replaced)
             SnapshotLake.tryCommitManifest(spark, tableRoot, base + 1,
-              kept :+ dataDir, dirvs)
+              kept :+ dataDir, dirvs, bucketLine)
           }
         if (!committed) {
           fs.delete(new Path(dataDir), true)

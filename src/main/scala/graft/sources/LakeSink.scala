@@ -165,10 +165,14 @@ object SnapshotLake {
     * `_%05d` bucket tag. The V1 relation then declares the BucketSpec to
     * Spark, and joins / aggregations on the bucket columns across two
     * such tables run WITHOUT a shuffle — the co-located-join shape that
-    * kills the dominant exchange at 100 TB. The line is maintained only
-    * by [[commitBucketed]]; every other committer (mutations, compact,
-    * plain commit refuses loudly / V2 writes) drops it, so its presence
-    * IS the invariant that all dirs carry bucket-tagged files. */
+    * kills the dominant exchange at 100 TB. The line is maintained by
+    * [[commitBucketed]], by compact/ALTER (layout-preserving since r18),
+    * and — since r19 — by the row-level mutations ([[delete]]/[[update]]/
+    * [[merge]]/[[deleteMatching]] and the SQL row-level path), which
+    * route their rewritten directories through the SAME bucket function
+    * and keep the line; a plain [[commit]] append still refuses loudly,
+    * so the line's presence IS the invariant that all dirs carry
+    * bucket-tagged files. */
   private[graft] def manifestBucket(spark: SparkSession, table: String,
                                     id: Long)
       : Option[(Int, Seq[String], Seq[String])] =
@@ -179,6 +183,26 @@ object SnapshotLake {
          p(2).split(",").filter(_.nonEmpty).toSeq,
          p(3).split(",").filter(_.nonEmpty).toSeq)
       }
+
+  /** The one `#bucket` line formatter (r19) — every committer that
+    * carries a layout forward writes exactly this form. */
+  private[graft] def bucketLineOf(
+      bucket: Option[(Int, Seq[String], Seq[String])]): Option[String] =
+    bucket.map { case (n, cols, sortCols) =>
+      s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
+    }
+
+  /** Write `df` as one new data directory HONORING the table's recorded
+    * layout (r19): bucket-routed + tagged when `bucket` is set, plain
+    * otherwise — the write half every layout-preserving mutation shares. */
+  private def writeDataLayout(df: DataFrame, table: String,
+                              bucket: Option[(Int, Seq[String], Seq[String])],
+                              maxRecordsPerFile: Long): String =
+    bucket match {
+      case Some((n, cols, sortCols)) =>
+        writeDataBucketed(df, table, cols, n, sortCols, maxRecordsPerFile)
+      case None => writeData(df, table, maxRecordsPerFile)
+    }
 
   /** Manifest v3 (r17): per-directory column statistics recorded at
     * commit, one line per (dir, atomic numeric/date/timestamp column):
@@ -629,6 +653,14 @@ object SnapshotLake {
     var attempts = 0
     while (attempts < 64) { // CAS loop: each retry observes a NEWER latest
       val base = latest(spark, table)
+      // re-check the layout INSIDE the loop (r19, advice): an append
+      // racing a concurrent commitBucketed could pass the upfront check,
+      // then CAS against the newly bucketed base and silently drop the
+      // #bucket line — refuse loudly instead, like the V2 Append guard
+      require(!append || base
+          .flatMap(manifestBucket(spark, table, _)).isEmpty,
+        s"$table became bucket-laid-out while this append ran — append " +
+        "with commitBucketed (same columns and bucket count)")
       // append inherits the base's evolution directives (old dirs still
       // need them applied); full-replace resets them — the table IS the
       // new frame, its schema carried by its own files
@@ -1200,6 +1232,10 @@ object SnapshotLake {
     val dirs = manifestDirs(spark, table, base)
     val dirvs = manifestDirectives(spark, table, base)
     val full = evolvedSchema(spark, dirs, dirvs)
+    // a recorded bucket layout survives the mutation (r19): rewritten
+    // rows route through the SAME bucket function into tagged files, so
+    // the co-located-join property holds across DELETE/UPDATE/MERGE
+    val bucket = manifestBucket(spark, table, base)
     val affected = dirs.filter { d =>
       !readAligned(spark, Seq(d), dirvs, full).filter(predicate).isEmpty
     }
@@ -1211,11 +1247,14 @@ object SnapshotLake {
     // inference at read — materialize one schema-bearing empty file only
     // when it is the ONLY directory left in the table
     val newDirs =
-      if (!remaining.isEmpty) kept :+ writeData(remaining, table, maxRecordsPerFile)
+      if (!remaining.isEmpty)
+        kept :+ writeDataLayout(remaining, table, bucket, maxRecordsPerFile)
       else if (kept.nonEmpty) kept
-      else Seq(writeData(remaining.repartition(1), table, maxRecordsPerFile))
+      else Seq(writeDataLayout(remaining.repartition(1), table, bucket,
+        maxRecordsPerFile))
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs,
+          bucketLineOf(bucket)))
       Some(base + 1)
     else None
   }
@@ -1256,6 +1295,7 @@ object SnapshotLake {
     val missing = set.keySet.diff(full.fieldNames.toSet)
     require(missing.isEmpty,
       s"UPDATE may only set existing columns; unknown: $missing")
+    val bucket = manifestBucket(spark, table, base)
     val affected = dirs.filter { d =>
       !readAligned(spark, Seq(d), dirvs, full).filter(predicate).isEmpty
     }
@@ -1270,9 +1310,13 @@ object SnapshotLake {
           case None => col(f.name)
         }
       }: _*)
-    val newDirs = kept :+ writeData(rewritten, table, maxRecordsPerFile)
+    // layout survives (r19); a SET that touches a bucket column simply
+    // re-routes the updated rows to their new correct buckets
+    val newDirs = kept :+ writeDataLayout(rewritten, table, bucket,
+      maxRecordsPerFile)
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs,
+          bucketLineOf(bucket)))
       Some(base + 1)
     else None
   }
@@ -1309,6 +1353,7 @@ object SnapshotLake {
     val dirs = manifestDirs(spark, table, base)
     val dirvs = manifestDirectives(spark, table, base)
     val full = evolvedSchema(spark, dirs, dirvs)
+    val bucket = manifestBucket(spark, table, base)
     val affected = dirs.filter { d =>
       !readAligned(spark, Seq(d), dirvs, full)
         .join(srcKeys, keys, "left_semi").isEmpty
@@ -1320,11 +1365,18 @@ object SnapshotLake {
         val surviving = readAligned(spark, affected, dirvs, full)
           .join(srcKeys, keys, "left_anti")
         if (surviving.isEmpty) None
-        else Some(writeData(surviving, table, maxRecordsPerFile))
+        else Some(writeDataLayout(surviving, table, bucket,
+          maxRecordsPerFile))
       }
-    val newDirs = kept ++ rewrittenOpt :+ writeData(src, table, maxRecordsPerFile)
+    // the source lands bucket-routed too (r19) — the layout invariant
+    // is all-dirs-tagged, inserts included (source carries the bucket
+    // columns by the schema-compatibility contract; additive extras
+    // still merge at read)
+    val newDirs = kept ++ rewrittenOpt :+ writeDataLayout(src, table,
+      bucket, maxRecordsPerFile)
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs,
+          bucketLineOf(bucket)))
       Some(base + 1)
     else None
   }
@@ -1360,6 +1412,7 @@ object SnapshotLake {
     val dirs = manifestDirs(spark, table, base)
     val dirvs = manifestDirectives(spark, table, base)
     val full = evolvedSchema(spark, dirs, dirvs)
+    val bucket = manifestBucket(spark, table, base)
     val affected = dirs.filter { d =>
       !readAligned(spark, Seq(d), dirvs, full)
         .join(bk, keys, "left_semi").isEmpty
@@ -1372,11 +1425,13 @@ object SnapshotLake {
     // schema-readable even when the delete empties it
     val newDirs =
       if (!surviving.isEmpty)
-        kept :+ writeData(surviving, table, maxRecordsPerFile)
+        kept :+ writeDataLayout(surviving, table, bucket, maxRecordsPerFile)
       else if (kept.nonEmpty) kept
-      else Seq(writeData(surviving.repartition(1), table, maxRecordsPerFile))
+      else Seq(writeDataLayout(surviving.repartition(1), table, bucket,
+        maxRecordsPerFile))
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs, dirvs))
+        tryCommitManifest(spark, table, base + 1, newDirs, dirvs,
+          bucketLineOf(bucket)))
       Some(base + 1)
     else None
   }

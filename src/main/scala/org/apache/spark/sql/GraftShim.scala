@@ -45,6 +45,27 @@ object GraftShim {
       .Predicate): Option[sources.Filter] =
     internal.connector.PredicateUtils.toV1(p)
 
+  /** `sorted_bucket` transform bridge (the class is `private[sql]`):
+    * construct one for `Table.partitioning()` reporting, and parse one
+    * from `CREATE TABLE ... CLUSTERED BY ... SORTED BY ...`. */
+  def sortedBucket(n: Int, cols: Seq[String], sortCols: Seq[String])
+      : connector.expressions.Transform =
+    connector.expressions.SortedBucketTransform(
+      connector.expressions.LiteralValue(n, types.IntegerType),
+      cols.map(c => connector.expressions.Expressions.column(c)
+        .asInstanceOf[connector.expressions.NamedReference]),
+      sortCols.map(c => connector.expressions.Expressions.column(c)
+        .asInstanceOf[connector.expressions.NamedReference]))
+
+  def parseSortedBucket(t: connector.expressions.Transform)
+      : Option[(Int, Seq[String], Seq[String])] = t match {
+    case sb: connector.expressions.SortedBucketTransform =>
+      Some((sb.numBuckets.value.toString.toInt,
+        sb.columns.map(_.fieldNames.mkString(".")),
+        sb.sortedColumns.map(_.fieldNames.mkString("."))))
+    case _ => None
+  }
+
   /** Schema-correct EMPTY streaming frame (a no-new-data micro-batch). */
   def emptyStreamingDF(spark: SparkSession,
                        schema: types.StructType): DataFrame = {

@@ -17,8 +17,9 @@ import org.scalatest.funsuite.AnyFunSuite
   *     carries ZERO ShuffleExchange; groupBy on them likewise;
   *  3. the layout invariant: plain appends refuse, mismatched bucketed
   *     appends refuse, matching bucketed appends extend the layout;
-  *  4. mutations drop the property (reads stay correct, shuffles
-  *     return) — re-establishing is one fresh commitBucketed. */
+  *  4. mutations preserve the layout (r19): rewritten directories route
+  *     through the same bucket function, the `#bucket` line survives,
+  *     and the post-mutation join is still exchange-free. */
 class BucketedLakeSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
 
@@ -80,8 +81,8 @@ class BucketedLakeSpec extends AnyFunSuite {
   }
 
   test("layout invariant: plain appends refuse, mismatched bucketed " +
-       "appends refuse, matching appends extend; mutations drop the " +
-       "property with reads intact") {
+       "appends refuse, matching appends extend; mutations preserve " +
+       "the layout with reads intact (r19)") {
     import s.implicits._
     val t = tmpDir("blk-inv")
     SnapshotLake.commitBucketed(frame(100, "a"), t, Seq("k"), 4)
@@ -109,17 +110,13 @@ class BucketedLakeSpec extends AnyFunSuite {
           col("x").as("x2")), "k")
       assert(shuffles(j) == 0, "two-dir bucketed self-join must co-locate")
     } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    // a mutation rewrites unbucketed and DROPS the property — values
-    // right, the BucketSpec gone (shuffles return), re-establishable
+    // a mutation rewrites THROUGH the layout (r19) — values right, the
+    // #bucket line survives, co-located joins keep working
     assert(SnapshotLake.delete(s, t, col("k") === 1L).isDefined)
     val post = SnapshotLake.latest(s, t).get
-    assert(SnapshotLake.manifestBucket(s, t, post).isEmpty,
-      "a CoW mutation must drop the bucket property")
-    assert(s.read.format("graftlake").load(t).count() == 199)
-    SnapshotLake.commitBucketed(
-      s.read.format("graftlake").load(t), t, Seq("k"), 4, append = false)
-    assert(SnapshotLake.manifestBucket(s, t,
-      SnapshotLake.latest(s, t).get).isDefined)
+    assert(SnapshotLake.manifestBucket(s, t, post)
+        .contains((4, Seq("k"), Seq())),
+      "a CoW mutation must preserve the bucket layout (r19)")
     assert(s.read.format("graftlake").load(t).count() == 199)
   }
 
@@ -173,11 +170,12 @@ class BucketedLakeSpec extends AnyFunSuite {
     assert(SnapshotLake.manifestBucket(s, t,
       SnapshotLake.latest(s, t).get).isDefined)
     assert(s.read.format("graftlake").load(t).count() == 50)
-    // a row-level mutation still drops the property (documented): the
-    // rewrite is unbucketed, values stay right
+    // a row-level mutation preserves the layout (r19): the rewrite
+    // routes through the demanded clustered distribution, values right
     s.sql(s"UPDATE graftlake.`$t` SET v = 'X' WHERE k = 5")
     assert(SnapshotLake.manifestBucket(s, t,
-      SnapshotLake.latest(s, t).get).isEmpty)
+      SnapshotLake.latest(s, t).get).contains((4, Seq("k"), Seq())),
+      "SQL UPDATE must preserve the bucket layout (r19)")
     assert(rows(s.read.format("graftlake").load(t)
       .filter(col("k") === 5L)) == Set(Seq[Any](5L, "X")))
   }

@@ -115,6 +115,141 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level mutations preserve the bucket layout (r19): object-API " +
+       "UPDATE/MERGE/deleteMatching keep the line, route rewrites " +
+       "correctly, and the post-mutation SQL join stays exchange-free") {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val a = tmpDir("spj-mut"); val b = tmpDir("spj-mut-b")
+    SnapshotLake.commitBucketed(frame(400, "a"), a, Seq("k"), 8)
+    SnapshotLake.commitBucketed(frame(400, "b"), b, Seq("k"), 8)
+    // UPDATE keeps the layout
+    assert(SnapshotLake.update(s, a, col("k") <= 10L,
+      Map("v" -> lit("upd"))).isDefined)
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())))
+    // MERGE keeps it (rewrite dir + insert dir both routed)
+    val src = Seq((5L, "m5", 0.0), (1000L, "new", 1.0)).toDF("k", "v", "x")
+    assert(SnapshotLake.merge(s, a, src, Seq("k")).isDefined)
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())))
+    // deleteMatching keeps it
+    assert(SnapshotLake.deleteMatching(s, a,
+      Seq(Tuple1(7L)).toDF("k"), Seq("k")).isDefined)
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())))
+    // every post-mutation file still routes exactly per Spark's function
+    SnapshotLake.manifestDirs(s, a, SnapshotLake.latest(s, a).get)
+      .foreach { dir =>
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")).foreach { f =>
+            val bid = org.apache.spark.sql.execution.datasources
+              .BucketingUtils.getBucketId(f.getName).getOrElse(
+                fail(s"untagged post-mutation file: ${f.getName}"))
+            val bad = s.read.parquet(f.getAbsolutePath)
+              .filter(pmod(hash(col("k")), lit(8)) =!= bid).count()
+            assert(bad == 0, s"${f.getName}: $bad rows off-bucket")
+          }
+      }
+    // values correct after the chain
+    val vals = s.read.format("graftlake").load(a)
+    assert(vals.count() == 400) // -1 (delete 7) +1 (insert 1000)
+    assert(rows(vals.filter(col("k") === 5L)) ==
+      Set(Seq[Any](5L, "m5", 0.0)))
+    assert(vals.filter(col("k") === 7L).isEmpty)
+    assert(rows(vals.filter(col("k") === 2L).select(col("v"))) ==
+      Set(Seq[Any]("upd")))
+    // and the SQL join across the mutated table is STILL exchange-free
+    withNoBroadcast {
+      val j = s.sql(
+        s"SELECT a.k FROM graftlake.`$a` a JOIN graftlake.`$b` b " +
+        "ON a.k = b.k")
+      assert(rows(j).size == 399)
+      assert(shuffles(j) == 0,
+        s"post-mutation bucketed join must stay exchange-free:\n" +
+        j.queryExecution.executedPlan)
+    }
+  }
+
+  test("SQL UPDATE / MERGE / DELETE on a bucketed catalog table keep the " +
+       "layout and the exchange-free join; no-op statements commit " +
+       "nothing") {
+    import org.apache.spark.sql.functions._
+    val a = tmpDir("spj-sqlmut"); val b = tmpDir("spj-sqlmut-b")
+    SnapshotLake.commitBucketed(frame(300, "a"), a, Seq("k"), 8)
+    SnapshotLake.commitBucketed(frame(300, "b"), b, Seq("k"), 8)
+    s.sql(s"UPDATE graftlake.`$a` SET v = 'X' WHERE k = 42")
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())),
+      "SQL UPDATE must keep the #bucket line")
+    frame(5, "m").createOrReplaceTempView("spj_mut_src")
+    s.sql(s"MERGE INTO graftlake.`$a` t USING spj_mut_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET t.v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())),
+      "SQL MERGE must keep the #bucket line")
+    // residual (non-translatable) DELETE takes the group-based rewrite
+    s.sql(s"DELETE FROM graftlake.`$a` WHERE k % 97 = 3 AND v LIKE 'a%'")
+    assert(SnapshotLake.manifestBucket(s, a,
+      SnapshotLake.latest(s, a).get).contains((8, Seq("k"), Seq())),
+      "SQL DELETE must keep the #bucket line")
+    // per-file routing still exact after the SQL mutation chain
+    SnapshotLake.manifestDirs(s, a, SnapshotLake.latest(s, a).get)
+      .foreach { dir =>
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")).foreach { f =>
+            val bid = org.apache.spark.sql.execution.datasources
+              .BucketingUtils.getBucketId(f.getName).getOrElse(
+                fail(s"untagged file after SQL mutation: ${f.getName}"))
+            val bad = s.read.parquet(f.getAbsolutePath)
+              .filter(pmod(hash(col("k")), lit(8)) =!= bid).count()
+            assert(bad == 0, s"${f.getName}: $bad rows off-bucket")
+          }
+      }
+    withNoBroadcast {
+      val j = s.sql(
+        s"SELECT a.k FROM graftlake.`$a` a JOIN graftlake.`$b` b " +
+        "ON a.k = b.k")
+      assert(shuffles(j) == 0,
+        s"post-SQL-mutation join must stay exchange-free:\n" +
+        j.queryExecution.executedPlan)
+    }
+    // no-op guard (advice): an UPDATE matching nothing leaves the table
+    // at the pinned snapshot — no empty-dir commit, layout intact
+    val before = SnapshotLake.latest(s, a).get
+    s.sql(s"UPDATE graftlake.`$a` SET v = 'Y' WHERE k = -12345")
+    assert(SnapshotLake.latest(s, a).get == before,
+      "a zero-match UPDATE must not commit a snapshot")
+    s.sql(s"DELETE FROM graftlake.`$a` WHERE k = -777 AND v LIKE 'q%'")
+    assert(SnapshotLake.latest(s, a).get == before,
+      "a zero-match residual DELETE must not commit a snapshot")
+    assert(SnapshotLake.manifestBucket(s, a, before)
+      .contains((8, Seq("k"), Seq())))
+  }
+
+  test("CREATE TABLE CLUSTERED BY ... SORTED BY records the sort half " +
+       "and partitioning() round-trips it (advice r18)") {
+    val t = tmpDir("spj-sorted")
+    s.sql(s"CREATE TABLE graftlake.`$t` (k BIGINT, v STRING, x DOUBLE) " +
+      "CLUSTERED BY (k) SORTED BY (x) INTO 4 BUCKETS")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).contains((4, Seq("k"), Seq("x"))),
+      "SORTED BY must land in the #bucket line")
+    frame(50, "s").createOrReplaceTempView("spj_sorted_src")
+    s.sql(s"INSERT INTO graftlake.`$t` SELECT * FROM spj_sorted_src")
+    assert(SnapshotLake.manifestBucket(s, t,
+      SnapshotLake.latest(s, t).get).contains((4, Seq("k"), Seq("x"))))
+    // DESCRIBE no longer loses the SORTED BY half
+    val desc = s.sql(s"DESCRIBE EXTENDED graftlake.`$t`").collect()
+      .map(_.toSeq.mkString(" ")).mkString("\n")
+    assert(desc.contains("sorted_bucket") || desc.contains("x"),
+      s"DESCRIBE should surface the sort columns:\n$desc")
+    assert(s.read.format("graftlake").load(t).count() == 50)
+  }
+
   test("SPJ groupBy on the bucket column aggregates without a shuffle " +
        "when partially-clustered handling allows; values exact") {
     val a = tmpDir("spj-agg")
