@@ -282,6 +282,41 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** The self-sized SimHash gate across the decade (r19, VERDICT r18
+    * item 3): [[graft.ops.PipelineOps.simhashPairsAuto]] must pick
+    * 60-bit below the crossover (sf1 ≈ 5×10⁴ docs) and 120-bit above it
+    * (sf10 ≈ 5×10⁵), with the picked width's wall — never the 60-bit
+    * quadratic at the decade. Run with `runMain graft.ScaleSmoke
+    * simhashAuto`. */
+  private def simhashAutoMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    println("\nscale | n | width(auto) | pairs | s")
+    for ((label, dir) <- Seq("sf1" -> "target/sf1",
+                             "sf10" -> "target/sf10")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val n = docs.count()
+      val w = graft.ops.PipelineOps.simhashWidthFor(n)
+      val t0 = System.nanoTime()
+      val pairs = graft.ops.PipelineOps.simhashPairsAuto(docs).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label | $n | $w | $pairs | $secs%.1f")
+    }
+    spark.stop()
+  }
+
   /** Bucketed vs plain fact-to-fact join at sf1 (r18): lineitem ⋈ orders
     * on the order key — the canonical shuffle-dominated join — with both
     * sides as graftlake tables, once plain and once bucket-laid-out on
@@ -407,6 +442,7 @@ object ScaleSmoke {
     if (args.toSeq == Seq("embedAuto")) return embedAutoMain()
     if (args.toSeq == Seq("pagerank")) return pagerankMain()
     if (args.toSeq == Seq("simhash128")) return simhash128Main()
+    if (args.toSeq == Seq("simhashAuto")) return simhashAutoMain()
     if (args.toSeq == Seq("bucketJoin")) return bucketJoinMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the

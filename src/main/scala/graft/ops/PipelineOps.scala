@@ -1065,6 +1065,43 @@ object PipelineOps extends QueryPack {
       .select(col("d1"), col("d2"), col("hamming"))
   }
 
+  /** Width-by-corpus sizing rule for SimHash near-dup (r19, VERDICT r18
+    * item 3 — the [[sizeEmbedGate]] discipline for the text side). The
+    * 60-bit fingerprint's guaranteed-recall banding is fixed at 4×15
+    * bits, so its random band-collision candidate volume is
+    * `C(n,2)·4/2^15 ≈ n²/2^14` — quadratic with a small constant that
+    * stops being small past ~10⁵ docs (measured 38× wall at the sf1→sf10
+    * decade, SCALE.md). Keep expected candidates ≤ `pairsPerDoc · n`
+    * (linear):
+    *
+    *  - 60-bit holds while `n ≤ pairsPerDoc · 2^14`;
+    *  - beyond that, the 120-bit / 4×30-band form: candidates
+    *    `n²·4/2^31`, linear-bounded until `n ≈ pairsPerDoc · 2^29`
+    *    (billions) — same Hamming ≤ 3 pigeonhole recall guarantee.
+    *
+    * Defaults: `pairsPerDoc = 8` puts the crossover at n = 131 072 — the
+    * SCALE.md "past ~10⁵ docs" rule as an executable constant. */
+  def simhashWidthFor(nDocs: Long, pairsPerDoc: Double = 8.0): Int = {
+    require(nDocs >= 0, s"negative corpus size: $nDocs")
+    require(pairsPerDoc > 0.0, "pairsPerDoc must be positive")
+    if (nDocs.toDouble <= pairsPerDoc * (1L << 14).toDouble) 60 else 120
+  }
+
+  /** [[simhashPairs]] with the width sized by [[simhashWidthFor]] — the
+    * parameter-free deployment form (the [[embedNearDupAuto]] shape): no
+    * corpus runs the 60-bit fixture banding at a scale where band
+    * collisions go quadratic. Driver-side cost: one count. The contract
+    * key `q_dedup_simhash` keeps the oracle-pinned 60-bit form; this is
+    * what deployments call. Both widths return (d1, d2, hamming) with
+    * the identical Hamming ≤ 3 gate; pairs differ only in the wider
+    * form's strictly lower band-collision noise (SimHashProps pins the
+    * subset relation on the fixture). */
+  def simhashPairsAuto(docs: DataFrame, bandSaltFactor: Int = 1,
+                       pairsPerDoc: Double = 8.0): DataFrame =
+    if (simhashWidthFor(docs.count(), pairsPerDoc) == 60)
+      simhashPairs(docs, bandSaltFactor)
+    else simhashPairs128(docs, bandSaltFactor)
+
   /** Per-lang token-budget sampling (q_token_budget semantics): docs in
     * content-hash order until each lang's running token total crosses
     * `budget` (the crossing doc is kept — fill-until-exceeded, so one

@@ -125,6 +125,10 @@ private[graft] object StatsPrune {
         if (v.isNaN || v.isInfinite) None else Some(BigDecimal(v.toDouble))
       case (v: Double, _) =>
         if (v.isNaN || v.isInfinite) None else Some(BigDecimal(v))
+      // decimal literals compare exactly in the recorded decimal domain
+      // (r19 — money-column range predicates now drive dir pruning)
+      case (v: Decimal, _) => Some(v.toBigDecimal)
+      case (v: java.math.BigDecimal, _) => Some(BigDecimal(v))
       case _ => None
     }
 

@@ -433,17 +433,29 @@ object SnapshotLake {
         (Long, Long, Option[org.apache.spark.unsafe.types.UTF8String],
          Option[org.apache.spark.unsafe.types.UTF8String])]
       val sbanned = scala.collection.mutable.Set.empty[String]
-      def bdOf(v: AnyRef): Option[BigDecimal] = v match {
-        case i: java.lang.Integer => Some(BigDecimal(i.intValue))
-        case l: java.lang.Long    => Some(BigDecimal(l.longValue))
-        case f: java.lang.Float =>
-          if (f.isNaN || f.isInfinite) None
-          else Some(BigDecimal(f.doubleValue))
-        case d: java.lang.Double =>
-          if (d.isNaN || d.isInfinite) None
-          else Some(BigDecimal(d.doubleValue))
-        case _ => None
-      }
+      // decScale: Some(s) for DECIMAL chunks — endpoints are UNSCALED
+      // (int/long/two's-complement-big-endian binary) and rescale to the
+      // exact decimal value, the domain the predicate side compares in
+      // (r19: money columns are the commonest real range predicates)
+      def bdOf(v: AnyRef, decScale: Option[Int]): Option[BigDecimal] =
+        (v, decScale) match {
+          case (i: java.lang.Integer, Some(s)) =>
+            Some(BigDecimal(BigInt(i.intValue), s))
+          case (l: java.lang.Long, Some(s)) =>
+            Some(BigDecimal(BigInt(l.longValue), s))
+          case (b: org.apache.parquet.io.api.Binary, Some(s)) =>
+            Some(BigDecimal(new java.math.BigDecimal(
+              new java.math.BigInteger(b.getBytes), s)))
+          case (i: java.lang.Integer, None) => Some(BigDecimal(i.intValue))
+          case (l: java.lang.Long, None)    => Some(BigDecimal(l.longValue))
+          case (f: java.lang.Float, None) =>
+            if (f.isNaN || f.isInfinite) None
+            else Some(BigDecimal(f.doubleValue))
+          case (d: java.lang.Double, None) =>
+            if (d.isNaN || d.isInfinite) None
+            else Some(BigDecimal(d.doubleValue))
+          case _ => None
+        }
       files.foreach { st =>
         val footer = org.apache.spark.sql.execution.datasources.parquet
           .ParquetFooterReader.readFooter(
@@ -456,11 +468,17 @@ object SnapshotLake {
             val name = chunk.getPath.toDotString
             val pt = chunk.getPrimitiveType
             val ann = pt.getLogicalTypeAnnotation
+            val decScale = ann match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                Some(d.getScale)
+              case _ => None
+            }
             val eligible = !name.contains(".") && !name.contains("\t") &&
               (pt.getPrimitiveTypeName match {
                 case INT32 | INT64 => ann == null ||
                   ann.isInstanceOf[LogicalTypeAnnotation
                     .DateLogicalTypeAnnotation] ||
+                  decScale.isDefined ||
                   (ann match {
                     case t: LogicalTypeAnnotation
                         .TimestampLogicalTypeAnnotation =>
@@ -470,6 +488,10 @@ object SnapshotLake {
                     case _ => false
                   })
                 case FLOAT | DOUBLE => ann == null
+                // decimals over binary physical types (r19): endpoints
+                // are unscaled two's-complement bytes, exact at any
+                // precision
+                case FIXED_LEN_BYTE_ARRAY | BINARY => decScale.isDefined
                 case _ => false
               })
             if (eligible && !banned(name)) {
@@ -479,8 +501,8 @@ object SnapshotLake {
               } else {
                 val (mn, mx) =
                   if (!s0.hasNonNullValue) (None, None)
-                  else (bdOf(s0.genericGetMin.asInstanceOf[AnyRef]),
-                        bdOf(s0.genericGetMax.asInstanceOf[AnyRef]))
+                  else (bdOf(s0.genericGetMin.asInstanceOf[AnyRef], decScale),
+                        bdOf(s0.genericGetMax.asInstanceOf[AnyRef], decScale))
                 val hasValues = block.getRowCount > s0.getNumNulls
                 if (hasValues && (mn.isEmpty || mx.isEmpty)) {
                   // non-null values exist but endpoints are unusable

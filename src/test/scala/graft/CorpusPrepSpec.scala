@@ -74,6 +74,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(tp.toSeq == Seq((9000001L, 9000002L, 0L)))
   }
 
+  test("simhashPairsAuto picks the width deterministically and matches " +
+       "the fixed-width form it picked (r19)") {
+    val docs = Tables.documents(s, TestSpark.Sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // 500 fixture docs sit far below the default crossover -> 60-bit
+    assert(graft.ops.PipelineOps.simhashWidthFor(docs.count()) == 60)
+    assert(pairs(graft.ops.PipelineOps.simhashPairsAuto(docs)) ==
+      pairs(graft.ops.PipelineOps.simhashPairs(docs)))
+    // a tiny pair budget forces the 120-bit form (n > pairsPerDoc·2^14)
+    val tinyBudget = 500.0 / (1 << 14) / 2
+    assert(graft.ops.PipelineOps
+      .simhashWidthFor(docs.count(), tinyBudget) == 120)
+    assert(pairs(graft.ops.PipelineOps
+        .simhashPairsAuto(docs, pairsPerDoc = tinyBudget)) ==
+      pairs(graft.ops.PipelineOps.simhashPairs128(docs)))
+    // the default crossover is the SCALE.md rule: ~1.3e5 docs
+    assert(graft.ops.PipelineOps.simhashWidthFor(131072L) == 60)
+    assert(graft.ops.PipelineOps.simhashWidthFor(131073L) == 120)
+  }
+
   test("q_dedup_passage never removes the canonical first occurrence") {
     val rows = TextOps.queries("q_dedup_passage")(s, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))

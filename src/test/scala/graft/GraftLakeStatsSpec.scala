@@ -99,6 +99,50 @@ class GraftLakeStatsSpec extends AnyFunSuite {
       rows(SnapshotLake.readLatest(s, t).filter(col("k") === 250L)))
   }
 
+  test("decimal point/range probes read strictly fewer files; rows " +
+       "identical; endpoints exact at fractional boundaries (r19)") {
+    import s.implicits._
+    val t = tmpDir("stats-dec")
+    // two dirs with disjoint DECIMAL(12,2) price ranges — the money-
+    // column shape (fractional endpoints would be lossy as doubles at
+    // high precision; the manifest records the exact decimal)
+    SnapshotLake.commit((1L to 100L).map(k =>
+        (k, BigDecimal(k).setScale(2) + BigDecimal("0.25")))
+      .toDF("k", "price").select(col("k"),
+        col("price").cast("decimal(12,2)").as("price")), t)
+    SnapshotLake.commit((201L to 300L).map(k =>
+        (k, BigDecimal(k).setScale(2) + BigDecimal("0.75")))
+      .toDF("k", "price").select(col("k"),
+        col("price").cast("decimal(12,2)").as("price")), t, append = true)
+    // the manifest line carries the exact decimal endpoints
+    val lines = SnapshotLake.manifestStats(s, t, 2L)
+    val pl = lines.filter(_.contains("\tprice\t")).map(_.split("\t", -1))
+    assert(pl.exists(p => p(5) == "1.25" && p(6) == "100.25"),
+      s"dir1 decimal endpoints: ${pl.map(_.toSeq)}")
+    assert(pl.exists(p => p(5) == "201.75" && p(6) == "300.75"),
+      s"dir2 decimal endpoints: ${pl.map(_.toSeq)}")
+    def read(pruning: Boolean, cond: org.apache.spark.sql.Column) =
+      s.read.format("graftlake").option("statsPruning", pruning.toString)
+        .load(t).filter(cond)
+    // point probe into dir2 only
+    val eq = col("price") === lit(BigDecimal("250.75")).cast("decimal(12,2)")
+    assert(filesRead(read(true, eq)) < filesRead(read(false, eq)),
+      "decimal point probe must prune dir1")
+    assert(rows(read(true, eq)) == rows(read(false, eq)))
+    // range probe below dir2's min
+    val ltc = col("price") < lit(BigDecimal("150.00")).cast("decimal(12,2)")
+    assert(filesRead(read(true, ltc)) < filesRead(read(false, ltc)),
+      "decimal range probe must prune dir2")
+    assert(rows(read(true, ltc)) == rows(read(false, ltc)))
+    // fractional boundary is EXACT: <= 100.25 keeps dir1, > 100.25
+    // prunes it (a double-rounded bound would get one of these wrong)
+    val le = col("price") <= lit(BigDecimal("100.25")).cast("decimal(12,2)")
+    assert(rows(read(true, le)).size == 100)
+    val gt = col("price") > lit(BigDecimal("100.25")).cast("decimal(12,2)")
+    assert(filesRead(read(true, gt)) < filesRead(read(false, gt)))
+    assert(rows(read(true, gt)).size == 100)
+  }
+
   test("conservative: a predicate sweep matches the unpruned read exactly") {
     val t = tmpDir("stats-sweep")
     seedRanged(t)

@@ -77,4 +77,31 @@ object SimHashProps extends Properties("SimHash") {
       val bs = bands120(simA, simB)
       (bs(0) | (bs(1) << 30)) == simA && (bs(2) | (bs(3) << 30)) == simB
     }
+
+  // ---- the width-by-corpus sizing rule (r19, simhashWidthFor) --------
+
+  // The rule is the linearity inequality made executable: at the chosen
+  // width, expected random band collisions C(n,2)·4/2^(w/4) stay at or
+  // under pairsPerDoc·n; it is monotone (never narrows as n grows) and
+  // lands the SCALE.md crossover (~10⁵ docs at the default budget).
+  property("simhashWidthFor keeps expected collisions ≤ pairsPerDoc·n") =
+    forAll(Gen.chooseNum(2L, 4000000000L),
+           Gen.chooseNum(1, 64)) { (n, p) =>
+      val w = graft.ops.PipelineOps.simhashWidthFor(n, p.toDouble)
+      val expected = n.toDouble * (n - 1) / 2.0 * 4.0 /
+        math.pow(2.0, w / 4.0)
+      (w == 60 || w == 120) &&
+        (expected <= p.toDouble * n ||
+          // past the 120-bit linear range there is no wider rung —
+          // the rule must have picked the widest form
+          w == 120)
+    }
+
+  property("simhashWidthFor is monotone in corpus size") =
+    forAll(Gen.chooseNum(2L, 1000000000L), Gen.chooseNum(2L, 1000000000L),
+           Gen.chooseNum(1, 64)) { (n1, n2, p) =>
+      val (lo, hi) = if (n1 <= n2) (n1, n2) else (n2, n1)
+      graft.ops.PipelineOps.simhashWidthFor(lo, p.toDouble) <=
+        graft.ops.PipelineOps.simhashWidthFor(hi, p.toDouble)
+    }
 }

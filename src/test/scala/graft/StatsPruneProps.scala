@@ -286,4 +286,105 @@ object StatsPruneProps extends Properties("StatsPrune") {
             org.apache.spark.sql.types.StringType)), st)
       }
     }
+
+  // ---- decimal endpoints (r19): exact fractional-domain pruning ------
+
+  private val decType = org.apache.spark.sql.types.DecimalType(12, 2)
+  private val dAttr = AttributeReference("price", decType)()
+
+  private val centGen: Gen[BigDecimal] =
+    Gen.chooseNum(-100000L, 100000L).map(c => BigDecimal(c, 2))
+
+  private val decDirGen: Gen[Seq[Option[BigDecimal]]] = for {
+    n <- Gen.chooseNum(1, 30)
+    vs <- Gen.listOfN(n, Gen.oneOf(Gen.const(None), centGen.map(Some(_))))
+  } yield vs
+
+  private def decStats(vs: Seq[Option[BigDecimal]])
+      : Map[String, DirColStats] = {
+    val nn = vs.flatten
+    Map("price" -> DirColStats(vs.size.toLong, (vs.size - nn.size).toLong,
+      if (nn.isEmpty) None else Some(nn.min),
+      if (nn.isEmpty) None else Some(nn.max)))
+  }
+
+  private def decLit(v: BigDecimal): Literal =
+    Literal(org.apache.spark.sql.types.Decimal(v, 12, 2), decType)
+
+  private def decPredGen(depth: Int): Gen[Expression] = {
+    val leaf: Gen[Expression] = centGen.flatMap { v =>
+      Gen.oneOf[Expression](
+        EqualTo(dAttr, decLit(v)), EqualTo(decLit(v), dAttr),
+        GreaterThan(dAttr, decLit(v)), GreaterThan(decLit(v), dAttr),
+        GreaterThanOrEqual(dAttr, decLit(v)),
+        LessThan(dAttr, decLit(v)), LessThanOrEqual(dAttr, decLit(v)),
+        IsNull(dAttr), IsNotNull(dAttr))
+    }
+    if (depth == 0) leaf
+    else Gen.frequency(
+      3 -> leaf,
+      2 -> (for (a <- decPredGen(depth - 1); b <- decPredGen(depth - 1))
+        yield And(a, b)),
+      2 -> (for (a <- decPredGen(depth - 1); b <- decPredGen(depth - 1))
+        yield Or(a, b)),
+      1 -> decPredGen(depth - 1).map(Not))
+  }
+
+  private def decEval(e: Expression,
+                      v: Option[BigDecimal]): Option[Boolean] = {
+    def cmp(l: Any, f: Int => Boolean): Option[Boolean] = {
+      val lv = l.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toBigDecimal
+      v.map(x => f(x.compare(lv)))
+    }
+    e match {
+      case And(l, r) => (decEval(l, v), decEval(r, v)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (decEval(l, v), decEval(r, v)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => decEval(c, v).map(!_)
+      case EqualTo(_: AttributeReference, Literal(l, _)) => cmp(l, _ == 0)
+      case EqualTo(Literal(l, _), _: AttributeReference) => cmp(l, _ == 0)
+      case GreaterThan(_: AttributeReference, Literal(l, _)) =>
+        cmp(l, _ > 0)
+      case GreaterThan(Literal(l, _), _: AttributeReference) =>
+        cmp(l, _ < 0)
+      case GreaterThanOrEqual(_: AttributeReference, Literal(l, _)) =>
+        cmp(l, _ >= 0)
+      case LessThan(_: AttributeReference, Literal(l, _)) => cmp(l, _ < 0)
+      case LessThanOrEqual(_: AttributeReference, Literal(l, _)) =>
+        cmp(l, _ <= 0)
+      case IsNull(_: AttributeReference) => Some(v.isEmpty)
+      case IsNotNull(_: AttributeReference) => Some(v.nonEmpty)
+      case other => sys.error(s"unhandled: $other")
+    }
+  }
+
+  property("a decimal-disqualified dir truly has no matching row") =
+    forAll(decDirGen, decPredGen(2)) { (vs, p) =>
+      val st = decStats(vs)
+      if (!StatsPrune.disqualifies(p, st)) true
+      else vs.forall(v => !decEval(p, v).contains(true))
+    }
+
+  property("decimal gap probes do prune (cent-exact, not double-rounded)") =
+    forAll(decDirGen) { vs =>
+      val nn = vs.flatten
+      nn.isEmpty || {
+        val st = decStats(vs)
+        // one cent above the max must prune an equality and a >=
+        val above = nn.max + BigDecimal("0.01")
+        StatsPrune.disqualifies(EqualTo(dAttr, decLit(above)), st) &&
+          StatsPrune.disqualifies(GreaterThanOrEqual(dAttr, decLit(above)),
+            st) &&
+          // the max itself must NOT prune equality (exactness both ways)
+          !StatsPrune.disqualifies(EqualTo(dAttr, decLit(nn.max)), st)
+      }
+    }
 }
