@@ -140,8 +140,44 @@ private[graft] object GraftProcedures {
     }
   }
 
+  private object Tag extends Proc("tag",
+    "pin a committed snapshot under an immutable name " +
+      "(SnapshotLake.tag; read back via VERSION AS OF 'name'; expire " +
+      "retains tagged snapshots)",
+    Seq(in("table", StringType), in("name", StringType),
+      inDefault("snapshot_id", LongType, "-1")),
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val table = args.getUTF8String(0).toString
+      val name = args.getUTF8String(1).toString
+      // default -1 = tag the latest committed snapshot
+      val id =
+        if (args.getLong(2) >= 0) args.getLong(2)
+        else SnapshotLake.latest(spark, table).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed snapshot at $table"))
+      SnapshotLake.tag(spark, table, name, id)
+      Array(new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(name), id)))
+    }
+  }
+
+  private object DropTag extends Proc("drop_tag",
+    "remove a named snapshot tag (SnapshotLake.dropTag; the snapshot " +
+      "returns to the normal expire retention rule)",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] =
+      Array(new GenericInternalRow(Array[Any](
+        SnapshotLake.dropTag(spark, args.getUTF8String(0).toString,
+          args.getUTF8String(1).toString))))
+  }
+
   private val all: Seq[Proc] =
-    Seq(Compact, Expire, ZOrder, Rebalance, History)
+    Seq(Compact, Expire, ZOrder, Rebalance, History, Tag, DropTag)
 
   def names: Seq[String] = all.map(_.name())
 

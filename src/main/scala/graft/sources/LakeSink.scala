@@ -121,6 +121,84 @@ object SnapshotLake {
   def latest(spark: SparkSession, table: String): Option[Long] =
     snapshots(spark, table).lastOption
 
+  // ------------------------------------------------------------------
+  // Named snapshot tags (r19, VERDICT r18 item 6): immutable refs over
+  // the manifest history — `tag(name, id)` pins a committed snapshot
+  // under a name, `readAtTag` / SQL `VERSION AS OF 'name'` read it, and
+  // [[expire]] RETAINS tagged snapshots (manifest + data) regardless of
+  // keepLast — the Iceberg tag semantics. One file per tag under
+  // `<table>/refs/`, created with the same no-overwrite atomic rename
+  // discipline as manifests: a tag is immutable once placed (drop +
+  // re-tag to move it, the explicit two-step).
+  // ------------------------------------------------------------------
+
+  private def refsDir(table: String) = new HPath(s"$table/refs")
+  private def refPath(table: String, name: String) =
+    new HPath(refsDir(table), s"tag-$name")
+  private val TagNameRe = "[A-Za-z][A-Za-z0-9._-]*".r
+
+  /** Pin committed snapshot `id` under `name`. Names start with a
+    * letter (never ambiguous with a numeric VERSION AS OF) and are
+    * immutable: tagging an existing name refuses loudly. */
+  def tag(spark: SparkSession, table: String, name: String,
+          id: Long): Unit = {
+    require(TagNameRe.matches(name),
+      s"tag names are [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    require(snapshots(spark, table).contains(id),
+      s"no committed snapshot $id at $table (expired or never committed)")
+    val fs = fsFor(spark, table)
+    fs.mkdirs(refsDir(table))
+    val dst = refPath(table, name)
+    if (fs.exists(dst)) throw new IllegalArgumentException(
+      s"tag '$name' already exists at $table (snapshot " +
+      s"${tags(spark, table).get(name).orNull}) — tags are immutable; " +
+      "dropTag first to move it")
+    val tmp = new HPath(refsDir(table),
+      s"tag-$name.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(dst.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists at $table — tags are immutable")
+    }
+  }
+
+  /** All tags: name → snapshot id. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val fs = fsFor(spark, table)
+    val dir = refsDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("tag-") || n.contains(".tmp-")) None
+      else scala.util.Try {
+        val in = fs.open(st.getPath)
+        val id = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong finally in.close()
+        n.stripPrefix("tag-") -> id
+      }.toOption
+    }.toMap
+  }
+
+  /** Remove a tag (the snapshot itself stays until [[expire]] drops it
+    * under the normal retention rule). False if absent. */
+  def dropTag(spark: SparkSession, table: String, name: String): Boolean =
+    fsFor(spark, table).delete(refPath(table, name), false)
+
+  /** [[readAt]] by tag name. */
+  def readAtTag(spark: SparkSession, table: String,
+                name: String): DataFrame =
+    readAt(spark, table, tags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' at $table — known: " +
+        tags(spark, table).keys.toSeq.sorted.mkString(", "))))
+
   /** (snapshot id, manifest mtime millis) ascending — the commit clock
     * TIMESTAMP AS OF resolves against (the manifest file IS the commit,
     * so its mtime is the commit instant). */
@@ -1376,6 +1454,36 @@ object SnapshotLake {
     val dirvs = manifestDirectives(spark, table, base)
     val full = evolvedSchema(spark, dirs, dirvs)
     val bucket = manifestBucket(spark, table, base)
+    // schema evolution at MERGE (r19, the Delta mergeSchema shape):
+    // a shared column whose type conflicts refuses loudly UP FRONT
+    // (pre-r19 it surfaced as a parquet footer-merge error at the next
+    // read — after the bad dir had landed); a source-only column
+    // auto-ALTERs — an add directive recorded IN THE SAME commit, so
+    // old directories serve it as a typed NULL and time travel before
+    // the merge stays byte-stable
+    val fullByName = full.fields.map(f => f.name -> f).toMap
+    val conflicts = src.schema.fields.flatMap(sf =>
+      fullByName.get(sf.name).collect {
+        case tf if !org.apache.spark.sql.types.DataType
+            .equalsIgnoreNullability(tf.dataType, sf.dataType) =>
+          s"${sf.name}: table ${tf.dataType.sql} vs source " +
+            s"${sf.dataType.sql}"
+      })
+    require(conflicts.isEmpty,
+      s"MERGE source type conflict at $table — ${conflicts.mkString("; ")}" +
+      "; cast the source column or evolve the table explicitly")
+    val extras = src.schema.fields.filterNot(f => fullByName.contains(f.name))
+    val retiredExtras = droppedNames(dirvs)
+      .intersect(extras.map(_.name).toSet)
+    require(retiredExtras.isEmpty,
+      s"MERGE source carries dropped column(s) $retiredExtras at $table " +
+      "— reads mask them out; compact the table before reusing the name")
+    require(extras.forall(f =>
+        !f.name.contains("\t") && !f.name.contains("\n")),
+      s"evolved column names must be tab/newline-free: " +
+      extras.map(_.name).toSeq)
+    val addDirvs = extras.map(f =>
+      s"#schema\tadd\t${f.name}\t${f.dataType.sql}").toSeq
     val affected = dirs.filter { d =>
       !readAligned(spark, Seq(d), dirvs, full)
         .join(srcKeys, keys, "left_semi").isEmpty
@@ -1397,8 +1505,8 @@ object SnapshotLake {
     val newDirs = kept ++ rewrittenOpt :+ writeDataLayout(src, table,
       bucket, maxRecordsPerFile)
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, newDirs, dirvs,
-          bucketLineOf(bucket)))
+        tryCommitManifest(spark, table, base + 1, newDirs,
+          dirvs ++ addDirvs, bucketLineOf(bucket)))
       Some(base + 1)
     else None
   }
@@ -1473,9 +1581,13 @@ object SnapshotLake {
     require(keepLast >= 1, "must retain at least the latest snapshot")
     val fs = fsFor(spark, table)
     val all = snapshots(spark, table)
-    val dropped = all.dropRight(keepLast)
+    // tagged snapshots are retained regardless of keepLast (r19): a tag
+    // is a promise the snapshot stays readable — manifest AND data
+    val tagged = tags(spark, table).values.toSet
+    val keep = all.takeRight(keepLast).toSet ++ tagged.filter(all.contains)
+    val dropped = all.filterNot(keep)
     dropped.foreach(id => fs.delete(manifestPath(table, id), false))
-    val live = all.takeRight(keepLast)
+    val live = all.filter(keep)
       .flatMap(manifestDirs(spark, table, _)).toSet
     val dataRoot = new HPath(s"$table/data")
     if (fs.exists(dataRoot)) {

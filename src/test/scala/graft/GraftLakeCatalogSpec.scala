@@ -462,6 +462,60 @@ class GraftLakeCatalogSpec extends AnyFunSuite {
       msgs.contains("compact"), msgs)
   }
 
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION lands the source-only " +
+       "column via the add directive; old rows read typed NULL; " +
+       "pre-merge time travel byte-stable (r19)") {
+    import s.implicits._
+    val t = tmpDir("cat-evolve")
+    seed(t)
+    val preId = SnapshotLake.latest(s, t).get
+    val pre = SnapshotLake.readLatest(s, t).collect().toSet
+    Seq((2L, "B", 0.5), (9L, "i", 0.9)).toDF("k", "v", "score")
+      .createOrReplaceTempView("cat_evolve_src")
+    s.sql(s"MERGE WITH SCHEMA EVOLUTION INTO graftlake.`$t` t " +
+      "USING cat_evolve_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val now = s.sql(s"SELECT * FROM graftlake.`$t`")
+    assert(now.columns.toSeq == Seq("k", "v", "score"))
+    assert(rows(now) == Set(
+      Seq[Any](1L, "a", null), Seq[Any](2L, "B", 0.5),
+      Seq[Any](3L, "c", null), Seq[Any](4L, "d", null),
+      Seq[Any](9L, "i", 0.9)))
+    // the evolution is a recorded add directive, not a data rewrite of
+    // history: time travel before the merge is byte-stable
+    assert(SnapshotLake.readAt(s, t, preId).collect().toSet == pre)
+    assert(SnapshotLake.manifestDirectives(s, t,
+        SnapshotLake.latest(s, t).get)
+      .contains("#schema\tadd\tscore\tDOUBLE"))
+  }
+
+  test("VERSION AS OF 'tag' resolves named refs; CALL tag/drop_tag ≡ " +
+       "object API (r19)") {
+    val t = tmpDir("cat-tags")
+    seed(t) // snapshots 1 (2 rows) and 2 (4 rows)
+    val r = s.sql(s"CALL graftlake.system.tag(table => '$t', " +
+      "name => 'v1', snapshot_id => 1)").collect()
+    assert(r.head.getString(0) == "v1" && r.head.getLong(1) == 1L)
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 'v1'"))
+      == Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    // numeric travel still works beside tags
+    assert(rows(s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 2"))
+        .size == 4)
+    // defaulted snapshot_id tags the latest
+    s.sql(s"CALL graftlake.system.tag(table => '$t', name => 'head')")
+    assert(SnapshotLake.tags(s, t)("head") == 2L)
+    // unknown tag refuses with the known list
+    val ex = intercept[Exception](
+      s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 'nope'")
+        .collect())
+    assert(ex.getMessage.contains("v1") || ex.getMessage.contains("tag"))
+    val d = s.sql(s"CALL graftlake.system.drop_tag(table => '$t', " +
+      "name => 'head')").collect()
+    assert(d.head.getBoolean(0))
+    assert(SnapshotLake.tags(s, t) == Map("v1" -> 1L))
+  }
+
   test("warehouse-relative names resolve and list") {
     import s.implicits._
     val wh = tmpDir("cat-wh")

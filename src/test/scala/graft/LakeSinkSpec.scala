@@ -636,6 +636,79 @@ class LakeSinkSpec extends AnyFunSuite {
       s"zCol predicate not pushed:\n$plan")
   }
 
+  test("merge schema evolution (r19): a source-only column auto-ALTERs " +
+       "in the same commit, old dirs serve typed NULLs, pre-merge time " +
+       "travel is byte-stable, type conflicts refuse up front") {
+    import s.implicits._
+    val t = tmpDir("merge-evolve")
+    SnapshotLake.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val preMerge = SnapshotLake.readLatest(s, t).collect().toSet
+    // source carries a NEW typed column (score) — one commit, directive
+    // recorded, no separate ALTER snapshot
+    val src = Seq((2L, "B", 0.5), (9L, "i", 0.9)).toDF("k", "v", "score")
+    val id = SnapshotLake.merge(s, t, src, Seq("k")).get
+    assert(id == 2L, "evolution must ride the merge commit itself")
+    assert(SnapshotLake.manifestDirectives(s, t, id)
+        .contains("#schema\tadd\tscore\tDOUBLE"),
+      SnapshotLake.manifestDirectives(s, t, id).toString)
+    val now = SnapshotLake.readLatest(s, t)
+    assert(now.columns.toSeq == Seq("k", "v", "score"))
+    assert(now.collect().map(_.toSeq).toSet == Set(
+      Seq[Any](1L, "a", null), // old dir: typed NULL
+      Seq[Any](2L, "B", 0.5), Seq[Any](9L, "i", 0.9)))
+    // time travel before the merge: byte-stable (no score column)
+    assert(SnapshotLake.readAt(s, t, 1L).collect().toSet == preMerge)
+    // a type conflict on a SHARED column refuses loudly before writing
+    val before = SnapshotLake.latest(s, t).get
+    val bad = Seq((1L, 5, 0.1)).toDF("k", "v", "score") // v: INT vs STRING
+    val ex = intercept[IllegalArgumentException](
+      SnapshotLake.merge(s, t, bad, Seq("k")))
+    assert(ex.getMessage.contains("type conflict") &&
+      ex.getMessage.contains("v"))
+    assert(SnapshotLake.latest(s, t).get == before,
+      "a refused merge must not commit")
+    // a dropped name cannot sneak back in through merge evolution
+    SnapshotLake.dropColumn(s, t, "score")
+    val sneaky = Seq((1L, "a2", 1.0)).toDF("k", "v", "score")
+    val ex2 = intercept[IllegalArgumentException](
+      SnapshotLake.merge(s, t, sneaky, Seq("k")))
+    assert(ex2.getMessage.contains("dropped"))
+  }
+
+  test("snapshot tags (r19): immutable named refs, readAtTag, expire " +
+       "retains tagged snapshots' manifests AND data") {
+    import s.implicits._
+    val t = tmpDir("tags")
+    SnapshotLake.commit(Seq((1L, "a")).toDF("k", "v"), t)          // 1
+    SnapshotLake.commit(Seq((2L, "b")).toDF("k", "v"), t)          // 2
+    SnapshotLake.commit(Seq((3L, "c")).toDF("k", "v"), t)          // 3
+    SnapshotLake.commit(Seq((4L, "d")).toDF("k", "v"), t)          // 4
+    SnapshotLake.tag(s, t, "release-1", 2L)
+    assert(SnapshotLake.tags(s, t) == Map("release-1" -> 2L))
+    assert(SnapshotLake.readAtTag(s, t, "release-1").collect()
+      .map(_.toSeq).toSet == Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    // immutable: re-tagging refuses; unknown ids refuse; bad names refuse
+    intercept[IllegalArgumentException](SnapshotLake.tag(s, t,
+      "release-1", 3L))
+    intercept[IllegalArgumentException](SnapshotLake.tag(s, t, "x", 99L))
+    intercept[IllegalArgumentException](SnapshotLake.tag(s, t,
+      "7bad name", 3L))
+    // expire keeps the tagged snapshot even outside keepLast
+    SnapshotLake.expire(s, t, keepLast = 1)
+    assert(SnapshotLake.snapshots(s, t) == Seq(2L, 4L),
+      "expire must retain the tagged snapshot 2 plus the latest")
+    // the tagged snapshot's DATA survived the GC — still readable
+    assert(SnapshotLake.readAtTag(s, t, "release-1").collect()
+      .map(_.toSeq).toSet == Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    // dropping the tag returns it to the retention rule
+    assert(SnapshotLake.dropTag(s, t, "release-1"))
+    assert(!SnapshotLake.dropTag(s, t, "release-1"))
+    SnapshotLake.expire(s, t, keepLast = 1)
+    assert(SnapshotLake.snapshots(s, t) == Seq(4L))
+    intercept[IllegalArgumentException](
+      SnapshotLake.readAtTag(s, t, "release-1"))
+  }
+
   test("audit reports per-column drift between two snapshots, nulls included") {
     import s.implicits._
     val table = tmpDir("snap-audit")
