@@ -857,7 +857,8 @@ object SnapshotLake {
                                 bucketCols: Seq[String], nBuckets: Int,
                                 sortCols: Seq[String],
                                 maxRecordsPerFile: Long,
-                                idDirectives: Option[Seq[String]] = None)
+                                idDirectives: Option[Seq[String]] = None,
+                                intoDir: Option[String] = None)
       : String = {
     val spark = df.sparkSession
     val dirvs = idDirectives.getOrElse(latest(spark, table)
@@ -866,7 +867,10 @@ object SnapshotLake {
     val tagged = df.select(df.columns.zipWithIndex.map { case (c, i) =>
       col(s"`$c`").as(c, withIds.fields(i).metadata)
     }.toIndexedSeq: _*)
-    val dir = s"$table/data/${java.util.UUID.randomUUID()}"
+    // intoDir (r19): the idempotent streaming commit names its dir by
+    // the batch key — the dedup identity — instead of a fresh UUID
+    val dir = intoDir.getOrElse(
+      s"$table/data/${java.util.UUID.randomUUID()}")
     // an EMPTY frame must still land one schema-bearing file (an empty
     // bucketed CREATE TABLE) — n empty shuffle partitions may write
     // none, so route the empty case through a single partition; the
@@ -1108,16 +1112,37 @@ object SnapshotLake {
     // crashed half-write of the same key: unreferenced ⇒ invisible ⇒
     // safe to clear and rewrite
     fs.delete(new HPath(dir), true)
-    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
-      .mode("errorifexists").parquet(dir)
+    // a bucket-laid-out table keeps its layout through streaming ingest
+    // (r19): each micro-batch routes through the bucket function into
+    // tagged files and the commit carries the line — co-located joins
+    // keep working while the stream runs
+    val bucket = latest(spark, table).flatMap(manifestBucket(spark, table, _))
+    bucket match {
+      case Some((n, cols, sortCols)) =>
+        writeDataBucketed(df, table, cols, n, sortCols, maxRecordsPerFile,
+          intoDir = Some(dir))
+      case None =>
+        df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+          .mode("errorifexists").parquet(dir)
+    }
     var attempts = 0
     while (attempts < 64) {
       val base = latest(spark, table)
       val visible = base.map(manifestDirs(spark, table, _)).getOrElse(Nil)
       val dirvs = base.map(manifestDirectives(spark, table, _)).getOrElse(Nil)
       if (committedIds.nonEmpty) return None // twin zombie won the key
+      // layout race guard: this batch routed for the layout read above;
+      // a concurrent layout change would mix routings — refuse loudly
+      // (the stream restarts and the replayed batch re-routes)
+      val current = base.flatMap(manifestBucket(spark, table, _))
+        .map { case (n, cols, _) => (n, cols) }
+      require(current == bucket.map { case (n, cols, _) => (n, cols) },
+        s"bucket layout of $table changed while batch $dedupKey " +
+        s"committed (wrote: ${bucket.map(b => (b._1, b._2))}, now: " +
+        s"$current) — re-run the batch")
       val id = base.getOrElse(0L) + 1
-      if (tryCommitManifest(spark, table, id, visible :+ dir, dirvs))
+      if (tryCommitManifest(spark, table, id, visible :+ dir, dirvs,
+          bucketLineOf(bucket)))
         return Some(id)
       attempts += 1
     }

@@ -117,6 +117,69 @@ class GraftLakeWriteSpec extends AnyFunSuite {
       snaps(nAfterFirst - 1), snaps.last)) == Set(Seq[Any](4L, "d")))
   }
 
+  test("streaming into a bucket-laid-out table preserves the layout " +
+       "(r19): batches route + tag, restart exactly-once, the join " +
+       "after N micro-batches is exchange-free") {
+    import s.implicits._
+    val table = tmpDir("glw-bstream")
+    val dim = tmpDir("glw-bdim")
+    val cp = tmpDir("glw-bstream-cp")
+    // establish the layout, then stream into it
+    SnapshotLake.commitBucketed(
+      Seq((1L, "seed")).toDF("k", "v"), table, Seq("k"), 4)
+    SnapshotLake.commitBucketed(
+      (1L to 40L).map(k => (k, s"d$k")).toDF("k", "v"), dim, Seq("k"), 4)
+    val input = MemoryStream[(Long, String)](s)
+    def start() = input.toDF().toDF("k", "v")
+      .writeStream.format("graftlake")
+      .option("checkpointLocation", cp).start(table)
+    val q1 = start()
+    try {
+      input.addData((2L, "b"), (3L, "c"))
+      q1.processAllAvailable()
+      input.addData((4L, "d"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // kill/restart: the replayed batch is a no-op, new data lands routed
+    val q2 = start()
+    try {
+      input.addData((5L, "e"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(rows(SnapshotLake.readLatest(s, table)) ==
+      (1L to 5L).map(k => Seq[Any](k,
+        Map(1L -> "seed", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")(k)))
+        .toSet)
+    // the layout line survived every micro-batch commit
+    assert(SnapshotLake.manifestBucket(s, table,
+      SnapshotLake.latest(s, table).get).contains((4, Seq("k"), Seq())))
+    // every streamed file carries a valid, exact bucket tag
+    SnapshotLake.manifestDirs(s, table, SnapshotLake.latest(s, table).get)
+      .foreach { dir =>
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")).foreach { f =>
+            val bid = org.apache.spark.sql.execution.datasources
+              .BucketingUtils.getBucketId(f.getName).getOrElse(
+                fail(s"untagged streamed file: ${f.getName}"))
+            val bad = s.read.parquet(f.getAbsolutePath)
+              .filter(pmod(hash(col("k")), lit(4)) =!= bid).count()
+            assert(bad == 0, s"${f.getName}: $bad rows off-bucket")
+          }
+      }
+    // the CDC→MV co-location payoff: after N micro-batches the SQL join
+    // against a same-layout dim is exchange-free
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.sql(s"SELECT a.k, a.v, b.v AS dv FROM graftlake.`$table` " +
+        s"a JOIN graftlake.`$dim` b ON a.k = b.k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert("Exchange (hash|range|single)".r.findAllIn(plan).isEmpty,
+        s"post-stream bucketed join must be exchange-free:\n$plan")
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("non-append output modes and partition columns are refused at start") {
     import s.implicits._
     val table = tmpDir("glw-refuse")
