@@ -322,8 +322,10 @@ object ScaleSmoke {
     * sides as graftlake tables, once plain and once bucket-laid-out on
     * the key. Measures the per-query wall with broadcast disabled (the
     * fact-to-fact shape) and prints the exchange counts; the bucketed
-    * pair must plan ZERO. Run with `runMain graft.ScaleSmoke bucketJoin`. */
-  private def bucketJoinMain(): Unit = {
+    * pair must plan ZERO. Run with `runMain graft.ScaleSmoke bucketJoin`
+    * (sf1) or `bucketJoin10` (the r19 decade row — same shape at 10×,
+    * where the deleted shuffle is 10× bigger). */
+  private def bucketJoinMain(decade: Boolean = false): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -337,13 +339,19 @@ object ScaleSmoke {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    buildSf1(spark, src, "target/sf1", 10)
+    val (sfDir, root) =
+      if (decade) {
+        buildSfN(spark, src, "target/sf10", 100)
+        ("target/sf10", "target/bucket_join_sf10")
+      } else {
+        buildSf1(spark, src, "target/sf1", 10)
+        ("target/sf1", "target/bucket_join_sf1")
+      }
     import graft.sources.SnapshotLake
-    val root = "target/bucket_join_sf1"
-    val li = spark.read.parquet("target/sf1/lineitem.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
         col("l_extendedprice"))
-    val ord = spark.read.parquet("target/sf1/orders.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     if (!Files.exists(Paths.get(s"$root/_built_v1"))) {
       SnapshotLake.commit(li, s"$root/li_plain", append = false)
@@ -379,6 +387,63 @@ object ScaleSmoke {
     println("\nlayout | s (min of 2) | exchanges")
     println(f"plain | ${p.map(_._1).min}%.2f | ${p.head._2}")
     println(f"bucketed | ${b.map(_._1).min}%.2f | ${b.head._2}")
+    spark.stop()
+  }
+
+  /** Dir-granular SQL UPDATE at sf1 (r19, VERDICT r18 item 7): a
+    * 10-directory documents table takes a one-row SQL UPDATE; the
+    * rewrite must touch exactly ONE directory and write bytes
+    * proportional to that directory, not the table — the runtime
+    * group-filtering claim measured, not just plan-asserted. Run with
+    * `runMain graft.ScaleSmoke sqlDml`. */
+  private def sqlDmlMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.catalog.graftlake",
+        "graft.sources.GraftLakeCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.SnapshotLake
+    val t = new java.io.File("target/sql_dml_sf1/docs").getAbsolutePath
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    if (SnapshotLake.latest(spark, t).isEmpty) {
+      // ten appends = ten directories, id-shifted like buildSf1
+      for (c <- 0 until 10)
+        SnapshotLake.commit(docs.select(
+          (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars")), t)
+    }
+    val base = SnapshotLake.latest(spark, t).get
+    val before = SnapshotLake.manifestDirs(spark, t, base)
+    def bytesOf(dirs: Seq[String]): Long = dirs.map { d =>
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(d)).getLength
+    }.sum
+    val totalBytes = bytesOf(before)
+    val target = 3L * 10000000L + 42L // one row inside copy 3's dir
+    val t0 = System.nanoTime()
+    spark.sql(s"UPDATE graftlake.`$t` SET lang = 'xx' " +
+      s"WHERE doc_id = $target")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val after = SnapshotLake.manifestDirs(spark, t,
+      SnapshotLake.latest(spark, t).get)
+    val replaced = before.diff(after)
+    val added = after.diff(before)
+    println(s"\ndirs | replaced | rewritten bytes | table bytes | s")
+    println(f"${before.size} | ${replaced.size} (+${added.size} new) | " +
+      f"${bytesOf(added)} | $totalBytes | $secs%.1f")
+    require(replaced.size == 1 && added.size == 1,
+      s"dir-granular UPDATE must replace exactly the matched dir, " +
+      s"got replaced=${replaced.size} added=${added.size}")
     spark.stop()
   }
 
@@ -444,6 +509,8 @@ object ScaleSmoke {
     if (args.toSeq == Seq("simhash128")) return simhash128Main()
     if (args.toSeq == Seq("simhashAuto")) return simhashAutoMain()
     if (args.toSeq == Seq("bucketJoin")) return bucketJoinMain()
+    if (args.toSeq == Seq("bucketJoin10")) return bucketJoinMain(true)
+    if (args.toSeq == Seq("sqlDml")) return sqlDmlMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares
