@@ -250,15 +250,18 @@ class SpjSpec extends AnyFunSuite {
     assert(s.read.format("graftlake").load(t).count() == 50)
   }
 
-  test("SPJ groupBy on the bucket column aggregates without a shuffle " +
-       "when partially-clustered handling allows; values exact") {
+  test("SPJ groupBy on the bucket column aggregates with ZERO " +
+       "exchanges; values exact") {
     val a = tmpDir("spj-agg")
     SnapshotLake.commitBucketed(frame(400, "a"), a, Seq("k"), 8)
     val g = s.sql(
       s"SELECT k, count(*) AS c FROM graftlake.`$a` GROUP BY k")
-    // aggregation over a key-grouped scan: values are the contract (the
-    // exchange-free agg needs the join-key machinery; pin correctness)
     assert(rows(g).size == 400)
     assert(g.collect().forall(_.getLong(1) == 1L))
+    // the KeyGroupedPartitioning satisfies the agg's clustering: both
+    // HashAggregates run in one codegen span over the scan, no Exchange
+    assert(shuffles(g) == 0,
+      s"bucketed SQL groupBy must be exchange-free:\n" +
+      g.queryExecution.executedPlan)
   }
 }
