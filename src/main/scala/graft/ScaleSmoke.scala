@@ -95,11 +95,16 @@ object ScaleSmoke {
     // fan-out key, the sampler, and the iterative-merge key — the
     // decade checks keep catching what sf1 can't
     "q_dedup_minhash", "q_dedup_simhash", "q_basket_lift",
-    "q_negative_sample", "q_bpe_merges")
+    "q_negative_sample", "q_bpe_merges",
+    // r19 widening: the dedup finishers (label propagation over the
+    // banded pair graph), banded recall, the ANN baseline, and the
+    // edit-distance candidate join — heavy shapes sf1 can't expose
+    "q_connected_components", "q_dedup_cluster_rep", "q_dedup_recall",
+    "q_similarity_topk", "q_fuzzy_match")
   private val Sf10CountKeys =
     Set("q_dedup_embed", "q_containment", "q_dedup_ngram",
         "q_dedup_minhash", "q_dedup_simhash", "q_basket_lift",
-        "q_negative_sample")
+        "q_negative_sample", "q_dedup_cluster_rep", "q_fuzzy_match")
 
   private def sf10Main(only: Set[String]): Unit = {
     val unknown = only -- Sf10Keys
@@ -390,6 +395,51 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** The two r19 text-scale variants across the decade: delete-
+    * neighborhood fuzzy match (vs the contract key's 21.5× decade wall
+    * under hot-initial blocking) and the 1-in-k sampled recall audit
+    * (vs the exact truth join's Σdf² arm). Run with `runMain
+    * graft.ScaleSmoke textScale`. */
+  private def textScaleMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, "target/sf1", 10)
+    buildSfN(spark, src, "target/sf10", 100)
+    def time[T](body: => T): (Double, T) = {
+      val t0 = System.nanoTime()
+      val r = body
+      ((System.nanoTime() - t0) / 1e9, r)
+    }
+    println("\nfuzzy variant | scale | rows | s")
+    for ((label, dir) <- Seq("sf1" -> "target/sf1",
+                             "sf10" -> "target/sf10")) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val (secs, n) = time(
+        graft.ops.TextOps.fuzzyMatchDeletes(docs).count())
+      println(f"deletes | $label | $n | $secs%.1f")
+    }
+    println("\nrecall arm | scale | s | recall@0.5")
+    def recallAt05(df: org.apache.spark.sql.DataFrame): Double =
+      df.filter(col("threshold") === 0.5).head.getDouble(4)
+    val (fs, fr) = time(recallAt05(
+      graft.ops.TextOps.minhashRecall(spark, "target/sf1")))
+    println(f"exact | sf1 | $fs%.1f | $fr%.4f")
+    val (ss, sr) = time(recallAt05(
+      graft.ops.TextOps.minhashRecallSampled(spark, "target/sf10", 10)))
+    println(f"sampled 1-in-10 | sf10 | $ss%.1f | $sr%.4f")
+    spark.stop()
+  }
+
   /** Dir-granular SQL UPDATE at sf1 (r19, VERDICT r18 item 7): a
     * 10-directory documents table takes a one-row SQL UPDATE; the
     * rewrite must touch exactly ONE directory and write bytes
@@ -511,6 +561,7 @@ object ScaleSmoke {
     if (args.toSeq == Seq("bucketJoin")) return bucketJoinMain()
     if (args.toSeq == Seq("bucketJoin10")) return bucketJoinMain(true)
     if (args.toSeq == Seq("sqlDml")) return sqlDmlMain()
+    if (args.toSeq == Seq("textScale")) return textScaleMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
     // min-of-N of the timed passes (min, not median: the smoke compares

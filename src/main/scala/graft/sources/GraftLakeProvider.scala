@@ -92,7 +92,15 @@ class GraftLakeProvider extends RelationProvider
     val latest = SnapshotLake.latest(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"no committed snapshot at $table"))
+    // tag option (r19): read at a named snapshot tag — ≡ snapshotId at
+    // the tagged id (SnapshotLake.tag / VERSION AS OF 'name' parity)
     val snap = parameters.get("snapshotId").map(_.trim.toLong)
+      .orElse(parameters.get("tag").map(n =>
+        SnapshotLake.tags(spark, table).getOrElse(n.trim,
+          throw new IllegalArgumentException(
+            s"no tag '${n.trim}' at $table — known: " +
+            SnapshotLake.tags(spark, table).keys.toSeq.sorted
+              .mkString(", ")))))
       .getOrElse(latest)
     val directives = SnapshotLake.manifestDirectives(spark, table, snap)
     val renames = directives.filter(_.split("\t")(1) == "rename")

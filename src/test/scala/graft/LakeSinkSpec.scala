@@ -700,6 +700,12 @@ class LakeSinkSpec extends AnyFunSuite {
     // the tagged snapshot's DATA survived the GC — still readable
     assert(SnapshotLake.readAtTag(s, t, "release-1").collect()
       .map(_.toSeq).toSet == Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    // the V1 reader's tag option ≡ readAtTag
+    assert(s.read.format("graftlake").option("tag", "release-1").load(t)
+      .collect().map(_.toSeq).toSet ==
+      Set(Seq[Any](1L, "a"), Seq[Any](2L, "b")))
+    intercept[IllegalArgumentException](s.read.format("graftlake")
+      .option("tag", "ghost").load(t))
     // dropping the tag returns it to the retention rule
     assert(SnapshotLake.dropTag(s, t, "release-1"))
     assert(!SnapshotLake.dropTag(s, t, "release-1"))
