@@ -58,6 +58,14 @@ object Bench {
       // column-mapped (rename-evolved) graftlake scans match by field id
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // r19: divisible bucket counts co-locate via the reducer;
+      // a join against an unbucketed/incompatible side shuffles
+      // ONLY that side into the reported bucket layout
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      .config("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,9 +69,40 @@ private[graft] object GraftBucketFunction extends UnboundFunction {
 
 /** The bound half: evaluates exactly `HashPartitioning(cols, n)`'s
   * partition-id expression (`Pmod(Murmur3Hash(cols, seed=42), n)`), so a
-  * value computed here agrees with the file the write side routed it to. */
+  * value computed here agrees with the file the write side routed it to.
+  *
+  * Also a [[org.apache.spark.sql.connector.catalog.functions
+  * .ReducibleFunction]] (r19): when two tables' bucket counts differ but
+  * divide (n=8 ⋈ n=4), the larger side's ids REDUCE by `mod smallerN` —
+  * sound because `pmod(h, 8) % 4 == pmod(h, 4)` whenever 4 | 8 — so with
+  * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`
+  * the join still plans exchange-free instead of falling back to a full
+  * two-sided shuffle (the Iceberg bucket-reducer shape). The same
+  * evaluable function powers
+  * `spark.sql.sources.v2.bucketing.shuffle.enabled`: a join against an
+  * UNBUCKETED side shuffles only that side into the bucketed layout. */
 private[graft] final class GraftBoundBucket(input: StructType)
-    extends ScalarFunction[Integer] {
+    extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions
+      .ReducibleFunction[Integer, Integer] {
+
+  override def reducer(thisNumBuckets: Int,
+      otherFunction: org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions
+        .Reducer[Integer, Integer] = {
+    val sameFamily = otherFunction match {
+      case b: GraftBoundBucket => b.canonicalName() == canonicalName()
+      case _ => false
+    }
+    // reduce THIS side only when the other count strictly divides ours;
+    // equal counts need no reduction, non-divisible counts shuffle
+    if (sameFamily && thisNumBuckets != otherNumBuckets &&
+        otherNumBuckets > 0 && thisNumBuckets % otherNumBuckets == 0)
+      GraftBucketReducer(otherNumBuckets)
+    else null
+  }
   override def inputTypes(): Array[DataType] = input.fields.map(_.dataType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -87,6 +118,15 @@ private[graft] final class GraftBoundBucket(input: StructType)
 
   override def produceResult(row: InternalRow): Integer =
     expr.eval(row).asInstanceOf[Int]
+}
+
+/** Folds a larger bucket count onto a divisor count: `id % div`. A named
+  * Serializable class (not an anonymous one) because Spark ships reducers
+  * inside the key-grouped partitioning to executors. */
+private[graft] final case class GraftBucketReducer(div: Int)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .Reducer[Integer, Integer] with Serializable {
+  override def reduce(v: Integer): Integer = Integer.valueOf(v.intValue % div)
 }
 
 /** A per-bucket file partition: all (splits of) files tagged `_%05d` with

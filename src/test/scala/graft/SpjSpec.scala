@@ -30,11 +30,22 @@ class SpjSpec extends AnyFunSuite {
   private def rows(df: DataFrame): Set[Seq[Any]] =
     df.collect().map(_.toSeq).toSet
 
-  private def shuffles(df: DataFrame): Int = {
+  /** The adaptive FINAL plan only (the toString also appends the initial
+    * plan, which would double-count exchanges). */
+  private def finalPlan(df: DataFrame): String = {
     df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    "Exchange (hash|range|single)".r.findAllIn(plan).length
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
+
+  /** Ordinary two-sided shuffle exchanges (hash/range/single). */
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|single)".r.findAllIn(finalPlan(df)).length
+
+  /** Storage-partitioned shuffles: one side re-routed INTO the other's
+    * reported bucket layout by evaluating the catalog's bucket function
+    * (`spark.sql.sources.v2.bucketing.shuffle.enabled`). */
+  private def kgShuffles(df: DataFrame): Int =
+    "Exchange keygroupedpartitioning".r.findAllIn(finalPlan(df)).length
 
   private def frame(nRows: Int, tag: String): DataFrame = {
     import s.implicits._
@@ -73,23 +84,60 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
-  test("different bucket counts and off-column joins fall back to the " +
-       "exchange plan (correct, never falsely co-located)") {
+  test("DIVISIBLE bucket counts co-locate via the reducer (n=8 ⋈ n=4 " +
+       "exchange-free); non-divisible counts and off-column joins fall " +
+       "back to the exchange plan (correct, never falsely co-located)") {
     val a = tmpDir("spj-n8"); val b = tmpDir("spj-n4")
+    val c = tmpDir("spj-n3")
     SnapshotLake.commitBucketed(frame(200, "a"), a, Seq("k"), 8)
     SnapshotLake.commitBucketed(frame(200, "b"), b, Seq("k"), 4)
+    SnapshotLake.commitBucketed(frame(200, "c"), c, Seq("k"), 3)
     withNoBroadcast {
+      // 4 | 8: GraftBucketReducer folds the 8-side ids mod 4 — sound
+      // because pmod(h,8) % 4 == pmod(h,4) — so the join co-locates
       val mixed = s.sql(
-        s"SELECT a.k FROM graftlake.`$a` a JOIN graftlake.`$b` b " +
-        "ON a.k = b.k")
+        s"SELECT a.k, b.v AS bv FROM graftlake.`$a` a " +
+        s"JOIN graftlake.`$b` b ON a.k = b.k")
       assert(rows(mixed).size == 200)
-      assert(shuffles(mixed) > 0)
-      // join off the bucket column: v is not the layout key
+      assert(mixed.collect().forall(r =>
+        r.getString(1) == s"b${r.getLong(0)}"))
+      assert(shuffles(mixed) == 0 && kgShuffles(mixed) == 0,
+        s"divisible bucket counts (8 vs 4) must co-locate:\n" +
+        mixed.queryExecution.executedPlan)
+      // 3 ∤ 8: no sound reduction exists — but the bucket function is
+      // evaluable, so Spark re-routes ONLY the 3-side into the 8-bucket
+      // layout (one storage-partitioned shuffle, not two hash shuffles)
+      val nondiv = s.sql(
+        s"SELECT a.k FROM graftlake.`$a` a JOIN graftlake.`$c` b " +
+        "ON a.k = b.k")
+      assert(rows(nondiv).size == 200)
+      assert(shuffles(nondiv) == 0 && kgShuffles(nondiv) == 1,
+        s"non-divisible counts should shuffle exactly one side:\n" +
+        nondiv.queryExecution.executedPlan)
+      // join off the bucket column: v is not the layout key — full
+      // two-sided exchange plan, never a false co-location
       val off = s.sql(
         s"SELECT a.k FROM graftlake.`$a` a JOIN graftlake.`$a` b " +
         "ON a.v = b.v")
       assert(rows(off).size == 200)
       assert(shuffles(off) > 0)
+    }
+  }
+
+  test("bucketed ⋈ unbucketed: storage-partitioned shuffle moves ONLY " +
+       "the unbucketed side into the bucket layout (1 exchange, not 2)") {
+    val a = tmpDir("spj-one"); val u = tmpDir("spj-one-u")
+    SnapshotLake.commitBucketed(frame(300, "a"), a, Seq("k"), 8)
+    SnapshotLake.commit(frame(300, "u"), u)
+    withNoBroadcast {
+      val j = s.sql(
+        s"SELECT a.k, u.v AS uv FROM graftlake.`$a` a " +
+        s"JOIN graftlake.`$u` u ON a.k = u.k")
+      assert(rows(j).size == 300)
+      assert(j.collect().forall(r => r.getString(1) == s"u${r.getLong(0)}"))
+      assert(shuffles(j) == 0 && kgShuffles(j) == 1,
+        s"only the unbucketed side should shuffle (storage-partitioned):\n" +
+        j.queryExecution.executedPlan)
     }
   }
 

@@ -22,8 +22,16 @@ object TestSpark {
       // column-mapped (rename-evolved) graftlake scans match by field id
       .config("spark.sql.parquet.fieldId.read.enabled", "true")
       // storage-partitioned joins (r19): lets bucket-laid-out graftlake
-      // catalog tables plan co-located SQL joins exchange-free
+      // catalog tables plan co-located SQL joins exchange-free;
+      // pushPartValues + allowCompatibleTransforms extend it to
+      // divisible bucket counts via the reducer, shuffle.enabled lets a
+      // join against an unbucketed side shuffle ONLY that side
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      .config("spark.sql.sources.v2.bucketing" +
+        ".allowCompatibleTransforms.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   lazy val spark: SparkSession = {
