@@ -427,6 +427,19 @@ private[graft] class GraftLakeTable(val tableRoot: String,
     // spark.sql.sources.v2.bucketing.enabled=true)
     val bucket = SnapshotLake.manifestBucket(spark, tableRoot,
       snapshotAtLoad)
+    // manifest-answered aggregates + runtime dir pruning (r19) sit on
+    // top of / around the delegated parquet builder; schema-evolved
+    // tables keep the parquet path only (stats are keyed by write-time
+    // physical names)
+    val evolved = SnapshotLake
+      .manifestDirectives(spark, tableRoot, snapshotAtLoad).nonEmpty
+    def wrapped(inner: ParquetScanBuilder): ScanBuilder =
+      new GraftLakeScanBuilder(inner, dirs, stats, evolved, reqSchema,
+        p =>
+          if (!inner.isInstanceOf[BucketedParquetScanBuilder] &&
+              p.pushedAggregate.isEmpty && stats.nonEmpty)
+            new RuntimePrunedParquetScan(p, dirs, stats, reqSchema)
+          else p)
     if (dirTracking) {
       val index = new DirLabeledFileIndex(spark, dirs, reqSchema, stats)
       val full = StructType(reqSchema.fields :+ org.apache.spark.sql.types
@@ -434,10 +447,10 @@ private[graft] class GraftLakeTable(val tableRoot: String,
           nullable = false))
       bucket match {
         case Some((n, cols, _)) =>
-          new BucketedParquetScanBuilder(spark, index, full, reqSchema,
-            options, n, cols)
-        case None => ParquetScanBuilder(spark, index, full, reqSchema,
-          options)
+          wrapped(new BucketedParquetScanBuilder(spark, index, full,
+            reqSchema, options, n, cols, dirs, stats))
+        case None => wrapped(ParquetScanBuilder(spark, index, full,
+          reqSchema, options))
       }
     } else {
       val index =
@@ -447,10 +460,11 @@ private[graft] class GraftLakeTable(val tableRoot: String,
         else new StatsPrunedFileIndex(spark, dirs, reqSchema, stats)
       bucket match {
         case Some((n, cols, _)) =>
-          new BucketedParquetScanBuilder(spark, index, reqSchema,
-            reqSchema, options, n, cols)
+          wrapped(new BucketedParquetScanBuilder(spark, index, reqSchema,
+            reqSchema, options, n, cols, dirs, stats))
         case None =>
-          ParquetScanBuilder(spark, index, reqSchema, reqSchema, options)
+          wrapped(ParquetScanBuilder(spark, index, reqSchema, reqSchema,
+            options))
       }
     }
   }

@@ -143,14 +143,20 @@ private[graft] final class BucketFilePartition(
   * (vectorized reader, pushdown, `_dir` partition column), but input
   * partitions are grouped BY BUCKET ID — one partition per bucket,
   * empty buckets included so two same-`n` tables always align partition
-  * lists — and the layout is reported as `KeyGroupedPartitioning`. */
+  * lists — and the layout is reported as `KeyGroupedPartitioning`.
+  * Also a [[RuntimeDirPruning]] scan (r19): a DPP key set prunes whole
+  * directories through the manifest stats, with every bucket partition
+  * kept (possibly file-less) so SPJ alignment survives the re-plan. */
 private[graft] final class BucketedParquetScan(
-    p: ParquetScan, val nBuckets: Int, val bucketCols: Seq[String])
+    p: ParquetScan, val nBuckets: Int, val bucketCols: Seq[String],
+    protected val rtDirs: Seq[String],
+    protected val rtStats: Map[String, Map[String, ColStats]],
+    protected val rtSchema: StructType)
     extends ParquetScan(p.sparkSession, p.hadoopConf, p.fileIndex,
       p.dataSchema, p.readDataSchema, p.readPartitionSchema,
       p.pushedFilters, p.options, p.pushedAggregate, p.partitionFilters,
       p.dataFilters, p.pushedVariantExtractions)
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with RuntimeDirPruning {
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -165,10 +171,10 @@ private[graft] final class BucketedParquetScan(
           s"bucket-laid-out table has an untagged data file: $name — " +
           "the all-tagged invariant every committer preserves is broken"))
     }
-    (0 until nBuckets).map { b =>
+    dropPrunedFiles((0 until nBuckets).map { b =>
       new BucketFilePartition(b,
         byBucket.getOrElse(b, Seq.empty).toArray, b)
-    }.toArray[InputPartition]
+    }.toArray[InputPartition], keepEmpty = true)
   }
 
   // distinct from an identically-configured plain scan (exchange/scan
@@ -193,7 +199,9 @@ private[graft] class BucketedParquetScanBuilder(
     spark: SparkSession, index: PartitioningAwareFileIndex,
     fullSchema: StructType, dataSchema: StructType,
     options: CaseInsensitiveStringMap,
-    nBuckets: Int, bucketCols: Seq[String])
+    nBuckets: Int, bucketCols: Seq[String],
+    dirs: Seq[String] = Nil,
+    stats: Map[String, Map[String, ColStats]] = Map.empty)
     extends ParquetScanBuilder(spark, index, fullSchema, dataSchema,
       options) {
 
@@ -202,6 +210,9 @@ private[graft] class BucketedParquetScanBuilder(
     val servable = p.pushedAggregate.isEmpty &&
       index.allFiles().forall(f =>
         BucketingUtils.getBucketId(f.getPath.getName).exists(_ < nBuckets))
-    if (servable) new BucketedParquetScan(p, nBuckets, bucketCols) else p
+    if (servable)
+      new BucketedParquetScan(p, nBuckets, bucketCols, dirs, stats,
+        dataSchema)
+    else p
   }
 }

@@ -66,6 +66,19 @@ object GraftShim {
     case _ => None
   }
 
+  /** `FieldReference.column` bridge (the object is `private[sql]`): a
+    * bare top-level column reference for `filterAttributes()`. */
+  def fieldRef(name: String): connector.expressions.NamedReference =
+    connector.expressions.FieldReference.column(name)
+
+  /** `LiteralValue` extractor bridge: the (value, type) of a V2 literal
+    * child of a runtime-filter predicate, None for non-literals. */
+  def literalValueOf(e: connector.expressions.Expression)
+      : Option[(Any, types.DataType)] = e match {
+    case connector.expressions.LiteralValue(v, dt) => Some((v, dt))
+    case _ => None
+  }
+
   /** Schema-correct EMPTY streaming frame (a no-new-data micro-batch). */
   def emptyStreamingDF(spark: SparkSession,
                        schema: types.StructType): DataFrame = {
