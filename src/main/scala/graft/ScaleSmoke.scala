@@ -497,6 +497,129 @@ object ScaleSmoke {
     spark.stop()
   }
 
+  /** r19 lake-planning smoke at sf1: the two zero/reduced-I/O features
+    * against a 10-dir, 10×-lineitem lake.
+    *  - metadata aggregate: `count(*)+min+max` answered from manifest
+    *    stats (LocalTableScan) vs the V1 scanning count of the same
+    *    table — the former must be orders of magnitude off the data
+    *    path and EQUAL in value;
+    *  - runtime dir pruning: a dim filtered to one dir's key range
+    *    joining the fact, DPP on vs off — pruned-dir count printed, row
+    *    sets must match. */
+  private def lakePlanMain(): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.catalog.graftlake",
+        "graft.sources.GraftLakeCatalog")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.SnapshotLake
+    val t = new java.io.File("target/lake_plan_sf1/fact").getAbsolutePath
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+      .select(col("l_orderkey").cast("long").as("k"),
+        col("l_partkey").cast("long").as("p"),
+        col("l_extendedprice").as("price"))
+    if (SnapshotLake.latest(spark, t).isEmpty)
+      for (c <- 0 until 10)
+        SnapshotLake.commit(li.select(
+          (col("k") + lit(c * 100000000L)).as("k"), col("p"),
+          col("price")), t)
+    val dirs = SnapshotLake
+      .manifestDirs(spark, t, SnapshotLake.latest(spark, t).get)
+
+    def timeIt[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // warm footers/codegen on both paths
+    spark.read.format("graftlake").load(t).count()
+
+    val aggSql = s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx " +
+      s"FROM graftlake.`$t`"
+    spark.sql(aggSql).collect() // warm (catalog load, manifest read)
+    val (metaRow, metaSecs) = timeIt(spark.sql(aggSql).collect()(0))
+    val metaLocal = {
+      val q = spark.sql(aggSql); q.collect()
+      val pl = q.queryExecution.executedPlan.toString
+      pl.contains("LocalTableScan") && !pl.contains("BatchScan")
+    }
+    def scanAgg() = {
+      val df = spark.read.format("graftlake").load(t)
+      df.agg(count(lit(1)), min("k"), max("k")).collect()(0)
+    }
+    scanAgg() // warm
+    val (scanRow, scanSecs) = timeIt(scanAgg())
+    require(metaRow.toSeq == scanRow.toSeq,
+      s"metadata agg ≠ scan agg: ${metaRow.toSeq} vs ${scanRow.toSeq}")
+
+    // runtime pruning: dim keys inside ONE copy's shifted range
+    val dimT = new java.io.File("target/lake_plan_sf1/dim").getAbsolutePath
+    if (SnapshotLake.latest(spark, dimT).isEmpty)
+      SnapshotLake.commit(
+        li.select((col("k") + lit(3L * 100000000L)).as("k"))
+          .distinct().limit(2000).withColumn("tag", lit("t")), dimT)
+    val joinSql = s"SELECT f.k, f.price FROM graftlake.`$t` f JOIN " +
+      s"graftlake.`$dimT` d ON f.k = d.k AND d.tag = 't'"
+    def dpp(on: Boolean): Unit = spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", on.toString)
+    // warm BOTH modes (footers, codegen, broadcast build), then
+    // min-of-2 timed passes per mode
+    dpp(true); spark.sql(joinSql).count()
+    dpp(false); spark.sql(joinSql).count()
+    dpp(true)
+    val rowsOnN = spark.sql(joinSql).count()
+    val onSecs = (1 to 2).map(_ =>
+      timeIt(spark.sql(joinSql).count())._2).min
+    val rowsOn = (rowsOnN, ())
+    val prunedDirs = {
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(nodes)
+      }
+      val q = spark.sql(joinSql); q.collect()
+      nodes(q.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan
+      }.collect {
+        case r: graft.sources.RuntimeDirPruning => r.runtimePrunedDirs
+      }.flatten.toSet.size
+    }
+    dpp(false)
+    val rowsOff = spark.sql(joinSql).count()
+    val offSecs = (1 to 2).map(_ =>
+      timeIt(spark.sql(joinSql).count())._2).min
+    dpp(true)
+    require(rowsOn._1 == rowsOff,
+      s"DPP changed the row count: ${rowsOn._1} vs $rowsOff")
+
+    println(s"\nmetaAgg | localScan | s | scan twin s")
+    println(f"${metaRow.toSeq.mkString(",")} | $metaLocal | " +
+      f"$metaSecs%.3f | $scanSecs%.2f")
+    println(s"runtimePrune | dirs | pruned | dppOn s | dppOff s | rows")
+    println(f"- | ${dirs.size} | $prunedDirs | $onSecs%.2f | " +
+      f"$offSecs%.2f | ${rowsOn._1}")
+    require(metaLocal, "metadata agg must plan LocalTableScan at sf1")
+    require(prunedDirs == dirs.size - 1,
+      s"expected ${dirs.size - 1} dirs pruned, got $prunedDirs")
+    spark.stop()
+  }
+
   /** N-copy synthesis with the [[buildSf1]] rules generalized (only the
     * tables the sf10 keys read are scaled; dims pass through). */
   private def buildSfN(spark: SparkSession, src: String, out: String,
@@ -561,6 +684,7 @@ object ScaleSmoke {
     if (args.toSeq == Seq("bucketJoin")) return bucketJoinMain()
     if (args.toSeq == Seq("bucketJoin10")) return bucketJoinMain(true)
     if (args.toSeq == Seq("sqlDml")) return sqlDmlMain()
+    if (args.toSeq == Seq("lakePlan")) return lakePlanMain()
     if (args.toSeq == Seq("textScale")) return textScaleMain()
     // Portable like Bench (ADVICE r8): source fixture and parallelism come
     // from the same env knobs; SPARK_GRAFT_SMOKE_PASSES > 1 takes the
