@@ -183,7 +183,23 @@ class GraftLakeCatalog extends TableCatalog
     val path = pathOf(ident)
     SnapshotLake.latest(spark, path) match {
       case Some(snap) => new GraftLakeTable(path, snap)
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // metadata tables (r19): `graftlake.`/t`.snapshots/files/tags/
+        // stats` — the trailing segment selects a manifest-computed view
+        // over the PARENT table; a real table at the full path wins
+        metaTableOf(ident).getOrElse(throw new NoSuchTableException(ident))
+    }
+  }
+
+  private def metaTableOf(ident: Identifier)
+      : Option[Table] = {
+    val view = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!GraftLakeMetaTables.names(view) || ident.namespace().isEmpty) None
+    else {
+      val parent = pathOf(Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last))
+      SnapshotLake.latest(spark, parent).map(snap =>
+        GraftLakeMetaTables.table(spark, parent, snap, view))
     }
   }
 

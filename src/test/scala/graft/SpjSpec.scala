@@ -298,6 +298,37 @@ class SpjSpec extends AnyFunSuite {
     assert(s.read.format("graftlake").load(t).count() == 50)
   }
 
+  test("partially-clustered SPJ absorbs bucket skew: with " +
+       "partiallyClusteredDistribution on, the hot bucket splits " +
+       "across tasks and the join still plans without a full shuffle") {
+    import s.implicits._
+    val a = tmpDir("spj-pc"); val b = tmpDir("spj-pc-b")
+    // a: heavy skew — key 7 carries 4000 rows; b: uniform
+    val skewed = ((1 to 4000).map(_ => (7L, "hot", 1.0)) ++
+      (1 to 200).map(i => (i.toLong, s"a$i", i * 2.0))).toDF("k", "v", "x")
+    SnapshotLake.commitBucketed(skewed, a, Seq("k"), 8)
+    SnapshotLake.commitBucketed(frame(200, "b"), b, Seq("k"), 8)
+    val sql = s"SELECT a.k, b.v AS bv FROM graftlake.`$a` a " +
+      s"JOIN graftlake.`$b` b ON a.k = b.k"
+    def multiset(df: DataFrame): Map[Seq[Any], Int] =
+      df.collect().toSeq.map(_.toSeq).groupBy(identity)
+        .map { case (r, g) => r -> g.size }
+    withNoBroadcast {
+      val expected = multiset(s.sql(sql)) // plain SPJ reference
+      assert(expected.valuesIterator.sum == 4000 + 200)
+      s.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      try {
+        val q = s.sql(sql)
+        assert(multiset(q) == expected)
+        assert(shuffles(q) == 0,
+          s"partially-clustered SPJ must not fall back to a full " +
+          s"shuffle:\n${q.queryExecution.executedPlan}")
+      } finally s.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "false")
+    }
+  }
+
   test("SPJ groupBy on the bucket column aggregates with ZERO " +
        "exchanges; values exact") {
     val a = tmpDir("spj-agg")
