@@ -176,8 +176,26 @@ private[graft] object GraftProcedures {
           args.getUTF8String(1).toString))))
   }
 
+  private object Rollback extends Proc("rollback",
+    "restore the table head to an earlier committed snapshot as a NEW " +
+      "commit (SnapshotLake.rollback; history stays time-travelable, " +
+      "the bad head stays inspectable; None-on-race surfaces as " +
+      "committed = -1)",
+    Seq(in("table", StringType), in("snapshot_id", LongType)),
+    StructType(Seq(
+      StructField("committed_snapshot_id", LongType, nullable = false),
+      StructField("restored_from", LongType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val table = args.getUTF8String(0).toString
+      val to = args.getLong(1)
+      Array(new GenericInternalRow(Array[Any](
+        SnapshotLake.rollback(spark, table, to).getOrElse(-1L), to)))
+    }
+  }
+
   private val all: Seq[Proc] =
-    Seq(Compact, Expire, ZOrder, Rebalance, History, Tag, DropTag)
+    Seq(Compact, Expire, ZOrder, Rebalance, History, Tag, DropTag,
+      Rollback)
 
   def names: Seq[String] = all.map(_.name())
 

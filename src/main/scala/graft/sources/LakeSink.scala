@@ -1602,6 +1602,48 @@ object SnapshotLake {
     * every table format documents: a reader that planned a time-travel
     * scan of an expired snapshot before the expire ran can lose files
     * mid-read — retention must exceed the longest running query. */
+  /** ROLLBACK (r19): restore the table head to the state of an earlier
+    * committed snapshot — AS A NEW COMMIT, never by deleting history
+    * (the Iceberg rollback shape). The new manifest re-references the
+    * target's data directories, evolution directives and `#bucket`
+    * layout line verbatim, so reads after the rollback ≡
+    * `readAt(target)` (bucket co-location included) while every
+    * intermediate snapshot stays time-travel-readable and the bad
+    * head remains inspectable. Shared dirs inherit their stats lines
+    * byte-for-byte; dirs the current head no longer references get
+    * footer-recomputed lines (immutable dirs — identical values).
+    * Same single-CAS-at-base+1 discipline as [[compact]]: None on a
+    * lost race. Rolling back to the current head is a recorded no-op
+    * (returns the head, commits nothing). The target must still be a
+    * committed snapshot — expired snapshots refuse loudly. */
+  def rollback(spark: SparkSession, table: String, to: Long)
+      : Option[Long] = {
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    rollbackFrom(spark, table, base, to)
+  }
+
+  /** The check-then-CAS half of [[rollback]], split out (like
+    * [[compactFrom]]) so the concurrent-commit race is testable
+    * deterministically. */
+  private[graft] def rollbackFrom(spark: SparkSession, table: String,
+                                  base: Long, to: Long): Option[Long] = {
+    require(snapshots(spark, table).contains(to),
+      s"no committed snapshot $to at $table (expired or never " +
+      "committed) — rollback needs a live manifest to restore")
+    if (to == base) return Some(base)
+    val dirs = manifestDirs(spark, table, to)
+    val dirvs = manifestDirectives(spark, table, to)
+    val line = manifestBucket(spark, table, to).map {
+      case (n, cols, sortCols) =>
+        s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
+    }
+    if (latest(spark, table).contains(base) &&
+        tryCommitManifest(spark, table, base + 1, dirs, dirvs, line))
+      Some(base + 1)
+    else None
+  }
+
   def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
     require(keepLast >= 1, "must retain at least the latest snapshot")
     val fs = fsFor(spark, table)
