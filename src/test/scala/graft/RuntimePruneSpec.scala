@@ -114,6 +114,40 @@ class RuntimePruneSpec extends AnyFunSuite {
     assert(prunedOf(wide).isEmpty)
   }
 
+  test("string and decimal join keys prune through their stats kinds " +
+       "(truncate(16) string envelopes, exact decimal endpoints) — " +
+       "conservative, values exact") {
+    import s.implicits._
+    // string-keyed fact: three dirs with disjoint name prefixes
+    val t = tmpDir("rtp-str")
+    for (p <- Seq("alpha", "mid", "zulu"))
+      SnapshotLake.commit((1 to 300).map(i => (s"$p$i", i))
+        .toDF("name", "n"), t)
+    val dims = tmpDir("rtp-str-dim")
+    SnapshotLake.commit(Seq(("alpha7", "y"), ("alpha20", "y"),
+      ("nomatch", "n")).toDF("name", "tag"), dims)
+    val q = s.sql(s"SELECT f.name, f.n FROM graftlake.`$t` f " +
+      s"JOIN graftlake.`$dims` d ON f.name = d.name AND d.tag = 'y'")
+    assert(rows(q) == Set(Seq[Any]("alpha7", 7), Seq[Any]("alpha20", 20)))
+    assert(prunedOf(q).size == 2,
+      s"mid*/zulu* dirs must prune on string envelopes, got " +
+      s"${prunedOf(q)}")
+    // decimal-keyed fact (r19 decimal stats): disjoint money ranges
+    val td = tmpDir("rtp-dec")
+    for (base <- Seq(0, 10000, 20000))
+      SnapshotLake.commit((1 to 300).map(i =>
+        (BigDecimal(base + i, 2), i)).toDF("amt", "n"), td)
+    val dimd = tmpDir("rtp-dec-dim")
+    SnapshotLake.commit(Seq((BigDecimal(10042, 2), "y"),
+      (BigDecimal(10099, 2), "y"), (BigDecimal(99999999, 2), "n"))
+      .toDF("amt", "tag"), dimd)
+    val qd = s.sql(s"SELECT f.n FROM graftlake.`$td` f " +
+      s"JOIN graftlake.`$dimd` d ON f.amt = d.amt AND d.tag = 'y'")
+    assert(rows(qd).map(_.head) == Set(42, 99))
+    assert(prunedOf(qd).size == 2,
+      s"out-of-range decimal dirs must prune, got ${prunedOf(qd)}")
+  }
+
   test("bucketed fact: runtime pruning composes with the bucket layout " +
        "— dirs drop, every bucket partition survives (alignment), " +
        "values exact") {
