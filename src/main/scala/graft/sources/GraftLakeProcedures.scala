@@ -193,9 +193,51 @@ private[graft] object GraftProcedures {
     }
   }
 
+  private object Branch extends Proc("branch",
+    "fork the current head into a writable branch rooted at " +
+      "<table>/refs/branch-<name> (zero data copy; write to it as an " +
+      "ordinary graftlake table, then fast_forward publishes)",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("forked_from", LongType, nullable = false),
+      StructField("branch_root", StringType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] = {
+      val table = args.getUTF8String(0).toString
+      val name = args.getUTF8String(1).toString
+      val fork = SnapshotLake.branch(spark, table, name)
+      Array(new GenericInternalRow(Array[Any](fork,
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          SnapshotLake.branchRoot(table, name)))))
+    }
+  }
+
+  private object FastForward extends Proc("fast_forward",
+    "publish a branch head to main as one commit (refuses loudly if " +
+      "main advanced past the fork; committed = -1 on a lost CAS race)",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("committed_snapshot_id", LongType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] =
+      Array(new GenericInternalRow(Array[Any](
+        SnapshotLake.fastForward(spark, args.getUTF8String(0).toString,
+          args.getUTF8String(1).toString).getOrElse(-1L))))
+  }
+
+  private object DropBranch extends Proc("drop_branch",
+    "drop a branch: manifests go, data dirs the main chain references " +
+      "survive, branch-private dirs are reclaimed",
+    Seq(in("table", StringType), in("name", StringType)),
+    StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))) {
+    override protected def run(args: InternalRow): Array[InternalRow] =
+      Array(new GenericInternalRow(Array[Any](
+        SnapshotLake.dropBranch(spark, args.getUTF8String(0).toString,
+          args.getUTF8String(1).toString))))
+  }
+
   private val all: Seq[Proc] =
     Seq(Compact, Expire, ZOrder, Rebalance, History, Tag, DropTag,
-      Rollback)
+      Rollback, Branch, FastForward, DropBranch)
 
   def names: Seq[String] = all.map(_.name())
 

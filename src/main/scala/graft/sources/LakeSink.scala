@@ -199,6 +199,158 @@ object SnapshotLake {
         s"no tag '$name' at $table — known: " +
         tags(spark, table).keys.toSeq.sorted.mkString(", "))))
 
+  // ------------------------------------------------------------------
+  // Branches (r19, the writable half of VERDICT r18 item 6): a branch
+  // is a FULL SnapshotLake table rooted at `<table>/refs/branch-<name>`
+  // whose first manifest RE-REFERENCES the fork point's data dirs,
+  // directives and #bucket line verbatim — zero data copy, any table
+  // size, O(manifest). Because it's an ordinary root, everything
+  // already works on it: commits (bucketed commits for bucketed forks),
+  // row-level mutations, time travel, the SQL catalog
+  // (``INSERT INTO graftlake.`/t/refs/branch-audit` ``), metadata
+  // tables. The WRITE-AUDIT-PUBLISH cycle: `branch` → write + validate
+  // on the branch → `fastForward` publishes the branch head to main as
+  // one commit (refused loudly if main moved past the fork — replay on
+  // a fresh branch) → `dropBranch` reclaims branch-only data.
+  // GC safety is two-sided: main [[expire]] keeps every dir a live
+  // branch references, and [[dropBranch]] deletes only dirs the main
+  // chain does NOT reference.
+  // ------------------------------------------------------------------
+
+  private[graft] def branchRoot(table: String, name: String): String =
+    s"$table/refs/branch-$name"
+  private def forkFile(table: String, name: String) =
+    new HPath(branchRoot(table, name), "forked-from")
+
+  /** Fork the current head into a new writable branch. Returns the
+    * fork-point snapshot id. */
+  def branch(spark: SparkSession, table: String, name: String): Long = {
+    require(TagNameRe.matches(name),
+      s"branch names are [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val head = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    val root = branchRoot(table, name)
+    require(latest(spark, root).isEmpty,
+      s"branch '$name' already exists at $table — dropBranch first")
+    val fs = fsFor(spark, table)
+    fs.mkdirs(new HPath(root))
+    val ff = fs.create(forkFile(table, name), false)
+    try ff.write(s"$head\n".getBytes("UTF-8")) finally ff.close()
+    require(tryCommitManifest(spark, root, 1L,
+        manifestDirs(spark, table, head),
+        manifestDirectives(spark, table, head),
+        bucketLineOf(manifestBucket(spark, table, head)),
+        inheritStatsFrom = Some((table, head))),
+      s"branch '$name' seed commit lost a race at $table")
+    head
+  }
+
+  /** All branches: name → (fork-point id, branch head id). */
+  def branches(spark: SparkSession, table: String)
+      : Map[String, (Long, Long)] = {
+    val fs = fsFor(spark, table)
+    val dir = refsDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory || !n.startsWith("branch-")) None
+      else {
+        val name = n.stripPrefix("branch-")
+        for {
+          head <- latest(spark, branchRoot(table, name))
+          fork <- forkOf(spark, table, name)
+        } yield name -> (fork, head)
+      }
+    }.toMap
+  }
+
+  private def forkOf(spark: SparkSession, table: String,
+                     name: String): Option[Long] = {
+    val fs = fsFor(spark, table)
+    val p = forkFile(table, name)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong finally in.close()
+    }.toOption
+  }
+
+  /** Read the branch head (an ordinary table read of the branch root —
+    * this helper only resolves the name). */
+  def readBranch(spark: SparkSession, table: String,
+                 name: String): DataFrame = {
+    require(latest(spark, branchRoot(table, name)).isDefined,
+      s"no branch '$name' at $table — known: " +
+      branches(spark, table).keys.toSeq.sorted.mkString(", "))
+    spark.read.format("graftlake").load(branchRoot(table, name))
+  }
+
+  /** PUBLISH: commit the branch head's state to main as one new
+    * snapshot (dirs/directives/#bucket re-referenced verbatim). The
+    * main head must still BE the fork point — if main advanced, the
+    * branch is diverged and this refuses loudly (re-branch and replay;
+    * first-publisher-wins, never a silent merge). None on a lost CAS
+    * race with a concurrent main commit. */
+  def fastForward(spark: SparkSession, table: String,
+                  name: String): Option[Long] = {
+    val root = branchRoot(table, name)
+    val bhead = latest(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch '$name' at $table — known: " +
+        branches(spark, table).keys.toSeq.sorted.mkString(", ")))
+    val fork = forkOf(spark, table, name).getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' at $table has no forked-from marker"))
+    val base = latest(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed snapshot at $table"))
+    require(base == fork,
+      s"main advanced past the fork of branch '$name' " +
+      s"($fork → $base) — the branch is diverged; re-branch from the " +
+      "new head and replay its writes")
+    if (tryCommitManifest(spark, table, base + 1,
+        manifestDirs(spark, root, bhead),
+        manifestDirectives(spark, root, bhead),
+        bucketLineOf(manifestBucket(spark, root, bhead)),
+        inheritStatsFrom = Some((root, bhead))))
+      Some(base + 1)
+    else None
+  }
+
+  /** Drop a branch: manifests and fork marker first (the branch
+    * disappears atomically-enough), then branch-local data dirs the
+    * CURRENT main chain does not reference — a fast-forwarded branch's
+    * published dirs survive, an abandoned branch's private dirs are
+    * reclaimed. False if the branch does not exist. */
+  def dropBranch(spark: SparkSession, table: String,
+                 name: String): Boolean = {
+    val root = branchRoot(table, name)
+    val fs = fsFor(spark, table)
+    // the branch exists iff its manifest chain or fork marker does —
+    // a leftover empty root (published data already GC'd) is not one
+    if (latest(spark, root).isEmpty &&
+        !fs.exists(forkFile(table, name))) false
+    else {
+      val mainLive = snapshots(spark, table)
+        .flatMap(manifestDirs(spark, table, _)).toSet
+      fs.delete(manifestDir(root), true)
+      fs.delete(forkFile(table, name), false)
+      val dataRoot = new HPath(s"$root/data")
+      if (fs.exists(dataRoot)) {
+        fs.listStatus(dataRoot).foreach { st =>
+          if (!mainLive.contains(st.getPath.toUri.getPath))
+            fs.delete(st.getPath, true)
+        }
+        if (fs.listStatus(dataRoot).isEmpty) fs.delete(dataRoot, false)
+      }
+      // remove the root only if nothing (published data) remains
+      if (fs.exists(new HPath(root)) &&
+          fs.listStatus(new HPath(root)).isEmpty)
+        fs.delete(new HPath(root), false)
+      true
+    }
+  }
+
   /** (snapshot id, manifest mtime millis) ascending — the commit clock
     * TIMESTAMP AS OF resolves against (the manifest file IS the commit,
     * so its mtime is the commit instant). */
@@ -673,7 +825,9 @@ object SnapshotLake {
   private[graft] def tryCommitManifest(spark: SparkSession, table: String,
                                          id: Long, dirs: Seq[String],
                                          directives: Seq[String] = Nil,
-                                         bucketLine: Option[String] = None)
+                                         bucketLine: Option[String] = None,
+                                         inheritStatsFrom:
+                                           Option[(String, Long)] = None)
       : Boolean = {
     val fs = fsFor(spark, table)
     fs.mkdirs(manifestDir(table))
@@ -690,7 +844,12 @@ object SnapshotLake {
       if (id > 1 && fs.exists(manifestPath(table, id - 1)))
         manifestStats(spark, table, id - 1)
           .groupBy(_.split("\t", -1)(1))
-      else Map.empty
+      else inheritStatsFrom // branch seed / fast-forward: inherit from
+        // the re-referenced manifest instead of re-reading footers
+        .filter { case (t, i) => fs.exists(manifestPath(t, i)) }
+        .map { case (t, i) =>
+          manifestStats(spark, t, i).groupBy(_.split("\t", -1)(1))
+        }.getOrElse(Map.empty)
     val statsLines = dirs.sorted.flatMap(d =>
       prior.getOrElse(d, computeStatsLines(spark, d)))
     val out = fs.create(tmp, false)
@@ -1654,8 +1813,15 @@ object SnapshotLake {
     val keep = all.takeRight(keepLast).toSet ++ tagged.filter(all.contains)
     val dropped = all.filterNot(keep)
     dropped.foreach(id => fs.delete(manifestPath(table, id), false))
+    // live branches keep every dir they reference (r19): a branch's
+    // seed re-references main data dirs that main's retained chain may
+    // no longer mention
+    val branchLive = branches(spark, table).keys.flatMap { b =>
+      val root = branchRoot(table, b)
+      snapshots(spark, root).flatMap(manifestDirs(spark, root, _))
+    }.toSet
     val live = all.filter(keep)
-      .flatMap(manifestDirs(spark, table, _)).toSet
+      .flatMap(manifestDirs(spark, table, _)).toSet ++ branchLive
     val dataRoot = new HPath(s"$table/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { st =>
