@@ -31,7 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] object GraftLakeMetaTables {
 
-  val names: Set[String] = Set("snapshots", "files", "tags", "stats")
+  val names: Set[String] =
+    Set("snapshots", "files", "tags", "stats", "branches")
 
   private def ts(millis: Long): Any = millis * 1000L // micros internal
 
@@ -85,6 +86,18 @@ private[graft] object GraftLakeMetaTables {
         SnapshotLake.tags(spark, parent).toSeq.sortBy(_._1).map {
           case (n, id) => new GenericInternalRow(Array[Any](
             UTF8String.fromString(n), id)): InternalRow
+        })
+    case "branches" =>
+      meta(s"$parent.branches", StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("forked_from", LongType, nullable = false),
+        StructField("head", LongType, nullable = false),
+        StructField("root", StringType, nullable = false))),
+        SnapshotLake.branches(spark, parent).toSeq.sortBy(_._1).map {
+          case (n, (fork, head)) => new GenericInternalRow(Array[Any](
+            UTF8String.fromString(n), fork, head,
+            UTF8String.fromString(
+              SnapshotLake.branchRoot(parent, n)))): InternalRow
         })
     case "stats" =>
       meta(s"$parent.stats", StructType(Seq(

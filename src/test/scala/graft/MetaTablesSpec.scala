@@ -99,6 +99,24 @@ class MetaTablesSpec extends AnyFunSuite {
     assert(r(0).getString(4) == "1" && r(0).getString(5) == "50")
   }
 
+  test("branches view lists live forks with fork point, head and root") {
+    val t = tmpDir("mt-br")
+    SnapshotLake.commit(frame(20), t)
+    val fork = SnapshotLake.branch(s, t, "wip")
+    SnapshotLake.commit(frame(5, 100), SnapshotLake.branchRoot(t, "wip"))
+    val q = s.sql(s"SELECT * FROM graftlake.`$t`.branches")
+    assert(isLocal(q))
+    val r = q.collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "wip")
+    assert(r(0).getLong(1) == fork)
+    assert(r(0).getLong(2) == 2L)
+    assert(r(0).getString(3) == SnapshotLake.branchRoot(t, "wip"))
+    SnapshotLake.dropBranch(s, t, "wip")
+    assert(s.sql(s"SELECT * FROM graftlake.`$t`.branches").collect()
+      .isEmpty)
+  }
+
   test("resolution: a REAL table whose path ends in a view name wins; " +
        "unknown suffixes and viewless parents stay NoSuchTable") {
     val parent = tmpDir("mt-prec")
