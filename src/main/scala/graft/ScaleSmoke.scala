@@ -608,15 +608,39 @@ object ScaleSmoke {
     require(rowsOn._1 == rowsOff,
       s"DPP changed the row count: ${rowsOn._1} vs $rowsOff")
 
+    // branch + publish are O(manifest): zero data copy at any size
+    def bytesUnder(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) 0L
+      else fs.getContentSummary(hp).getLength
+    }
+    SnapshotLake.dropBranch(spark, t, "smoke")
+    val tableBytes = bytesUnder(s"$t/data")
+    val (_, brSecs) = timeIt(SnapshotLake.branch(spark, t, "smoke"))
+    val branchDataBytes = bytesUnder(
+      s"${SnapshotLake.branchRoot(t, "smoke")}/data")
+    val (_, ffSecs) = timeIt {
+      // publish the (unchanged) branch back — a pure manifest commit
+      SnapshotLake.fastForward(spark, t, "smoke").get
+    }
+    SnapshotLake.dropBranch(spark, t, "smoke")
+
     println(s"\nmetaAgg | localScan | s | scan twin s")
     println(f"${metaRow.toSeq.mkString(",")} | $metaLocal | " +
       f"$metaSecs%.3f | $scanSecs%.2f")
     println(s"runtimePrune | dirs | pruned | dppOn s | dppOff s | rows")
     println(f"- | ${dirs.size} | $prunedDirs | $onSecs%.2f | " +
       f"$offSecs%.2f | ${rowsOn._1}")
+    println(s"branch | table MB | branch-data bytes | branch s | " +
+      "publish s")
+    println(f"- | ${tableBytes / 1e6}%.0f | $branchDataBytes | " +
+      f"$brSecs%.2f | $ffSecs%.2f")
     require(metaLocal, "metadata agg must plan LocalTableScan at sf1")
     require(prunedDirs == dirs.size - 1,
       s"expected ${dirs.size - 1} dirs pruned, got $prunedDirs")
+    require(branchDataBytes == 0L,
+      s"branching must copy ZERO data bytes, saw $branchDataBytes")
     spark.stop()
   }
 

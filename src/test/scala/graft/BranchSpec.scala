@@ -130,6 +130,31 @@ class BranchSpec extends AnyFunSuite {
     SnapshotLake.dropBranch(s, t, "b")
   }
 
+  test("row-level mutations on a branch leave main byte-stable; the " +
+       "publish carries the mutated state") {
+    import org.apache.spark.sql.functions.lit
+    val t = tmpDir("br-mut")
+    SnapshotLake.commit(frame(20), t)
+    val mainRows = rows(s.read.format("graftlake").load(t))
+    SnapshotLake.branch(s, t, "mut")
+    val root = SnapshotLake.branchRoot(t, "mut")
+    // CoW UPDATE on the branch rewrites a dir MAIN also references —
+    // into the BRANCH's data root; the shared dir is never touched
+    assert(SnapshotLake.update(s, root, col("k") <= 5L,
+      Map("v" -> lit("branched"))).isDefined)
+    assert(rows(s.read.format("graftlake").load(t)) == mainRows,
+      "main must be byte-stable under a branch mutation")
+    val br = SnapshotLake.readBranch(s, t, "mut")
+    assert(br.filter(col("v") === "branched").count() == 5)
+    assert(SnapshotLake.fastForward(s, t, "mut").isDefined)
+    assert(rows(s.read.format("graftlake").load(t)) ==
+      rows(br))
+    SnapshotLake.dropBranch(s, t, "mut")
+    assert(s.read.format("graftlake").load(t)
+      .filter(col("v") === "branched").count() == 5,
+      "published mutated dirs must survive dropBranch")
+  }
+
   test("CALL branch / fast_forward / drop_branch ≡ the object API") {
     val t = tmpDir("br-call")
     SnapshotLake.commit(frame(8), t)
