@@ -206,21 +206,35 @@ class GraftLakeCatalog extends TableCatalog
   /** `SELECT ... FROM graftlake.\`t\` VERSION AS OF <snapshot id>` —
     * SQL time travel onto the pinned-snapshot table (≡ the `snapshotId`
     * read option / [[SnapshotLake.readAt]]). A non-numeric version is a
-    * TAG name (r19): `VERSION AS OF 'release-1'` reads the snapshot the
-    * tag pins ([[SnapshotLake.tag]]). */
+    * named ref (r19): a TAG (`VERSION AS OF 'release-1'` reads the
+    * snapshot the tag pins) or, failing that, a BRANCH name (reads the
+    * branch head at its own root — `VERSION AS OF 'audit'`). Tags win
+    * a name collision: they are immutable, the branch is reachable at
+    * its root. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
-    val snap = scala.util.Try(version.trim.toLong).toOption
-      .orElse(SnapshotLake.tags(spark, path).get(version.trim))
-      .getOrElse(throw new IllegalArgumentException(
-        s"graftlake VERSION AS OF takes a snapshot id or a tag name, " +
-        s"got '$version' — tags: " +
-        SnapshotLake.tags(spark, path).keys.toSeq.sorted.mkString(", ")))
-    if (!SnapshotLake.snapshots(spark, path).contains(snap))
-      throw new IllegalArgumentException(
-        s"no committed snapshot $snap at $path (expired or never " +
-        "committed)")
-    new GraftLakeTable(path, snap)
+    val name = version.trim
+    scala.util.Try(name.toLong).toOption
+      .orElse(SnapshotLake.tags(spark, path).get(name)) match {
+      case Some(snap) =>
+        if (!SnapshotLake.snapshots(spark, path).contains(snap))
+          throw new IllegalArgumentException(
+            s"no committed snapshot $snap at $path (expired or never " +
+            "committed)")
+        new GraftLakeTable(path, snap)
+      case None =>
+        SnapshotLake.branches(spark, path).get(name) match {
+          case Some((_, head)) =>
+            new GraftLakeTable(SnapshotLake.branchRoot(path, name), head)
+          case None => throw new IllegalArgumentException(
+            s"graftlake VERSION AS OF takes a snapshot id, a tag or a " +
+            s"branch name, got '$version' — tags: " +
+            SnapshotLake.tags(spark, path).keys.toSeq.sorted
+              .mkString(", ") + "; branches: " +
+            SnapshotLake.branches(spark, path).keys.toSeq.sorted
+              .mkString(", "))
+        }
+    }
   }
 
   /** `... TIMESTAMP AS OF <ts>` — resolves to the LATEST snapshot whose

@@ -1820,8 +1820,21 @@ object SnapshotLake {
       val root = branchRoot(table, b)
       snapshots(spark, root).flatMap(manifestDirs(spark, root, _))
     }.toSet
+    // ... and the OTHER direction (r19): expiring a BRANCH root must
+    // keep every dir the PARENT table's chain references — after a
+    // fastForward, main points at dirs under <root>/data, which a
+    // later branch compact would otherwise orphan from the branch's
+    // own manifests and this expire would delete out from under main
+    val BranchRootRe = "(.*)/refs/branch-[A-Za-z][A-Za-z0-9._-]*$".r
+    val parentLive = table match {
+      case BranchRootRe(parent) =>
+        snapshots(spark, parent)
+          .flatMap(manifestDirs(spark, parent, _)).toSet
+      case _ => Set.empty[String]
+    }
     val live = all.filter(keep)
-      .flatMap(manifestDirs(spark, table, _)).toSet ++ branchLive
+      .flatMap(manifestDirs(spark, table, _)).toSet ++ branchLive ++
+      parentLive
     val dataRoot = new HPath(s"$table/data")
     if (fs.exists(dataRoot)) {
       fs.listStatus(dataRoot).foreach { st =>

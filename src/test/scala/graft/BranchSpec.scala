@@ -155,6 +155,46 @@ class BranchSpec extends AnyFunSuite {
       "published mutated dirs must survive dropBranch")
   }
 
+  test("expire ON a branch root keeps dirs the PARENT chain references " +
+       "(post-publish compact+expire on the branch cannot break main)") {
+    val t = tmpDir("br-gc2")
+    SnapshotLake.commit(frame(10), t)
+    SnapshotLake.branch(s, t, "w")
+    val root = SnapshotLake.branchRoot(t, "w")
+    SnapshotLake.commit(frame(5, 100), root) // branch-local dir
+    assert(SnapshotLake.fastForward(s, t, "w").isDefined)
+    val mainRows = rows(s.read.format("graftlake").load(t))
+    // the branch moves on: compact rewrites its contents, then expires
+    // everything but its own head — the published dir is now orphaned
+    // from the BRANCH's chain, but main still references it
+    assert(SnapshotLake.compact(s, root).isDefined)
+    SnapshotLake.expire(s, root, keepLast = 1)
+    assert(rows(s.read.format("graftlake").load(t)) == mainRows,
+      "branch-root expire must never delete dirs main references")
+    SnapshotLake.dropBranch(s, t, "w")
+    assert(rows(s.read.format("graftlake").load(t)) == mainRows)
+  }
+
+  test("VERSION AS OF resolves branch names (tags win collisions)") {
+    val t = tmpDir("br-vao")
+    SnapshotLake.commit(frame(10), t)
+    SnapshotLake.branch(s, t, "audit")
+    SnapshotLake.commit(frame(5, 100),
+      SnapshotLake.branchRoot(t, "audit"))
+    val q = s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 'audit'")
+    assert(q.count() == 15, "branch name must read the branch head")
+    assert(s.read.format("graftlake").load(t).count() == 10)
+    // a tag with the same name wins: immutable refs take precedence
+    SnapshotLake.tag(s, t, "audit", SnapshotLake.latest(s, t).get)
+    assert(s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 'audit'")
+      .count() == 10)
+    SnapshotLake.dropTag(s, t, "audit")
+    SnapshotLake.dropBranch(s, t, "audit")
+    intercept[Exception](
+      s.sql(s"SELECT * FROM graftlake.`$t` VERSION AS OF 'audit'")
+        .collect())
+  }
+
   test("CALL branch / fast_forward / drop_branch ≡ the object API") {
     val t = tmpDir("br-call")
     SnapshotLake.commit(frame(8), t)
