@@ -86,9 +86,22 @@ class GraftLakeProvider extends RelationProvider
                               parameters: Map[String, String])
       : BaseRelation = {
     val spark = sqlContext.sparkSession
-    val table = parameters.getOrElse("path",
+    val table0 = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graftlake needs a table root: .load(<table>) or option(\"path\", ...)"))
+    // branch option (r19): read a BRANCH head — the branch root is an
+    // ordinary table root, so every other option (snapshotId against
+    // the branch's own history, tag, statsPruning, ...) composes
+    val table = parameters.get("branch").map(_.trim) match {
+      case Some(b) =>
+        val root = SnapshotLake.branchRoot(table0, b)
+        require(SnapshotLake.latest(spark, root).isDefined,
+          s"no branch '$b' at $table0 — known: " +
+          SnapshotLake.branches(spark, table0).keys.toSeq.sorted
+            .mkString(", "))
+        root
+      case None => table0
+    }
     val latest = SnapshotLake.latest(spark, table).getOrElse(
       throw new IllegalArgumentException(
         s"no committed snapshot at $table"))

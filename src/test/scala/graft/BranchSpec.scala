@@ -195,6 +195,22 @@ class BranchSpec extends AnyFunSuite {
         .collect())
   }
 
+  test("V1 read option branch composes with the branch's own history " +
+       "(snapshotId against the branch chain)") {
+    val t = tmpDir("br-opt")
+    SnapshotLake.commit(frame(10), t)
+    SnapshotLake.branch(s, t, "opt")
+    SnapshotLake.commit(frame(5, 100), SnapshotLake.branchRoot(t, "opt"))
+    assert(s.read.format("graftlake").option("branch", "opt").load(t)
+      .count() == 15)
+    // snapshotId resolves against the BRANCH history: 1 = the seed
+    assert(s.read.format("graftlake").option("branch", "opt")
+      .option("snapshotId", "1").load(t).count() == 10)
+    intercept[IllegalArgumentException](
+      s.read.format("graftlake").option("branch", "nope").load(t))
+    SnapshotLake.dropBranch(s, t, "opt")
+  }
+
   test("CALL branch / fast_forward / drop_branch ≡ the object API") {
     val t = tmpDir("br-call")
     SnapshotLake.commit(frame(8), t)
