@@ -576,10 +576,9 @@ object ScaleSmoke {
     dpp(true); spark.sql(joinSql).count()
     dpp(false); spark.sql(joinSql).count()
     dpp(true)
-    val rowsOnN = spark.sql(joinSql).count()
+    val rowsOn = spark.sql(joinSql).count()
     val onSecs = (1 to 2).map(_ =>
       timeIt(spark.sql(joinSql).count())._2).min
-    val rowsOn = (rowsOnN, ())
     val prunedDirs = {
       def nodes(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = {
@@ -605,8 +604,8 @@ object ScaleSmoke {
     val offSecs = (1 to 2).map(_ =>
       timeIt(spark.sql(joinSql).count())._2).min
     dpp(true)
-    require(rowsOn._1 == rowsOff,
-      s"DPP changed the row count: ${rowsOn._1} vs $rowsOff")
+    require(rowsOn == rowsOff,
+      s"DPP changed the row count: $rowsOn vs $rowsOff")
 
     // branch + publish are O(manifest): zero data copy at any size
     def bytesUnder(p: String): Long = {
@@ -631,7 +630,7 @@ object ScaleSmoke {
       f"$metaSecs%.3f | $scanSecs%.2f")
     println(s"runtimePrune | dirs | pruned | dppOn s | dppOff s | rows")
     println(f"- | ${dirs.size} | $prunedDirs | $onSecs%.2f | " +
-      f"$offSecs%.2f | ${rowsOn._1}")
+      f"$offSecs%.2f | $rowsOn")
     println(s"branch | table MB | branch-data bytes | branch s | " +
       "publish s")
     println(f"- | ${tableBytes / 1e6}%.0f | $branchDataBytes | " +

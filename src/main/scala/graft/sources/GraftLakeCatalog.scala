@@ -191,6 +191,14 @@ class GraftLakeCatalog extends TableCatalog
     }
   }
 
+  /** Existence means a REAL committed table — NOT a metadata view. The
+    * default implementation delegates to loadTable, which would make
+    * `tableExists(graftlake.`/t`.snapshots)` true and wrongly refuse a
+    * CREATE TABLE at that path (the documented a-real-table-wins
+    * precedence, r19 review finding). */
+  override def tableExists(ident: Identifier): Boolean =
+    SnapshotLake.latest(spark, pathOf(ident)).isDefined
+
   private def metaTableOf(ident: Identifier)
       : Option[Table] = {
     val view = ident.name().toLowerCase(java.util.Locale.ROOT)

@@ -218,14 +218,36 @@ class GraftLakeProvider extends RelationProvider
     parameters.get("maxRecordsPerFile").map(_.trim.toLong)
       .getOrElse(1000000L)
 
+  /** Resolve the `branch` option for a WRITE target (r19): writes land
+    * on the branch root — the write-audit half of WAP. Requiring the
+    * branch to exist keeps a typo'd name from silently creating a new
+    * root; silently IGNORING the option would be worse (un-audited
+    * data published straight to main). */
+  private def writeTarget(spark: org.apache.spark.sql.SparkSession,
+                          parameters: Map[String, String],
+                          verb: String): String = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        s"graftlake needs a table root: .$verb(<table>) or " +
+        "option(\"path\", ...)"))
+    parameters.get("branch").map(_.trim) match {
+      case Some(b) =>
+        val root = SnapshotLake.branchRoot(table, b)
+        require(SnapshotLake.latest(spark, root).isDefined,
+          s"no branch '$b' at $table — known: " +
+          SnapshotLake.branches(spark, table).keys.toSeq.sorted
+            .mkString(", ") + " (SnapshotLake.branch creates one)")
+        root
+      case None => table
+    }
+  }
+
   /** Batch write: `df.write.format("graftlake").mode(m).save(table)`. */
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
                               data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val table = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graftlake needs a table root: .save(<table>) or option(\"path\", ...)"))
+    val table = writeTarget(spark, parameters, "save")
     val exists = SnapshotLake.latest(spark, table).isDefined
     mode match {
       case SaveMode.Append =>
@@ -258,9 +280,7 @@ class GraftLakeProvider extends RelationProvider
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    val table = parameters.getOrElse("path",
-      throw new IllegalArgumentException(
-        "graftlake needs a table root: .start(<table>) or option(\"path\", ...)"))
+    val table = writeTarget(sqlContext.sparkSession, parameters, "start")
     require(outputMode == OutputMode.Append(),
       s"graftlake is an append-only snapshot history; output mode " +
       s"$outputMode would re-emit updated rows as duplicates — use " +

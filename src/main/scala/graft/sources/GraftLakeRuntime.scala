@@ -107,14 +107,17 @@ private[graft] trait RuntimeDirPruning extends SupportsRuntimeV2Filtering {
           case fp: FilePartition => FilePartition(fp.index, keep(fp))
           case other => other
         }
-      else {
-        val kept = parts.collect {
-          case fp: FilePartition if keep(fp).nonEmpty => keep(fp)
-        }
-        kept.zipWithIndex.map { case (fs, i) =>
+      else
+        parts.map {
+          case fp: FilePartition => keep(fp)
+          // a parquet scan only plans FilePartitions; anything else
+          // here would be silently mis-indexed — fail loudly instead
+          case other => throw new IllegalStateException(
+            "unexpected non-file input partition " +
+            other.getClass.getName)
+        }.filter(_.nonEmpty).zipWithIndex.map { case (fs, i) =>
           FilePartition(i, fs): InputPartition
         }
-      }
     }
 }
 

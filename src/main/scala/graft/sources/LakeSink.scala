@@ -234,14 +234,33 @@ object SnapshotLake {
       s"branch '$name' already exists at $table — dropBranch first")
     val fs = fsFor(spark, table)
     fs.mkdirs(new HPath(root))
-    val ff = fs.create(forkFile(table, name), false)
+    // the fork marker doubles as the creation lock: losing its
+    // no-overwrite create means a concurrent (or half-created) branch
+    // owns the name — translate the raw FS error into the contract one
+    if (fs.exists(forkFile(table, name)))
+      throw new IllegalArgumentException(
+        s"branch '$name' already exists at $table (possibly " +
+        "half-created) — dropBranch first")
+    val ff =
+      try fs.create(forkFile(table, name), false)
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"branch '$name' already exists at $table (raced a " +
+            "concurrent create) — dropBranch first")
+      }
     try ff.write(s"$head\n".getBytes("UTF-8")) finally ff.close()
-    require(tryCommitManifest(spark, root, 1L,
+    // a failed seed must not leave an orphan marker poisoning retries
+    if (!tryCommitManifest(spark, root, 1L,
         manifestDirs(spark, table, head),
         manifestDirectives(spark, table, head),
         bucketLineOf(manifestBucket(spark, table, head)),
-        inheritStatsFrom = Some((table, head))),
-      s"branch '$name' seed commit lost a race at $table")
+        inheritStatsFrom = Some((table, head)))) {
+      fs.delete(forkFile(table, name), false)
+      throw new IllegalStateException(
+        s"branch '$name' seed commit lost a race at $table — retry")
+    }
     head
   }
 
@@ -331,14 +350,25 @@ object SnapshotLake {
     if (latest(spark, root).isEmpty &&
         !fs.exists(forkFile(table, name))) false
     else {
-      val mainLive = snapshots(spark, table)
-        .flatMap(manifestDirs(spark, table, _)).toSet
+      // liveness for the reclaim: MAIN's whole chain plus every SIBLING
+      // branch's chain — a sibling forked after this branch published
+      // re-references dirs under THIS root (r19 review finding)
+      val live = (snapshots(spark, table)
+          .flatMap(manifestDirs(spark, table, _)) ++
+        (branches(spark, table).keys.toSet - name).toSeq.flatMap { b =>
+          val r = branchRoot(table, b)
+          snapshots(spark, r).flatMap(manifestDirs(spark, r, _))
+        }).toSet
       fs.delete(manifestDir(root), true)
       fs.delete(forkFile(table, name), false)
       val dataRoot = new HPath(s"$root/data")
       if (fs.exists(dataRoot)) {
         fs.listStatus(dataRoot).foreach { st =>
-          if (!mainLive.contains(st.getPath.toUri.getPath))
+          // same two-representation guard as expire: manifests may
+          // record scheme-qualified URIs while toUri.getPath strips
+          // them — keep on EITHER match, delete only when neither hits
+          if (!live.contains(st.getPath.toUri.getPath) &&
+              !live.exists(_.endsWith("/" + st.getPath.getName)))
             fs.delete(st.getPath, true)
         }
         if (fs.listStatus(dataRoot).isEmpty) fs.delete(dataRoot, false)
@@ -840,16 +870,23 @@ object SnapshotLake {
     // when present and computed from footers only for dirs it does not
     // cover (new dirs; or every dir, once, on the first post-upgrade
     // commit over a legacy manifest)
-    val prior: Map[String, Seq[String]] =
+    // predecessor lines win; inheritStatsFrom (branch seed /
+    // fast-forward / rollback: the RE-REFERENCED manifest) fills dirs
+    // the predecessor does not cover, so a publish of branch-written
+    // dirs stays a pure manifest commit instead of re-reading their
+    // footers (r19 review finding: the fallback must MERGE, not be
+    // shadowed by a predecessor that lacks the new dirs)
+    val predecessor: Map[String, Seq[String]] =
       if (id > 1 && fs.exists(manifestPath(table, id - 1)))
         manifestStats(spark, table, id - 1)
           .groupBy(_.split("\t", -1)(1))
-      else inheritStatsFrom // branch seed / fast-forward: inherit from
-        // the re-referenced manifest instead of re-reading footers
-        .filter { case (t, i) => fs.exists(manifestPath(t, i)) }
-        .map { case (t, i) =>
-          manifestStats(spark, t, i).groupBy(_.split("\t", -1)(1))
-        }.getOrElse(Map.empty)
+      else Map.empty
+    val inherited: Map[String, Seq[String]] = inheritStatsFrom
+      .filter { case (t, i) => fs.exists(manifestPath(t, i)) }
+      .map { case (t, i) =>
+        manifestStats(spark, t, i).groupBy(_.split("\t", -1)(1))
+      }.getOrElse(Map.empty)
+    val prior = inherited ++ predecessor
     val statsLines = dirs.sorted.flatMap(d =>
       prior.getOrElse(d, computeStatsLines(spark, d)))
     val out = fs.create(tmp, false)
@@ -1793,12 +1830,10 @@ object SnapshotLake {
     if (to == base) return Some(base)
     val dirs = manifestDirs(spark, table, to)
     val dirvs = manifestDirectives(spark, table, to)
-    val line = manifestBucket(spark, table, to).map {
-      case (n, cols, sortCols) =>
-        s"#bucket\t$n\t${cols.mkString(",")}\t${sortCols.mkString(",")}"
-    }
+    val line = bucketLineOf(manifestBucket(spark, table, to))
     if (latest(spark, table).contains(base) &&
-        tryCommitManifest(spark, table, base + 1, dirs, dirvs, line))
+        tryCommitManifest(spark, table, base + 1, dirs, dirvs, line,
+          inheritStatsFrom = Some((table, to))))
       Some(base + 1)
     else None
   }

@@ -211,6 +211,46 @@ class BranchSpec extends AnyFunSuite {
     SnapshotLake.dropBranch(s, t, "opt")
   }
 
+  test("V1 writes honor the branch option (never silently landing on " +
+       "main); unknown branch refuses") {
+    val t = tmpDir("br-wopt")
+    SnapshotLake.commit(frame(10), t)
+    SnapshotLake.branch(s, t, "stage")
+    frame(5, 100).write.format("graftlake").option("branch", "stage")
+      .mode("append").save(t)
+    assert(s.read.format("graftlake").load(t).count() == 10,
+      "a branch-targeted write must NOT touch main")
+    assert(SnapshotLake.readBranch(s, t, "stage").count() == 15)
+    intercept[IllegalArgumentException](
+      frame(1).write.format("graftlake").option("branch", "nope")
+        .mode("append").save(t))
+    assert(SnapshotLake.fastForward(s, t, "stage").isDefined)
+    assert(s.read.format("graftlake").load(t).count() == 15)
+    SnapshotLake.dropBranch(s, t, "stage")
+  }
+
+  test("dropBranch keeps dirs a SIBLING branch references (published " +
+       "dir re-referenced by a later fork, main chain moved on)") {
+    val t = tmpDir("br-sib")
+    SnapshotLake.commit(frame(10), t)
+    SnapshotLake.branch(s, t, "a")
+    SnapshotLake.commit(frame(5, 100), SnapshotLake.branchRoot(t, "a"))
+    assert(SnapshotLake.fastForward(s, t, "a").isDefined)
+    // sibling B forks AFTER the publish — its seed references the dir
+    // that lives under A's root
+    SnapshotLake.branch(s, t, "b")
+    val bRows = rows(SnapshotLake.readBranch(s, t, "b"))
+    assert(bRows.size == 15)
+    // main rewrites + expires so A's published dir leaves MAIN's chain
+    assert(SnapshotLake.compact(s, t).isDefined)
+    SnapshotLake.expire(s, t, keepLast = 1)
+    // dropping A must not take the dir out from under B
+    assert(SnapshotLake.dropBranch(s, t, "a"))
+    assert(rows(SnapshotLake.readBranch(s, t, "b")) == bRows,
+      "dropBranch must keep dirs a live sibling references")
+    SnapshotLake.dropBranch(s, t, "b")
+  }
+
   test("CALL branch / fast_forward / drop_branch ≡ the object API") {
     val t = tmpDir("br-call")
     SnapshotLake.commit(frame(8), t)

@@ -121,6 +121,13 @@ class MetaTablesSpec extends AnyFunSuite {
        "unknown suffixes and viewless parents stay NoSuchTable") {
     val parent = tmpDir("mt-prec")
     SnapshotLake.commit(frame(5), parent)
+    // tableExists must NOT see the view (r19 review finding), so SQL
+    // can CREATE a genuine table at the view path — which then shadows
+    s.sql(s"CREATE TABLE graftlake.`$parent/files` (z BIGINT)")
+    assert(s.sql(s"SELECT * FROM graftlake.`$parent`.files").columns
+      .toSeq == Seq("z"),
+      "a CREATEd table at a view path must win resolution")
+    s.sql(s"DROP TABLE graftlake.`$parent/files`")
     // a genuine table AT <parent>/snapshots shadows the view
     SnapshotLake.commit(frame(3, 500), s"$parent/snapshots")
     val q = s.sql(s"SELECT k FROM graftlake.`$parent`.snapshots")
