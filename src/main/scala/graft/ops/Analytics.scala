@@ -670,14 +670,24 @@ object Analytics extends QueryPack {
     // q_connected_components' machinery.
     "q_bfs_hops" -> { (s, d) =>
       val edges = purchaseEdges(s, d)
+      // r19 opt: seed/h1/h2 each feed MULTIPLE consumers (the next ring's
+      // expansion/anti-join AND the output union), and AQE does not reuse
+      // exchanges across union branches — without a cut, h3's subtree
+      // re-runs h2's, which re-runs h1's (the unrolled plan carried h1's
+      // agg 3x). Frontiers are node-sized, so the lazy localCheckpoint
+      // materializations are trivial next to the edge-frame passes they
+      // delete: each ring is now computed exactly once per run.
       val seed = Tables.customer(s, d)
         .filter(col("c_nationkey") === 0)
         .select(col("c_custkey").as("c"))
+        .localCheckpoint(eager = false)
       val h1 = edges.join(broadcast(seed), Seq("c"))
         .select(col("sup")).distinct()
+        .localCheckpoint(eager = false)
       val h2 = edges.join(broadcast(h1), Seq("sup"))
         .select(col("c")).distinct()
         .join(broadcast(seed), Seq("c"), "left_anti")
+        .localCheckpoint(eager = false)
       val h3 = edges.join(broadcast(h2), Seq("c"))
         .select(col("sup")).distinct()
         .join(broadcast(h1), Seq("sup"), "left_anti")
@@ -782,9 +792,17 @@ object Analytics extends QueryPack {
         .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
         .distinct()
         .localCheckpoint(eager = false)
+      // r19 opt: supp feeds THREE consumers (freq's semi filter + both
+      // broadcast dimension sides) and freq feeds both pair sides — AQE
+      // reuses neither subtree across branches, so without cuts the
+      // support agg re-ran ~4x and the filtered item frame 2x per run.
+      // supp is item-count-sized and freq is one filtered copy of the
+      // already-checkpointed items, so both cuts are cheap.
       val supp = items.groupBy(col("part")).agg(count(lit(1)).as("s"))
         .filter(col("s") >= 5)
+        .localCheckpoint(eager = false)
       val freq = items.join(supp.select(col("part")), Seq("part"))
+        .localCheckpoint(eager = false)
       val nb = items.agg(countDistinct(col("okey")).as("n_baskets"))
       val pairs = freq.select(col("okey"), col("part").as("a"))
         .join(freq.select(col("okey"), col("part").as("b")), Seq("okey"))

@@ -507,14 +507,20 @@ object PipelineOps extends QueryPack {
       // shuffle, distinct, and join then moves 8-byte longs instead of
       // bigram strings. Gram STRINGS must match the oracle's
       // `ws[i] || ' ' || ws[i+1]` exactly — h60 runs on them.
+      // r19 opt: same multi-consumer shape as q_containment — grams has
+      // five subtree copies and rare self-joins; cut both once (lazy
+      // localCheckpoint) instead of re-running scan+shingle+digest+
+      // distinct per copy. Both frames are narrow (doc_id, h60 long).
       val grams = docs.select(col("doc_id"),
           explode(graft.expr.WordShingles.of(col("text"), 2)).as("gs"))
         .select(col("doc_id"), graft.expr.Md5Prefix60.h60(col("gs")).as("g"))
         .distinct()
+        .localCheckpoint(eager = false)
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val rare = grams.join(
         grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 20).select(col("g")), Seq("g"))
+        .localCheckpoint(eager = false)
       val cand = rare.alias("x").join(rare.alias("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
@@ -832,15 +838,23 @@ object PipelineOps extends QueryPack {
     // only inside candidate pairs, and both directions come out of ONE
     // overlap count. Grams travel as h60 longs end-to-end.
     "q_containment" -> { (s, d) =>
+      // r19 opt: the gram frame feeds FIVE subtree copies (sizes, both
+      // rare sides, both intersection sides) and rare feeds its own
+      // self-join twice; AQE reuses none of them across branches, so the
+      // scan+shingle+digest+distinct pipeline re-ran per copy. grams is
+      // (doc_id, long) rows and rare is its df<=20 slice — both trivial
+      // to materialize once via the lazy-checkpoint discipline.
       val grams = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(graft.expr.WordShingles.of(col("text"), 5)).as("gs"))
         .select(col("doc_id"), h60(col("gs")).as("g"))
         .distinct()
+        .localCheckpoint(eager = false)
       val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val rare = grams.join(
         grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 20).select(col("g")), Seq("g"))
+        .localCheckpoint(eager = false)
       val cand = rare.alias("x").join(rare.alias("y"),
           col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))

@@ -421,15 +421,16 @@ class PlanSpec extends AnyFunSuite {
     nodeBudget("q_dedup_simhash", fileScanMax = 0, rddScanMax = 2, hashExMax = 1)
     // fingerprint: one text scan, one per-doc agg shuffle
     nodeBudget("q_doc_fingerprint", fileScanMax = 1, rddScanMax = 0, hashExMax = 1)
-    // ngram: two text scans (gram pipeline + Jaccard confirm — the
-    // documented persist-to-parquet trade at 100 TB), five real shuffles;
-    // everything else must come back as ReusedExchange
-    nodeBudget("q_dedup_ngram", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
+    // ngram (re-audited r19 opt): the gram pipeline + its rare slice are
+    // lazily checkpointed — zero text scans survive in the plan; the five
+    // gram consumers and the rare self-join read the two materialized
+    // RDDs (3 + 2 scans), five real shuffles remain
+    nodeBudget("q_dedup_ngram", fileScanMax = 0, rddScanMax = 5, hashExMax = 5)
     // cluster-rep: one pruned documents scan + the shared sig checkpoint
     nodeBudget("q_dedup_cluster_rep", fileScanMax = 1, rddScanMax = 1, hashExMax = 1)
-    // containment: the q_dedup_ngram profile — two text scans (gram
-    // pipeline + overlap confirm), five real shuffles, the rest reused
-    nodeBudget("q_containment", fileScanMax = 2, rddScanMax = 0, hashExMax = 5)
+    // containment (re-audited r19 opt): the q_dedup_ngram profile — the
+    // checkpointed gram frame + rare slice replace both text scans
+    nodeBudget("q_containment", fileScanMax = 0, rddScanMax = 5, hashExMax = 5)
   }
 
   test("scan + exchange budgets hold on the r11 triangle/bootstrap keys") {
