@@ -35,13 +35,22 @@ object PlanDump {
     val keys =
       if (args.length > 3) args.drop(3).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // suffix ending in ".exec" additionally RUNS each query through the
+    // noop sink first, so the dumped plan is the FINAL adaptive plan
+    // (AQE join rewrites, coalesced reads, reused exchanges) — the only
+    // view that supports join-strategy claims. Plain suffix = initial
+    // plan, planning only.
+    val exec = suffix.endsWith(".exec")
     keys.foreach { k =>
       val txt =
         try {
           val df = SparkEntry.queries(k)(spark, sfDir)
-          // queryExecution.explainString(FormattedMode) = explain("formatted")
-          df.queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode)
+          if (exec) {
+            df.collect() // finalize AQE on THIS QueryExecution
+            df.queryExecution.executedPlan.toString
+          } else
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
         } catch { case e: Throwable => s"PLAN FAILED: $e" }
       Files.writeString(Paths.get(s"$outDir/${k}_$suffix.txt"), txt)
     }

@@ -82,17 +82,21 @@ object GraphRank {
     // broadcast form avoids. Arithmetic is identical (same decimal
     // rounding discipline), so the two strategies are row-equal —
     // GraphRankLargeSpec pins it and the no-broadcast plan shape.
+    // r19 opt: the node universe rides INSIDE the edge frame as one
+    // zero-weight self-loop row per node (w = 0 ⇒ its contribution is
+    // round(r·0/1, 12) = 0.00000000000000 exactly, so every per-dst
+    // decimal sum is unchanged) instead of a per-iteration LEFT join
+    // against a separate `nodes` frame. The groupBy(dst) then emits every
+    // node — a node with out-edges but NO in-edges keeps its teleport
+    // rank (1−d)/N through the coalesce, same as the old join — and each
+    // iteration drops one join plus one broadcast-build job.
     val ew = e.select(col(srcC).as("src"), col(dstC).as("dst"), col(wC).as("w"))
       .join(outw, Seq("src"))
+      .unionByName(outw.select(col("src"), col("src").as("dst"),
+        lit(0L).as("w"), lit(1L).as("ow")))
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .localCheckpoint()
     val n = outw.count()
-    // the node universe (every node with an out-edge, per the input
-    // contract) — each iteration's recompute LEFT-joins against it so a
-    // node with out-edges but NO in-edges keeps its teleport rank
-    // (1−d)/N instead of silently vanishing from the groupBy(dst) frame
-    // (and taking its downstream contributions with it)
-    val nodes = outw.select(col("src").as("node")).localCheckpoint()
     var ranks = outw.select(col("src").as("node"), lit(1.0 / n).as("r"))
     var sinceCut = 0
     var prevCut: Option[DataFrame] = None
@@ -104,16 +108,17 @@ object GraphRank {
       val rankSide =
         if (broadcastRanks) broadcast(ranks)
         else ranks.repartition(col("node"))
-      val contrib = ew.join(rankSide, col("node") === col("src"))
+      // coalesce keeps the degenerate all-null-contribution group (only
+      // possible when every real in-edge divides by a zero out-weight)
+      // computing round((1−d)/N + d·0, 12), exactly as the old
+      // nodes-LEFT-join spelling did; the self-loop row otherwise pins
+      // s = Σc + 0.00000000000000 — bit-identical decimal sums.
+      ranks = ew.join(rankSide, col("node") === col("src"))
         .select(col("dst"),
           round(col("r") * col("w") / col("ow"), 12)
             .cast(DecimalType(18, 14)).as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
-      // coalesce keeps the arithmetic bit-identical for in-edge nodes
-      // (non-null s passes through untouched); a no-inbound node computes
-      // round((1−d)/N + d·0, 12)
-      ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), round(lit((1.0 - damping) / n) +
           lit(damping) * coalesce(col("s"),
             lit(0).cast(DecimalType(18, 14))).cast("double"), 12).as("r"))

@@ -503,7 +503,13 @@ object MiningOps extends QueryPack {
             col("u").cast("string"), lit(":"),
             col("it").cast("string"), lit(":"),
             col("j").cast("string"))) % col("m")).as("neg"))
-      cand.join(pos.select(col("u"), col("it").as("neg"), lit(1).as("hit")),
+      // r19 opt: the exclusion probe is a plain equi-join of two already
+      // shuffled fact-grain frames — SHUFFLE_HASH builds the positive side
+      // per partition and skips both sort passes a sort-merge join pays
+      // (guide §3.1: prefer shuffled-hash when a side fits per-partition;
+      // the build side here is the |interactions|/nPartitions slice).
+      cand.join(pos.select(col("u"), col("it").as("neg"), lit(1).as("hit"))
+          .hint("shuffle_hash"),
           Seq("u", "neg"), "left")
         .groupBy(col("j"),
           when(col("hit").isNotNull, 1).otherwise(0).as("is_collision"))

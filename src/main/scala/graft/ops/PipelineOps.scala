@@ -1563,6 +1563,11 @@ object PipelineOps extends QueryPack {
         .orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      // r19 opt: the exact arm feeds BOTH the denominator count and the
+      // hit join; without a cut the brute-force corpus pass + its top-k
+      // window re-ran per consumer (AQE reuses no exchange across
+      // branches). The frame is k·|probes| rows — trivial to pin.
+      .localCheckpoint(eager = false)
     val plists = probes.join(broadcast(cents))
       .select(col("probe_id"), col("pe"), col("pnrm"), col("cent_id"),
         (AnnIndex.dotD(transform(col("pe"), v => v.cast("double")),

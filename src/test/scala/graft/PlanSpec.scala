@@ -365,7 +365,11 @@ class PlanSpec extends AnyFunSuite {
     // absorbs that lineage and the final plan never re-runs the training.
     val rdd = s.linesIterator.count(l => l.contains("Scan ExistingRDD") &&
       !l.contains("ReusedExchange"))
-    assert(rdd == 5, s"nprobe sweep reads the checkpoint $rdd times (want 5):\n$s")
+    // 5 sweep reads of the candidate checkpoint + 2 reads of the exact
+    // arm's checkpoint (r19 opt: the brute-force arm feeds the hit join
+    // AND the denominator count — both now read the one materialized
+    // frame instead of re-running the corpus pass + top-k window each)
+    assert(rdd == 7, s"nprobe sweep reads the checkpoint $rdd times (want 7):\n$s")
   }
 
   test("q_sessionize is ONE shuffle by user: windows and session agg share the partitioning") {
