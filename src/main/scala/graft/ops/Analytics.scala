@@ -255,7 +255,18 @@ object Analytics extends QueryPack {
         // identity because every graft session pins UTC (Verify/Bench/
         // TestSpark), matching DuckDB's naive epoch_us view byte-for-byte.
         unix_micros(col("l_shipdate").cast("timestamp")).cast("string")))
+      // r19 opt: one md5 per row over a 10-column concat is the key's
+      // whole cost, and a single parquet row group scans as ONE task —
+      // spread the RAW columns first (the r16 CPU-dense-narrow-row
+      // discipline; REPARTITION_BY_NUM is exempt from AQE coalescing) so
+      // the digest work uses every core at any file layout. The exchange
+      // moves the 10 raw business columns once — cheap next to the
+      // per-row digest it parallelizes.
       Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .select(col("l_returnflag"), rh.as("rh"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),

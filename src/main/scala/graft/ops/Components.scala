@@ -65,8 +65,15 @@ object Components {
     val adj = sym.filter(col("a") =!= col("b"))
       .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
       .localCheckpoint()
-    var labels = adj.filter(col("a") === col("b"))
-      .select(col("a").as("id"), col("a").as("comp"))
+    // r19 opt: seed with ROUND 1's output directly. From self-labels,
+    // round 1's candidates are min-over-neighborhood (self-edges ride in
+    // adj, so the min includes the node's own id) and the pointer branch
+    // comp(comp(id)) = id — a no-op. So labels₁ = min_b adj(a, b), one
+    // aggregation instead of the two-join round machinery; every later
+    // round is unchanged and the fixpoint (and its detection — sum
+    // stable round-over-round) is identical.
+    var labels = adj.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("comp"))
       .localCheckpoint()
     // sum() over zero rows is NULL — map it to 0 so an empty pair set
     // (no near-dups above threshold) converges to an empty frame instead
@@ -97,6 +104,8 @@ object Components {
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        Console.err.println(s"[cc] round $iter sum=$s converged=$converged")
     }
     require(converged, s"connectedComponents did not converge in $maxIters rounds")
     labels

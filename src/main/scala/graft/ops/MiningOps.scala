@@ -275,29 +275,45 @@ object MiningOps extends QueryPack {
     // means from exact decimal sums. ONE shuffle by group: the rank, the
     // bound windows, and the final agg all share the rf partitioning.
     "q_winsorize" -> { (s, d) =>
+      // r19 opt: the old spelling ran FOUR full-partition window passes
+      // (row_number, count-over-group, and two max-when bound scans),
+      // each buffering every group's rows in one task. Only the rank is
+      // order-dependent: because p is non-decreasing in rn, the k-th
+      // smallest (max over rn ≤ k) is exactly the row AT rn = k — so the
+      // p05/p95 bounds come off a 2-rows-per-group FILTER of the ranked
+      // frame, the group sizes off a max(rn) aggregate, and both ride
+      // back as broadcast joins. One window pass survives; values are
+      // bit-identical (same rank semantics, same clamp/trim expressions).
       val wRank = Window.partitionBy(col("rf")).orderBy(col("pd"))
-      val wAll = Window.partitionBy(col("rf"))
-      val kLo = ceil(col("n").cast("double") * lit(0.05)).cast("long")
-      val kHi = ceil(col("n").cast("double") * lit(0.95)).cast("long")
       val r = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"),
           dec(col("l_extendedprice")).as("p"),
           col("l_extendedprice").as("pd"))
         .withColumn("rn", row_number().over(wRank))
-        .withColumn("n", count(lit(1)).over(wAll))
-      val r2 = r
-        .withColumn("lo", max(when(col("rn") <= kLo, col("p"))).over(wAll))
-        .withColumn("hi", max(when(col("rn") <= kHi, col("p"))).over(wAll))
-      r2.groupBy(col("rf"))
+        .localCheckpoint(eager = false)
+      val kLoC = ceil(col("n").cast("double") * lit(0.05)).cast("long")
+      val kHiC = ceil(col("n").cast("double") * lit(0.95)).cast("long")
+      // cast keeps n BIGINT exactly as the old count()-over-group spelling
+      // (and the oracle schema) produced it
+      val sizes = r.groupBy(col("rf")).agg(max(col("rn")).cast("long").as("n"))
+        .select(col("rf"), col("n"), kLoC.as("kLo"), kHiC.as("kHi"))
+      val bounds = r.join(broadcast(sizes), Seq("rf"))
+        .filter(col("rn") === col("kLo") || col("rn") === col("kHi"))
+        .groupBy(col("rf"))
+        .agg(max(when(col("rn") === col("kLo"), col("p"))).as("lo"),
+          max(when(col("rn") === col("kHi"), col("p"))).as("hi"))
+      r.join(broadcast(sizes), Seq("rf"))
+        .join(broadcast(bounds), Seq("rf"))
+        .groupBy(col("rf"))
         .agg(max(col("n")).as("n"),
           max(col("lo")).cast("double").as("lo"),
           max(col("hi")).cast("double").as("hi"),
           round(sum(least(greatest(col("p"), col("lo")), col("hi")))
             .cast("double") / max(col("n")).cast("double"), 4).as("wins_mean"),
-          round(sum(when(col("rn") > kLo && col("rn") <= kHi, col("p")))
-              .cast("double") /
-            sum(when(col("rn") > kLo && col("rn") <= kHi, 1L).otherwise(0L))
-              .cast("double"), 4).as("trim_mean"))
+          round(sum(when(col("rn") > col("kLo") && col("rn") <= col("kHi"),
+              col("p"))).cast("double") /
+            sum(when(col("rn") > col("kLo") && col("rn") <= col("kHi"), 1L)
+              .otherwise(0L)).cast("double"), 4).as("trim_mean"))
         .orderBy(col("rf"))
     },
 
