@@ -119,22 +119,54 @@ object Aggregates extends QueryPack {
     // approx_percentile (t-digest, one pass, mergeable) when a bounded
     // error is acceptable — kept exact here for the oracle.
     "q_agg_percentiles" -> { (s, d) =>
-      // One array-argument percentile, not three scalar calls: percentile
-      // is a buffering (TypedImperative) aggregate, so three calls buffer
-      // and sort the column three times per group; the array form does it
-      // once and was measured ~3x cheaper on this, the suite's most
-      // expensive key. Exact per-group percentiles are inherently
-      // sort-the-group; at 100 TB swap in approx_percentile (t-digest,
-      // mergeable, no full buffer) — documented trade, oracle keeps exact.
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
-               .as("ps"),
-             count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-                round(element_at(col("ps"), 1), 4).as("p50"),
-                round(element_at(col("ps"), 2), 4).as("p90"),
-                round(element_at(col("ps"), 3), 4).as("p99"),
+      // r19 opt: the buffering `percentile` aggregate holds a per-group
+      // value→count map, serializes it between the partial and final
+      // phases, and sorts it single-threaded in the final — at any scale
+      // the group's whole column lives in one aggregation buffer (the
+      // OOM class the guide's §5 warns about). The rank spelling computes
+      // the SAME exact interpolated percentiles from a spillable tungsten
+      // sort: rank rows once per group, then each percentile is the
+      // closed-form blend of the two rows at floor/ceil of
+      // p·(n−1) — Spark's own Percentile.getPercentile arithmetic
+      // ((hi−pos)·vlo + (pos−lo)·vhi on the identical doubles), so values
+      // are bit-identical before the round. The bound rows come off a
+      // 9-row broadcast of (group, rank) targets — no buffered map, no
+      // TypedImperative serialization, graceful spill at 100 TB.
+      val wRank = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"))
+      val r = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wRank))
+        .localCheckpoint(eager = false)
+      val sizes = r.groupBy(col("l_returnflag"))
+        .agg(max(col("rn")).cast("long").as("n"))
+      val targets = sizes.select(col("l_returnflag").as("rf"), col("n"),
+          explode(array(Seq(0.5, 0.9, 0.99).map(lit): _*)).as("p"))
+        .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("lo_rn", floor(col("pos")) + 1)
+        .withColumn("hi_rn", ceil(col("pos")) + 1)
+      val hits = r.join(broadcast(targets),
+          col("l_returnflag") === col("rf") &&
+            (col("rn") === col("lo_rn") || col("rn") === col("hi_rn")))
+        .groupBy(col("rf"), col("p"))
+        .agg(
+          max(col("pos")).as("pos"),
+          max(col("lo_rn")).as("lo_rn"), max(col("hi_rn")).as("hi_rn"),
+          max(when(col("rn") === col("lo_rn"), col("l_extendedprice")))
+            .as("vlo"),
+          max(when(col("rn") === col("hi_rn"), col("l_extendedprice")))
+            .as("vhi"))
+        .select(col("rf"), col("p"),
+          when(col("lo_rn") === col("hi_rn"), col("vlo"))
+            .otherwise(
+              (col("hi_rn") - 1 - col("pos")) * col("vlo") +
+              (col("pos") - (col("lo_rn") - 1)) * col("vhi")).as("v"))
+      hits.groupBy(col("rf").as("l_returnflag"))
+        .agg(round(max(when(col("p") === 0.5, col("v"))), 4).as("p50"),
+             round(max(when(col("p") === 0.9, col("v"))), 4).as("p90"),
+             round(max(when(col("p") === 0.99, col("v"))), 4).as("p99"))
+        .join(sizes, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
                 col("n"))
         .orderBy(col("l_returnflag"))
     },

@@ -152,13 +152,27 @@ object Analytics extends QueryPack {
     // scan count). Ranking is over the ROUNDED score with a word
     // tie-break, so both engines rank identically.
     "q_tfidf" -> { (s, d) =>
+      // r19 opt: dl and df were unordered windows over TWO different
+      // partitionings — two full token-grain shuffles, each buffering
+      // every partition's rows per task. Both are plain aggregates of the
+      // tf frame (dl = Σtf per doc, df = row count per word), so compute
+      // them as doc-/vocab-sized aggregate frames off the one
+      // checkpointed tf grain and join them back (broadcast-sized here;
+      // co-partitioned hash joins at corpus scale — never a per-row
+      // window buffer either way). Values and schema are unchanged.
       val tf = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(eager = false)
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val dfc = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      // no broadcast hints on dl/dfc: AQE broadcasts them while they fit
+      // (it does at every fixture scale) and falls back to co-partitioned
+      // hash joins when a 100 TB corpus outgrows the threshold
       val scored = tf
-        .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+        .join(dl, Seq("doc_id"))
+        .join(dfc, Seq("word"))
         .crossJoin(broadcast(n))
         .withColumn("tfidf", round((col("tf") / col("dl")) *
           log(col("n_docs") / col("df").cast("double")), 4))

@@ -643,10 +643,12 @@ class PlanSpec extends AnyFunSuite {
     // run single-partition
     nodeBudget("q_seasonality", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 2)
-    // winsorize: ONE rf shuffle shared by the rank window, the bound
-    // windows, and the final agg
-    nodeBudget("q_winsorize", fileScanMax = 1, rddScanMax = 0,
-               hashExMax = 1)
+    // winsorize (re-audited r19 opt): the ranked frame is checkpointed
+    // once (the window pass lives inside it); sizes, bounds and the
+    // final clamp/trim agg are its three RDD reads, each re-hashing
+    // only group-grain rows
+    nodeBudget("q_winsorize", fileScanMax = 0, rddScanMax = 3,
+               hashExMax = 3)
     // schema profile: one single-column scan per profiled column (the
     // columnar-honest shape — same bytes as a combined scan, no
     // multi-distinct Expand); one distinct-partial exchange per column
