@@ -198,7 +198,13 @@ object TextOps extends QueryPack {
     // byte key, dwarfed by the text it replaces. At cluster scale, re-
     // hashing bands Spark-side is a legal optimization because band
     // equality is what's joined either way.)
+    // r19 opt: the candidate frame feeds the intersection join AND the
+    // final Jaccard join — without a cut the band explode + self-join
+    // re-ran for the second consumer (AQE reuses no exchange across
+    // branches). Candidates are pair-grain (LSH-bounded at any corpus
+    // size — the same storability class as the signature checkpoint).
     val cand = bandCandidates(sigs, bandSaltFactor)
+      .localCheckpoint(eager = false)
     // Exact Jaccard on candidates only: |A∩B| via shingle-hash join.
     val inter = cand.select(col("d1"), col("d2"))
       .join(sh.select(col("doc_id").as("d1"), col("h")), Seq("d1"))
