@@ -62,9 +62,14 @@ object Components {
     // whose only appearance is a self-loop keeps its row): the union is
     // then duplicate-free by construction — a=b rows come only from the
     // second branch — with no extra distinct shuffle over the adjacency
+    // r20: all three cuts here are LAZY — each round's labelSum action is
+    // the materializer, so a round costs one job instead of a dedicated
+    // checkpoint job plus the sum job. Unpersist ordering stays safe: the
+    // old labels are only unpersisted AFTER labelSum(next) has
+    // materialized the new snapshot (which read them).
     val adj = sym.filter(col("a") =!= col("b"))
       .union(sym.select(col("a")).distinct().select(col("a"), col("a").as("b")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // r19 opt: seed with ROUND 1's output directly. From self-labels,
     // round 1's candidates are min-over-neighborhood (self-edges ride in
     // adj, so the min includes the node's own id) and the pointer branch
@@ -74,7 +79,7 @@ object Components {
     // stable round-over-round) is identical.
     var labels = adj.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // sum() over zero rows is NULL — map it to 0 so an empty pair set
     // (no near-dups above threshold) converges to an empty frame instead
     // of NPE-ing on the comparison
@@ -95,7 +100,7 @@ object Components {
       val next = viaNeighbors.union(viaPointer)
         .groupBy(col("id"))
         .agg(min(col("cand")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       // bound executor storage at two label snapshots (old + new) — the
       // weak-ref ContextCleaner path would otherwise keep one per round

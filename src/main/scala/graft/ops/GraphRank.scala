@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.DecimalType
   *
   * Determinism contract (the reason this is oracle-checkable cross-engine,
   * unlike most float fixpoints): every per-edge contribution is rounded to
-  * 12 decimals and summed as EXACT decimal — cast to (18,14), long-backed
-  * in the agg buffer; the sum widens losslessly, to (28,14) in Spark and
-  * (38,14) in DuckDB — and each new rank is
+  * 12 decimals and summed EXACTLY — as of r20 as a LONG in 1e-12 units
+  * (the rounded double sits within ~1e-4·1e-12 of the exact k·1e-12, so
+  * re-rounding the scaled value recovers k exactly; total mass is 1, so
+  * sums stay ≤ ~1e12 at any graph size), which equals the DuckDB oracle's
+  * DECIMAL(18,14) sum value for value — and each new rank is
   * re-rounded to 12 decimals — so the only float ops per iteration are
   * single IEEE multiplies/divides/adds on identical inputs, and addition
   * order (Spark's partial aggregation vs any other engine's) cannot move
@@ -55,10 +57,18 @@ object GraphRank {
                broadcastRanks: Boolean = true): DataFrame = {
     val Seq(srcC, dstC, wC) = edges.columns.toSeq.take(3)
     // one evaluation of the caller's edge pipeline, ever: outw, the n
-    // count, and the ew build all read this in-memory snapshot
-    val e = edges.localCheckpoint()
+    // count, and the ew build all read this in-memory snapshot.
+    // r20 opt (guide §2.4): LAZY — the n count below materializes the
+    // whole chain in ONE job instead of an eager edge job + count job.
+    val e = edges.localCheckpoint(eager = false)
+    // r20 opt: outw itself had THREE lazy consumers (the ew join, the n
+    // count, the r0 rank init), each re-running the groupBy over the edge
+    // snapshot — one node-grain cut makes it compute once (same storable
+    // class as the rank snapshots; nothing here is ever unpersisted
+    // before its dependents materialize, so laziness is safe).
     val outw = e.groupBy(col(srcC).as("src"))
       .agg(sum(col(wC)).as("ow"))
+      .localCheckpoint(eager = false)
     // Out-weights merged once, outside the loop (and materialized once —
     // 8 lazy consumers would otherwise re-run the join+agg per round).
     // The edge frame is partitioned by DST, not src: each iteration joins
@@ -95,7 +105,9 @@ object GraphRank {
       .unionByName(outw.select(col("src"), col("src").as("dst"),
         lit(0L).as("w"), lit(1L).as("ow")))
       .repartition(if (broadcastRanks) col("dst") else col("src"))
-      .localCheckpoint()
+      // lazy (r20): materializes inside iteration 1's first job; ew is
+      // never unpersisted, so deferred materialization is safe
+      .localCheckpoint(eager = false)
     val n = outw.count()
     var ranks = outw.select(col("src").as("node"), lit(1.0 / n).as("r"))
     var sinceCut = 0
@@ -113,15 +125,24 @@ object GraphRank {
       // computing round((1−d)/N + d·0, 12), exactly as the old
       // nodes-LEFT-join spelling did; the self-loop row otherwise pins
       // s = Σc + 0.00000000000000 — bit-identical decimal sums.
+      // r20 opt (the q_corr_matrix long-unit discipline): the contribution
+      // rode as DECIMAL(18,14) through a byte-backed sum buffer — one
+      // BigDecimal cast + buffer allocation per EDGE per iteration.
+      // round(x, 12) lands within ~1e-4 of the exact 12-decimal value
+      // k·1e-12 after scaling, so round(·1e12) recovers the integer k
+      // EXACTLY and the per-dst sum becomes a LONG sum (mutable tungsten
+      // word). Total rank mass is 1, so Σk ≤ ~1e12 at ANY graph size —
+      // exact in a long and exact in a double — and s/1e12 casts to the
+      // identical double the decimal sum produced. Bit-identical ranks.
       ranks = ew.join(rankSide, col("node") === col("src"))
         .select(col("dst"),
-          round(col("r") * col("w") / col("ow"), 12)
-            .cast(DecimalType(18, 14)).as("c"))
+          round(round(col("r") * col("w") / col("ow"), 12) * 1e12)
+            .cast("long").as("c"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
         .select(col("node"), round(lit((1.0 - damping) / n) +
-          lit(damping) * coalesce(col("s"),
-            lit(0).cast(DecimalType(18, 14))).cast("double"), 12).as("r"))
+          lit(damping) *
+            (coalesce(col("s"), lit(0L)).cast("double") / 1e12), 12).as("r"))
       sinceCut += 1
       if (checkpointEvery > 0 && sinceCut >= checkpointEvery) {
         val cut = ranks.localCheckpoint()

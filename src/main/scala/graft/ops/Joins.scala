@@ -141,7 +141,8 @@ object Joins extends QueryPack {
         .filter(col("o_orderpriority") === "1-URGENT" &&
                 col("o_totalprice") > 300000)
         .select(col("o_orderkey"))
-        .localCheckpoint()
+        // lazy (r20): the count() below materializes it in one job
+        .localCheckpoint(eager = false)
       val bf = build.stat.bloomFilter("o_orderkey", build.count(), 0.01)
       // Probe through Catalyst's codegen'd BloomFilterMightContain (the
       // expression AQE's runtime-filter injection plants) instead of a

@@ -115,12 +115,20 @@ object MiningOps extends QueryPack {
     * array: per-dim terms rounded to 6 then summed as exact decimals in
     * a sequential fold — the value is order-independent (exact), so the
     * oracle's any-order SUM over exploded dims matches bit-for-bit. */
+  // r20 opt (the q_corr_matrix long-unit discipline): the fold ran one
+  // BigDecimal cast + add PER DIMENSION per (vector, centroid) pair — the
+  // key's hot path. round(x, 6) lands within ~1e-10 of the exact
+  // 6-decimal value k·1e-6, so round(·1e6) recovers the integer k
+  // EXACTLY; the fold then sums longs (codegen arithmetic, zero
+  // allocation). The distance is only ever COMPARED (argmin + ties) —
+  // long ordering of the same exact values is the same ordering, so
+  // assignments and all downstream output are unchanged.
   private[ops] def sqDist(vec: Column, carr: Column): Column =
     aggregate(
       zip_with(vec, carr, (a, b) =>
-        round((a - b) * (a - b), 6).cast(DecimalType(28, 10))),
-      lit(java.math.BigDecimal.ZERO).cast(DecimalType(28, 10)),
-      (acc, x) => (acc + x).cast(DecimalType(28, 10)))
+        round(round((a - b) * (a - b), 6) * 1e6).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
 
   /** One Lloyd assignment pass: nearest centroid id per vector, ties to
     * the smallest cid (cents is sorted by cid; array_position finds the
@@ -172,7 +180,8 @@ object MiningOps extends QueryPack {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           pc => pc.getField("c")).as("carr"))
-        .localCheckpoint()
+        // lazy (r20): round 2's broadcast build materializes it
+        .localCheckpoint(eager = false)
       // round 2: assign to re-estimated centroids, report the clusters
       val a2 = assign(ex, oneRow(c1))
       a2.select(col("cid").as("cluster"),
@@ -195,6 +204,12 @@ object MiningOps extends QueryPack {
       // order size) → pair-grain count. A distinct + self-join spelling
       // of the same edges costs an extra fact-grain exchange pair for the
       // equi-join — measured slower at sf0.1.
+      // r20 opt (VERDICT r19 item 3): the per-round checkpoints are LAZY —
+      // an eager checkpoint ran one job per round and the next round's
+      // broadcast build ran another; the lazy cut materializes inside that
+      // broadcast-build job instead, so each round costs ONE job (nothing
+      // is unpersisted here, so deferred materialization is safe). Same
+      // lineage truncation, same blocks, half the scheduler round-trips.
       val e = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
         .agg(collect_set(col("l_suppkey")).as("sups"))
@@ -206,7 +221,7 @@ object MiningOps extends QueryPack {
         .select(col("src"), col("dst"),
           when(col("co") >= 10, lit(1L))
             .otherwise(lit(11L) - col("co")).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       var dist = s.range(1)
         .select(lit(0L).as("node"), lit(0L).as("dist"))
       for (_ <- 1 to 3) {
@@ -215,7 +230,7 @@ object MiningOps extends QueryPack {
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         dist = dist.union(relaxed)
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
       }
       dist.orderBy(col("node"))
     },
@@ -284,18 +299,46 @@ object MiningOps extends QueryPack {
       // frame, the group sizes off a max(rn) aggregate, and both ride
       // back as broadcast joins. One window pass survives; values are
       // bit-identical (same rank semantics, same clamp/trim expressions).
-      val wRank = Window.partitionBy(col("rf")).orderBy(col("pd"))
-      val r = Tables.lineitem(s, d)
+      // r20 opt (VERDICT r19 item 2): that surviving window was
+      // partitionBy(rf) — 3 groups = 3 serial sort tasks at ANY scale.
+      // Two-phase rank in the q_sort_multi discipline: bucket on a
+      // DATA-derived price band (floor arithmetic — deterministic, no
+      // range-sampler), count bands in one tiny mergeable agg, and the
+      // global rank = broadcast per-band prefix offset + row_number
+      // within (rf, band) — each sort task now holds one band, not one
+      // group. Equal values always share a band (floor is monotone), so
+      // the value AT any global rank — all this key consumes — is
+      // unchanged. The band-count frame is |groups × bands| rows,
+      // checkpointed (two tiny consumers); offsets come from a window
+      // OVER THAT FRAME, never over facts, and group sizes fall out of
+      // the same counts, dropping the old max(rn) pass.
+      val bandW = 4096.0
+      val wRank = Window.partitionBy(col("rf"), col("band"))
+        .orderBy(col("pd"))
+      val rk = Tables.lineitem(s, d)
         .select(col("l_returnflag").as("rf"),
           dec(col("l_extendedprice")).as("p"),
           col("l_extendedprice").as("pd"))
-        .withColumn("rn", row_number().over(wRank))
+        .withColumn("band", floor(col("pd") / bandW).cast("long"))
+        .withColumn("rnb", row_number().over(wRank))
         .localCheckpoint(eager = false)
+      // band sizes = max in-band rank: a tiny mergeable agg over the
+      // checkpoint (|groups × bands| rows, read by offsets AND sizes)
+      val bandCnts = rk.groupBy(col("rf"), col("band"))
+        .agg(max(col("rnb")).cast("long").as("cntb"))
+        .localCheckpoint(eager = false)
+      val offDf = bandCnts.withColumn("off",
+        coalesce(sum(col("cntb")).over(Window.partitionBy(col("rf"))
+          .orderBy(col("band")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("rf"), col("band"), col("off"))
+      val r = rk.join(broadcast(offDf), Seq("rf", "band"))
+        .withColumn("rn", col("off") + col("rnb").cast("long"))
       val kLoC = ceil(col("n").cast("double") * lit(0.05)).cast("long")
       val kHiC = ceil(col("n").cast("double") * lit(0.95)).cast("long")
-      // cast keeps n BIGINT exactly as the old count()-over-group spelling
+      // n stays BIGINT exactly as the old count()-over-group spelling
       // (and the oracle schema) produced it
-      val sizes = r.groupBy(col("rf")).agg(max(col("rn")).cast("long").as("n"))
+      val sizes = bandCnts.groupBy(col("rf")).agg(sum(col("cntb")).as("n"))
         .select(col("rf"), col("n"), kLoC.as("kLo"), kHiC.as("kHi"))
       val bounds = r.join(broadcast(sizes), Seq("rf"))
         .filter(col("rn") === col("kLo") || col("rn") === col("kHi"))
@@ -510,7 +553,9 @@ object MiningOps extends QueryPack {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("u"), col("l_partkey").as("it"))
         .distinct()
-        .localCheckpoint()
+        // lazy (r20): both consumers sit in the final job; the block-
+        // manager write lock still guarantees one materialization
+        .localCheckpoint(eager = false)
       val m = Tables.part(s, d).agg(count(lit(1)).as("m"))
       val jf = s.range(1, 3).select(col("id").cast("int").as("j"))
       val cand = pos.crossJoin(broadcast(jf)).crossJoin(broadcast(m))

@@ -1426,13 +1426,20 @@ object PipelineOps extends QueryPack {
     val cents = e.filter(col("vec_id") < nLists)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"),
               col("nrm").as("cnrm"))
+    // r20 opt (VERDICT r19 item 6, guide §2.3/§2.4): the per-vector argmax
+    // was a row_number window over the |V|×nLists broadcast-join fan-out —
+    // a full shuffle + sort of the amplified frame. max(struct(cc, -cent))
+    // is the same selection (highest cc, ties to the smallest cent_id —
+    // struct ordering is lexicographic) as a MERGEABLE aggregate: the
+    // map-side combine collapses to one row per vector before the
+    // exchange, so the shuffle is |V| rows and the sort is gone.
     val asg = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
         (dot(col("embedding"), col("ce")) /
-          (col("nrm") * col("cnrm"))).as("cc"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cent_id"))))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+          (col("nrm") * col("cnrm"))).as("cc"),
+        (-col("cent_id")).as("negc"))).as("top"))
+      .select(col("vec_id"), (-col("top.negc")).as("cent_id"))
     val probes = e.filter(isProbe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
               col("nrm").as("pnrm"))
@@ -1467,7 +1474,9 @@ object PipelineOps extends QueryPack {
     AnnIndex.trainCentroids(Tables.embeddings(s, d), nLists)
       .select(col("cid").as("cent_id"), col("carr").as("ce"),
         sqrt(AnnIndex.dotD(col("carr"), col("carr"))).as("cnrm"))
-      .localCheckpoint()
+      // lazy (r20): materializes inside the first consumer's broadcast
+      // build (never unpersisted), saving the dedicated training job
+      .localCheckpoint(eager = false)
 
   /** [[ivfTopK]] served from TRAINED centroids (r16, VERDICT r15 item 3):
     * the q_ann_ivf contract key's form — identical inverted-file serve
@@ -1485,13 +1494,17 @@ object PipelineOps extends QueryPack {
       sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
     val cents = trainedCents(s, d, nLists)
     val vd = transform(col("embedding"), v => v.cast("double"))
+    // r20 opt: same mergeable max-struct argmax as [[ivfTopK]] (see its
+    // comment) — the |V|×nLists window shuffle+sort becomes a map-side-
+    // combined |V|-row aggregation; identical assignment (highest cc,
+    // ties to the smallest cent_id).
     val asg = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
         (AnnIndex.dotD(vd, col("ce")) /
-          (col("nrm") * col("cnrm"))).as("cc"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cent_id"))))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+          (col("nrm") * col("cnrm"))).as("cc"),
+        (-col("cent_id")).as("negc"))).as("top"))
+      .select(col("vec_id"), (-col("top.negc")).as("cent_id"))
     val probes = e.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
               col("nrm").as("pnrm"))
@@ -1544,13 +1557,17 @@ object PipelineOps extends QueryPack {
     // stay bit-reproducible cross-engine (sequential-order sums).
     val cents = trainedCents(s, d, nLists)
     val vd = transform(col("embedding"), v => v.cast("double"))
+    // r20 opt: same mergeable max-struct argmax as [[ivfTopK]] (see its
+    // comment) — the |V|×nLists window shuffle+sort becomes a map-side-
+    // combined |V|-row aggregation; identical assignment (highest cc,
+    // ties to the smallest cent_id).
     val asg = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
         (AnnIndex.dotD(vd, col("ce")) /
-          (col("nrm") * col("cnrm"))).as("cc"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cc").desc, col("cent_id"))))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cent_id"))
+          (col("nrm") * col("cnrm"))).as("cc"),
+        (-col("cent_id")).as("negc"))).as("top"))
+      .select(col("vec_id"), (-col("top.negc")).as("cent_id"))
     val probes = e.filter(isProbe)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
               col("nrm").as("pnrm"))
@@ -1585,7 +1602,9 @@ object PipelineOps extends QueryPack {
       .select(col("probe_id"), col("vec_id"), col("plrn"),
         round(dot(col("pe"), col("embedding")) /
           (col("pnrm") * col("nrm")), 4).as("cos"))
-      .localCheckpoint()
+      // lazy (r20): nothing unpersists it, so the first sweep branch can
+      // materialize it inside its own job instead of a dedicated one
+      .localCheckpoint(eager = false)
     val ivf = nProbes.map { np =>
       cand.filter(col("plrn") <= np)
         .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))

@@ -496,7 +496,9 @@ object TextOps extends QueryPack {
     // band join (minhashPairs' bandSaltFactor).
     "q_triangle_count" -> { (s, d) =>
       val pairs = minhashPairs(Tables.documents(s, d), 0.5)
-        .select(col("d1"), col("d2")).localCheckpoint()
+        // lazy (r20): blocks dedupe via the block-manager write lock,
+        // so the first consumer materializes it exactly once
+        .select(col("d1"), col("d2")).localCheckpoint(eager = false)
       pairs.as("e1")
         .join(pairs.select(col("d1").as("b2"), col("d2").as("c")),
           col("e1.d2") === col("b2"))

@@ -47,16 +47,24 @@ object Windows extends QueryPack {
     // (l_orderkey, l_linenumber) is NOT unique, so the order key extends to
     // (extendedprice, partkey, suppkey) — unique in the fixture — to keep
     // frame contents identical between engines.
+    // r20 opt (the q_corr_matrix long-chunk discipline, window form): the
+    // sliding decimal sum re-added 3 byte-backed decimals per row —
+    // quantity sums exactly as LONG CENTS instead (the frame is 3 rows,
+    // so the sum is ≤ 1.5e4 at ANY scale — no chunking needed), and the
+    // cents→value shift happens in double, which is exact here (integer
+    // ≤ 2^53, one correctly-rounded division — the same double the
+    // decimal cast produced).
     "q_window_frame_rows" -> { (s, d) =>
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_extendedprice"),
                  col("l_partkey"), col("l_suppkey"))
         .rowsBetween(-2, Window.currentRow)
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val movSum = sum(qc).over(w).cast("double") / 100
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-                outd(sum(dec(col("l_quantity"))).over(w)).as("mov_sum"),
-                round(sum(dec(col("l_quantity"))).over(w).cast("double") /
-                      count(lit(1)).over(w), 4).as("mov_avg"),
+                round(movSum, 4).as("mov_sum"),
+                round(movSum / count(lit(1)).over(w), 4).as("mov_avg"),
                 count(lit(1)).over(w).as("mov_n"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
                  col("l_partkey"), col("l_suppkey"))

@@ -643,12 +643,16 @@ class PlanSpec extends AnyFunSuite {
     // run single-partition
     nodeBudget("q_seasonality", fileScanMax = 1, rddScanMax = 0,
                hashExMax = 2)
-    // winsorize (re-audited r19 opt): the ranked frame is checkpointed
-    // once (the window pass lives inside it); sizes, bounds and the
-    // final clamp/trim agg are its three RDD reads, each re-hashing
-    // only group-grain rows
-    nodeBudget("q_winsorize", fileScanMax = 0, rddScanMax = 3,
-               hashExMax = 3)
+    // winsorize (re-audited r20 two-phase rank): the banded ranked frame
+    // is checkpointed once (the (rf, band) window lives inside it) and
+    // read by the bounds filter and the final clamp/trim agg; the tiny
+    // band-count frame is checkpointed once and read by the offset
+    // window and the sizes agg — 4 RDD reads total, zero file re-scans
+    // (the 4th exchange is the prefix-offset window over the band-count
+    // frame — |groups × bands| rows; every exchange here is group- or
+    // band-grain, never fact-grain)
+    nodeBudget("q_winsorize", fileScanMax = 0, rddScanMax = 4,
+               hashExMax = 4)
     // schema profile: one single-column scan per profiled column (the
     // columnar-honest shape — same bytes as a combined scan, no
     // multi-distinct Expand); one distinct-partial exchange per column
