@@ -1802,11 +1802,14 @@ object PipelineOps extends QueryPack {
       .join(broadcast(profiles), Seq("word"))
       .groupBy(col("doc_id"), col("p_lang"))
       .agg(count(lit(1)).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("score").desc, col("p_lang"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("p_lang").as("pred_lang"))
+      // r20 opt: the vote argmax was a row_number window (shuffle + sort
+      // of the per-(doc, lang) score frame). min(struct(-score, lang)) is
+      // the same selection (highest score, ties to the lexicographically
+      // first lang) as a MERGEABLE aggregate — map-side combined, no sort.
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("p_lang").as("pl")))
+        .as("top"))
+      .select(col("doc_id"), col("top.pl").as("pred_lang"))
 
   // ---------------- DuckDB oracles ----------------
 

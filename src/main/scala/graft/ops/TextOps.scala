@@ -793,11 +793,18 @@ object TextOps extends QueryPack {
     * (AnalyticsSpec pins the count; a per-stat formulation re-scanned it
     * twice more). Returns (doc_id, n_tokens, avg_logp). */
   def unigramLogProb(docs: DataFrame): DataFrame = {
+    // r20 opt (guide §2.4): tf fed three lazy consumers (the score join,
+    // vocab, and total→vocab→tf), so the text scan + tokenize + count ran
+    // THREE times; vocab itself fed two. Two lazy cuts — (doc, word)
+    // grain and word grain, both the storable class — make each compute
+    // once; one text scan total.
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val vocab = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint(eager = false)
     val total = vocab.agg(sum(col("cnt")).as("total"))
     tf.join(vocab, Seq("word")).crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
